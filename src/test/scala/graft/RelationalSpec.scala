@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all suites (one JVM per `sbt test` fork). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() === 1)
+  }
+
+  test("every registered query runs non-empty at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.count() > 0, s"query $name returned 0 rows")
+    }
+  }
+
+  test("every query with an oracle has matching entry") {
+    val qs = SparkEntry.queries.keySet
+    SparkEntry.oracleSql.keySet.foreach { k =>
+      assert(qs.contains(k), s"oracle $k has no query")
+    }
+  }
+
+  test("q3 top-1 is a single deterministic row") {
+    val rows = queries.Relational.q3JoinTop1(spark, sf).collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[Double]("total_rev") > 0.0)
+  }
+
+  test("q_topk is sorted descending") {
+    val prices = queries.Relational.qTopK(spark, sf)
+      .collect().map(_.getAs[Double]("o_totalprice"))
+    assert(prices.sameElements(prices.sorted(Ordering[Double].reverse)))
+  }
+
+  test("wordcount total tokens equals flat token count") {
+    import org.apache.spark.sql.functions._
+    val wc = queries.Relational.qWordCount(spark, sf)
+    val totalFromGroups = wc.agg(sum("cnt")).head().getLong(0)
+    val flat = Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("w"))
+      .filter(length(col("w")) > 0).count()
+    assert(totalFromGroups === flat)
+  }
+
+  test("union merge row count = sum of branch counts") {
+    import org.apache.spark.sql.functions._
+    val o = Tables.orders(spark, sf).filter(col("o_orderstatus") === "O").count()
+    val e = Tables.events(spark, sf).filter(col("event_type") === "purchase").count()
+    assert(queries.Relational.qUnionMerge(spark, sf).count() === o + e)
+  }
+}
