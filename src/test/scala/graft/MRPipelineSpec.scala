@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.mr.{MRPipeline, Partitioners}
+
+class MRPipelineSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def pairs(xs: (String, Int)*) =
+    MRPipeline.fromPairs(spark, spark.sparkContext.parallelize(xs, 4))
+
+  test("map is flatMap-shaped: 0..n outputs per input") {
+    val out = pairs("a" -> 1, "b" -> 2)
+      .map { (k, v) => (1 to v).map(i => (k, i)) }
+      .collectPairs().sorted
+    assert(out.toSeq === Seq("a" -> 1, "b" -> 1, "b" -> 2))
+  }
+
+  test("reduce groups all values per key, keys sorted within partition") {
+    val p = pairs("b" -> 1, "a" -> 2, "b" -> 3, "c" -> 4, "a" -> 5)
+      .reduce((k: String, vs: Seq[Int]) => Iterator.single((k, vs.sum)), 2)
+    // per-partition key order must be ascending (reference reduce_handler.py:122)
+    val perPart = p.rdd.mapPartitions(it => Iterator.single(it.map(_._1).toList))
+      .collect()
+    perPart.foreach(ks => assert(ks === ks.sorted))
+    assert(p.collectPairs().sorted.toSeq === Seq("a" -> 7, "b" -> 4, "c" -> 4))
+  }
+
+  test("values arrive in arrival order (stable grouping)") {
+    val out = MRPipeline.fromPairs(spark,
+        spark.sparkContext.parallelize(Seq("k" -> 1, "k" -> 2, "k" -> 3), 1))
+      .reduce((k: String, vs: Seq[Int]) => Iterator.single((k, vs.mkString(","))), 1)
+      .collectPairs()
+    assert(out.toSeq === Seq("k" -> "1,2,3"))
+  }
+
+  test("combineReduce matches plain reduce for algebraic aggregates") {
+    val input = (1 to 1000).map(i => (s"k${i % 7}", i))
+    val sum = (k: String, vs: Seq[Int]) => Iterator.single((k, vs.sum))
+    val plain = pairs(input: _*).reduce(sum, 4).collectPairs().sorted.toSeq
+    val comb = pairs(input: _*).combineReduce(sum, sum, 4).collectPairs().sorted.toSeq
+    assert(plain === comb)
+  }
+
+  test("custom shuffle function controls exact partition placement") {
+    val p = pairs("a" -> 1, "bb" -> 2, "ccc" -> 3, "dddd" -> 4)
+      .shuffle((k: String, n: Int) => k.length % n)
+      .reduce((k: String, vs: Seq[Int]) => Iterator.single((k, vs.sum)), 3)
+    val placed = p.rdd.mapPartitionsWithIndex { (i, it) =>
+      it.map { case (k, _) => (k, i) }
+    }.collect().toMap
+    assert(placed === Map("a" -> 1, "bb" -> 2, "ccc" -> 0, "dddd" -> 1))
+  }
+
+  test("sha256Mod matches the reference default partitioner bit-exactly") {
+    // golden values computed with hashlib: int(sha256(key),16) % n
+    assert(Partitioners.sha256Mod("hello", 10) === 0)
+    assert(Partitioners.sha256Mod("0.0.0.0", 7) === 4)
+    assert(Partitioners.sha256Mod("Customer#000000042", 32) === 23)
+  }
+
+  test("unitRange matches reference range_partition.py") {
+    assert(Partitioners.unitRange(0.0, 4) === 0)
+    assert(Partitioners.unitRange(0.26, 4) === 1)
+    assert(Partitioners.unitRange(0.999, 4) === 3)
+    assert(Partitioners.unitRange(1.0, 4) === 3) // clamped, not out-of-range
+  }
+
+  test("merge is UNION ALL of pipeline outputs") {
+    val a = pairs("x" -> 1)
+    val b = pairs("x" -> 2, "y" -> 3)
+    assert(a.merge(b).collectPairs().sorted.toSeq ===
+      Seq("x" -> 1, "x" -> 2, "y" -> 3))
+  }
+
+  test("MR word count equals DataFrame word count") {
+    val mr = queries.MRQueries.qMrWordCount(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    val df = queries.Relational.qWordCount(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(mr.sameElements(df))
+  }
+}
