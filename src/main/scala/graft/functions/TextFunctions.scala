@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline column builders (tokenize, shingle, quality signals) —
+  * generalizations of the reference's regex tokenizers
+  * (`word_count/map.py:10`, `performance_functions/simplified_page_rank.py:4`)
+  * built from codegen'd `org.apache.spark.sql.functions` only: everything
+  * here stays inside WholeStageCodegen, no UDFs.
+  *
+  * All builders mirror 1-based `element_at` semantics so the DuckDB oracle
+  * SQL can be written with identical list indexing.
+  */
+object TextFunctions {
+
+  /** Lowercased alphanumeric tokens, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Token count as BIGINT (matches DuckDB `len()`). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("bigint")
+
+  /** Contiguous word n-gram shingles, space-joined ("a b c").
+    * Empty array when fewer than n tokens — guarded because Spark's
+    * `sequence(1, 0)` counts DOWN rather than returning empty. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      transform(
+        sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Count of tokens that appear in a fixed marker set. */
+  def markerHits(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(markers))).cast("bigint")
+
+  // Marker sets for the n-gram-free language-ID heuristic. Deterministic
+  // and SQL-expressible — the oracle recomputes the same score.
+  val enMarkers = Seq("the", "a", "of", "and", "is", "to", "in")
+  val deMarkers = Seq("der", "die", "das", "und", "ist", "nicht")
+  val frMarkers = Seq("le", "la", "et", "les", "des", "est")
+  val esMarkers = Seq("el", "los", "que", "de", "y", "es")
+}

@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.SimHash
+import graft.functions.TextFunctions._
+
+/** Deduplication suite over the `documents` table — the LLM-training-data
+  * operators the reference lacks entirely (SURVEY.md §7.0 step 5), each
+  * designed for the 100 TB shape first:
+  *
+  *  - exact:        hash-groupBy, one shuffle of 16-byte digests.
+  *  - n-gram Jaccard: exact pairwise similarity via shingle inverted
+  *    index; correct but inherently candidate-quadratic — kept as the
+  *    small-scale ORACLE for the approximate paths.
+  *  - MinHash-LSH:  the scale path. k minhashes per doc (one scan), banded
+  *    into buckets; only same-bucket docs pair up, so shuffle volume is
+  *    O(docs × bands), not O(pairs). Candidates are verified with exact
+  *    Jaccard on signatures.
+  *  - SimHash:      64-bit fingerprint (custom codegen Expression), near-dup
+  *    = small Hamming distance; zero-shuffle fingerprinting.
+  */
+object DedupQueries {
+
+  // ── Exact dedup: md5-groupBy ───────────────────────────────────────────
+  // At 100 TB: shuffles only (digest, doc_id) pairs, never text. Duplicate
+  // groups keep the smallest doc_id (deterministic survivor).
+  def qDedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  val qDedupExactSql: String =
+    "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies " +
+      "FROM documents GROUP BY md5(text)"
+
+  // ── Exact n-gram Jaccard near-dup pairs ────────────────────────────────
+  // Inverted index on distinct 3-gram shingles; pairs sharing a shingle
+  // are counted once per shared shingle; |A∩B| / (|A|+|B|-|A∩B|) >= 0.8.
+  // Integer counts + one double division → bit-identical to the oracle.
+  private def shingleIndex(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 3))).as("sh"))
+
+  def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleIndex(s, d)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        (col("shared").cast("double") /
+          (col("sa.n") + col("sb.n") - col("shared"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  private val sqlToks =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)"
+  private val sqlShingles =
+    s"list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)), " +
+      "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+
+  val qNgramJaccardSql: String =
+    s"WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents), " +
+      s"sh AS (SELECT doc_id, unnest($sqlShingles) AS sh FROM toks), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+      "shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared " +
+      "FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      "SELECT doc_a, doc_b, shared, " +
+      "CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard " +
+      "FROM shared JOIN sizes sa ON doc_a = sa.doc_id " +
+      "JOIN sizes sb ON doc_b = sb.doc_id " +
+      "WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8"
+
+  // ── MinHash-LSH near-dup candidates (the 100 TB path) ──────────────────
+  // numHashes minhashes per doc from one shingle scan (min over
+  // xxhash64(seed, shingle)); split into bands of rows; docs sharing any
+  // band bucket become candidates; candidates verified by signature
+  // Jaccard (estimate of true Jaccard). No oracle (xxhash64 is
+  // Spark-specific) → rows-only driver check + LshDedupSpec recall test.
+  def minhashSignature(shingle: Column, numHashes: Int): Seq[Column] =
+    (0 until numHashes).map(i => min(xxhash64(lit(i), shingle)).as(s"mh_$i"))
+
+  def qMinhashLsh(s: SparkSession, d: String): DataFrame =
+    lshPairs(Tables.documents(s, d), numHashes = 32, bands = 16, threshold = 0.8)
+
+  /** LSH candidate pairs with signature-estimated Jaccard >= threshold.
+    * Reusable over any (doc_id, text) frame. */
+  def lshPairs(docs: DataFrame, numHashes: Int, bands: Int,
+      threshold: Double): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    val sh = docs
+      .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 3))).as("sh"))
+    val sig = sh.groupBy(col("doc_id"))
+      .agg(minhashSignature(col("sh"), numHashes).head,
+        minhashSignature(col("sh"), numHashes).tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
+    // band key = hash of the band's slice of the signature
+    val banded = sig.select(col("doc_id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+      }: _*)).as("bk"))
+    val cands = banded.as("x")
+      .join(banded.as("y"),
+        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    // verify: fraction of agreeing minhashes estimates Jaccard
+    cands
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
+          x => x)).cast("double") / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  // ── SimHash fingerprints + Hamming near-dup pairs ──────────────────────
+  // Fingerprinting is one codegen'd scan (no shuffle). Pairing at scale
+  // uses the same banding idea: split the 64-bit fingerprint into 4
+  // 16-bit blocks; Hamming distance <= 3 guarantees at least one block
+  // matches exactly, so block-equality buckets are a complete candidate
+  // generator (pigeonhole) with O(docs × 4) shuffle.
+  def qSimhashPairs(s: SparkSession, d: String): DataFrame = {
+    SimHash.register(s)
+    val fp = Tables.documents(s, d)
+      .select(col("doc_id"), SimHash.simhash(col("text")).as("fp"))
+    val blocks = fp.select(col("doc_id"), col("fp"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("block"),
+          shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))
+      }: _*)).as("bk"))
+    blocks.as("x")
+      .join(blocks.as("y"),
+        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= 3)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact"   -> qDedupExact _,
+    "q_ngram_jaccard" -> qNgramJaccard _,
+    "q_minhash_lsh"   -> qMinhashLsh _,
+    "q_simhash_pairs" -> qSimhashPairs _,
+  )
+
+  /** xxhash64/FNV are Spark-side constructs — no DuckDB equivalent, so the
+    * approximate queries get the driver's rows-only check; their quality
+    * is asserted against the exact Jaccard oracle in LshDedupSpec. */
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact"   -> qDedupExactSql,
+    "q_ngram_jaccard" -> qNgramJaccardSql,
+  )
+}

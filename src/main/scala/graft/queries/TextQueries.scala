@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for a training-data pipeline, run over the
+  * `documents` table: token counting, quality scoring, language-ID
+  * heuristic, exact fingerprinting. Generalizes the reference's only text
+  * ops (regex tokenize `word_count/map.py:10`, regex extract
+  * `simplified_page_rank.py:4`) into per-document signals.
+  *
+  * Every query is pure column algebra (no UDFs) → WholeStageCodegen end to
+  * end, and embarrassingly parallel per document: at 100 TB these scale
+  * linearly with input splits, no shuffle at all except where grouped.
+  */
+object TextQueries {
+
+  // ── Token counting ─────────────────────────────────────────────────────
+  def qTokenCount(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(t).cast("bigint").as("n_tokens"),
+      size(array_distinct(t)).cast("bigint").as("n_distinct"),
+      length(col("text")).cast("bigint").as("n_chars_m"))
+  }
+
+  val qTokenCountSql: String =
+    "SELECT doc_id, " +
+      "len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)) AS n_tokens, " +
+      "len(list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0))) AS n_distinct, " +
+      "length(text) AS n_chars_m " +
+      "FROM documents"
+
+  // ── Quality scoring ────────────────────────────────────────────────────
+  // length / lexical-diversity / stopword signals combined with fixed
+  // weights. The exact formula is mirrored in the oracle SQL term-for-term
+  // so both engines evaluate the identical double expression tree.
+  def qQualityScore(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), t.as("t"))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("bigint").as("n_tokens"),
+        (size(array_distinct(col("t"))).cast("double") / size(col("t"))).as("diversity"),
+        (markerHits(col("t"), enMarkers).cast("double") / size(col("t"))).as("stopword_ratio"),
+        (col("n_chars").cast("double") / size(col("t"))).as("chars_per_token"))
+      .withColumn("quality",
+        col("diversity") * 0.5 + col("stopword_ratio") * 0.3 +
+          least(col("chars_per_token") / 10.0, lit(1.0)) * 0.2)
+  }
+
+  private val sqlToks =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)"
+  private def sqlMarkerHits(toks: String, markers: Seq[String]): String =
+    s"len(list_filter($toks, x -> list_contains(${markers.mkString("['", "', '", "']")}, x)))"
+
+  val qQualityScoreSql: String =
+    "SELECT doc_id, n_tokens, diversity, stopword_ratio, chars_per_token, " +
+      "diversity * 0.5 + stopword_ratio * 0.3 + least(chars_per_token / 10.0, 1.0) * 0.2 AS quality " +
+      "FROM (SELECT doc_id, " +
+      s"len(t) AS n_tokens, " +
+      "CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS diversity, " +
+      s"CAST(${sqlMarkerHits("t", enMarkers)} AS DOUBLE) / len(t) AS stopword_ratio, " +
+      "CAST(n_chars AS DOUBLE) / len(t) AS chars_per_token " +
+      s"FROM (SELECT doc_id, n_chars, $sqlToks AS t FROM documents) a) b"
+
+  // ── Language-ID heuristic ──────────────────────────────────────────────
+  // Marker-word voting (an n-gram-free stand-in for fasttext-style ID —
+  // deterministic so the oracle can recompute it). Ties resolve in the
+  // fixed order en > de > fr > es via strict > comparisons.
+  def qLangId(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang").as("lang_label"),
+        markerHits(t, enMarkers).as("en_hits"),
+        markerHits(t, deMarkers).as("de_hits"),
+        markerHits(t, frMarkers).as("fr_hits"),
+        markerHits(t, esMarkers).as("es_hits"))
+      .withColumn("lang_guess",
+        when(col("de_hits") > col("en_hits") && col("de_hits") >= col("fr_hits") &&
+          col("de_hits") >= col("es_hits"), "de")
+          .when(col("fr_hits") > col("en_hits") && col("fr_hits") > col("de_hits") &&
+            col("fr_hits") >= col("es_hits"), "fr")
+          .when(col("es_hits") > col("en_hits") && col("es_hits") > col("de_hits") &&
+            col("es_hits") > col("fr_hits"), "es")
+          .otherwise("en"))
+  }
+
+  val qLangIdSql: String = {
+    def hits(m: Seq[String]) = sqlMarkerHits("t", m)
+    "SELECT doc_id, lang_label, en_hits, de_hits, fr_hits, es_hits, " +
+      "CASE WHEN de_hits > en_hits AND de_hits >= fr_hits AND de_hits >= es_hits THEN 'de' " +
+      "WHEN fr_hits > en_hits AND fr_hits > de_hits AND fr_hits >= es_hits THEN 'fr' " +
+      "WHEN es_hits > en_hits AND es_hits > de_hits AND es_hits > fr_hits THEN 'es' " +
+      "ELSE 'en' END AS lang_guess " +
+      "FROM (SELECT doc_id, lang AS lang_label, " +
+      s"${hits(enMarkers)} AS en_hits, ${hits(deMarkers)} AS de_hits, " +
+      s"${hits(frMarkers)} AS fr_hits, ${hits(esMarkers)} AS es_hits " +
+      s"FROM (SELECT doc_id, lang, $sqlToks AS t FROM documents) a) b"
+  }
+
+  // ── Exact content fingerprint (md5) ────────────────────────────────────
+  // Deterministic per-document fingerprint; groundwork for exact dedup.
+  def qFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(col("text")).as("fp_md5"),
+      md5(concat_ws(" ", tokens(col("text")))).as("fp_tokens_md5"))
+
+  val qFingerprintSql: String =
+    "SELECT doc_id, md5(text) AS fp_md5, " +
+      s"md5(array_to_string($sqlToks, ' ')) AS fp_tokens_md5 " +
+      "FROM documents"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_count"   -> qTokenCount _,
+    "q_quality_score" -> qQualityScore _,
+    "q_lang_id"       -> qLangId _,
+    "q_fingerprint"   -> qFingerprint _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_token_count"   -> qTokenCountSql,
+    "q_quality_score" -> qQualityScoreSql,
+    "q_lang_id"       -> qLangIdSql,
+    "q_fingerprint"   -> qFingerprintSql,
+  )
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.SimHash
+import graft.queries.DedupQueries
+
+class DedupSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and then " +
+    "runs far away into the deep green forest to hide from the loud hunters"
+
+  // doc 1/2 near-dups of 0; docs 10.. unrelated
+  private lazy val docs = Seq(
+    (0L, base),
+    (1L, base.replace("lazy", "sleepy")),
+    (2L, base + " tonight"),
+    (10L, "completely different content about query engines and shuffles " +
+      "partitions joins aggregates and columnar execution plans at scale"),
+    (11L, "yet another unrelated piece of text mentioning benchmarks " +
+      "latency throughput caching and storage formats for analytics"),
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts and keeps min doc_id") {
+    val dup = docs.union(Seq((99L, base)).toDF("doc_id", "text"))
+    val out = DedupQueries.qDedupExact _
+    // run the same plan shape directly over the fixture frame
+    val grouped = dup.groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n"))
+    val row = grouped.filter($"n" > 1).collect()
+    assert(row.length === 1)
+    assert(row(0).getAs[Long]("keep_id") === 0L)
+    assert(row(0).getAs[Long]("n") === 2L)
+    // and the registered query runs on real data with full coverage
+    val real = out(spark, sf)
+    assert(real.agg(sum($"n_copies")).head().getLong(0) ===
+      Tables.documents(spark, sf).count())
+  }
+
+  test("LSH finds all high-Jaccard pairs the exact oracle finds") {
+    val lsh = DedupQueries.lshPairs(docs, numHashes = 32, bands = 16, threshold = 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh.contains((0L, 1L)), s"missing (0,1) in $lsh")
+    assert(lsh.contains((0L, 2L)), s"missing (0,2) in $lsh")
+    assert(lsh.contains((1L, 2L)), s"missing (1,2) in $lsh")
+    assert(!lsh.exists { case (a, b) => a >= 10L || b >= 10L },
+      s"unrelated docs paired: $lsh")
+  }
+
+  test("ngram jaccard on real data only reports pairs above threshold") {
+    val out = DedupQueries.qNgramJaccard(spark, sf).collect()
+    assert(out.nonEmpty) // testdata plants near-duplicates
+    out.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.8))
+  }
+
+  test("simhash: deterministic, near-dup-stable, codegen-evaluable") {
+    SimHash.register(spark)
+    val fp = docs.select($"doc_id", SimHash.simhash($"text").as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(0L) === SimHash.compute(base)) // expression == direct call
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fp(0L), fp(1L)) <= 6, "near-dups should be close")
+    assert(hamming(fp(0L), fp(10L)) > 6, "unrelated should be far")
+  }
+
+  test("simhash block-banding is a complete candidate generator for d<=3") {
+    // pigeonhole: hamming<=3 over 4 blocks of 16 bits → >=1 block equal
+    val r = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val a = r.nextLong()
+      var b = a
+      val flips = r.nextInt(4) // 0..3 bit flips
+      (1 to flips).foreach(_ => b ^= (1L << r.nextInt(64)))
+      val blocksEqual = (0 until 4).count { i =>
+        ((a >>> (i * 16)) & 0xffffL) == ((b >>> (i * 16)) & 0xffffL)
+      }
+      assert(blocksEqual >= 1)
+    }
+  }
+}
