@@ -23,11 +23,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ MRQueries.queries ++
-      TextQueries.queries ++ DedupQueries.queries
+      TextQueries.queries ++ DedupQueries.queries ++
+      SimilarityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ MRQueries.oracles ++
-      TextQueries.oracles ++ DedupQueries.oracles
+      TextQueries.oracles ++ DedupQueries.oracles ++
+      SimilarityQueries.oracles
 }

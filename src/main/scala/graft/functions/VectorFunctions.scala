@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column builders for embedding math over `array<float>` columns —
+  * everything is built from codegen'd higher-order functions
+  * (`zip_with` / `aggregate` / `transform`), no UDFs, so vector arithmetic
+  * stays inside WholeStageCodegen and scales linearly with the scan.
+  *
+  * Floats are widened to double BEFORE any arithmetic and folded strictly
+  * left-to-right, which is the same evaluation order DuckDB's
+  * `list_dot_product` uses — that makes cosine values bit-comparable
+  * between engine and oracle.
+  */
+object VectorFunctions {
+
+  /** `array<float>` → `array<double>` (widen once, before arithmetic). */
+  def asDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Sequential left-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Euclidean norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity (computed fully — inputs need not be unit-norm). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic pseudo-random ±1.0 from (plane, component) — the
+    * hyperplane "matrix" of the sign-random-projection LSH is never
+    * materialized; each cell is recomputed from its indices on demand, so
+    * every executor sees the identical hyperplanes with zero broadcast. */
+  def planeSign(plane: Int, component: Column): Column =
+    when(pmod(xxhash64(lit(plane), component), lit(2)) === 0, lit(1.0))
+      .otherwise(lit(-1.0))
+
+  /** One sign-random-projection bit: sign of v · plane_i. */
+  def srpBit(v: Column, plane: Int): Column = {
+    val proj = aggregate(
+      zip_with(v, sequence(lit(0), size(v) - 1),
+        (x, j) => x * planeSign(plane, j)),
+      lit(0.0), (acc, x) => acc + x)
+    when(proj >= 0, lit(1L)).otherwise(lit(0L))
+  }
+
+  /** `nBits`-bit sign-random-projection sketch packed into one long.
+    * Hamming distance between sketches estimates angular distance. */
+  def srpSketch(v: Column, nBits: Int): Column =
+    (0 until nBits).map(i => shiftleft(srpBit(v, i), i))
+      .reduce(_.bitwiseOR(_))
+}

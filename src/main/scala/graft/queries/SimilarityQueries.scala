@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Neighbor, TopKAggregator}
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` table (`vec_id`, 64-dim
+  * `array<float>` `embedding`, `label`) — beyond the reference (which has
+  * no vector operations at all); the ANN/near-dup primitives a training
+  *-data pipeline needs at 100 TB.
+  *
+  * Three tiers:
+  *  - brute-force cosine top-k (windowed): the small-scale ORACLE.
+  *  - bounded-heap top-k (custom `Aggregator` with partial aggregation):
+  *    the same answer with shuffle capped at O(queries × k × partitions)
+  *    — this is the plan shape that survives a 1000-executor corpus scan.
+  *  - sign-random-projection LSH: the approximate scale path — one packed
+  *    64-bit sketch per vector (one codegen'd scan, like SimHash for
+  *    text), banded into buckets so only same-bucket vectors pair up.
+  *
+  * Oracle parity: floats are widened to double before arithmetic and dot
+  * products fold left-to-right — the evaluation order DuckDB's
+  * `list_dot_product` uses — then reported similarities are rounded to 6
+  * decimals on both sides.
+  */
+object SimilarityQueries {
+
+  /** How many query vectors the demo knn queries use (kept small so the
+    * brute-force oracle is cheap; the plans broadcast the query side and
+    * scan the corpus once regardless of this number). */
+  private val NumQueries = 20
+  private val K = 5
+
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+
+  /** All (query, candidate, cosine) pairs: broadcast the small query side,
+    * one scan of the corpus. The corpus side never shuffles pre-window. */
+  private def scoredPairs(s: SparkSession, d: String): DataFrame = {
+    val q = vecs(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    vecs(s, d).join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), cosine(col("qv"), col("v")).as("sim"))
+  }
+
+  // ── Brute-force knn via window rank (the oracle-shaped plan) ───────────
+  def qKnnBrute(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scoredPairs(s, d)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("qid"), col("nid"), col("rnk"), round(col("sim"), 6).as("sim_r"))
+  }
+
+  private val sqlPairs =
+    s"SELECT q.vec_id AS qid, e.vec_id AS nid, " +
+      "list_dot_product(q.qv, e.v) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim " +
+      "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings " +
+      s"WHERE vec_id < $NumQueries) q, " +
+      "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e " +
+      "WHERE e.vec_id <> q.vec_id"
+
+  val qKnnBruteSql: String =
+    s"SELECT qid, nid, rnk, round(sim, 6) AS sim_r FROM (" +
+      "SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rnk " +
+      s"FROM ($sqlPairs) p) r WHERE rnk <= $K"
+
+  // ── Same answer through the bounded-heap Aggregator (the scale path) ───
+  // Must be row-identical to qKnnBrute — it shares that oracle.
+  def qKnnHeap(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(new TopKAggregator(K))
+    scoredPairs(s, d)
+      .groupBy(col("qid"))
+      .agg(topk(col("nid"), col("sim")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "n")))
+      .select(col("qid"), col("n.id").as("nid"), (col("pos") + 1).as("rnk"),
+        round(col("n.sim"), 6).as("sim_r"))
+  }
+
+  val qKnnHeapSql: String = qKnnBruteSql
+
+  // ── Exact cosine near-dup pairs (embedding-space dedup) ────────────────
+  // The embedding analog of DedupQueries: all pairs above a cosine
+  // threshold. Exact form is O(n²) — it is the small-scale oracle for the
+  // LSH path below, same relationship as n-gram Jaccard : MinHash-LSH.
+  private val NearDupThreshold = 0.4
+
+  def qCosNearDup(s: SparkSession, d: String): DataFrame = {
+    val a = vecs(s, d).select(col("vec_id").as("id_a"), col("v").as("va"))
+    val b = vecs(s, d).select(col("vec_id").as("id_b"), col("v").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= NearDupThreshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r"))
+  }
+
+  val qCosNearDupSql: String =
+    "SELECT id_a, id_b, round(sim, 6) AS sim_r FROM (" +
+      "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+      "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim " +
+      "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) a " +
+      "JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) b " +
+      s"ON a.vec_id < b.vec_id) p WHERE sim >= $NearDupThreshold"
+
+  // ── Sign-random-projection LSH ANN (the approximate 100 TB path) ───────
+  // One 16-bit sketch per vector (single scan, no shuffle), banded into 4
+  // 4-bit blocks: vectors sharing any block become candidates (pigeonhole
+  // over small Hamming distances, exactly like SimHash block-banding), so
+  // shuffle volume is O(vectors × bands) instead of O(pairs). Candidates
+  // are re-scored with exact cosine and top-k ranked per query.
+  // xxhash64-derived hyperplanes are Spark-specific → rows-only driver
+  // check; recall vs brute force is asserted in SimilaritySpec.
+  def qAnnLsh(s: SparkSession, d: String): DataFrame =
+    annLsh(vecs(s, d), nBits = 16, bands = 4, k = K,
+      queryFilter = col("vec_id") < NumQueries)
+
+  /** Reusable LSH ANN over any (vec_id, v: array<double>) frame. */
+  def annLsh(vecFrame: DataFrame, nBits: Int, bands: Int, k: Int,
+      queryFilter: Column): DataFrame = {
+    require(nBits % bands == 0, "bands must divide nBits")
+    val bandBits = nBits / bands
+    val mask = (1L << bandBits) - 1
+    val sketched = vecFrame.select(col("vec_id"), col("v"),
+      srpSketch(col("v"), nBits).as("sk"))
+    val banded = sketched.select(col("vec_id"), col("v"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sk"), b * bandBits).bitwiseAND(lit(mask)).as("key"))
+      }: _*)).as("bk"))
+    val q = banded.filter(queryFilter)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bk"))
+    val cand = banded.as("c")
+      .join(q, col("c.bk") === q("bk") && col("c.vec_id") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("c.vec_id").as("nid"), col("c.v").as("nv"))
+      .dropDuplicates("qid", "nid")
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    cand.select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("rnk"), round(col("sim"), 6).as("sim_r"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_brute"   -> qKnnBrute _,
+    "q_knn_heap"    -> qKnnHeap _,
+    "q_cos_neardup" -> qCosNearDup _,
+    "q_ann_lsh"     -> qAnnLsh _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_knn_brute"   -> qKnnBruteSql,
+    "q_knn_heap"    -> qKnnHeapSql,
+    "q_cos_neardup" -> qCosNearDupSql,
+  )
+}

@@ -1,0 +1,72 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions._
+import graft.queries.SimilarityQueries
+
+class SimilaritySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("heap-aggregator knn is row-identical to windowed brute force") {
+    val brute = SimilarityQueries.qKnnBrute(spark, sf)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val heap = SimilarityQueries.qKnnHeap(spark, sf)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(heap === brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("cosine column math matches plain scala") {
+    val df = Seq((0L, Seq(1.0, 2.0, 2.0)), (1L, Seq(2.0, 1.0, 2.0)))
+      .toDF("vec_id", "v")
+    val a = df.as("a").filter($"vec_id" === 0).select($"v".as("va"))
+    val b = df.as("b").filter($"vec_id" === 1).select($"v".as("vb"))
+    val sim = a.crossJoin(b).select(cosine($"va", $"vb")).head().getDouble(0)
+    // (2+2+4)/(3*3) = 8/9
+    assert(math.abs(sim - 8.0 / 9.0) < 1e-12)
+  }
+
+  test("LSH ANN has high top-1 recall on clustered vectors") {
+    // 10 well-separated clusters of 20 slightly-perturbed copies: every
+    // vector's true nearest neighbor is in its own cluster. Sign-random-
+    // projection buckets must recover most of them.
+    val r = new Random(42)
+    val dim = 32
+    val centers = Array.fill(10)(Array.fill(dim)(r.nextGaussian()))
+    val rows = for {
+      c <- centers.indices
+      i <- 0 until 20
+    } yield {
+      val v = centers(c).map(_ + 0.08 * r.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      ((c * 20 + i).toLong, v.map(_ / n).toSeq)
+    }
+    val df = rows.toDF("vec_id", "v")
+
+    val ann = SimilarityQueries.annLsh(df, nBits = 16, bands = 4, k = 1,
+      queryFilter = lit(true))
+      .filter($"rnk" === 1)
+      .select($"qid", $"nid").as[(Long, Long)].collect()
+
+    // recall proxy: the reported top-1 must be from the query's cluster
+    val sameCluster = ann.count { case (q, n) => q / 20 == n / 20 }
+    assert(ann.length >= 190, s"only ${ann.length} queries got a neighbor")
+    assert(sameCluster.toDouble / ann.length >= 0.95,
+      s"cluster recall ${sameCluster.toDouble / ann.length}")
+  }
+
+  test("srp sketch is deterministic across evaluations") {
+    val df = Tables.embeddings(spark, sf).limit(50)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+    val a = df.select($"vec_id", srpSketch($"v", 16).as("sk"))
+      .as[(Long, Long)].collect().toMap
+    val b = df.select($"vec_id", srpSketch($"v", 16).as("sk"))
+      .as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
+}
