@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-stream analytics over the `events` table (`event_id, ts, user_id,
+  * event_type, value, props`) — time-windowed aggregation, sessionization,
+  * ranking/lag windows, JSON extraction, funnels. All beyond the reference
+  * (its only time handling is a date-string comparison,
+  * `performance_functions/query_3_phase_1.py:31-33`; it has no window
+  * functions at all — SURVEY.md §2B).
+  *
+  * Scale notes: every query shuffles once on its natural key (user_id or
+  * event_type + bucket); window frames are bounded (no unbounded
+  * following); at 100 TB the `events` table would be date-partitioned and
+  * each of these plans prunes to the scanned range before shuffling.
+  */
+object EventQueries {
+
+  // ── Tumbling window: hourly counts and revenue per event type ──────────
+  // date_trunc is the batch spelling of a 1-hour tumbling window; the
+  // streaming module expresses the same query with window($"ts", "1 hour")
+  // and a watermark.
+  def qTumblingHourly(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Relational.dsum(col("value")).as("sum_value"))
+
+  val qTumblingHourlySql: String =
+    "SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n_events, " +
+      s"${Relational.sqlDsum("value")} AS sum_value " +
+      "FROM events GROUP BY 1, 2"
+
+  // ── Sessionization: 30-minute inactivity gap ───────────────────────────
+  // Classic two-window plan: lag to detect gaps, running sum of gap flags
+  // to number sessions, then one aggregation per (user, session). Shuffles
+  // once on user_id; both windows and the final groupBy reuse that
+  // partitioning (no second shuffle).
+  private val GapMinutes = 30
+
+  def qSessionize(s: SparkSession, d: String): DataFrame = {
+    // order by (ts, event_id) so ties cannot reorder; running sum uses an
+    // explicit ROWS frame (Spark's default with orderBy is RANGE, which
+    // includes peer rows — a subtle divergence from the SQL spelling).
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > GapMinutes * 60L, 1L)
+          .otherwise(0L))
+      .withColumn("session_no", sum(col("new_session")).over(running))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        Relational.dsum(col("value")).as("session_value"))
+  }
+
+  val qSessionizeSql: String =
+    "WITH flagged AS (" +
+      "SELECT user_id, event_id, ts, value, " +
+      "CASE WHEN lag(ts) OVER w IS NULL OR " +
+      s"epoch(ts) - epoch(lag(ts) OVER w) > ${GapMinutes * 60} THEN 1 ELSE 0 END AS new_session " +
+      "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+      "numbered AS (SELECT user_id, ts, value, " +
+      "sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS UNBOUNDED PRECEDING) AS session_no FROM flagged) " +
+      "SELECT user_id, session_no, min(ts) AS session_start, " +
+      "max(ts) AS session_end, count(*) AS n_events, " +
+      s"${Relational.sqlDsum("value")} AS session_value " +
+      "FROM numbered GROUP BY user_id, session_no"
+
+  // ── Ranking / lag / moving frame in one pass ───────────────────────────
+  // All three windows share (user_id, ts) ordering → one shuffle + one
+  // sort serve every frame.
+  def qUserActivityWindows(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val moving = byUser.rowsBetween(-3, -1)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("seq_no", row_number().over(byUser))
+      .withColumn("prev_value", lag(col("value"), 1).over(byUser))
+      .withColumn("avg_prev3",
+        // spelled sum/count (not avg) because DuckDB's avg(DECIMAL)
+        // degrades to an order-dependent double average; exact decimal
+        // sum / exact count is engine-independent.
+        round((sum(col("value").cast("decimal(18,2)")).over(moving).cast("double") /
+          count(col("value")).over(moving)), 6))
+  }
+
+  val qUserActivityWindowsSql: String =
+    "SELECT event_id, user_id, ts, value, " +
+      "row_number() OVER w AS seq_no, " +
+      "lag(value) OVER w AS prev_value, " +
+      "round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER m AS DOUBLE) " +
+      "/ count(value) OVER m, 6) AS avg_prev3 " +
+      "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id), " +
+      "m AS (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)"
+
+  // ── Top-N per group over an aggregate ──────────────────────────────────
+  def qTopUsersPerType(s: SparkSession, d: String): DataFrame = {
+    val totals = Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(Relational.dsum(col("value")).as("total_value"))
+    val byType = Window.partitionBy(col("event_type"))
+      .orderBy(col("total_value").desc, col("user_id").asc)
+    totals.withColumn("rnk", row_number().over(byType)).filter(col("rnk") <= 3)
+  }
+
+  val qTopUsersPerTypeSql: String =
+    "SELECT event_type, user_id, total_value, rnk FROM (" +
+      "SELECT event_type, user_id, total_value, " +
+      "row_number() OVER (PARTITION BY event_type " +
+      "ORDER BY total_value DESC, user_id ASC) AS rnk " +
+      s"FROM (SELECT event_type, user_id, ${Relational.sqlDsum("value")} AS total_value " +
+      "FROM events GROUP BY event_type, user_id) t) r WHERE rnk <= 3"
+
+  // ── Semi-structured extraction: JSON props ─────────────────────────────
+  // The reference shuffles dynamic JSON values between every stage
+  // (SURVEY §1.2); here JSON appears only at the edge and is parsed once
+  // into a typed column by a codegen'd path expression.
+  def qJsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .groupBy(pmod(col("k"), lit(10)).as("k_mod"))
+      .agg(count(lit(1)).as("n"), max(col("k")).as("max_k"))
+
+  val qJsonExtractSql: String =
+    "SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod, " +
+      "count(*) AS n, max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k " +
+      "FROM events GROUP BY 1"
+
+  // ── Funnel: signup → click → purchase ordering per user ────────────────
+  // Conditional min-timestamps per user, then strict ordering checks —
+  // a single aggregation pass, no self-joins.
+  def qFunnel(s: SparkSession, d: String): DataFrame = {
+    def firstTs(t: String) = min(when(col("event_type") === t, col("ts")))
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        firstTs("signup").as("t_signup"),
+        firstTs("click").as("t_click"),
+        firstTs("purchase").as("t_purchase"))
+      .select(col("user_id"),
+        col("t_signup").isNotNull.as("did_signup"),
+        // coalesce: a NULL comparison (missing step) must read as false,
+        // matching the oracle's coalesce(..., FALSE)
+        coalesce(col("t_signup").isNotNull && col("t_click") > col("t_signup"),
+          lit(false)).as("did_click_after"),
+        coalesce(col("t_signup").isNotNull && col("t_click") > col("t_signup") &&
+          col("t_purchase") > col("t_click"), lit(false)).as("did_purchase_after"))
+  }
+
+  val qFunnelSql: String =
+    "SELECT user_id, " +
+      "t_signup IS NOT NULL AS did_signup, " +
+      "coalesce(t_signup IS NOT NULL AND t_click > t_signup, FALSE) AS did_click_after, " +
+      "coalesce(t_signup IS NOT NULL AND t_click > t_signup AND t_purchase > t_click, FALSE) AS did_purchase_after " +
+      "FROM (SELECT user_id, " +
+      "min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup, " +
+      "min(CASE WHEN event_type = 'click' THEN ts END) AS t_click, " +
+      "min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase " +
+      "FROM events GROUP BY user_id) t"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tumbling_hourly"  -> qTumblingHourly _,
+    "q_sessionize"       -> qSessionize _,
+    "q_activity_windows" -> qUserActivityWindows _,
+    "q_top_users"        -> qTopUsersPerType _,
+    "q_json_extract"     -> qJsonExtract _,
+    "q_funnel"           -> qFunnel _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_tumbling_hourly"  -> qTumblingHourlySql,
+    "q_sessionize"       -> qSessionizeSql,
+    "q_activity_windows" -> qUserActivityWindowsSql,
+    "q_top_users"        -> qTopUsersPerTypeSql,
+    "q_json_extract"     -> qJsonExtractSql,
+    "q_funnel"           -> qFunnelSql,
+  )
+}

