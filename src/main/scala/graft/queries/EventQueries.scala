@@ -170,7 +170,32 @@ object EventQueries {
       "min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase " +
       "FROM events GROUP BY user_id) t"
 
+  // ── Native session_window (streaming-unified sessionization) ───────────
+  // The exact plan the streaming pipeline runs (EventStreams
+  // .sessionWindows), executed in batch mode so the DuckDB oracle can
+  // check it. Spark session semantics: a session ends gap after its last
+  // event, end-exclusive — a gap of EXACTLY 30 min starts a new session,
+  // hence >= in the oracle.
+  def qSessionWindow(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventStreams.sessionWindows(
+      Tables.events(s, d), "30 minutes", watermark = None)
+
+  val qSessionWindowSql: String =
+    "WITH flagged AS (" +
+      "SELECT user_id, ts, value, " +
+      "CASE WHEN lag(ts) OVER w IS NULL OR " +
+      "ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session " +
+      "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+      "numbered AS (SELECT user_id, ts, value, " +
+      "sum(new_session) OVER (PARTITION BY user_id ORDER BY ts " +
+      "ROWS UNBOUNDED PRECEDING) AS session_no FROM flagged) " +
+      "SELECT user_id, min(ts) AS session_start, " +
+      "max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events, " +
+      s"${Relational.sqlDsum("value")} AS session_value " +
+      "FROM numbered GROUP BY user_id, session_no"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_session_window"   -> qSessionWindow _,
     "q_tumbling_hourly"  -> qTumblingHourly _,
     "q_sessionize"       -> qSessionize _,
     "q_activity_windows" -> qUserActivityWindows _,
@@ -180,6 +205,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_session_window"   -> qSessionWindowSql,
     "q_tumbling_hourly"  -> qTumblingHourlySql,
     "q_sessionize"       -> qSessionizeSql,
     "q_activity_windows" -> qUserActivityWindowsSql,

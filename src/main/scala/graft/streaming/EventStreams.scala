@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming over the events stream — net-new relative to the
+  * reference, whose only "streaming" is cron-scheduled batch re-runs
+  * (`web_ui/app.py:417-500`, SURVEY.md §2B). Spark-first design: every
+  * transform here is written against an unbounded DataFrame and works
+  * identically on a bounded one — the specs prove streaming == batch on
+  * the same data.
+  *
+  * Scale notes: watermarks bound state (late events beyond the watermark
+  * are dropped, state for closed windows is freed); session windows use
+  * Spark's native session_window state merging; the custom-state path
+  * (flatMapGroupsWithState) keys state by user_id so it shards across
+  * executors with the shuffle.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Unbounded file-source read of an events directory (the production
+    * entry point: new parquet files appear, Spark incrementally processes
+    * them). Schema must be declared — streaming reads cannot infer. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir)
+
+  /** Hourly tumbling counts/revenue per event type — the streaming form
+    * of EventQueries.qTumblingHourly. The watermark lets Spark emit and
+    * then free each window once no event older than (max ts − watermark)
+    * can arrive. */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("bucket"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Native session windows: a session spans events < gap apart and ends
+    * gap after the last one. Works on batch frames too (the oracle-checked
+    * q_session_window query runs exactly this plan in batch mode). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermark: Option[String] = Some("2 hours")): DataFrame = {
+    val src = watermark.fold(events)(events.withWatermark("ts", _))
+    src
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        // decimal sum → exact and order-independent (oracle parity)
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("session_value"))
+  }
+
+  /** Custom keyed state: running per-user totals, emitted on every update
+    * — the streaming analog of a stateful reducer, which the reference
+    * cannot express at all (its reducers see one key's batch once).
+    * flatMapGroupsWithState keeps one small UserRunning per user, sharded
+    * by the group-by shuffle. */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          batch.foreach { e => n += 1; total += e.value }
+          val next = UserRunning(userId, n, total)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  /** Write a streaming frame to parquet with checkpointing — the
+    * durable-sink shape (exactly-once via checkpoint + file sink log). */
+  def writeParquetSink(df: DataFrame, path: String, checkpoint: String) =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+}

@@ -1,0 +1,94 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, UserRunning}
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def t(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+
+  private val fixture = Seq(
+    Event(0L, t(0), 1L, "click", 1.0, "{}"),
+    Event(1L, t(10), 1L, "view", 2.0, "{}"),
+    Event(2L, t(65), 1L, "click", 3.0, "{}"),
+    Event(3L, t(5), 2L, "click", 4.0, "{}"),
+    Event(4L, t(200), 2L, "purchase", 5.0, "{}"),
+  )
+
+  test("streaming hourly counts equal the batch plan on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(fixture: _*)
+    val q = EventStreams.hourlyCounts(mem.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("hourly")
+      .select($"bucket", $"event_type", $"n_events", $"sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    val batch = fixture.toDF()
+      .groupBy(date_trunc("hour", $"ts").as("bucket"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), sum($"value").as("sum_value"))
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming session windows close after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionWindows(mem.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(fixture: _*)
+      q.processAllAvailable()
+      // push the watermark far past every session end
+      mem.addData(Event(99L, t(100000), 9L, "click", 0.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("sessions")
+      .select($"user_id", $"n_events", $"session_value")
+      .as[(Long, Long, Double)].collect().toSet
+    // user 1: session {e0,e1} then {e2}; user 2: {e3} then {e4}
+    assert(out === Set((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 4.0), (2L, 1L, 5.0)))
+  }
+
+  test("flatMapGroupsWithState keeps running totals across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.runningUserTotals(mem.toDS())
+      .writeStream.format("memory").queryName("running")
+      .outputMode("update").start()
+    try {
+      mem.addData(fixture.take(2): _*) // user 1: 2 events
+      q.processAllAvailable()
+      mem.addData(fixture.drop(2): _*) // +1 for user 1, 2 for user 2
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the LAST update per user carries the final running state
+    val finals = spark.table("running").as[UserRunning].collect()
+      .groupBy(_.user_id).map { case (u, rows) => u -> rows.maxBy(_.n_events) }
+    assert(finals(1L).n_events === 3 && math.abs(finals(1L).total_value - 6.0) < 1e-9)
+    assert(finals(2L).n_events === 2 && math.abs(finals(2L).total_value - 9.0) < 1e-9)
+  }
+
+  test("batch session_window query matches hand-rolled sessionization counts") {
+    val sw = graft.queries.EventQueries.qSessionWindow(spark, sf)
+    val manual = graft.queries.EventQueries.qSessionize(spark, sf)
+    assert(sw.count() === manual.count())
+    assert(sw.agg(sum($"n_events")).head().getLong(0) ===
+      Tables.events(spark, sf).count())
+  }
+}
