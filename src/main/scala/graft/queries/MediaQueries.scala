@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * payloads with a typed metadata struct, plus decode / feature-extract /
+  * frame-sample stages. Entirely beyond the reference (strings-only).
+  *
+  * The DECODE STEP IS A STUB — this container has no image/audio codecs,
+  * so `decodeFeatures` computes deterministic per-byte statistics standing
+  * in for a real decoder (swap the marked function body for e.g. a JNI
+  * codec call). Everything around it — the binary column, the metadata
+  * struct, the typed Dataset batch shape, the partition-parallel execution
+  * — is the real 100 TB design:
+  *
+  *  - payloads never shuffle: decode/featurize are narrow per-partition
+  *    stages fused into the scan (WholeStageCodegen for column math;
+  *    `mapPartitions` for the byte-level stub, the JVM analog of an
+  *    arrow-batched Python UDF).
+  *  - metadata is a STRUCT column, so filters on it (width, kind) prune
+  *    BEFORE any payload byte is touched, and at scale they push into
+  *    parquet row-group statistics.
+  */
+object MediaQueries {
+
+  case class MediaMeta(kind: String, width: Int, height: Int, sample_rate: Int)
+  case class MediaRow(media_id: Long, payload: Array[Byte], meta: MediaMeta)
+  case class MediaFeatures(media_id: Long, n_bytes: Long, mean_byte: Double,
+      max_byte: Int, checksum: Long)
+
+  /** Synthesize a media table from `documents`: payload = UTF-8 bytes of
+    * the text (a deterministic stand-in for image bytes), metadata derived
+    * from stable columns. At 100 TB this is `spark.read.parquet` on a
+    * table whose payload column holds real encoded media. */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        // deterministic kind spread across the three modalities
+        when(pmod(col("doc_id"), lit(3)) === 0, "image")
+          .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+          .otherwise("video").as("kind"),
+        (pmod(col("doc_id"), lit(4)) * 160 + 320).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(4)) * 90 + 180).cast("int").as("height"),
+        lit(16000).as("sample_rate")).as("meta"))
+
+  /** ── STUB ── deterministic per-byte feature extraction; replace the
+    * loop body with a real decoder when codecs are available. The
+    * signature (typed rows in, typed features out, batch = partition) is
+    * the production shape. */
+  def decodeFeatures(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+    rows.map { r =>
+      var sum = 0L
+      var max = 0
+      var crc = 17L
+      val bytes = r.payload
+      var i = 0
+      while (i < bytes.length) {
+        val b = bytes(i) & 0xff
+        sum += b
+        if (b > max) max = b
+        crc = crc * 31 + b
+        i += 1
+      }
+      MediaFeatures(r.media_id, bytes.length.toLong,
+        if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length, max, crc)
+    }
+
+  /** Featurize through the typed mapPartitions path (narrow stage — no
+    * shuffle; payload bytes stay inside their input partition). */
+  def featurize(s: SparkSession, d: String): Dataset[MediaFeatures] = {
+    import s.implicits._
+    mediaTable(s, d).as[MediaRow].mapPartitions(decodeFeatures)
+  }
+
+  /** Frame-sampling for "video" payloads: every `stride`-th `frameBytes`
+    * block as a frame, via codegen'd column ops only (binary substring —
+    * no UDF). Emits (media_id, frame_no, frame bytes). */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 16, stride: Int = 4): DataFrame = {
+    val step = frameBytes * stride
+    val nFrames = ceil(length(col("payload")).cast("double") / step).cast("int")
+    media
+      .filter(col("meta.kind") === "video" && length(col("payload")) > 0)
+      .select(col("media_id"), col("payload"), nFrames.as("n_frames"))
+      .select(col("media_id"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_no"),
+        col("payload"))
+      .select(col("media_id"), col("frame_no"),
+        col("payload").substr(col("frame_no") * step + 1, lit(frameBytes)).as("frame"))
+  }
+
+  // ── Registered queries ─────────────────────────────────────────────────
+
+  /** Metadata + payload stats, pure column algebra → DuckDB oracle. */
+  def qMediaMeta(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d).select(
+      col("media_id"),
+      col("meta.kind").as("kind"),
+      col("meta.width").as("width"),
+      col("meta.height").as("height"),
+      length(col("payload")).cast("bigint").as("n_bytes"),
+      md5(col("payload")).as("payload_md5"))
+
+  val qMediaMetaSql: String =
+    "SELECT doc_id AS media_id, " +
+      "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' " +
+      "ELSE 'video' END AS kind, " +
+      "CAST(doc_id % 4 * 160 + 320 AS INT) AS width, " +
+      "CAST(doc_id % 4 * 90 + 180 AS INT) AS height, " +
+      "octet_length(encode(text)) AS n_bytes, " +
+      "md5(text) AS payload_md5 " +
+      "FROM documents"
+
+  /** Featurization via the stubbed decoder — deterministic, so the oracle
+    * can recompute the same byte statistics in SQL over the raw text. */
+  def qMediaFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    featurize(s, d).toDF()
+      .select(col("media_id"), col("n_bytes"),
+        round(col("mean_byte"), 6).as("mean_byte_r"), col("max_byte"))
+  }
+
+  // DuckDB recomputes mean/max over the UTF-8 code units: the fixture
+  // text is ASCII, so ord() per character equals the byte value.
+  val qMediaFeaturesSql: String =
+    "SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes, " +
+      "round(list_avg(list_transform(string_split(text, ''), c -> ord(c))), 6) AS mean_byte_r, " +
+      "CAST(list_max(list_transform(string_split(text, ''), c -> ord(c))) AS INT) AS max_byte " +
+      "FROM documents"
+
+  /** Per-kind rollup driven by metadata-only pruning (payload untouched). */
+  def qMediaByKind(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d)
+      .groupBy(col("meta.kind").as("kind"))
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("payload"))).cast("bigint").as("total_bytes"),
+        max(col("meta.width")).as("max_width"))
+
+  val qMediaByKindSql: String =
+    "SELECT CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' " +
+      "ELSE 'video' END AS kind, count(*) AS n, " +
+      "sum(octet_length(encode(text))) AS total_bytes, " +
+      "max(CAST(doc_id % 4 * 160 + 320 AS INT)) AS max_width " +
+      "FROM documents GROUP BY 1"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_meta"     -> qMediaMeta _,
+    "q_media_features" -> qMediaFeatures _,
+    "q_media_by_kind"  -> qMediaByKind _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_media_meta"     -> qMediaMetaSql,
+    "q_media_features" -> qMediaFeaturesSql,
+    "q_media_by_kind"  -> qMediaByKindSql,
+  )
+}
