@@ -4,8 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.SimHash
-import graft.functions.TextFunctions._
+import graft.functions.{Shingles, SimHash}
 
 /** Deduplication suite over the `documents` table — the LLM-training-data
   * operators the reference lacks entirely (SURVEY.md §7.0 step 5), each
@@ -40,9 +39,13 @@ object DedupQueries {
   // Inverted index on distinct 3-gram shingles; pairs sharing a shingle
   // are counted once per shared shingle; |A∩B| / (|A|+|B|-|A∩B|) >= 0.8.
   // Integer counts + one double division → bit-identical to the oracle.
-  private def shingleIndex(s: SparkSession, d: String): DataFrame =
+  // graft_shingles emits first-occurrence-distinct shingles in ONE codegen
+  // pass (the column-algebra spelling re-tokenizes per position — O(len²)).
+  private def shingleIndex(s: SparkSession, d: String): DataFrame = {
+    Shingles.register(s)
     Tables.documents(s, d)
-      .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 3))).as("sh"))
+      .select(col("doc_id"), explode(Shingles.shingles(col("text"), 3)).as("sh"))
+  }
 
   def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
     val sh = shingleIndex(s, d)
@@ -87,8 +90,12 @@ object DedupQueries {
   def minhashSignature(shingle: Column, numHashes: Int): Seq[Column] =
     (0 until numHashes).map(i => min(xxhash64(lit(i), shingle)).as(s"mh_$i"))
 
+  // 4 rows per band (not 2): the band-collision probability for a pair at
+  // Jaccard J is J^4, so weakly-similar pairs (J≈0.3, common in the
+  // small-vocabulary fixture corpus) almost never collide — candidate
+  // volume drops ~10× while recall at J≥0.8 stays 1-(1-0.8⁴)⁸ ≈ 0.985.
   def qMinhashLsh(s: SparkSession, d: String): DataFrame =
-    lshPairs(Tables.documents(s, d), numHashes = 32, bands = 16, threshold = 0.8)
+    lshPairs(Tables.documents(s, d), numHashes = 32, bands = 8, threshold = 0.8)
 
   /** LSH candidate pairs with signature-estimated Jaccard >= threshold.
     * Reusable over any (doc_id, text) frame. */
@@ -96,8 +103,9 @@ object DedupQueries {
       threshold: Double): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    Shingles.register(docs.sparkSession)
     val sh = docs
-      .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 3))).as("sh"))
+      .select(col("doc_id"), explode(Shingles.shingles(col("text"), 3)).as("sh"))
     val sig = sh.groupBy(col("doc_id"))
       .agg(minhashSignature(col("sh"), numHashes).head,
         minhashSignature(col("sh"), numHashes).tail: _*)

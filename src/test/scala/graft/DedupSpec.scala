@@ -56,6 +56,21 @@ class DedupSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.8))
   }
 
+  test("codegen shingles equal the column-algebra spelling") {
+    graft.functions.Shingles.register(spark)
+    val both = docs.select(
+      graft.functions.Shingles.shingles($"text", 3).as("fast"),
+      array_distinct(graft.functions.TextFunctions.shingles($"text", 3)).as("slow"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1))
+    }
+    // short text → empty, not null
+    val short = Seq((1L, "only two")).toDF("doc_id", "text")
+      .select(graft.functions.Shingles.shingles($"text", 3)).head()
+    assert(short.getSeq[String](0).isEmpty)
+  }
+
   test("simhash: deterministic, near-dup-stable, codegen-evaluable") {
     SimHash.register(spark)
     val fp = docs.select($"doc_id", SimHash.simhash($"text").as("fp"))

@@ -60,6 +60,16 @@ class SimilaritySpec extends AnyFunSuite {
       s"cluster recall ${sameCluster.toDouble / ann.length}")
   }
 
+  test("codegen dot product equals interpreted fold bit-for-bit") {
+    graft.functions.DotProduct.register(spark)
+    val df = Tables.embeddings(spark, sf).limit(100)
+      .select(asDouble($"embedding").as("v"))
+    val both = df.select(
+      graft.functions.DotProduct.dot($"v", $"v").as("fast"),
+      dot($"v", $"v").as("slow")).collect()
+    both.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
   test("srp sketch is deterministic across evaluations") {
     val df = Tables.embeddings(spark, sf).limit(50)
       .select($"vec_id", asDouble($"embedding").as("v"))
