@@ -194,7 +194,33 @@ object EventQueries {
       s"${Relational.sqlDsum("value")} AS session_value " +
       "FROM numbered GROUP BY user_id, session_no"
 
+  // ── As-of join: each purchase ⟵ most recent preceding click ───────────
+  // Exercises graft.operators.AsOfJoin (union + one keyed shuffle + one
+  // windowed sort — no range-join blowup). Right side is pre-aggregated
+  // to one row per (user, ts) so the match is deterministic under ties.
+  def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").as("purchase_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("click_value"))
+    graft.operators.AsOfJoin.asof(purchases, clicks,
+      keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+      payload = Seq("click_value"))
+  }
+
+  val qAsofJoinSql: String =
+    "SELECT p.user_id, p.ts, p.event_id, p.value AS purchase_value, c.click_value " +
+      "FROM (SELECT user_id, ts, event_id, value FROM events " +
+      "WHERE event_type = 'purchase') p " +
+      "ASOF JOIN (SELECT user_id, ts, arg_max(value, event_id) AS click_value " +
+      "FROM events WHERE event_type = 'click' GROUP BY 1, 2) c " +
+      "ON p.user_id = c.user_id AND p.ts >= c.ts"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join"        -> qAsofJoin _,
     "q_session_window"   -> qSessionWindow _,
     "q_tumbling_hourly"  -> qTumblingHourly _,
     "q_sessionize"       -> qSessionize _,
@@ -205,6 +231,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_asof_join"        -> qAsofJoinSql,
     "q_session_window"   -> qSessionWindowSql,
     "q_tumbling_hourly"  -> qTumblingHourlySql,
     "q_sessionize"       -> qSessionizeSql,
