@@ -273,8 +273,55 @@ object Relational {
       "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
       "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name"
 
+  // ── Set ops: INTERSECT / EXCEPT (SURVEY §2B gap, free in Spark) ────────
+  def qIntersect(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey"))
+      .intersect(
+        Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey")))
+
+  val qIntersectSql: String =
+    "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
+      "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'"
+
+  def qExcept(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey"))
+      .except(
+        Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey")))
+
+  val qExceptSql: String =
+    "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
+      "EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'"
+
+  // ── CUBE: all grouping-set combinations in one shuffle ────────────────
+  def qCube(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+
+  val qCubeSql: String =
+    "SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+      s"${sqlDsum("l_quantity")} AS sum_qty " +
+      "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+
+  // ── HLL approximate distinct (sketch-based — the 100 TB spelling of
+  // countDistinct: mergeable fixed-size state instead of a full shuffle
+  // of distinct values). HLL implementations differ per engine → no SQL
+  // oracle; accuracy vs exact is asserted in RelationalSpec.
+  def qApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+
   /** All (name → query) pairs this module contributes. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_intersect"       -> qIntersect _,
+    "q_except"          -> qExcept _,
+    "q_cube"            -> qCube _,
+    "q_approx_distinct" -> qApproxDistinct _,
     "q1_filter_project" -> q1FilterProject _,
     "q2_substr_agg"     -> q2SubstrAgg _,
     "q2b_join_agg"      -> q2bJoinAgg _,
@@ -295,6 +342,11 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_intersect"       -> qIntersectSql,
+    "q_except"          -> qExceptSql,
+    "q_cube"            -> qCubeSql,
+    // q_approx_distinct: intentionally no oracle (HLL sketches are
+    // engine-specific); driver records the rows-only check.
     "q1_filter_project" -> q1Sql,
     "q2_substr_agg"     -> q2Sql,
     "q2b_join_agg"      -> q2bSql,
