@@ -1,0 +1,125 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, "Winnowing:
+  * Local Algorithms for Document Fingerprinting", SIGMOD 2003) as a native
+  * codegen Expression: Rabin-style rolling hash over character k-grams,
+  * then the minimum hash of every w-hash window (rightmost-min tie-break),
+  * deduplicated — the guarantee is that any shared substring of length
+  * >= w + k - 1 between two documents yields at least one shared
+  * fingerprint.
+  *
+  * One O(len) pass per document, no shuffle — 8-byte hashes are the only
+  * thing that ever moves, which is what makes fingerprint-overlap dedup
+  * viable at 100 TB. Complements SimHash (global near-dup signal) with a
+  * LOCAL one: winnowing catches partial overlap / containment (a copied
+  * paragraph inside an otherwise-different document), which whole-document
+  * fingerprints cannot.
+  *
+  * Spark-specific constants → no SQL oracle; properties are spec-tested
+  * (determinism, the winnowing window guarantee, containment detection).
+  */
+case class WinnowExpression(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && k >= 2 && w >= 1)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_winnow requires STRING input, k >= 2, w >= 1; got ${child.dataType}, k=$k, w=$w")
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowExpression.compute(input.asInstanceOf[UTF8String].toString, k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WinnowExpression.compute($c.toString(), $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowExpression =
+    copy(child = newChild)
+}
+
+object WinnowExpression {
+  private val Base = 1000003L
+
+  /** Called from generated code. Normalizes to lowercase alphanumeric
+    * (same canonical text as the rest of the text stack), rolls a
+    * polynomial hash over k-grams, winnows with a w-sized monotone deque,
+    * emits the distinct selected hashes in ascending order. */
+  def compute(text: String, k: Int, w: Int): ArrayData = {
+    val sb = new java.lang.StringBuilder(text.length)
+    var ci = 0
+    while (ci < text.length) {
+      val ch = text.charAt(ci)
+      if (Character.isLetterOrDigit(ch)) sb.append(Character.toLowerCase(ch))
+      ci += 1
+    }
+    val s = sb.toString
+    val n = s.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+
+    // rolling k-gram hashes
+    val hashes = new Array[Long](n)
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= Base; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * Base + s.charAt(i); i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < n) {
+      h = (h - s.charAt(i - 1) * pow) * Base + s.charAt(i + k - 1)
+      hashes(i) = h
+      i += 1
+    }
+
+    // winnow: min of each w-window, rightmost-min tie-break, via a
+    // monotone deque of indices (O(n) total)
+    val selected = mutable.SortedSet.empty[Long]
+    val deque = new java.util.ArrayDeque[Int]()
+    i = 0
+    while (i < n) {
+      while (!deque.isEmpty && hashes(deque.peekLast()) >= hashes(i))
+        deque.pollLast() // >= keeps the RIGHTMOST minimum at the tail
+      deque.addLast(i)
+      if (deque.peekFirst() <= i - w) deque.pollFirst()
+      if (i >= w - 1) selected += hashes(deque.peekFirst())
+      i += 1
+    }
+    new GenericArrayData(selected.iterator.map(x => x: Any).toArray)
+  }
+}
+
+object Winnow {
+  /** Register in the session function registry (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_winnow", exprs => {
+        def litInt(e: Expression): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_winnow k/w must be literals, got $other")
+        }
+        WinnowExpression(exprs.head, litInt(exprs(1)), litInt(exprs(2)))
+      }, "built-in")
+
+  /** Column builder; requires `register(spark)` once per session. */
+  def winnow(text: Column, k: Int = 5, w: Int = 4): Column =
+    call_function("graft_winnow", text,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(w))
+}

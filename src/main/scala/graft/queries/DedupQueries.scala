@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{Shingles, SimHash}
+import graft.functions.{Shingles, SimHash, Winnow}
 
 /** Deduplication suite over the `documents` table — the LLM-training-data
   * operators the reference lacks entirely (SURVEY.md §7.0 step 5), each
@@ -155,7 +155,32 @@ object DedupQueries {
       .filter(col("hamming") <= 3)
   }
 
+  // ── Winnowing fingerprint overlap (LOCAL near-dup / containment) ───────
+  // Rolling-hash winnowing fingerprints (one codegen pass per doc, only
+  // 8-byte hashes shuffle); pairs sharing >= 50% of the SMALLER doc's
+  // fingerprints — catches a copied passage inside an otherwise-different
+  // document, which whole-doc signals (SimHash, MinHash) miss.
+  // Spark-specific hash constants → rows-only driver check; the winnowing
+  // guarantee itself is spec-tested.
+  def qWinnowOverlap(s: SparkSession, d: String): DataFrame = {
+    Winnow.register(s)
+    val fp = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Winnow.winnow(col("text"), 5, 4)).as("h"))
+    val sizes = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = fp.as("a")
+      .join(fp.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        (col("shared").cast("double") / least(col("sa.n"), col("sb.n"))).as("overlap"))
+      .filter(col("overlap") >= 0.5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_winnow_overlap" -> qWinnowOverlap _,
     "q_dedup_exact"   -> qDedupExact _,
     "q_ngram_jaccard" -> qNgramJaccard _,
     "q_minhash_lsh"   -> qMinhashLsh _,

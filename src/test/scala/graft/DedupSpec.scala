@@ -71,6 +71,33 @@ class DedupSpec extends AnyFunSuite {
     assert(short.getSeq[String](0).isEmpty)
   }
 
+  test("winnowing: shared passage guarantees shared fingerprints") {
+    graft.functions.Winnow.register(spark)
+    val passage = "the quick brown fox jumps over the lazy dog near the river bank"
+    val docA = passage + " and then some completely different trailing content here"
+    val docB = "unrelated preamble text about query engines first " + passage
+    val docC = "nothing in common with the others at all just noise tokens"
+    val fp = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
+      .select($"doc_id", graft.functions.Winnow.winnow($"text", 5, 4).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // determinism
+    assert(fp(1L) === Seq((1L, docA)).toDF("doc_id", "text")
+      .select(graft.functions.Winnow.winnow($"text", 5, 4))
+      .head().getSeq[Long](0))
+    // winnowing guarantee: a shared substring >= w+k-1 chars shares >= 1
+    // fingerprint; a full shared sentence shares many
+    val sharedAB = fp(1L).toSet.intersect(fp(2L).toSet)
+    val sharedAC = fp(1L).toSet.intersect(fp(3L).toSet)
+    assert(sharedAB.size >= 5, s"expected heavy overlap, got ${sharedAB.size}")
+    assert(sharedAC.size < sharedAB.size / 2)
+  }
+
+  test("winnow overlap query finds planted near-dup pairs") {
+    val out = DedupQueries.qWinnowOverlap(spark, sf)
+    assert(out.count() > 0)
+    out.collect().foreach(r => assert(r.getAs[Double]("overlap") >= 0.5))
+  }
+
   test("simhash: deterministic, near-dup-stable, codegen-evaluable") {
     SimHash.register(spark)
     val fp = docs.select($"doc_id", SimHash.simhash($"text").as("fp"))
