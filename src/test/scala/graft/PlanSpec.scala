@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Relational
+
+/** Physical-plan assertions — the properties that decide whether a plan
+  * survives a 100 TB scale-up: filters reaching the parquet scan, column
+  * pruning, dimension broadcasts, map-side partial aggregation, top-k
+  * without a global sort. A correctness-green query that regresses one of
+  * these fails here, not in production.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def formatted(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q1 filter and projection reach the parquet scan") {
+    val p = formatted("q1_filter_project")
+    assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
+    assert(p.contains("GreaterThan(l_quantity"), s"quantity filter not pushed:\n$p")
+    // only the three selected columns are read
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>")
+      || p.contains("l_orderkey") && !p.contains("l_shipdate"),
+      s"scan reads too many columns:\n$p")
+  }
+
+  test("projection-only query prunes the scan schema to two columns") {
+    val p = formatted("q_project_prune")
+    assert(!p.contains("c_name"), s"unpruned column c_name in scan:\n$p")
+    assert(!p.contains("c_address"), s"unpruned column c_address in scan:\n$p")
+  }
+
+  test("dimension joins broadcast the small side") {
+    assert(plan("q2b_join_agg").contains("BroadcastHashJoin"))
+    val star = plan("q_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(star).size === 2,
+      s"expected both dims broadcast:\n$star")
+  }
+
+  test("top-1/top-k use TakeOrderedAndProject, not a global sort") {
+    assert(plan("q3_join_top1").contains("TakeOrderedAndProject"))
+    assert(plan("q_topk").contains("TakeOrderedAndProject"))
+    assert(!plan("q_topk").contains("rangepartitioning"),
+      "top-k must not range-shuffle the whole table")
+  }
+
+  test("grouped aggregation is partial -> final (map-side combine)") {
+    val p = plan("q_agg_stats")
+    assert(p.contains("partial_"), s"no partial aggregation in:\n$p")
+  }
+
+  test("global sort range-partitions (TeraSort shape)") {
+    assert(plan("q_sort_global").contains("rangepartitioning"))
+  }
+
+  test("date filter pushes into the orders scan") {
+    val p = formatted("q_date_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"date filter not pushed:\n$p")
+  }
+
+  test("knn corpus scan stays un-shuffled before the top-k aggregation") {
+    // the only exchanges allowed: broadcast of queries + the final
+    // per-qid aggregation; the corpus itself must not repartition
+    val p = plan("q_knn_heap")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 1, s"corpus shuffled more than once:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"query side not broadcast:\n$p")
+  }
+}
