@@ -139,6 +139,40 @@ final class MRPipeline[K, V] private (
 
 object MRPipeline {
 
+  /** A8: build the input stage from a per-pipeline config map — the
+    * reference's `ServerlessMR.config({...})` + driver merge
+    * (`main.py:116-118`, `driver/driver.py:240-251`). Recognized keys:
+    *
+    *   - `input.format`: `wholetext` (reference S3 semantics: one
+    *     (path, contents) pair per object), `text` (one (path, line) pair
+    *     per line), or `parquet.kv` (first two columns stringified — the
+    *     DynamoDB-source analog, `input_handler_dynamodb.py:168-213`)
+    *   - `input.path`: source location
+    */
+  def fromConfig(spark: SparkSession,
+      conf: Map[String, String]): MRPipeline[String, String] = {
+    val path = conf.getOrElse("input.path",
+      throw new IllegalArgumentException("config requires input.path"))
+    conf.getOrElse("input.format", "wholetext") match {
+      case "wholetext" => wholeText(spark, path)
+      case "text" =>
+        import spark.implicits._
+        fromDataset(spark.read.textFile(path)
+          .select(org.apache.spark.sql.functions.input_file_name(),
+            org.apache.spark.sql.functions.col("value"))
+          .as[(String, String)])
+      case "parquet.kv" =>
+        import spark.implicits._
+        val df = spark.read.parquet(path)
+        fromDataset(df.select(df.columns(0), df.columns(1))
+          .selectExpr("cast(" + df.columns(0) + " as string)",
+            "cast(" + df.columns(1) + " as string)")
+          .as[(String, String)])
+      case other =>
+        throw new IllegalArgumentException(s"unknown input.format: $other")
+    }
+  }
+
   /** A13-analog: one (path, wholeTextContents) pair per file — the
     * reference's S3 whole-object read semantics
     * (`data_sources/input_handler_s3.py:66-70`). */

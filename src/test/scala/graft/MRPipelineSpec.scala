@@ -75,6 +75,23 @@ class MRPipelineSpec extends AnyFunSuite {
       Seq("x" -> 1, "x" -> 2, "y" -> 3))
   }
 
+  test("fromConfig reads parquet.kv / text / wholetext sources") {
+    val kv = graft.mr.MRPipeline.fromConfig(spark, Map(
+      "input.format" -> "parquet.kv",
+      "input.path" -> s"$sf/nation.parquet")).collectPairs()
+    assert(kv.length === 25)
+    assert(kv.forall { case (k, v) => k.toLong >= 0 && v.nonEmpty })
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_mrconf")
+    java.nio.file.Files.writeString(dir.resolve("f.txt"), "alpha\nbeta\n")
+    val lines = graft.mr.MRPipeline.fromConfig(spark, Map(
+      "input.format" -> "text", "input.path" -> dir.toString)).collectPairs()
+    assert(lines.map(_._2).sorted.toSeq === Seq("alpha", "beta"))
+    val whole = graft.mr.MRPipeline.fromConfig(spark, Map(
+      "input.format" -> "wholetext", "input.path" -> dir.toString)).collectPairs()
+    assert(whole.length === 1 && whole.head._2 === "alpha\nbeta\n")
+  }
+
   test("MR word count equals DataFrame word count") {
     val mr = queries.MRQueries.qMrWordCount(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1))).sorted
