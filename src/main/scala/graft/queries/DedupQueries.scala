@@ -162,10 +162,14 @@ object DedupQueries {
   // document, which whole-doc signals (SimHash, MinHash) miss.
   // Spark-specific hash constants → rows-only driver check; the winnowing
   // guarantee itself is spec-tested.
+  // k=12 normalized chars (~2 words), w=8: short grams collide across
+  // unrelated docs in a small vocabulary and quadratically flood the
+  // self-join — 12-char grams keep matches meaningful (guarantee: any
+  // shared run of >= 19 normalized chars still yields a shared print).
   def qWinnowOverlap(s: SparkSession, d: String): DataFrame = {
     Winnow.register(s)
     val fp = Tables.documents(s, d)
-      .select(col("doc_id"), explode(Winnow.winnow(col("text"), 5, 4)).as("h"))
+      .select(col("doc_id"), explode(Winnow.winnow(col("text"), 12, 8)).as("h"))
     val sizes = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shared = fp.as("a")
       .join(fp.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
