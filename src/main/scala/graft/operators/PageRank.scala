@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative PageRank over an edge DataFrame — the full version of the
+  * reference's "simplified PageRank" (which only counts in-links,
+  * `performance_functions/simplified_page_rank.py:25-43`; the in-link
+  * count itself is our oracle-checked `q_inlink_count`).
+  *
+  * Scale design: the edge set and out-degrees are computed once and
+  * cached; each iteration is one join + one aggregation, both shuffling
+  * on the SAME node key so Spark reuses the partitioning; ranks are
+  * re-persisted and the previous iteration unpersisted, keeping the
+  * lineage (and any recomputation under failure) one iteration deep.
+  * Dangling nodes (no out-edges) contribute nothing, matching the classic
+  * formulation rank = (1-d) + d * Σ rank(in)/deg(in).
+  */
+object PageRank {
+
+  /** @param edges two-column frame (src, dst), one row per directed edge */
+  def pagerank(edges: DataFrame, iterations: Int = 10,
+      damping: Double = 0.85): DataFrame = {
+    val e = edges.toDF("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // localCheckpoint (not persist): iterative plans must TRUNCATE the
+    // logical plan each round — persist only caches physical results, so
+    // the analyzer/optimizer would still walk an ever-deeper join tree
+    // (and eventually OOM the driver around ~20 iterations).
+    var ranks = nodes.withColumn("rank", lit(1.0)).localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(outDeg, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1 - damping) + lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+}

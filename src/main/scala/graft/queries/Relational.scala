@@ -316,8 +316,55 @@ object Relational {
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
 
+  // ── CPU-bound kernel (reference tasks 9-11: fib inside a Q2 shape) ─────
+  // graft_fib is a codegen Expression — the kernel stays inside
+  // WholeStageCodegen with no per-row UDF serialization boundary.
+  def qCpuFib(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Fib.register(s)
+    Tables.orders(s, d)
+      .select(pmod(col("o_orderkey"), lit(40)).as("n"))
+      .withColumn("f", graft.functions.Fib.fib(col("n")))
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("cnt"), max(col("f")).as("fib_n"))
+  }
+
+  val qCpuFibSql: String =
+    "WITH RECURSIVE f(i, a, b) AS (" +
+      "SELECT 0, CAST(0 AS BIGINT), CAST(1 AS BIGINT) " +
+      "UNION ALL SELECT i + 1, b, a + b FROM f WHERE i < 39) " +
+      "SELECT n, count(*) AS cnt, max(a) AS fib_n " +
+      "FROM (SELECT o_orderkey % 40 AS n FROM orders) o " +
+      "JOIN f ON f.i = o.n GROUP BY n"
+
+  // ── Pivot: per-user event counts, one column per event type ────────────
+  private val EventTypes = Seq("click", "view", "purchase", "signup", "error")
+
+  def qPivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .count()
+      .na.fill(0L) // absent combinations read 0, matching count_if
+
+  val qPivotSql: String =
+    "SELECT user_id, " +
+      EventTypes.map(t => s"count(*) FILTER (event_type = '$t') AS \"$t\"")
+        .mkString(", ") +
+      " FROM events GROUP BY user_id"
+
+  // ── Iterative PageRank (rows-only: float fixed-point, no SQL oracle;
+  // convergence is spec-tested on a known graph) ─────────────────────────
+  def qPagerank(s: SparkSession, d: String): DataFrame =
+    graft.operators.PageRank.pagerank(
+      Tables.lineitem(s, d).select(col("l_suppkey").as("src"),
+        col("l_partkey").as("dst")),
+      iterations = 3)
+
   /** All (name → query) pairs this module contributes. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cpu_fib"         -> qCpuFib _,
+    "q_pivot"           -> qPivot _,
+    "q_pagerank"        -> qPagerank _,
     "q_intersect"       -> qIntersect _,
     "q_except"          -> qExcept _,
     "q_cube"            -> qCube _,
@@ -342,6 +389,10 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_cpu_fib"         -> qCpuFibSql,
+    "q_pivot"           -> qPivotSql,
+    // q_pagerank: intentionally no oracle (iterative double fixed-point);
+    // PageRankSpec checks convergence on a known graph.
     "q_intersect"       -> qIntersectSql,
     "q_except"          -> qExceptSql,
     "q_cube"            -> qCubeSql,
