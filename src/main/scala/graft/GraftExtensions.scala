@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+import graft.functions._
+
+/** Session-extension wiring for every native graft Expression, so the
+  * functions are available in SQL text and in every new session without
+  * per-query registration:
+  *
+  *   - `spark.sql.extensions=graft.GraftExtensions` (config / submit), or
+  *   - `SparkSession.builder().withExtensions(new GraftExtensions)`, or
+  *   - `GraftFunctions.registerAll(spark)` on a live session.
+  *
+  * This is the (c)-tier extension route of the build plan — custom
+  * Catalyst Expressions registered through `SparkSessionExtensions` —
+  * used here for scalar/array kernels (simhash, winnow, shingles, dot,
+  * fib); whole-operator semantics stayed expressible with built-in
+  * operators, so no custom Strategy/LogicalPlan was needed.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name, usage), builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def litInt(e: Expression): Int = e match {
+    case Literal(v, _) => v.toString.toInt
+    case other => throw new IllegalArgumentException(
+      s"argument must be a literal, got $other")
+  }
+
+  /** (name, usage, builder) for every native expression. */
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_simhash", "graft_simhash(text) - 64-bit SimHash fingerprint",
+      (es: Seq[Expression]) => SimHashExpression(es.head)),
+    ("graft_dot", "graft_dot(a, b) - dot product of two array<double>",
+      (es: Seq[Expression]) => DotProductExpression(es(0), es(1))),
+    ("graft_shingles", "graft_shingles(text, n) - distinct word n-grams",
+      (es: Seq[Expression]) => ShinglesExpression(es.head, litInt(es(1)))),
+    ("graft_winnow", "graft_winnow(text, k, w) - winnowing fingerprints",
+      (es: Seq[Expression]) =>
+        WinnowExpression(es.head, litInt(es(1)), litInt(es(2)))),
+    ("graft_fib", "graft_fib(n) - iterative fibonacci (CPU kernel)",
+      (es: Seq[Expression]) => FibExpression(es.head)),
+  )
+
+  /** Imperative registration on a live session (idempotent) — equivalent
+    * to what GraftExtensions does at session build time. */
+  def registerAll(spark: SparkSession): Unit =
+    all.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

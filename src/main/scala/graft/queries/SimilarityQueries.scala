@@ -157,7 +157,27 @@ object SimilarityQueries {
       .select(col("qid"), col("nid"), col("rnk"), round(col("sim"), 6).as("sim_r"))
   }
 
+  // ── Per-label centroids (elementwise mean vectors) ─────────────────────
+  // The clustering/averaging primitive (IVF coarse quantizer training,
+  // class prototypes): posexplode → one grouped aggregation keyed on
+  // (label, dim) — fully parallel, one shuffle of scalar triples, never
+  // whole vectors. Decimal sum → order-independent, oracle-exact.
+  def qCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
+        count(col("x"))).as("c"))
+
+  val qCentroidsSql: String =
+    "SELECT label, pos - 1 AS dim, " +
+      "CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(x) AS c " +
+      "FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x, " +
+      "generate_subscripts(embedding, 1) AS pos FROM embeddings) t " +
+      "GROUP BY 1, 2"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_centroids"   -> qCentroids _,
     "q_knn_brute"   -> qKnnBrute _,
     "q_knn_heap"    -> qKnnHeap _,
     "q_cos_neardup" -> qCosNearDup _,
@@ -165,6 +185,7 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_centroids"   -> qCentroidsSql,
     "q_knn_brute"   -> qKnnBruteSql,
     "q_knn_heap"    -> qKnnHeapSql,
     "q_cos_neardup" -> qCosNearDupSql,

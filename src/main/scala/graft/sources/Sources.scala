@@ -61,6 +61,21 @@ object Sources {
       partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Bucketed table write: pre-shuffles rows into `numBuckets` by hash of
+    * the bucket columns and records the layout in the catalog — two
+    * tables bucketed the same way then JOIN WITHOUT A SHUFFLE (the
+    * co-located-join layout a 100 TB star schema wants for its repeated
+    * fact⋈fact joins; bucketing pays the shuffle once at write time).
+    * SortMergeJoin reads both sides' buckets directly; SourcesSpec
+    * asserts the join plan has no Exchange. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** A16 analog: per-partition batched KV writes. `openWriter` runs once
     * per partition ON THE EXECUTOR (one client/connection per task, like
     * one DynamoDB client per Lambda in the reference,

@@ -69,6 +69,41 @@ class SourcesSpec extends AnyFunSuite {
     assert(!scan.contains("event_type%3Dclick") && !scan.contains("event_type=click"))
   }
 
+  test("same-bucketed tables join without a shuffle") {
+    Sources.writeBucketed(
+      Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity"),
+      "b_lineitem", Seq("l_orderkey"), 8)
+    Sources.writeBucketed(
+      Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey"),
+      "b_orders", Seq("o_orderkey"), 8)
+    // force the sort-merge path: at test scale Catalyst prefers a
+    // broadcast join, which bypasses (and hides) the bucket layout
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() === Tables.lineitem(spark, sf).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("graft functions are SQL-callable via session extensions") {
+    // TestSpark's builder wires GraftExtensions → no explicit register
+    assert(spark.sql("SELECT graft_fib(10L) AS f").head().getLong(0) === 55L)
+    assert(spark.sql("SELECT graft_dot(array(1d,2d), array(3d,4d)) AS d")
+      .head().getDouble(0) === 11.0)
+    assert(spark.sql("SELECT size(graft_shingles('a b c d', 3)) AS n")
+      .head().getInt(0) === 2)
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_v")
+    assert(spark.sql(
+      "SELECT count(DISTINCT graft_simhash(text)) FROM docs_v")
+      .head().getLong(0) > 0)
+  }
+
   test("foreachPartition kv sink sees every row exactly once") {
     val path = s"$tmp/kv"
     Files.createDirectories(java.nio.file.Paths.get(path))
