@@ -360,8 +360,26 @@ object Relational {
         col("l_partkey").as("dst")),
       iterations = 3)
 
+  // ── SQL-text entry with a correlated-free scalar subquery ──────────────
+  // The engine's spark.sql surface is first-class: the same Catalyst plan
+  // serves SQL text and the DataFrame API. (The reference has no SQL
+  // interface at all — its Hive files are documentation only.)
+  def qScalarSubq(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    s.sql(
+      "SELECT c_custkey, c_acctbal FROM customer_v " +
+        "WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) " +
+        "/ count(*) FROM customer_v)")
+  }
+
+  val qScalarSubqSql: String =
+    "SELECT c_custkey, c_acctbal FROM customer " +
+      "WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) " +
+      "/ count(*) FROM customer)"
+
   /** All (name → query) pairs this module contributes. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scalar_subq"     -> qScalarSubq _,
     "q_cpu_fib"         -> qCpuFib _,
     "q_pivot"           -> qPivot _,
     "q_pagerank"        -> qPagerank _,
@@ -389,6 +407,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_scalar_subq"     -> qScalarSubqSql,
     "q_cpu_fib"         -> qCpuFibSql,
     "q_pivot"           -> qPivotSql,
     // q_pagerank: intentionally no oracle (iterative double fixed-point);

@@ -84,6 +84,25 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream join: purchases matched to clicks by the same user
+    * within `withinMinutes` BEFORE the purchase. Both sides carry
+    * watermarks and the join condition bounds the time skew, so Spark can
+    * expire buffered state — the unbounded-state trap of naive
+    * stream-stream joins is structurally avoided. */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
+      withinMinutes: Int = 60, watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $withinMinutes MINUTES"))
+  }
+
   /** Write a streaming frame to parquet with checkpointing — the
     * durable-sink shape (exactly-once via checkpoint + file sink log). */
   def writeParquetSink(df: DataFrame, path: String, checkpoint: String) =

@@ -84,6 +84,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(finals(2L).n_events === 2 && math.abs(finals(2L).total_value - 9.0) < 1e-9)
   }
 
+  test("stream-stream join matches the batch join on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = EventStreams.clickToPurchase(
+      clicks.toDF(), purchases.toDF(), withinMinutes = 60)
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        Event(0L, t(0), 1L, "click", 0.0, "{}"),
+        Event(1L, t(30), 1L, "click", 0.0, "{}"),
+        Event(2L, t(0), 2L, "click", 0.0, "{}"))
+      purchases.addData(
+        Event(10L, t(45), 1L, "purchase", 9.0, "{}"),   // joins clicks 0,1
+        Event(11L, t(200), 2L, "purchase", 5.0, "{}"))  // click 2 too old
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ss_join")
+      .select($"click_id", $"purchase_id").as[(Long, Long)].collect().toSet
+    // click at t0 is 45 min before the purchase (within 60); t30 is 15 min
+    assert(got === Set((0L, 10L), (1L, 10L)))
+  }
+
   test("batch session_window query matches hand-rolled sessionization counts") {
     val sw = graft.queries.EventQueries.qSessionWindow(spark, sf)
     val manual = graft.queries.EventQueries.qSessionize(spark, sf)
