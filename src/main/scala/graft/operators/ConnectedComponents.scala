@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components by iterated min-label propagation — the step that
+  * turns near-duplicate PAIRS (from MinHash-LSH / SimHash / winnowing)
+  * into duplicate CLUSTERS so one canonical survivor per cluster can be
+  * kept. Entirely beyond the reference.
+  *
+  * Algorithm: every node starts labeled with its own id; each round every
+  * node takes the min label over itself and its neighbors; converged when
+  * no label changes. Rounds needed = graph diameter — near-dup clusters
+  * are small and dense (diameter 2-3), so the default cap of 10 rounds is
+  * generous; the loop also exits early on a converged round. Each round
+  * is one join + one aggregation shuffling on the node key, with
+  * localCheckpoint truncating the logical plan (same iterative-plan
+  * discipline as PageRank).
+  */
+object ConnectedComponents {
+
+  /** @param edges two-column (src, dst) undirected pair frame
+    * @return (node, component) — component = min node id reachable */
+  def components(edges: DataFrame, maxIterations: Int = 10): DataFrame = {
+    val e = edges.toDF("src", "dst")
+    // undirected: propagate both ways
+    val sym = e.union(e.select(col("dst"), col("src")))
+      .toDF("a", "b").persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("comp", col("node")).localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("node", "b"), "b")
+        .groupBy(col("a").as("node")).agg(min(col("comp")).as("ncomp"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("comp", "prev"), "node")
+        .filter(col("comp") =!= col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    sym.unpersist(false)
+    labels
+  }
+
+  /** Survivor selection: given near-dup pairs over a corpus, return the
+    * corpus with one canonical row (min id) kept per duplicate cluster;
+    * rows in no cluster survive untouched. */
+  def keepSurvivors(corpus: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val comp = components(pairs)
+    corpus.join(comp.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .filter(col("comp").isNull || col("comp") === col(idCol))
+      .drop("comp")
+  }
+}

@@ -377,8 +377,28 @@ object Relational {
       "WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) " +
       "/ count(*) FROM customer)"
 
+  // ── Exact percentiles (interpolated) per group ─────────────────────────
+  // Spark `percentile` and DuckDB `quantile_cont` both do exact linear
+  // interpolation over the sorted group → identical doubles (rounded to
+  // tame last-ulp interpolation arithmetic). The approximate analog at
+  // 100 TB is percentile_approx (t-digest) — engine-specific, so the
+  // exact form is the oracle-checked one.
+  def qPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(o_totalprice, 0.95)"), 6).as("p95"))
+
+  val qPercentilesSql: String =
+    "SELECT o_orderpriority, " +
+      "round(quantile_cont(o_totalprice, 0.5), 6) AS p50, " +
+      "round(quantile_cont(o_totalprice, 0.95), 6) AS p95 " +
+      "FROM orders GROUP BY o_orderpriority"
+
   /** All (name → query) pairs this module contributes. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_percentiles"     -> qPercentiles _,
     "q_scalar_subq"     -> qScalarSubq _,
     "q_cpu_fib"         -> qCpuFib _,
     "q_pivot"           -> qPivot _,
@@ -407,6 +427,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_percentiles"     -> qPercentilesSql,
     "q_scalar_subq"     -> qScalarSubqSql,
     "q_cpu_fib"         -> qCpuFibSql,
     "q_pivot"           -> qPivotSql,

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ConnectedComponents
+import graft.queries.PipelineQueries
+
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("connected components labels each cluster with its min node") {
+    // two clusters {1,2,3,4} (chain) and {10,11}; 20 isolated via self-pair
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 20L))
+      .toDF("src", "dst")
+    val comp = ConnectedComponents.components(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comp(1L) === 1L && comp(2L) === 1L && comp(3L) === 1L && comp(4L) === 1L)
+    assert(comp(10L) === 10L && comp(11L) === 10L)
+    assert(comp(20L) === 20L)
+  }
+
+  test("keepSurvivors drops all but the min id of each cluster") {
+    val corpus = (1L to 6L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 5L), (3L, 4L)).toDF("src", "dst")
+    val out = ConnectedComponents.keepSurvivors(corpus, "doc_id", pairs)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    // cluster {1,2,5} → 1; cluster {3,4} → 3; 6 untouched
+    assert(out === Seq(1L, 3L, 6L))
+  }
+
+  test("full pipeline output is a subset of the exact-stage output") {
+    val exact = PipelineQueries.cleanExact(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    val full = PipelineQueries.cleanNearDup(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(full.subsetOf(exact))
+    assert(full.nonEmpty)
+    // near-dup clustering must actually remove something at this sf
+    // (the fixture plants near-duplicates) or at minimum not add rows
+    assert(full.size <= exact.size)
+  }
+
+  test("pipeline keeps only english docs above the quality floor") {
+    val out = PipelineQueries.cleanExact(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[String]("lang") === "en")
+      assert(r.getAs[Double]("quality") >= 0.5)
+    }
+  }
+}
