@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Time-range join: all (left, right) pairs with the same key where
+  * `right.ts - left.ts ∈ [lowerSec, upperSec]` — "errors within 15
+  * minutes after each click". Absent from the reference; Spark's naive
+  * spelling (equi-key + inequality condition) degenerates to
+  * sort-merge-join with a per-key cross product of candidate buffers.
+  *
+  * Scalable form: time is bucketed at width `upper - lower`; each RIGHT
+  * row lands in exactly one bucket, each LEFT row is replicated only to
+  * the 2-3 buckets its match window overlaps, and the join becomes a
+  * plain equi-join on (key, bucket) followed by the exact range filter.
+  * Shuffle volume is O(|left| × 3 + |right|) regardless of how dense a
+  * key's timeline is — the plan that survives 100 TB of events. Each
+  * qualifying pair appears exactly once (the right row's single bucket),
+  * so no dedup pass is needed.
+  */
+object RangeJoin {
+
+  /** @param keys     equi-join key columns present on both sides
+    * @param leftTs   left timestamp column (seconds derived via cast)
+    * @param rightTs  right timestamp column
+    * @param lowerSec inclusive lower bound of right.ts - left.ts, seconds
+    * @param upperSec inclusive upper bound, seconds; must be > lowerSec */
+  def timeRangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, lowerSec: Long, upperSec: Long): DataFrame = {
+    require(upperSec > lowerSec, "upperSec must be > lowerSec")
+    // exact integer microseconds — no float boundary ambiguity
+    val lowerUs = lowerSec * 1000000L
+    val upperUs = upperSec * 1000000L
+    val w = upperUs - lowerUs
+
+    // right: exactly one bucket per row
+    val r = right.withColumn("_bucket", floor(unix_micros(col(rightTs)) / w))
+    // left: every bucket its window [ts+lower, ts+upper] overlaps
+    val l = left
+      .withColumn("_b0", floor((unix_micros(col(leftTs)) + lowerUs) / w))
+      .withColumn("_b1", floor((unix_micros(col(leftTs)) + upperUs) / w))
+      .withColumn("_bucket", explode(sequence(col("_b0"), col("_b1"))))
+      .drop("_b0", "_b1")
+
+    val gap = unix_micros(r(rightTs)) - unix_micros(l(leftTs))
+    val joinCond = keys.map(k => l(k) === r(k))
+      .reduce(_ && _) && l("_bucket") === r("_bucket") &&
+      gap >= lowerUs && gap <= upperUs
+    val joined = l.join(r, joinCond)
+    keys.foldLeft(joined)((df, k) => df.drop(r(k))).drop("_bucket")
+  }
+}

@@ -219,7 +219,32 @@ object EventQueries {
       "FROM events WHERE event_type = 'click' GROUP BY 1, 2) c " +
       "ON p.user_id = c.user_id AND p.ts >= c.ts"
 
+  // ── Range join: errors within 15 min AFTER each click, same user ───────
+  // Exercises graft.operators.RangeJoin (time-bucketed equi-join — no
+  // per-key cross-product buffers).
+  def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("error_ts"), col("event_id").as("error_id"))
+    graft.operators.RangeJoin.timeRangeJoin(clicks, errors,
+      keys = Seq("user_id"), leftTs = "click_ts", rightTs = "error_ts",
+      lowerSec = 0, upperSec = 900)
+      .select(col("user_id"), col("click_id"), col("error_id"),
+        (unix_micros(col("error_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+  }
+
+  val qRangeJoinSql: String =
+    "SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id, " +
+      "epoch_us(e.ts) - epoch_us(c.ts) AS gap_us " +
+      "FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c " +
+      "JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error') e " +
+      "ON c.user_id = e.user_id AND e.ts >= c.ts " +
+      "AND e.ts <= c.ts + INTERVAL 900 SECONDS"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_join"       -> qRangeJoin _,
     "q_asof_join"        -> qAsofJoin _,
     "q_session_window"   -> qSessionWindow _,
     "q_tumbling_hourly"  -> qTumblingHourly _,
@@ -231,6 +256,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_range_join"       -> qRangeJoinSql,
     "q_asof_join"        -> qAsofJoinSql,
     "q_session_window"   -> qSessionWindowSql,
     "q_tumbling_hourly"  -> qTumblingHourlySql,

@@ -39,6 +39,28 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(exchanges <= 2, "union sides shuffle to the same key partitioning")
   }
 
+  test("range join finds exactly the in-window pairs") {
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val l = Seq((1L, ts(0), "l0"), (1L, ts(1000), "l1"), (2L, ts(0), "l2"))
+      .toDF("k", "lts", "ln")
+    val r = Seq((1L, ts(100), "r0"), (1L, ts(950), "r1"), (1L, ts(2000), "r2"),
+      (2L, ts(901), "r3"))
+      .toDF("k", "rts", "rn")
+    val out = graft.operators.RangeJoin.timeRangeJoin(
+      l, r, Seq("k"), "lts", "rts", lowerSec = 0, upperSec = 900)
+      .select($"ln", $"rn").as[(String, String)].collect().toSet
+    // l0 (t0): r0 at +100 in window, r1 at +950 out; l1 (t1000): r2 at
+    // +1000 out... r2 is at +1000 from l1 → out; r1 at -50 → out
+    // l2 (t0, k=2): r3 at +901 → out (strictly beyond upper)
+    assert(out === Set(("l0", "r0")))
+    // boundary: exactly upperSec is included
+    val edge = graft.operators.RangeJoin.timeRangeJoin(
+      Seq((1L, ts(0), "x")).toDF("k", "lts", "ln"),
+      Seq((1L, ts(900), "y")).toDF("k", "rts", "rn"),
+      Seq("k"), "lts", "rts", 0, 900)
+    assert(edge.count() === 1)
+  }
+
   test("registered asof query: every purchase matches a click at or before it") {
     val out = graft.queries.EventQueries.qAsofJoin(spark, sf)
     assert(out.count() > 0)
