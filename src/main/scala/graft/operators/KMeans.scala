@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.DotProduct
+
+/** Lloyd's k-means over an embedding column, plus the IVF
+  * (inverted-file) approximate nearest-neighbor search it trains — the
+  * other standard ANN family next to LSH (`SimilarityQueries.annLsh`).
+  *
+  * Training (fit): deterministic init (first k distinct vectors by id —
+  * reproducible across runs and executors, unlike random init), then
+  * `iterations` rounds of assign (one broadcast of k centroids, one
+  * codegen'd distance scan) + recompute (posexplode → one grouped
+  * aggregation per (cluster, dim)). Iterative-plan discipline:
+  * localCheckpoint per round, same as PageRank/ConnectedComponents.
+  *
+  * Search (ivfSearch): corpus rows are bucketed by nearest centroid (the
+  * inverted file); a query probes only its `nProbe` nearest cells, so the
+  * scan touches ~nProbe/k of the corpus instead of all of it — the
+  * recall/cost dial of every production vector index.
+  */
+object KMeans {
+
+  /** Squared L2 distance via the codegen dot product:
+    * |a-b|² = a·a - 2a·b + b·b. */
+  private def dist2(v: org.apache.spark.sql.Column, na2: org.apache.spark.sql.Column,
+      c: org.apache.spark.sql.Column, nc2: org.apache.spark.sql.Column) =
+    na2 - lit(2.0) * DotProduct.dot(v, c) + nc2
+
+  /** @param vecs (id, v: array<double>) frame
+    * @return (cluster, centroid: array<double>) — k rows */
+  def fit(vecs: DataFrame, k: Int, iterations: Int = 5): DataFrame = {
+    val s = vecs.sparkSession
+    DotProduct.register(s)
+    // deterministic STRIDE init (every n/k-th vector in id order):
+    // reproducible everywhere, and unlike first-k it cannot seed all
+    // centroids inside one dense region
+    val n = vecs.count()
+    val stride = math.max(1L, n / k)
+    val w0 = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+    var centroids = vecs
+      .withColumn("_rn", row_number().over(w0).cast("long") - 1)
+      .filter(col("_rn") % stride === 0 && col("_rn") < stride * k)
+      .select(floor(col("_rn") / stride).cast("long").as("cluster"), col("v").as("c"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val assigned = assign(vecs, centroids)
+      centroids = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("p"))
+        .select(col("cluster"), transform(col("p"), e => e("m")).as("c"))
+        .localCheckpoint(true)
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment: broadcast the k centroids, one scan. */
+  def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    DotProduct.register(vecs.sparkSession)
+    val v2 = vecs.withColumn("_n2", DotProduct.dot(col("v"), col("v")))
+    val c2 = centroids.withColumn("_c2", DotProduct.dot(col("c"), col("c")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("_d").asc, col("cluster").asc)
+    v2.crossJoin(broadcast(c2))
+      .withColumn("_d", dist2(col("v"), col("_n2"), col("c"), col("_c2")))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("id"), col("v"), col("cluster"))
+  }
+
+  /** IVF top-k cosine search: probe only the nProbe nearest cells per
+    * query. Returns (qid, nid, rnk, sim). */
+  def ivfSearch(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
+    val s = corpus.sparkSession
+    DotProduct.register(s)
+    val cells = assign(corpus, centroids) // inverted file: (id, v, cluster)
+      .withColumn("nrm", sqrt(DotProduct.dot(col("v"), col("v"))))
+    val c2 = centroids.withColumn("_c2", DotProduct.dot(col("c"), col("c")))
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("_d").asc, col("cluster").asc)
+    val probes = queries.select(col("id").as("qid"), col("v").as("qv"))
+      .withColumn("_q2", DotProduct.dot(col("qv"), col("qv")))
+      .crossJoin(broadcast(c2))
+      .withColumn("_d", dist2(col("qv"), col("_q2"), col("c"), col("_c2")))
+      .withColumn("_rk", row_number().over(probeW))
+      .filter(col("_rk") <= nProbe)
+      .select(col("qid"), col("qv"), sqrt(col("_q2")).as("qn"), col("cluster"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    probes.join(cells, Seq("cluster"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("nid"),
+        (DotProduct.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+}

@@ -176,7 +176,22 @@ object SimilarityQueries {
       "generate_subscripts(embedding, 1) AS pos FROM embeddings) t " +
       "GROUP BY 1, 2"
 
+  // ── IVF ANN: k-means-trained inverted file, probe nProbe cells ─────────
+  // The other standard ANN family next to LSH: the corpus is bucketed by
+  // nearest trained centroid; each query scans only its 4 nearest of 16
+  // cells (~25% of the corpus). Iterative float training → rows-only
+  // driver check; exactness at full probe + cluster recall are
+  // spec-tested in KMeansSpec.
+  def qAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d).select(col("vec_id").as("id"), col("v"))
+    val centroids = graft.operators.KMeans.fit(v, k = 16, iterations = 3)
+    graft.operators.KMeans.ivfSearch(
+      v, v.filter(col("id") < NumQueries), centroids, k = K, nProbe = 4)
+      .select(col("qid"), col("nid"), col("rnk"), round(col("sim"), 6).as("sim_r"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_ivf"     -> qAnnIvf _,
     "q_centroids"   -> qCentroids _,
     "q_knn_brute"   -> qKnnBrute _,
     "q_knn_heap"    -> qKnnHeap _,
