@@ -243,7 +243,27 @@ object EventQueries {
       "ON c.user_id = e.user_id AND e.ts >= c.ts " +
       "AND e.ts <= c.ts + INTERVAL 900 SECONDS"
 
+  // ── Hopping (sliding) windows: 1-hour windows every 15 minutes ─────────
+  // Each event lands in 4 overlapping windows; Spark's window() generator
+  // expands them inline. The oracle reproduces the window set with
+  // generate_series over the 4 quarter-hour offsets.
+  def qSlidingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+
+  val qSlidingWindowSql: String =
+    "SELECT w_start, event_type, count(*) AS n FROM (" +
+      "SELECT date_trunc('hour', ts - INTERVAL (q * 15) MINUTE) " +
+      "+ INTERVAL (q * 15) MINUTE AS w_start, event_type " +
+      "FROM events, generate_series(0, 3) AS t(q) " +
+      "WHERE ts >= date_trunc('hour', ts - INTERVAL (q * 15) MINUTE) + INTERVAL (q * 15) MINUTE " +
+      "AND ts < date_trunc('hour', ts - INTERVAL (q * 15) MINUTE) + INTERVAL (q * 15) MINUTE + INTERVAL 1 HOUR" +
+      ") b GROUP BY 1, 2"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sliding_window"   -> qSlidingWindow _,
     "q_range_join"       -> qRangeJoin _,
     "q_asof_join"        -> qAsofJoin _,
     "q_session_window"   -> qSessionWindow _,
@@ -256,6 +276,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sliding_window"   -> qSlidingWindowSql,
     "q_range_join"       -> qRangeJoinSql,
     "q_asof_join"        -> qAsofJoinSql,
     "q_session_window"   -> qSessionWindowSql,

@@ -117,7 +117,25 @@ object TextQueries {
       s"md5(array_to_string($sqlToks, ' ')) AS fp_tokens_md5 " +
       "FROM documents"
 
+  // ── BPE-ish subword tokenization (GPT-2-style pretokenizer shape,
+  // lookahead-free so Java regex and RE2 agree): runs of letters, runs of
+  // digits, runs of punctuation — each with optional leading space.
+  // The practical token-count estimator when no tokenizer model ships
+  // with the engine.
+  private val BpePattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  def qTokenBpe(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
+        .cast("bigint").as("n_bpe_tokens"))
+
+  val qTokenBpeSql: String =
+    s"SELECT doc_id, len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) " +
+      "AS n_bpe_tokens FROM documents"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_bpe"     -> qTokenBpe _,
     "q_token_count"   -> qTokenCount _,
     "q_quality_score" -> qQualityScore _,
     "q_lang_id"       -> qLangId _,
@@ -125,6 +143,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_token_bpe"     -> qTokenBpeSql,
     "q_token_count"   -> qTokenCountSql,
     "q_quality_score" -> qQualityScoreSql,
     "q_lang_id"       -> qLangIdSql,

@@ -65,6 +65,28 @@ class EventSpec extends AnyFunSuite {
     }
   }
 
+  test("sliding windows: every event appears in exactly 4 hopping windows") {
+    val out = EventQueries.qSlidingWindow(spark, sf)
+    val total = out.agg(sum($"n")).head().getLong(0)
+    assert(total === Tables.events(spark, sf).count() * 4)
+  }
+
+  test("observe() attaches pipeline metrics without a second pass") {
+    // the A20 progress/metrics analog: per-stage counters ride along the
+    // job instead of a separate DynamoDB write path
+    val observed = Tables.events(spark, sf)
+      .observe("ev_metrics",
+        count(lit(1)).as("rows_seen"),
+        sum($"value").as("value_seen"))
+      .filter($"event_type" === "purchase")
+    // collect() drives THIS QueryExecution (count() would build its own,
+    // and the metrics would attach to that one instead)
+    val n = observed.collect().length
+    val row = observed.queryExecution.observedMetrics("ev_metrics")
+    assert(row.getAs[Long]("rows_seen") === Tables.events(spark, sf).count())
+    assert(n < row.getAs[Long]("rows_seen"))
+  }
+
   test("activity windows: seq_no is dense per user and avg_prev3 bounded") {
     val out = EventQueries.qUserActivityWindows(spark, sf)
     val perUser = out.groupBy($"user_id")
