@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.Timestamp
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AsOfJoin, RangeJoin}
+
+/** Randomized equivalence: the distributed operators must agree with
+  * naive single-machine reference implementations on arbitrary inputs —
+  * the level-1 testing tier of SURVEY §5 upgraded from hand-picked
+  * examples to generated ones (seeded → reproducible).
+  */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val base = 1700000000000L
+  private def ts(sec: Long) = new Timestamp(base + sec * 1000L)
+
+  private def randRows(r: Random, n: Int): List[(Long, Long)] =
+    List.fill(n)((1L + r.nextInt(3), r.nextInt(121).toLong))
+
+  test("asof join equals the naive per-row latest-preceding scan (12 random trials)") {
+    val r = new Random(42)
+    for (_ <- 1 to 12) {
+      val ls = randRows(r, 14)
+      val rsu = randRows(r, 14).distinct // unique (k, ts) → unique match
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (k, ts(t), i.toLong) }
+        .toDF("k", "lts", "lid")
+      val right = rsu.zipWithIndex
+        .map { case ((k, t), i) => (k, ts(t), (100 + i).toDouble) }
+        .toDF("k", "rts", "px")
+
+      val got = AsOfJoin.asof(left, right, Seq("k"), "lts", "rts",
+        Seq("px"), inner = false)
+        .select($"lid", $"px").collect()
+        .map(row => row.getLong(0) ->
+          (if (row.isNullAt(1)) None else Some(row.getDouble(1))))
+        .toMap
+
+      val expect = ls.zipWithIndex.map { case ((k, t), i) =>
+        val cands = rsu.zipWithIndex
+          .filter { case ((rk, rt), _) => rk == k && rt <= t }
+        val best =
+          if (cands.isEmpty) None
+          else Some((100 + cands.maxBy { case ((_, rt), _) => rt }._2).toDouble)
+        i.toLong -> best
+      }.toMap
+      assert(got === expect, s"inputs: $ls / $rsu")
+    }
+  }
+
+  test("range join equals the naive all-pairs filter (12 random trials)") {
+    val r = new Random(7)
+    for (_ <- 1 to 12) {
+      val ls = randRows(r, 14)
+      val rs = randRows(r, 14)
+      val lower = 0L
+      val upper = 30L
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (k, ts(t), i.toLong) }.toDF("k", "lts", "lid")
+      val right = rs.zipWithIndex
+        .map { case ((k, t), i) => (k, ts(t), i.toLong) }.toDF("k", "rts", "rid")
+
+      val got = RangeJoin.timeRangeJoin(left, right, Seq("k"),
+        "lts", "rts", lower, upper)
+        .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+
+      val expect = (for {
+        ((lk, lt), li) <- ls.zipWithIndex
+        ((rk, rt), ri) <- rs.zipWithIndex
+        if lk == rk && rt - lt >= lower && rt - lt <= upper
+      } yield (li.toLong, ri.toLong)).toSet
+      assert(got === expect, s"inputs: $ls / $rs")
+    }
+  }
+
+  test("topk aggregator equals sort-take on arbitrary similarity lists") {
+    import graft.functions.{Neighbor, TopKAggregator}
+    val r = new Random(13)
+    for (_ <- 1 to 12) {
+      val xs = List.fill(25)((r.nextInt(51).toLong, r.nextDouble() * 2 - 1))
+      val agg = new TopKAggregator(5)
+      // split into two partial buffers + merge, like a real shuffle
+      val (xa, xb) = xs.splitAt(12)
+      val bufA = xa.foldLeft(agg.zero) { case (b, (id, sim)) =>
+        agg.reduce(b, Neighbor(id, sim)) }
+      val bufB = xb.foldLeft(agg.zero) { case (b, (id, sim)) =>
+        agg.reduce(b, Neighbor(id, sim)) }
+      val got = agg.finish(agg.merge(bufA, bufB))
+      val expect = xs.map { case (id, sim) => Neighbor(id, sim) }
+        .sortWith((a, b) => a.sim > b.sim || (a.sim == b.sim && a.id < b.id))
+        .take(5)
+      assert(got === expect)
+    }
+  }
+}

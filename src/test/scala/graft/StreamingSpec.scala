@@ -84,6 +84,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(finals(2L).n_events === 2 && math.abs(finals(2L).total_value - 9.0) < 1e-9)
   }
 
+  test("watermark drops events later than the allowed lateness") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.hourlyCounts(mem.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("late_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(0L, t(30), 1L, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      // advance watermark far past the first hour...
+      mem.addData(Event(1L, t(600), 1L, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      // ...then send an event INTO the long-closed first window
+      mem.addData(Event(2L, t(31), 1L, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      // and close everything out
+      mem.addData(Event(3L, t(5000), 1L, "click", 1.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val firstWindow = spark.table("late_test")
+      .filter($"bucket" === new Timestamp((1700000000000L / 3600000L) * 3600000L))
+      .select($"n_events").as[Long].collect()
+    // the late event (id 2) must NOT be counted: closed window stays at 1
+    assert(firstWindow.toSeq === Seq(1L))
+  }
+
   test("stream-stream join matches the batch join on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Event]
