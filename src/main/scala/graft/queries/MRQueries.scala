@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.mr.MRPipeline
@@ -55,13 +56,68 @@ object MRQueries {
       "CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_bal " +
       "FROM customer GROUP BY substr(c_name, 15, 2)"
 
+  /** AMPLab Q3 exactly as the reference stages it (`query_3_phase_1.py`
+    * tagged-union join + stitch, `query_3_phase_2.py` per-key sum,
+    * `query_3_phase_3.py` single-reducer global argmax) — expressed 1:1
+    * through the MR verbs to prove the parity layer can host the
+    * reference's hardest job shape. Values are tagged strings, mimicking
+    * the reference's dynamic JSON records; money is cents-as-long so the
+    * MR layer needs no decimal types. */
+  def qMrQ3(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cutoff = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
+    // phase-1 map side: tag both sources by join key (reference tags with
+    // a recordType dict; here "o|" / "l|" string prefixes)
+    val orders = Tables.orders(s, d)
+      .filter($"o_orderdate" < cutoff)
+      .select($"o_orderkey".cast("string"), concat(lit("o|"), $"o_custkey")).as[(String, String)]
+    val lines = Tables.lineitem(s, d)
+      .select($"l_orderkey".cast("string"),
+        concat(lit("l|"), round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100).cast("long")))
+      .as[(String, String)]
+    // phase-1 reduce: stitch the unique order record with its line items
+    val stitched = MRPipeline.fromDataset(orders)
+      .merge(MRPipeline.fromDataset(lines))
+      .reduce({ (_: String, vs: Seq[String]) =>
+        val cust = vs.collectFirst { case v if v.startsWith("o|") => v.drop(2) }
+        cust match {
+          case None => Iterator.empty // line items with no (date-filtered) order
+          case Some(c) => vs.iterator
+            .filter(_.startsWith("l|"))
+            .map(v => (c, v.drop(2).toLong))
+        }
+      }, numReducers = 8)
+    // phase 2: sum cents per customer (combiner = reducer, algebraic)
+    val totals = stitched.reduceWithCombine(
+      (k: String, vs: Seq[Long]) => Iterator.single((k, vs.sum)), numReducers = 8)
+    // phase 3: single-reducer global argmax (reference uses reduce(r, 1))
+    val top1 = totals
+      .map { (c, cents) => Iterator.single(("all", (c, cents))) }
+      .reduce({ (_: String, vs: Seq[(String, Long)]) =>
+        Iterator.single(vs.maxBy { case (c, cents) => (cents, -c.toLong) })
+      }, numReducers = 1)
+    // the argmax reducer emits the winning (custkey, cents) as the pair
+    top1.toDS.map { case (c, cents) => (c.toLong, cents / 100.0) }
+      .toDF("o_custkey", "total_rev")
+  }
+
+  // cents arithmetic spelled identically for the oracle
+  val qMrQ3Sql: String =
+    "SELECT o_custkey, " +
+      "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_rev " +
+      "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+      "WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
+      "GROUP BY o_custkey ORDER BY total_rev DESC, o_custkey ASC LIMIT 1"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mr_wordcount"  -> qMrWordCount _,
     "q_mr_substr_agg" -> qMrSubstrAgg _,
+    "q_mr_q3"         -> qMrQ3 _,
   )
 
   val oracles: Map[String, String] = Map(
     "q_mr_wordcount"  -> qMrWordCountSql,
     "q_mr_substr_agg" -> qMrSubstrAggSql,
+    "q_mr_q3"         -> qMrQ3Sql,
   )
 }
