@@ -50,6 +50,23 @@ class DedupSpec extends AnyFunSuite {
       s"unrelated docs paired: $lsh")
   }
 
+  test("prefix-filtered jaccard equals the naive all-pairs join exactly") {
+    graft.functions.Shingles.register(spark)
+    val sh = Tables.documents(spark, sf)
+      .select($"doc_id",
+        explode(graft.functions.Shingles.shingles($"text", 3)).as("sh"))
+    for (t <- Seq(0.5, 0.8)) {
+      val fast = DedupQueries.ngramJaccardPrefix(sh, t)
+        .select($"doc_a", $"doc_b", $"shared").as[(Long, Long, Long)]
+        .collect().toSet
+      val naive = DedupQueries.ngramJaccardNaive(sh, t)
+        .select($"doc_a", $"doc_b", $"shared").as[(Long, Long, Long)]
+        .collect().toSet
+      assert(fast === naive, s"threshold $t")
+      assert(fast.nonEmpty, s"threshold $t found nothing")
+    }
+  }
+
   test("ngram jaccard on real data only reports pairs above threshold") {
     val out = DedupQueries.qNgramJaccard(spark, sf).collect()
     assert(out.nonEmpty) // testdata plants near-duplicates
