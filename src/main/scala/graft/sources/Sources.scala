@@ -25,11 +25,15 @@ import org.apache.spark.sql.types.StructType
   */
 object Sources {
 
-  /** A13/CSV: schema-declared CSV read; options merged A8-style. */
+  /** A13/CSV: schema-declared CSV read; options merged A8-style.
+    * Default mode PERMISSIVE with a `_corrupt_record` column when the
+    * schema declares one — at 100 TB a single malformed row must not
+    * kill the job (the reference simply crashes the mapper Lambda);
+    * pass mode=FAILFAST to get strict semantics instead. */
   def readCsv(spark: SparkSession, path: String, schema: StructType,
       options: Map[String, String] = Map.empty): DataFrame =
     spark.read.schema(schema)
-      .options(Map("header" -> "false") ++ options)
+      .options(Map("header" -> "false", "mode" -> "PERMISSIVE") ++ options)
       .csv(path)
 
   /** A13/whole-object: one (path, contents) row per file. */
@@ -58,8 +62,12 @@ object Sources {
   /** The 100 TB layout: parquet partitioned by low-cardinality columns so
     * readers prune whole directories before listing a single row group. */
   def writeParquetPartitioned(df: DataFrame, path: String,
-      partitionCols: Seq[String]): Unit =
-    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+      partitionCols: Seq[String], codec: String = "zstd"): Unit =
+    df.write.mode("overwrite")
+      .option("compression", codec) // zstd: ~30% smaller than snappy at
+                                    // comparable scan speed — the 100 TB
+                                    // storage-bill default
+      .partitionBy(partitionCols: _*).parquet(path)
 
   /** Bucketed table write: pre-shuffles rows into `numBuckets` by hash of
     * the bucket columns and records the layout in the catalog — two

@@ -69,6 +69,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(!scan.contains("event_type%3Dclick") && !scan.contains("event_type=click"))
   }
 
+  test("malformed csv rows surface in _corrupt_record instead of failing") {
+    val dir = Files.createTempDirectory("graft_badcsv")
+    Files.writeString(dir.resolve("d.csv"),
+      "1,alice,10.5\nBADROW-not-enough-fields\n3,carol,7.25\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("bal", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    val df = Sources.readCsv(spark, dir.toString, schema).cache()
+    assert(df.count() === 3)
+    assert(df.filter($"_corrupt_record".isNotNull).count() === 1)
+    assert(df.filter($"_corrupt_record".isNull)
+      .select($"id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+    df.unpersist()
+    // FAILFAST: the same file must throw
+    val strict = Sources.readCsv(spark, dir.toString,
+      StructType(schema.dropRight(1)), Map("mode" -> "FAILFAST"))
+    intercept[Exception](strict.collect())
+  }
+
   test("same-bucketed tables join without a shuffle") {
     Sources.writeBucketed(
       Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity"),
