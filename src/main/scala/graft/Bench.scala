@@ -16,14 +16,16 @@ object Bench {
     // JIT/codegen warmup so the first measured query doesn't absorb JVM
     // startup; standard steady-state measurement practice.
     SparkEntry.entry(spark).count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // deterministic name order → per-query timings comparable across
+    // rounds (map iteration order varies per build)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
