@@ -21,11 +21,15 @@ import graft.functions._
   * operators, so no custom Strategy/LogicalPlan was needed.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name, usage), builder))
     }
+    // kernel selection: declarative aggregate(zip_with(*)) dot products
+    // run as the codegen DotProductExpression
+    ext.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
+  }
 }
 
 object GraftFunctions {

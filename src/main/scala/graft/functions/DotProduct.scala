@@ -16,16 +16,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * expression compiles to a tight primitive loop over the two
   * `ArrayData`s; on the sf0.1 bench it cuts exact all-pairs cosine by ~4×.
   *
-  * Evaluation order is the same strict left-to-right fold the interpreted
-  * form and DuckDB's `list_dot_product` use, so oracle parity is
-  * unaffected. Null handling: null input → null; null ELEMENTS are
-  * treated as 0.0 (embeddings never contain null elements; this avoids a
-  * per-element branch in the common case via ArrayData.toDoubleArray).
+  * Semantics are EXACTLY those of the strict left-fold
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,v) -> acc+v)`:
+  * same evaluation order (so DuckDB `list_dot_product` oracle parity
+  * holds), null array → null, any null ELEMENT → null, and unequal
+  * lengths → null (zip_with null-pads the shorter side, nulling the
+  * fold). That exact equivalence is what lets the RewriteDotProduct
+  * optimizer rule substitute this expression unconditionally.
   */
 case class DotProductExpression(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -37,11 +40,21 @@ case class DotProductExpression(left: Expression, right: Expression)
     }
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    DotProductExpression.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    DotProductExpression.dotOrNull(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.DotProductExpression.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Double ${ev.value}_r =
+         |  graft.functions.DotProductExpression.dotOrNull($a, $b);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r.doubleValue();
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductExpression =
@@ -49,16 +62,19 @@ case class DotProductExpression(left: Expression, right: Expression)
 }
 
 object DotProductExpression {
-  /** Called from generated code — keep static-reachable and allocation-
-    * light (one primitive array copy per side, then a tight loop). */
-  def dot(a: ArrayData, b: ArrayData): Double = {
-    val xs = a.toDoubleArray()
-    val ys = b.toDoubleArray()
-    val n = math.min(xs.length, ys.length)
+  /** Called from generated code — one tight loop, boxed-null only on the
+    * (rare) degenerate inputs. */
+  def dotOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += xs(i) * ys(i); i += 1 }
-    acc
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
   }
 }
 
@@ -68,6 +84,7 @@ object DotProduct {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProductExpression(exprs(0), exprs(1)), "built-in")
 
-  /** Column builder; requires `register(spark)` once per session. */
+  /** Column builder; requires `register(spark)` once per session (or the
+    * GraftExtensions session wiring). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 }
