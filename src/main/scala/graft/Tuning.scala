@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The session configuration the 100 TB deployment runs with — one place
+  * so Verify, Bench, tests, and a production submit all agree. Local runs
+  * exercise the same settings (they are scale-safe at any size).
+  *
+  * Rationale per knob:
+  *  - AQE + coalescing: runtime re-planning fixes misestimated shuffle
+  *    partition counts — the static `spark.sql.shuffle.partitions` is a
+  *    ceiling, not a bet.
+  *  - AQE skew-join: splits oversized partitions of a skewed join key
+  *    (the reference's sha256-mod sharding simply stalls on them —
+  *    SURVEY §7.2); manual salting (`operators/SkewJoin`) remains for
+  *    aggregation-side skew AQE cannot see.
+  *  - 256 MiB splits: big enough to amortize task overhead on a
+  *    1000-executor scan, small enough to rebalance; the reference's
+  *    analog heuristic was 60% of Lambda memory (`lambda_utils.py:9`).
+  *  - zstd parquet: ~30% smaller than snappy at comparable scan speed.
+  *  - 64 MiB broadcast threshold: dimensions of the star schema stay
+  *    broadcast even as they grow past the 10 MiB default; the planner
+  *    still falls back to shuffle joins beyond it.
+  */
+object Tuning {
+
+  val clusterDefaults: Map[String, String] = Map(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.files.maxPartitionBytes" -> (256L * 1024 * 1024).toString,
+    "spark.sql.parquet.compression.codec" -> "zstd",
+    "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString,
+    "spark.sql.session.timeZone" -> "UTC",
+  )
+
+  /** Apply the defaults to a session builder (caller config wins if set
+    * after). */
+  def withClusterDefaults(b: SparkSession.Builder): SparkSession.Builder =
+    clusterDefaults.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+}

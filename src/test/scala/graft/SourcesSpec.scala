@@ -125,6 +125,19 @@ class SourcesSpec extends AnyFunSuite {
       .head().getLong(0) > 0)
   }
 
+  test("stratified sampleBy is seeded-deterministic with near-target fractions") {
+    val fractions = Map("en" -> 0.5, "de" -> 0.1, "fr" -> 0.1, "es" -> 0.1, "zh" -> 0.1)
+    val docs = Tables.documents(spark, sf)
+    val s1 = docs.stat.sampleBy("lang", fractions, seed = 42L)
+    val s2 = docs.stat.sampleBy("lang", fractions, seed = 42L)
+    assert(s1.select($"doc_id").as[Long].collect().sorted.toSeq ===
+      s2.select($"doc_id").as[Long].collect().sorted.toSeq)
+    val enTotal = docs.filter($"lang" === "en").count().toDouble
+    val enSampled = s1.filter($"lang" === "en").count().toDouble
+    assert(math.abs(enSampled / enTotal - 0.5) < 0.15,
+      s"en fraction ${enSampled / enTotal}")
+  }
+
   test("foreachPartition kv sink sees every row exactly once") {
     val path = s"$tmp/kv"
     Files.createDirectories(java.nio.file.Paths.get(path))
