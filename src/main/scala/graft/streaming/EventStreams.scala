@@ -84,6 +84,17 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: drop events whose key was already seen,
+    * keeping state only within the watermark horizon — the unbounded
+    * stream counterpart of `q_dedup_exact` (an unwatermarked distinct
+    * would accumulate state forever). Duplicates arriving later than the
+    * watermark are the residual risk; batch dedup downstream catches
+    * them (the standard lambda-architecture split). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Stream-stream join: purchases matched to clicks by the same user
     * within `withinMinutes` BEFORE the purchase. Both sides carry
     * watermarks and the join condition bounds the time skew, so Spark can

@@ -84,6 +84,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(finals(2L).n_events === 2 && math.abs(finals(2L).total_value - 9.0) < 1e-9)
   }
 
+  test("streaming dedup emits each key once within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.dedupStream(mem.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1L, t(0), 1L, "click", 1.0, "{}"),
+        Event(1L, t(1), 1L, "click", 1.0, "{}"), // same key, same batch
+        Event(2L, t(2), 1L, "view", 2.0, "{}"))
+      q.processAllAvailable()
+      mem.addData(Event(1L, t(3), 1L, "click", 1.0, "{}")) // dup, later batch
+      q.processAllAvailable()
+      mem.addData(Event(3L, t(4), 2L, "click", 3.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_stream")
+      .select($"event_id").as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L))
+  }
+
   test("watermark drops events later than the allowed lateness") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
