@@ -38,32 +38,43 @@ object AsOfJoin {
       leftTs: String, rightTs: String, payload: Seq[String],
       inner: Boolean = true): DataFrame = {
     val leftCols = left.columns.toSeq
+    require(payload.nonEmpty, "payload must name at least one right column")
     require(!leftCols.exists(payload.contains),
       s"payload columns $payload collide with left columns")
+    val reserved = Seq("_ts", "_side", "_pay")
+    require(!(leftCols ++ right.columns).exists(reserved.contains),
+      s"input columns may not use reserved names $reserved")
 
-    // unified schema: keys ++ _ts ++ _side ++ left-only ++ payload
+    // The whole payload rides in ONE struct that is non-null for every
+    // right row (even when all its fields are null): the running
+    // last(_pay, ignoreNulls) then picks the TRUE latest right row —
+    // per-column carries would skip null fields (returning stale values)
+    // and could stitch fields from different right rows.
     val leftOnly = leftCols.filterNot(c => keys.contains(c) || c == leftTs)
     val l = left.select(
       (keys.map(col) :+ col(leftTs).as("_ts") :+ lit(1).as("_side")) ++
-        leftOnly.map(col) ++ payload.map(p => lit(null).as(p)): _*)
+        leftOnly.map(col) :+
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          payload.map(p => org.apache.spark.sql.types.StructField(p,
+            right.schema(p).dataType)))).as("_pay"): _*)
     val r = right.select(
       (keys.map(col) :+ col(rightTs).as("_ts") :+ lit(0).as("_side")) ++
-        leftOnly.map(n => lit(null).as(n)) ++ payload.map(col): _*)
+        leftOnly.map(n => lit(null).as(n)) :+
+        struct(payload.map(col): _*).as("_pay"): _*)
 
-    // sort right rows before left rows at equal ts so <= matches;
-    // running last(..., ignoreNulls) carries the newest right payload
+    // sort right rows before left rows at equal ts so <= matches
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_ts").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(l.unionByName(r)) { (df, p) =>
-      df.withColumn(s"_asof_$p", last(col(p), ignoreNulls = true).over(w))
-    }
-    val matched = carried
+    val matched = l.unionByName(r)
+      .withColumn("_pay", last(col("_pay"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select((keys.map(col) :+ col("_ts").as(leftTs)) ++
-        leftOnly.map(col) ++
-        payload.map(p => col(s"_asof_$p").as(p)): _*)
-    if (inner) matched.filter(payload.map(p => col(p).isNotNull).reduce(_ || _))
-    else matched
+    val out = matched.select((keys.map(col) :+ col("_ts").as(leftTs)) ++
+      leftOnly.map(col) ++
+      payload.map(p => col(s"_pay.$p").as(p)) :+ col("_pay").isNotNull.as("_hit"): _*)
+    // match detection = presence of a right row, independent of whether
+    // its payload FIELDS are null (mirrors SQL ASOF inner semantics)
+    val res = if (inner) out.filter(col("_hit")) else out
+    res.drop("_hit")
   }
 }

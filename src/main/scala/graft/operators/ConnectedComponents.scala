@@ -21,7 +21,10 @@ import org.apache.spark.storage.StorageLevel
 object ConnectedComponents {
 
   /** @param edges two-column (src, dst) undirected pair frame
-    * @return (node, component) — component = min node id reachable */
+    * @return (node, component) — component = min node id reachable.
+    * Logs a warning if the label propagation did not converge within
+    * `maxIterations` (possible only when some component's diameter
+    * exceeds it — raise the cap for long chain-shaped clusters). */
   def components(edges: DataFrame, maxIterations: Int = 10): DataFrame = {
     val e = edges.toDF("src", "dst")
     // undirected: propagate both ways
@@ -44,6 +47,10 @@ object ConnectedComponents {
       labels = next
       iter += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connected components did not converge in $maxIterations rounds " +
+          "— some cluster's diameter exceeds the cap; labels are partial")
     sym.unpersist(false)
     labels
   }
@@ -52,8 +59,8 @@ object ConnectedComponents {
     * corpus with one canonical row (min id) kept per duplicate cluster;
     * rows in no cluster survive untouched. */
   def keepSurvivors(corpus: DataFrame, idCol: String,
-      pairs: DataFrame): DataFrame = {
-    val comp = components(pairs)
+      pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+    val comp = components(pairs, maxIterations)
     corpus.join(comp.withColumnRenamed("node", idCol), Seq(idCol), "left")
       .filter(col("comp").isNull || col("comp") === col(idCol))
       .drop("comp")

@@ -36,24 +36,33 @@ object KMeans {
     DotProduct.register(s)
     // deterministic STRIDE init (every n/k-th vector in id order):
     // reproducible everywhere, and unlike first-k it cannot seed all
-    // centroids inside one dense region
-    val n = vecs.count()
-    val stride = math.max(1L, n / k)
-    val w0 = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
-    var centroids = vecs
-      .withColumn("_rn", row_number().over(w0).cast("long") - 1)
-      .filter(col("_rn") % stride === 0 && col("_rn") < stride * k)
-      .select(floor(col("_rn") / stride).cast("long").as("cluster"), col("v").as("c"))
+    // centroids inside one dense region. The global index comes from
+    // RDD zipWithIndex (per-partition counts + offsets — fully
+    // distributed), NOT a partitionless window, which would funnel the
+    // whole dataset through one task.
+    import s.implicits._
+    val stride = math.max(1L, vecs.count() / k)
+    var centroids = vecs.select(col("id"), col("v"))
+      .as[(Long, Seq[Double])].rdd
+      .sortBy(_._1).zipWithIndex()
+      .collect { case ((_, v), i) if i % stride == 0 && i < stride * k =>
+        (i / stride, v) }
+      .toDF("cluster", "c")
       .localCheckpoint(true)
     for (_ <- 1 to iterations) {
       val assigned = assign(vecs, centroids)
-      centroids = assigned
+      val recomputed = assigned
         .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cluster"), col("dim"))
         .agg(avg(col("x")).as("m"))
         .groupBy(col("cluster"))
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("p"))
         .select(col("cluster"), transform(col("p"), e => e("m")).as("c"))
+      // a cluster that won zero points vanishes from the groupBy — keep
+      // its previous centroid so k never silently shrinks
+      centroids = centroids.select(col("cluster"), col("c").as("prev"))
+        .join(recomputed, Seq("cluster"), "left")
+        .select(col("cluster"), coalesce(col("c"), col("prev")).as("c"))
         .localCheckpoint(true)
     }
     centroids
@@ -74,9 +83,15 @@ object KMeans {
   }
 
   /** IVF top-k cosine search: probe only the nProbe nearest cells per
-    * query. Returns (qid, nid, rnk, sim). */
+    * query. Returns (qid, nid, rnk, sim).
+    *
+    * @param excludeSelf drop candidates whose corpus id equals the query
+    *        id — correct when queries are a SUBSET OF THE CORPUS (the
+    *        usual self-search); pass false when query ids live in a
+    *        different id space, or same-id pairs would be wrongly
+    *        discarded. */
   def ivfSearch(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-      k: Int, nProbe: Int): DataFrame = {
+      k: Int, nProbe: Int, excludeSelf: Boolean = true): DataFrame = {
     val s = corpus.sparkSession
     DotProduct.register(s)
     val cells = assign(corpus, centroids) // inverted file: (id, v, cluster)
@@ -94,7 +109,7 @@ object KMeans {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
     probes.join(cells, Seq("cluster"))
-      .filter(col("id") =!= col("qid"))
+      .filter(if (excludeSelf) col("id") =!= col("qid") else lit(true))
       .select(col("qid"), col("id").as("nid"),
         (DotProduct.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
       .withColumn("rnk", row_number().over(w))

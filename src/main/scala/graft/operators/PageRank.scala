@@ -9,11 +9,12 @@ import org.apache.spark.storage.StorageLevel
   * `performance_functions/simplified_page_rank.py:25-43`; the in-link
   * count itself is our oracle-checked `q_inlink_count`).
   *
-  * Scale design: the edge set and out-degrees are computed once and
-  * cached; each iteration is one join + one aggregation, both shuffling
-  * on the SAME node key so Spark reuses the partitioning; ranks are
-  * re-persisted and the previous iteration unpersisted, keeping the
-  * lineage (and any recomputation under failure) one iteration deep.
+  * Scale design: the edge set is pre-joined with out-degrees ONCE and
+  * cached; each iteration is then one join + one aggregation, both
+  * shuffling on the SAME node key so Spark reuses the partitioning;
+  * ranks are localCheckpoint'ed per round so lineage (and any
+  * recomputation under failure) stays one iteration deep, and the cached
+  * invariants are unpersisted on exit.
   * Dangling nodes (no out-edges) contribute nothing, matching the classic
   * formulation rank = (1-d) + d * Σ rank(in)/deg(in).
   */
@@ -22,11 +23,15 @@ object PageRank {
   /** @param edges two-column frame (src, dst), one row per directed edge */
   def pagerank(edges: DataFrame, iterations: Int = 10,
       damping: Double = 0.85): DataFrame = {
-    val e = edges.toDF("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    val e = edges.toDF("src", "dst")
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // loop-invariant: edges pre-joined with out-degrees ONCE (re-joining
+    // inside the loop would repeat an identical shuffle every iteration)
+    val weighted = e
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+      .select(col("src"), col("dst"), col("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // localCheckpoint (not persist): iterative plans must TRUNCATE the
@@ -35,8 +40,7 @@ object PageRank {
     // (and eventually OOM the driver around ~20 iterations).
     var ranks = nodes.withColumn("rank", lit(1.0)).localCheckpoint(true)
     for (_ <- 1 to iterations) {
-      val contribs = e
-        .join(outDeg, "src")
+      val contribs = weighted
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
@@ -45,6 +49,8 @@ object PageRank {
           (lit(1 - damping) + lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
         .localCheckpoint(true)
     }
+    nodes.unpersist(false)
+    weighted.unpersist(false)
     ranks
   }
 }

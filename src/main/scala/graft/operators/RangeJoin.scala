@@ -28,6 +28,9 @@ object RangeJoin {
   def timeRangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, lowerSec: Long, upperSec: Long): DataFrame = {
     require(upperSec > lowerSec, "upperSec must be > lowerSec")
+    require(!(left.columns ++ right.columns).exists(
+      Seq("_bucket", "_b0", "_b1").contains),
+      "input columns may not use reserved names _bucket/_b0/_b1")
     // exact integer microseconds — no float boundary ambiguity
     val lowerUs = lowerSec * 1000000L
     val upperUs = upperSec * 1000000L

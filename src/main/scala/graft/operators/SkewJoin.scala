@@ -17,19 +17,22 @@ import org.apache.spark.sql.functions._
   * skewed left (the usual shape: huge skewed fact ⋈ modest dimension that
   * is still too big to broadcast).
   *
-  * The salt is derived from a hash of the whole left row (monotonically_
-  * increasing_id is unstable under retries; rand() breaks determinism),
-  * so results are reproducible and the operator is safe under task
-  * re-execution.
+  * The salt is `rand(seed)` — safe here because JOIN CORRECTNESS is
+  * salt-invariant: whatever salt a left row draws (even a different one
+  * on task retry), the right side carries every salt value, so the row
+  * matches exactly once either way. A row-hash salt would be
+  * deterministic but collapses when the hot key's rows are IDENTICAL
+  * (all duplicates hash to one salt and the skew returns) and fails on
+  * un-hashable column types.
   */
 object SkewJoin {
 
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
-      salts: Int): DataFrame = {
+      salts: Int, seed: Long = 42L): DataFrame = {
     require(salts >= 1, "salts must be >= 1")
-    // deterministic per-row salt: hash every left column
-    val saltCol = pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(salts))
-    val l = left.withColumn("_salt", saltCol)
+    require(!(left.columns ++ right.columns).contains("_salt"),
+      "input columns may not use the reserved name _salt")
+    val l = left.withColumn("_salt", (rand(seed) * salts).cast("int"))
     val r = right.withColumn("_salt",
       explode(array((0 until salts).map(lit): _*)))
     l.join(r, l(key) === r(key) && l("_salt") === r("_salt"))

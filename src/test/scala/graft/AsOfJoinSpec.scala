@@ -32,6 +32,18 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(unmatched === Set("t0", "t3"))
   }
 
+  test("null payload fields ride along instead of exposing stale older rows") {
+    // latest quote has px=null: the match must BE that row (px=null),
+    // not skip back to the older non-null quote — SQL ASOF semantics
+    val q = Seq((1L, 8L, Some(100.0)), (1L, 15L, Option.empty[Double]))
+      .toDF("k", "qts", "px")
+    val tr = Seq((1L, 20L, "t")).toDF("k", "ts", "trade")
+    val inner = AsOfJoin.asof(tr, q, Seq("k"), "ts", "qts", Seq("px"))
+    // inner keeps the row: a right row WAS matched (its field is null)
+    assert(inner.count() === 1)
+    assert(inner.head().isNullAt(inner.head().fieldIndex("px")))
+  }
+
   test("asof plan shuffles once on the key") {
     val out = AsOfJoin.asof(trades, quotes, Seq("k"), "ts", "qts", Seq("px"))
     val exchanges = out.queryExecution.executedPlan.toString

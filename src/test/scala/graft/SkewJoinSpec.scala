@@ -23,15 +23,23 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).count() === 0)
   }
 
-  test("salt spreads a heavy-hitter key across buckets") {
-    // 10k rows of ONE key — the pathological reducer-pinning shape
-    val left = spark.range(10000).select(lit(42L).as("k"), $"id")
-    val salted = left.withColumn("_salt",
-      pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(8)))
+  test("salt spreads a heavy-hitter key across buckets even for identical rows") {
+    // 10k IDENTICAL rows of one key — the shape where a deterministic
+    // row-hash salt collapses to a single bucket
+    val left = spark.range(10000).select(lit(42L).as("k"), lit(1L).as("payload"))
+    val salted = left.withColumn("_salt", (rand(42L) * 8).cast("int"))
     val buckets = salted.groupBy($"_salt").count().as[(Int, Long)].collect()
     assert(buckets.length === 8, s"expected 8 salt buckets, got $buckets")
     // no bucket should carry more than ~2x its fair share
     assert(buckets.map(_._2).max < 2500)
+  }
+
+  test("salted join of identical-row left equals the plain join") {
+    val left = spark.range(1000).select(lit(7L).as("k"), lit(9.5).as("x"))
+    val right = Seq((7L, "hit"), (8L, "miss")).toDF("k", "tag")
+    val out = SkewJoin.saltedJoin(left, right, "k", salts = 8)
+    assert(out.count() === 1000)
+    assert(out.filter($"tag" === "hit").count() === 1000)
   }
 
   test("approx distinct is within 5% of exact per group") {
