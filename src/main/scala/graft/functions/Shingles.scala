@@ -48,9 +48,10 @@ case class ShinglesExpression(child: Expression, n: Int) extends UnaryExpression
 }
 
 object ShinglesExpression {
-  /** Called from generated code — static-reachable, single pass. */
+  /** Called from generated code — static-reachable, single pass; token
+    * rule is the shared TextFunctions.tokenize (Locale.ROOT). */
   def compute(text: String, n: Int): ArrayData = {
-    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val toks = TextFunctions.tokenize(text)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = mutable.LinkedHashSet.empty[String]
     val sb = new java.lang.StringBuilder

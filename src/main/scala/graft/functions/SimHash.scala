@@ -54,20 +54,20 @@ object SimHash {
     h
   }
 
-  /** SimHash over lowercase-alphanumeric tokens. Called from generated
-    * code — must stay a static-reachable pure function. */
+  /** SimHash over lowercase-alphanumeric tokens (the shared
+    * TextFunctions.tokenize rule — Locale.ROOT, so identical on every
+    * executor). Called from generated code — must stay a
+    * static-reachable pure function. */
   def compute(text: String): Long = {
     val counts = new Array[Int](64)
-    val toks = text.toLowerCase.split("[^a-z0-9]+")
+    val toks = TextFunctions.tokenize(text)
     var t = 0
     while (t < toks.length) {
-      if (toks(t).nonEmpty) {
-        val h = fnv1a(toks(t))
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-          b += 1
-        }
+      val h = fnv1a(toks(t))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
       }
       t += 1
     }

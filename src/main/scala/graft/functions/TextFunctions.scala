@@ -18,18 +18,29 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
 
+  /** The SAME token rule as a plain static function — the single shared
+    * kernel for every JVM-side tokenizer (SimHash, Shingles), so the
+    * rule cannot drift per call site. Locale.ROOT: default-locale
+    * lowercasing is executor-locale-sensitive (tr-TR dotless-i would
+    * break same-text-same-fingerprint determinism and oracle parity). */
+  def tokenize(text: String): Array[String] =
+    text.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty)
+
   /** Token count as BIGINT (matches DuckDB `len()`). */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("bigint")
 
   /** Contiguous word n-gram shingles, space-joined ("a b c").
-    * Empty array when fewer than n tokens — guarded because Spark's
-    * `sequence(1, 0)` counts DOWN rather than returning empty. */
+    * NULL text → NULL (matching ShinglesExpression and the SQL oracle);
+    * fewer than n tokens → empty array — the size guard also avoids
+    * Spark's `sequence(1, 0)` counting DOWN rather than returning empty. */
   def shingles(text: Column, n: Int): Column = {
     val t = tokens(text)
-    when(size(t) >= n,
-      transform(
-        sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
+    when(text.isNull, lit(null).cast("array<string>"))
+      .when(size(t) >= n,
+        transform(
+          sequence(lit(1), size(t) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
       .otherwise(array().cast("array<string>"))
   }
 

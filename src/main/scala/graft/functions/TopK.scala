@@ -29,8 +29,18 @@ case class Neighbor(id: Long, sim: Double)
 class TopKAggregator(k: Int)
     extends Aggregator[Neighbor, ArrayBuffer[Neighbor], Seq[Neighbor]] {
 
-  private def lt(a: Neighbor, b: Neighbor): Boolean =
-    a.sim > b.sim || (a.sim == b.sim && a.id < b.id)
+  // NaN sims (e.g. cosine of a zero-norm vector) rank WORST, via a total
+  // order — raw Double comparisons make NaN incomparable, which is
+  // intransitive and can blow up TimSort ("Comparison method violates
+  // its general contract") on buffers past the insertion-sort threshold.
+  private def rank(x: Double): Double =
+    if (java.lang.Double.isNaN(x)) Double.NegativeInfinity else x
+
+  private def lt(a: Neighbor, b: Neighbor): Boolean = {
+    val ra = rank(a.sim)
+    val rb = rank(b.sim)
+    ra > rb || (ra == rb && a.id < b.id)
+  }
 
   /** Keep the buffer bounded: compact to the k best when it doubles. */
   private def compact(buf: ArrayBuffer[Neighbor]): ArrayBuffer[Neighbor] =

@@ -36,12 +36,16 @@ object VectorFunctions {
     when(pmod(xxhash64(lit(plane), component), lit(2)) === 0, lit(1.0))
       .otherwise(lit(-1.0))
 
-  /** One sign-random-projection bit: sign of v · plane_i. */
+  /** One sign-random-projection bit: sign of v · plane_i. Empty vectors
+    * are guarded (sequence(0, -1) would count DOWN, null-padding the
+    * fold): their projection is 0.0 → bit 1, per sign(0) >= 0. */
   def srpBit(v: Column, plane: Int): Column = {
-    val proj = aggregate(
-      zip_with(v, sequence(lit(0), size(v) - 1),
-        (x, j) => x * planeSign(plane, j)),
-      lit(0.0), (acc, x) => acc + x)
+    val proj = when(size(v) > 0,
+      aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, j) => x * planeSign(plane, j)),
+        lit(0.0), (acc, x) => acc + x))
+      .otherwise(lit(0.0))
     when(proj >= 0, lit(1L)).otherwise(lit(0L))
   }
 

@@ -109,17 +109,18 @@ final class MRPipeline[K, V] private (
     val sorted = new org.apache.spark.rdd.OrderedRDDFunctions[K, V, (K, V)](pre)
       .repartitionAndSortWithinPartitions(partitioner)
     val out = sorted.mapPartitions { it =>
-      new GroupRunIterator(it).flatMap { case (k, vs) => r(k, vs) }
+      new GroupRunIterator(it, ord).flatMap { case (k, vs) => r(k, vs) }
     }
     new MRPipeline(spark, out, None)
   }
 
-  /** A7: UNION ALL with other pipelines' outputs. */
+  /** A7: UNION ALL with other pipelines' outputs. A partition function
+    * attached via shuffle() stays attached for the following reduce. */
   def merge(others: MRPipeline[K, V]*): MRPipeline[K, V] =
     new MRPipeline(
       spark,
       others.foldLeft(rdd)((acc, p) => acc.union(p.rdd)),
-      None)
+      partitionFn)
 
   /** A6: seal the pipeline — the value itself is the handle (Spark is
     * lazy; there is no coordinator to register with). */
@@ -164,9 +165,11 @@ object MRPipeline {
       case "parquet.kv" =>
         import spark.implicits._
         val df = spark.read.parquet(path)
-        fromDataset(df.select(df.columns(0), df.columns(1))
-          .selectExpr("cast(" + df.columns(0) + " as string)",
-            "cast(" + df.columns(1) + " as string)")
+        // col() refs (not selectExpr string splicing) — column names with
+        // spaces/reserved words stay valid
+        fromDataset(df.select(
+          org.apache.spark.sql.functions.col(df.columns(0)).cast("string"),
+          org.apache.spark.sql.functions.col(df.columns(1)).cast("string"))
           .as[(String, String)])
       case other =>
         throw new IllegalArgumentException(s"unknown input.format: $other")
@@ -195,15 +198,18 @@ object MRPipeline {
 /** Groups consecutive equal keys of a key-sorted iterator into
   * (key, values) runs without materializing the partition — the streaming
   * equivalent of the reference's linear group scan
-  * (`job/reduce_handler.py:122-155`). */
-private[mr] final class GroupRunIterator[K, V](it: Iterator[(K, V)])
-    extends Iterator[(K, Seq[V])] {
+  * (`job/reduce_handler.py:122-155`). Run boundaries use the SAME
+  * Ordering the sort used (ord.equiv) — universal == can disagree with
+  * it (NaN keys, Array keys, case-insensitive orderings) and would split
+  * one key's values across reducer calls. */
+private[mr] final class GroupRunIterator[K, V](it: Iterator[(K, V)],
+    ord: Ordering[K]) extends Iterator[(K, Seq[V])] {
   private val buf = it.buffered
   override def hasNext: Boolean = buf.hasNext
   override def next(): (K, Seq[V]) = {
     val k = buf.head._1
     val vs = mutable.ArrayBuffer.empty[V]
-    while (buf.hasNext && buf.head._1 == k) vs += buf.next()._2
+    while (buf.hasNext && ord.equiv(buf.head._1, k)) vs += buf.next()._2
     (k, vs.toSeq)
   }
 }

@@ -91,9 +91,11 @@ object EventStreams {
     * watermark are the residual risk; batch dedup downstream catches
     * them (the standard lambda-architecture split). */
   def dedupStream(events: DataFrame, keyCols: Seq[String],
-      watermark: String = "1 hour"): DataFrame =
+      watermark: String = "1 hour"): DataFrame = {
+    require(keyCols.nonEmpty, "dedupStream requires at least one key column")
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+  }
 
   /** Stream-stream join: purchases matched to clicks by the same user
     * within `withinMinutes` BEFORE the purchase. Both sides carry
@@ -114,12 +116,15 @@ object EventStreams {
         col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $withinMinutes MINUTES"))
   }
 
-  /** Write a streaming frame to parquet with checkpointing — the
-    * durable-sink shape (exactly-once via checkpoint + file sink log). */
-  def writeParquetSink(df: DataFrame, path: String, checkpoint: String) =
+  /** Start writing a streaming frame to parquet with checkpointing — the
+    * durable-sink shape (exactly-once via checkpoint + file sink log).
+    * Returns the running StreamingQuery (await/stop is the caller's). */
+  def writeParquetSink(df: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .format("parquet")
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
+      .start()
 }

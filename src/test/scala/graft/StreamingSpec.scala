@@ -84,6 +84,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(finals(2L).n_events === 2 && math.abs(finals(2L).total_value - 9.0) < 1e-9)
   }
 
+  test("parquet sink starts, checkpoints, and lands rows durably") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink")
+    val mem = MemoryStream[Event]
+    val q = EventStreams.writeParquetSink(
+      mem.toDF(), s"$dir/data", s"$dir/ckpt")
+    try {
+      mem.addData(fixture: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.parquet(s"$dir/data")
+    assert(back.count() === fixture.length)
+  }
+
   test("streaming dedup emits each key once within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
