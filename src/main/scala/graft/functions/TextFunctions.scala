@@ -50,8 +50,29 @@ object TextFunctions {
 
   // Marker sets for the n-gram-free language-ID heuristic. Deterministic
   // and SQL-expressible — the oracle recomputes the same score.
+  // (Declared ABOVE sqlQuality, which initializes from enMarkers.)
   val enMarkers = Seq("the", "a", "of", "and", "is", "to", "in")
   val deMarkers = Seq("der", "die", "das", "und", "ist", "nicht")
   val frMarkers = Seq("le", "la", "et", "les", "des", "est")
   val esMarkers = Seq("el", "los", "que", "de", "y", "es")
+
+  /** The DuckDB spelling of the same token rule, for oracle SQL strings
+    * — defined ONCE so engine and oracle tokenizers cannot drift. */
+  val sqlTokens: String =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)"
+
+  /** Composite quality score over a token array column + char count —
+    * the SINGLE definition used by both the scoring query and the
+    * pipeline's quality gate. Mirrored term-for-term by [[sqlQuality]]. */
+  def qualityScore(t: Column, nChars: Column): Column =
+    (size(array_distinct(t)).cast("double") / size(t)) * 0.5 +
+      (markerHits(t, enMarkers).cast("double") / size(t)) * 0.3 +
+      least(nChars.cast("double") / size(t) / 10.0, lit(1.0)) * 0.2
+
+  /** DuckDB spelling of [[qualityScore]] over a token list aliased `t`
+    * and a char count column `n_chars`. */
+  val sqlQuality: String =
+    "CAST(len(list_distinct(t)) AS DOUBLE) / len(t) * 0.5 + " +
+      s"CAST(len(list_filter(t, x -> list_contains(${enMarkers.mkString("['", "', '", "']")}, x))) AS DOUBLE) / len(t) * 0.3 + " +
+      "least(CAST(n_chars AS DOUBLE) / len(t) / 10.0, 1.0) * 0.2"
 }

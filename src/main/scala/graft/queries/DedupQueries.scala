@@ -67,10 +67,14 @@ object DedupQueries {
     val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     // rank each doc's shingles rarest-first in the global canonical order
     val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    // exact-decimal ceil(t*n): double rounding of threshold*n could land
+    // one ulp above an integer product and overshoot the ceiling,
+    // shrinking the prefix below the provable minimum for some thresholds
+    val tDec = new java.math.BigDecimal(threshold.toString)
     val ranked = sh.join(df, "sh")
       .withColumn("rk", row_number().over(byRarity))
       .join(sizes, "doc_id")
-      .withColumn("p", (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int"))
+      .withColumn("p", (col("n") - ceil(lit(tDec) * col("n")) + 1).cast("int"))
     val prefix = ranked.filter(col("rk") <= col("p"))
       .select(col("doc_id"), col("sh"), col("n"))
     // candidates: prefix-overlap + size-ratio compatibility
@@ -111,8 +115,8 @@ object DedupQueries {
       .filter(col("jaccard") >= threshold)
   }
 
-  private val sqlToks =
-    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)"
+  private val sqlToks = // single shared oracle tokenizer spelling
+    graft.functions.TextFunctions.sqlTokens
   private val sqlShingles =
     s"list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)), " +
       "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
@@ -154,9 +158,9 @@ object DedupQueries {
     Shingles.register(docs.sparkSession)
     val sh = docs
       .select(col("doc_id"), explode(Shingles.shingles(col("text"), 3)).as("sh"))
+    val sigCols = minhashSignature(col("sh"), numHashes)
     val sig = sh.groupBy(col("doc_id"))
-      .agg(minhashSignature(col("sh"), numHashes).head,
-        minhashSignature(col("sh"), numHashes).tail: _*)
+      .agg(sigCols.head, sigCols.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
     // band key = hash of the band's slice of the signature

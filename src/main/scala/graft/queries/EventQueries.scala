@@ -130,7 +130,8 @@ object EventQueries {
   def qJsonExtract(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"))
-      .groupBy(pmod(col("k"), lit(10)).as("k_mod"))
+      // % (not pmod): C-style sign semantics, matching the oracle's %
+      .groupBy((col("k") % 10).as("k_mod"))
       .agg(count(lit(1)).as("n"), max(col("k")).as("max_k"))
 
   val qJsonExtractSql: String =
@@ -182,12 +183,12 @@ object EventQueries {
 
   val qSessionWindowSql: String =
     "WITH flagged AS (" +
-      "SELECT user_id, ts, value, " +
+      "SELECT user_id, event_id, ts, value, " +
       "CASE WHEN lag(ts) OVER w IS NULL OR " +
       "ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session " +
       "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
       "numbered AS (SELECT user_id, ts, value, " +
-      "sum(new_session) OVER (PARTITION BY user_id ORDER BY ts " +
+      "sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
       "ROWS UNBOUNDED PRECEDING) AS session_no FROM flagged) " +
       "SELECT user_id, min(ts) AS session_start, " +
       "max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events, " +

@@ -23,8 +23,7 @@ object MRQueries {
     val sum = (k: String, vs: Seq[Long]) => Iterator.single((k, vs.sum))
     MRPipeline.fromDataset(docs)
       .map { (_, text) =>
-        text.toLowerCase.split("[^a-z0-9]+").iterator
-          .filter(_.nonEmpty).map(w => (w, 1L))
+        graft.functions.TextFunctions.tokenize(text).iterator.map(w => (w, 1L))
       }
       .reduceWithCombine(sum, numReducers = 8)
       .toDS.toDF("word", "cnt")

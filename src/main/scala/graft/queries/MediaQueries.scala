@@ -125,11 +125,13 @@ object MediaQueries {
   }
 
   // DuckDB recomputes mean/max over the UTF-8 code units: the fixture
-  // text is ASCII, so ord() per character equals the byte value.
+  // text is ASCII, so ord() per character equals the byte value (a
+  // non-ASCII corpus would need per-byte stats on the oracle side too).
+  // coalesce mirrors the stub's explicit 0.0/0 for empty payloads.
   val qMediaFeaturesSql: String =
     "SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes, " +
-      "round(list_avg(list_transform(string_split(text, ''), c -> ord(c))), 6) AS mean_byte_r, " +
-      "CAST(list_max(list_transform(string_split(text, ''), c -> ord(c))) AS INT) AS max_byte " +
+      "coalesce(round(list_avg(list_transform(string_split(text, ''), c -> ord(c))), 6), 0.0) AS mean_byte_r, " +
+      "coalesce(CAST(list_max(list_transform(string_split(text, ''), c -> ord(c))) AS INT), 0) AS max_byte " +
       "FROM documents"
 
   /** Per-kind rollup driven by metadata-only pruning (payload untouched). */

@@ -26,13 +26,12 @@ object PipelineQueries {
   def cleanExact(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val t = tokens(col("text"))
+    // quality gate = the SHARED TextFunctions.qualityScore — the same
+    // definition q_quality_score reports, so gate and score cannot drift
     val scored = docs.select(
       col("doc_id"), col("text"), col("lang"),
       size(t).cast("bigint").as("n_tokens"),
-      ((size(array_distinct(t)).cast("double") / size(t)) * 0.5 +
-        (markerHits(t, enMarkers).cast("double") / size(t)) * 0.3 +
-        least(col("n_chars").cast("double") / size(t) / 10.0, lit(1.0)) * 0.2)
-        .as("quality"))
+      qualityScore(t, col("n_chars")).as("quality"))
       .filter(col("lang") === "en" && col("quality") >= QualityFloor)
     val survivors = scored.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
@@ -57,16 +56,10 @@ object PipelineQueries {
     cleanExact(s, d).select(col("doc_id"), col("n_tokens"),
       round(col("quality"), 6).as("quality_r"))
 
-  private val sqlToks =
-    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)"
-  private val sqlMarkers = enMarkers.mkString("['", "', '", "']")
-
   val qPipelineExactSql: String =
     "WITH scored AS (SELECT doc_id, text, lang, len(t) AS n_tokens, " +
-      "CAST(len(list_distinct(t)) AS DOUBLE) / len(t) * 0.5 + " +
-      s"CAST(len(list_filter(t, x -> list_contains($sqlMarkers, x))) AS DOUBLE) / len(t) * 0.3 + " +
-      "least(CAST(n_chars AS DOUBLE) / len(t) / 10.0, 1.0) * 0.2 AS quality " +
-      s"FROM (SELECT doc_id, text, lang, n_chars, $sqlToks AS t FROM documents) a), " +
+      s"$sqlQuality AS quality " +
+      s"FROM (SELECT doc_id, text, lang, n_chars, $sqlTokens AS t FROM documents) a), " +
       s"gated AS (SELECT * FROM scored WHERE lang = 'en' AND quality >= $QualityFloor), " +
       "surv AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)) " +
       "SELECT doc_id, n_tokens, round(quality, 6) AS quality_r FROM gated " +

@@ -53,6 +53,10 @@ object SimilarityQueries {
     vecs(s, d).join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         (DotProduct.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+      // zero-norm vectors have undefined cosine (NULL under non-ANSI
+      // divide) — excluded on both engine and oracle sides; the heap
+      // aggregator's non-nullable input would otherwise reject the row
+      .filter(col("sim").isNotNull)
   }
 
   // ── Brute-force knn via window rank (the oracle-shaped plan) ───────────
@@ -70,7 +74,8 @@ object SimilarityQueries {
       "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings " +
       s"WHERE vec_id < $NumQueries) q, " +
       "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e " +
-      "WHERE e.vec_id <> q.vec_id"
+      "WHERE e.vec_id <> q.vec_id AND " +
+      "sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)) > 0"
 
   val qKnnBruteSql: String =
     s"SELECT qid, nid, rnk, round(sim, 6) AS sim_r FROM (" +

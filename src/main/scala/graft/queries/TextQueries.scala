@@ -54,8 +54,7 @@ object TextQueries {
           least(col("chars_per_token") / 10.0, lit(1.0)) * 0.2)
   }
 
-  private val sqlToks =
-    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)"
+  private val sqlToks = sqlTokens // single shared oracle tokenizer spelling
   private def sqlMarkerHits(toks: String, markers: Seq[String]): String =
     s"len(list_filter($toks, x -> list_contains(${markers.mkString("['", "', '", "']")}, x)))"
 

@@ -84,17 +84,28 @@ object Sources {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Per-partition KV writer: `put` per row, `close` once at partition
+    * end (flush the tail batch, release the connection). */
+  trait KvWriter {
+    def put(key: String, value: String): Unit
+    def close(): Unit
+  }
+
   /** A16 analog: per-partition batched KV writes. `openWriter` runs once
     * per partition ON THE EXECUTOR (one client/connection per task, like
     * one DynamoDB client per Lambda in the reference,
     * `output_handler_dynamodb.py:100-112`); rows stream through without
-    * materializing the partition. */
+    * materializing the partition, and `close()` is ALWAYS called — a
+    * batching writer flushes its tail there (a put-only contract would
+    * silently lose the last partial batch) and failures still release
+    * the connection. */
   def foreachPartitionKvSink(df: DataFrame)(
-      openWriter: Int => (String, String) => Unit,
+      openWriter: Int => KvWriter,
       keyOf: Row => String, valueOf: Row => String): Unit =
     df.rdd.foreachPartition { rows =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
-      val put = openWriter(pid)
-      rows.foreach(r => put(keyOf(r), valueOf(r)))
+      val w = openWriter(pid)
+      try rows.foreach(r => w.put(keyOf(r), valueOf(r)))
+      finally w.close()
     }
 }

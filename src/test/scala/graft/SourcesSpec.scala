@@ -142,10 +142,11 @@ class SourcesSpec extends AnyFunSuite {
     val path = s"$tmp/kv"
     Files.createDirectories(java.nio.file.Paths.get(path))
     Sources.foreachPartitionKvSink(sample.repartition(4)) (
-      pid => {
-        val w = new java.io.PrintWriter(s"$path/part-$pid.txt")
-        sys.addShutdownHook(w.close())
-        (k, v) => { w.println(s"$k=$v"); w.flush() }
+      pid => new Sources.KvWriter {
+        // buffered writer: only correct because close() flushes the tail
+        private val out = new java.io.PrintWriter(s"$path/part-$pid.txt")
+        override def put(k: String, v: String): Unit = out.println(s"$k=$v")
+        override def close(): Unit = out.close()
       },
       keyOf = _.getLong(0).toString,
       valueOf = _.getDouble(2).toString)
