@@ -396,8 +396,21 @@ object Relational {
       "round(quantile_cont(o_totalprice, 0.95), 6) AS p95 " +
       "FROM orders GROUP BY o_orderpriority"
 
+  // ── Fixed-width histogram ──────────────────────────────────────────────
+  def qHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("sum_price"))
+
+  val qHistogramSql: String =
+    "SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, " +
+      s"count(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price " +
+      "FROM orders GROUP BY 1"
+
   /** All (name → query) pairs this module contributes. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_histogram"       -> qHistogram _,
     "q_percentiles"     -> qPercentiles _,
     "q_scalar_subq"     -> qScalarSubq _,
     "q_cpu_fib"         -> qCpuFib _,
@@ -427,6 +440,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_histogram"       -> qHistogramSql,
     "q_percentiles"     -> qPercentilesSql,
     "q_scalar_subq"     -> qScalarSubqSql,
     "q_cpu_fib"         -> qCpuFibSql,

@@ -84,6 +84,14 @@ object EventStreams {
       }
   }
 
+  /** Stream-static enrichment: join the unbounded stream against a
+    * bounded dimension (re-read per micro-batch, so slowly-changing
+    * dimensions pick up updates without restarting the query). The
+    * static side is broadcast by the planner — no streaming state. */
+  def enrich(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String): DataFrame =
+    events.join(dim, col(eventKey) === col(dimKey), "left")
+
   /** Streaming exact dedup: drop events whose key was already seen,
     * keeping state only within the watermark horizon — the unbounded
     * stream counterpart of `q_dedup_exact` (an unwatermarked distinct

@@ -84,6 +84,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(finals(2L).n_events === 2 && math.abs(finals(2L).total_value - 9.0) < 1e-9)
   }
 
+  test("stream-static enrichment joins each micro-batch against the dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("dim_user", "tier")
+    val mem = MemoryStream[Event]
+    val q = EventStreams.enrich(mem.toDF(), dim, "user_id", "dim_user")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      mem.addData(fixture.take(4): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val tiers = spark.table("enriched")
+      .select($"event_id", $"tier").as[(Long, String)].collect().toMap
+    assert(tiers(0L) === "gold")
+    assert(tiers(3L) === "basic")
+  }
+
   test("parquet sink starts, checkpoints, and lands rows durably") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_sink")
