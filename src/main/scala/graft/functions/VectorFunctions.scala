@@ -54,4 +54,26 @@ object VectorFunctions {
   def srpSketch(v: Column, nBits: Int): Column =
     (0 until nBits).map(i => shiftleft(srpBit(v, i), i))
       .reduce(_.bitwiseOR(_))
+
+  // ── int8 scalar quantization ─────────────────────────────────────────
+  // 4× storage/scan reduction for a 100 TB embedding corpus: each vector
+  // keeps a per-vector scale (max|x|/127) and rounds components to
+  // tinyint. Per-vector (not global) scaling bounds the relative error
+  // regardless of vector magnitude; reconstruction error per component
+  // is <= scale/2.
+
+  /** Per-vector quantization scale: max |x| / 127 (0-vectors → scale 1
+    * so dequantization stays total). */
+  def i8Scale(v: Column): Column = {
+    val m = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x)))
+    when(m > 0, m / 127.0).otherwise(lit(1.0))
+  }
+
+  /** Quantize to `array<tinyint>` given the scale from [[i8Scale]]. */
+  def quantizeI8(v: Column, scale: Column): Column =
+    transform(v, x => round(x / scale).cast("tinyint"))
+
+  /** Dequantize back to `array<double>`. */
+  def dequantizeI8(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
 }

@@ -70,6 +70,38 @@ class SimilaritySpec extends AnyFunSuite {
     both.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
   }
 
+  test("int8 quantization: bounded error and high knn agreement") {
+    val vd = Tables.embeddings(spark, sf)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .withColumn("scale", i8Scale($"v"))
+      .withColumn("q", quantizeI8($"v", $"scale"))
+      .withColumn("vq", dequantizeI8($"q", $"scale"))
+    // reconstruction error per component <= scale/2 (+ float slack)
+    val bad = vd.select(
+      aggregate(zip_with($"v", $"vq", (a, b) => abs(a - b)), lit(0.0),
+        (acc, x) => greatest(acc, x)).as("maxerr"), $"scale")
+      .filter($"maxerr" > $"scale" * 0.5 + 1e-12).count()
+    assert(bad === 0)
+    // top-1 neighbor agreement between full and quantized similarity
+    graft.functions.DotProduct.register(spark)
+    def top1(col1: String) = {
+      val x = vd.select($"vec_id".as("id"), org.apache.spark.sql.functions.col(col1).as("w"))
+      val q = x.filter($"id" < 20).select($"id".as("qid"), $"w".as("qw"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"sim".desc, $"id".asc)
+      x.join(broadcast(q), $"id" =!= $"qid")
+        .select($"qid", $"id",
+          graft.functions.DotProduct.dot($"qw", $"w").as("sim"))
+        .withColumn("r", row_number().over(w)).filter($"r" === 1)
+        .select($"qid", $"id").as[(Long, Long)].collect().toMap
+    }
+    val full = top1("v")
+    val quant = top1("vq")
+    val agree = full.count { case (q, n) => quant.get(q).contains(n) }
+    assert(agree >= (full.size * 0.9).toInt,
+      s"only $agree/${full.size} top-1 agree after int8 quantization")
+  }
+
   test("srp sketch is deterministic across evaluations") {
     val df = Tables.embeddings(spark, sf).limit(50)
       .select($"vec_id", asDouble($"embedding").as("v"))
