@@ -37,9 +37,10 @@ case class FibExpression(child: Expression) extends UnaryExpression {
 }
 
 object FibExpression {
-  /** Called from generated code. */
+  /** Called from generated code. Mod-first: math.abs(Long.MinValue)
+    * overflows, so reduce before taking the absolute value. */
   def fib(nIn: Long): Long = {
-    val n = (math.abs(nIn) % 92).toInt
+    val n = (((nIn % 92) + 92) % 92).toInt
     var a = 0L
     var b = 1L
     var i = 0

@@ -50,10 +50,13 @@ object VectorFunctions {
   }
 
   /** `nBits`-bit sign-random-projection sketch packed into one long.
-    * Hamming distance between sketches estimates angular distance. */
+    * Hamming distance between sketches estimates angular distance.
+    * NULL vector → NULL sketch (it must not silently collide with the
+    * empty/zero vectors' sketch in bucketed candidate generation). */
   def srpSketch(v: Column, nBits: Int): Column =
-    (0 until nBits).map(i => shiftleft(srpBit(v, i), i))
-      .reduce(_.bitwiseOR(_))
+    when(v.isNull, lit(null).cast("long"))
+      .otherwise((0 until nBits).map(i => shiftleft(srpBit(v, i), i))
+        .reduce(_.bitwiseOR(_)))
 
   // ── int8 scalar quantization ─────────────────────────────────────────
   // 4× storage/scan reduction for a 100 TB embedding corpus: each vector

@@ -54,16 +54,19 @@ case class WinnowExpression(child: Expression, k: Int, w: Int)
 object WinnowExpression {
   private val Base = 1000003L
 
-  /** Called from generated code. Normalizes to lowercase alphanumeric
-    * (same canonical text as the rest of the text stack), rolls a
-    * polynomial hash over k-grams, winnows with a w-sized monotone deque,
-    * emits the distinct selected hashes in ascending order. */
+  /** Called from generated code. Normalizes to lowercase ASCII
+    * alphanumeric — EXACTLY the [a-z0-9] character class the shared
+    * tokenizer uses, so all fingerprint families canonicalize the same
+    * text (Character.isLetterOrDigit would keep accented/CJK chars the
+    * tokenizer drops) — rolls a polynomial hash over k-grams, winnows
+    * with a w-sized monotone deque, emits the distinct selected hashes
+    * in ascending order. */
   def compute(text: String, k: Int, w: Int): ArrayData = {
     val sb = new java.lang.StringBuilder(text.length)
     var ci = 0
     while (ci < text.length) {
-      val ch = text.charAt(ci)
-      if (Character.isLetterOrDigit(ch)) sb.append(Character.toLowerCase(ch))
+      val ch = Character.toLowerCase(text.charAt(ci))
+      if ((ch >= 'a' && ch <= 'z') || (ch >= '0' && ch <= '9')) sb.append(ch)
       ci += 1
     }
     val s = sb.toString

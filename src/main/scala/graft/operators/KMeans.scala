@@ -9,8 +9,9 @@ import graft.functions.DotProduct
   * (inverted-file) approximate nearest-neighbor search it trains — the
   * other standard ANN family next to LSH (`SimilarityQueries.annLsh`).
   *
-  * Training (fit): deterministic init (first k distinct vectors by id —
-  * reproducible across runs and executors, unlike random init), then
+  * Training (fit): deterministic stride init (every n/k-th vector in id
+  * order — reproducible across runs and executors, and spread across
+  * the id range, unlike first-k or random init), then
   * `iterations` rounds of assign (one broadcast of k centroids, one
   * codegen'd distance scan) + recompute (posexplode → one grouped
   * aggregation per (cluster, dim)). Iterative-plan discipline:

@@ -80,7 +80,9 @@ object DedupQueries {
     // candidates: prefix-overlap + size-ratio compatibility
     val cands = prefix.as("a")
       .join(prefix.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .filter(least(col("a.n"), col("b.n")) >= lit(threshold) * greatest(col("a.n"), col("b.n")))
+      // decimal threshold here too: double t*max can round one ulp above
+      // an exact integer product and prune a true boundary pair
+      .filter(least(col("a.n"), col("b.n")) >= lit(tDec) * greatest(col("a.n"), col("b.n")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .distinct()

@@ -43,7 +43,10 @@ object MRQueries {
     val sum = (k: String, vs: Seq[Long]) => Iterator.single((k, vs.sum))
     MRPipeline.fromDataset(cust)
       .map { (name, bal) =>
-        Iterator.single((name.substring(14, 16), math.round(bal * 100)))
+        // SQL-substr semantics (total on short strings), not Java
+        // substring (which throws below 16 chars)
+        val prefix = name.slice(14, 16)
+        Iterator.single((prefix, math.round(bal * 100)))
       }
       .reduceWithCombine(sum, numReducers = 8)
       .map { (k, cents) => Iterator.single((k, cents / 100.0)) }

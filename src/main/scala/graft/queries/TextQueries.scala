@@ -50,6 +50,10 @@ object TextQueries {
         (markerHits(col("t"), enMarkers).cast("double") / size(col("t"))).as("stopword_ratio"),
         (col("n_chars").cast("double") / size(col("t"))).as("chars_per_token"))
       .withColumn("quality",
+        // equals TextFunctions.qualityScore term-for-term; spelled from
+        // the materialized signal columns so the report and the pipeline
+        // gate (which calls qualityScore directly) stay in lockstep —
+        // PipelineSpec asserts the two spellings agree
         col("diversity") * 0.5 + col("stopword_ratio") * 0.3 +
           least(col("chars_per_token") / 10.0, lit(1.0)) * 0.2)
   }

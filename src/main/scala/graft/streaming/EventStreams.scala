@@ -28,12 +28,26 @@ object EventStreams {
 
   /** Unbounded file-source read of an events directory (the production
     * entry point: new parquet files appear, Spark incrementally processes
-    * them). Schema must be declared — streaming reads cannot infer. */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING")
-      .parquet(dir)
+    * them). Schema must be declared — streaming reads cannot infer.
+    *
+    * @param nanosTs true when the directory stores parquet
+    *        TIMESTAMP(NANOS) (as the repo's own events.parquet does):
+    *        the column is then read as BIGINT under the session's
+    *        nanosAsLong setting and converted to a microsecond
+    *        timestamp, mirroring Tables.events. */
+  def readEventStream(spark: SparkSession, dir: String,
+      nanosTs: Boolean = false): DataFrame =
+    if (nanosTs)
+      spark.readStream
+        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, props STRING")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else
+      spark.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, props STRING")
+        .parquet(dir)
 
   /** Hourly tumbling counts/revenue per event type — the streaming form
     * of EventQueries.qTumblingHourly. The watermark lets Spark emit and
@@ -43,7 +57,11 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        // decimal sum: exact and order-independent, so streaming results
+        // are bit-identical to the batch plan regardless of micro-batch
+        // boundaries or partition order
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("w.start").as("bucket"), col("event_type"),
         col("n_events"), col("sum_value"))
 

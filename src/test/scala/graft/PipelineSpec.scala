@@ -42,6 +42,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(full.size <= exact.size)
   }
 
+  test("reported quality score equals the shared pipeline-gate formula") {
+    import graft.functions.TextFunctions
+    val reported = graft.queries.TextQueries.qQualityScore(spark, sf)
+      .select($"doc_id", $"quality").as[(Long, Double)].collect().toMap
+    val shared = Tables.documents(spark, sf)
+      .select($"doc_id",
+        TextFunctions.qualityScore(
+          TextFunctions.tokens($"text"), $"n_chars").as("q"))
+      .as[(Long, Double)].collect().toMap
+    reported.foreach { case (id, q) =>
+      assert(math.abs(q - shared(id)) < 1e-12, s"doc $id")
+    }
+  }
+
   test("pipeline keeps only english docs above the quality floor") {
     val out = PipelineQueries.cleanExact(spark, sf).collect()
     assert(out.nonEmpty)

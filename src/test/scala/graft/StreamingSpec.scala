@@ -37,7 +37,8 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Timestamp, String, Long, Double)].collect().toSet
     val batch = fixture.toDF()
       .groupBy(date_trunc("hour", $"ts").as("bucket"), $"event_type")
-      .agg(count(lit(1)).as("n_events"), sum($"value").as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
       .as[(Timestamp, String, Long, Double)].collect().toSet
     assert(streamed === batch)
     assert(streamed.nonEmpty)
