@@ -25,7 +25,7 @@ object SparkEntry {
     Relational.queries ++ MRQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ EventQueries.queries ++
-      MediaQueries.queries ++ PipelineQueries.queries
+      MediaQueries.queries ++ PipelineQueries.queries ++ KvQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +33,5 @@ object SparkEntry {
     Relational.oracles ++ MRQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ EventQueries.oracles ++
-      MediaQueries.oracles ++ PipelineQueries.oracles
+      MediaQueries.oracles ++ PipelineQueries.oracles ++ KvQueries.oracles
 }

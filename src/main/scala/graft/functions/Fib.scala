@@ -15,8 +15,9 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * serialization boundary per row, which is the whole point when the
   * kernel, not I/O, is the bottleneck.
   *
-  * Input is taken mod 92 (fib(92) is the largest that fits a signed
-  * long); negative inputs are mapped to their absolute value.
+  * Input is taken to its non-negative residue mod 92 (fib(92) is the
+  * largest that fits a signed long), so e.g. -1 computes fib(91) — NOT
+  * the absolute value.
   */
 case class FibExpression(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType

@@ -41,7 +41,7 @@ object AsOfJoin {
     require(payload.nonEmpty, "payload must name at least one right column")
     require(!leftCols.exists(payload.contains),
       s"payload columns $payload collide with left columns")
-    val reserved = Seq("_ts", "_side", "_pay")
+    val reserved = Seq("_ts", "_side", "_pay", "_hit")
     require(!(leftCols ++ right.columns).exists(reserved.contains),
       s"input columns may not use reserved names $reserved")
 

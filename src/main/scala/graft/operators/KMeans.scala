@@ -9,10 +9,12 @@ import graft.functions.DotProduct
   * (inverted-file) approximate nearest-neighbor search it trains — the
   * other standard ANN family next to LSH (`SimilarityQueries.annLsh`).
   *
-  * Training (fit): deterministic stride init (every n/k-th vector in id
-  * order — reproducible across runs and executors, and spread across
-  * the id range, unlike first-k or random init), then
-  * `iterations` rounds of assign (one broadcast of k centroids, one
+  * Training (fit): deterministic oversample-and-spread init (the
+  * k-means|| endgame shape, Bahmani et al. VLDB 2012): hash-sample 4k
+  * vectors in one top-k pass, then greedy farthest-point selection over
+  * that driver-sized oversample — reproducible across runs and
+  * executors, seeds spread across the data's extent, no global sort.
+  * Then `iterations` rounds of assign (one broadcast of k centroids, one
   * codegen'd distance scan) + recompute (posexplode → one grouped
   * aggregation per (cluster, dim)). Iterative-plan discipline:
   * localCheckpoint per round, same as PageRank/ConnectedComponents.
@@ -35,19 +37,48 @@ object KMeans {
   def fit(vecs: DataFrame, k: Int, iterations: Int = 5): DataFrame = {
     val s = vecs.sparkSession
     DotProduct.register(s)
-    // deterministic STRIDE init (every n/k-th vector in id order):
-    // reproducible everywhere, and unlike first-k it cannot seed all
-    // centroids inside one dense region. The global index comes from
-    // RDD zipWithIndex (per-partition counts + offsets — fully
-    // distributed), NOT a partitionless window, which would funnel the
-    // whole dataset through one task.
     import s.implicits._
-    val stride = math.max(1L, vecs.count() / k)
-    var centroids = vecs.select(col("id"), col("v"))
-      .as[(Long, Seq[Double])].rdd
-      .sortBy(_._1).zipWithIndex()
-      .collect { case ((_, v), i) if i % stride == 0 && i < stride * k =>
-        (i / stride, v) }
+    // Init, stage 1 — oversample: the 4k rows with the smallest
+    // xxhash64(id). A seed-free uniform pseudo-random sample,
+    // reproducible everywhere; orderBy+limit compiles to
+    // TakeOrderedAndProject (per-partition heap of 4k + driver merge),
+    // NOT the full global sort the old stride init paid — the one
+    // avoidable full-sort stage in the suite at 100 TB.
+    val m = 4 * k
+    val sample = vecs
+      .select(xxhash64(col("id")).as("h"), col("id"), col("v"))
+      .orderBy(col("h"), col("id")).limit(m)
+      .as[(Long, Long, Seq[Double])].collect()
+      .sortBy(t => (t._1, t._2)) // driver-side re-sort: order is contractual
+      .map(t => (t._2, t._3.toArray))
+    require(sample.nonEmpty, "kmeans needs a non-empty corpus")
+    // Init, stage 2 — greedy farthest-point over the oversample (driver
+    // work, O(m·k·dim) on 4k rows — same driver-sized regime as the k-row
+    // centroid table): a plain uniform k-sample can seed two centroids in
+    // one dense cluster and Lloyd's never recovers; farthest-point
+    // guarantees spread. Deterministic: start at the min-hash row,
+    // tie-break on id.
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
+      acc
+    }
+    val kEff = math.min(k, sample.length)
+    val chosen = scala.collection.mutable.ArrayBuffer(sample.head)
+    val minD = Array.fill(sample.length)(Double.MaxValue)
+    while (chosen.length < kEff) {
+      val last = chosen.last._2
+      var bi = -1
+      for (i <- sample.indices) {
+        val d = d2(sample(i)._2, last)
+        if (d < minD(i)) minD(i) = d
+        if (bi < 0 || minD(i) > minD(bi) ||
+          (minD(i) == minD(bi) && sample(i)._1 < sample(bi)._1)) bi = i
+      }
+      chosen += sample(bi)
+    }
+    var centroids = chosen.toSeq.zipWithIndex
+      .map { case ((_, v), c) => (c.toLong, v.toSeq) }
       .toDF("cluster", "c")
       .localCheckpoint(true)
     for (_ <- 1 to iterations) {

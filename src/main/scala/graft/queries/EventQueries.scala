@@ -51,8 +51,12 @@ object EventQueries {
     Tables.events(s, d)
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
+        // unix_micros (not cast("long"), which truncates to seconds): the
+        // fixture timestamps carry sub-second precision, and a truncated
+        // comparison could split sessions differently from the oracle's
+        // epoch_us at a boundary.
         when(col("prev_ts").isNull ||
-          col("ts").cast("long") - col("prev_ts").cast("long") > GapMinutes * 60L, 1L)
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > GapMinutes * 60L * 1000000L, 1L)
           .otherwise(0L))
       .withColumn("session_no", sum(col("new_session")).over(running))
       .groupBy(col("user_id"), col("session_no"))
@@ -67,11 +71,13 @@ object EventQueries {
     "WITH flagged AS (" +
       "SELECT user_id, event_id, ts, value, " +
       "CASE WHEN lag(ts) OVER w IS NULL OR " +
-      s"epoch(ts) - epoch(lag(ts) OVER w) > ${GapMinutes * 60} THEN 1 ELSE 0 END AS new_session " +
+      s"epoch_us(ts) - epoch_us(lag(ts) OVER w) > ${GapMinutes * 60L * 1000000L} THEN 1 ELSE 0 END AS new_session " +
       "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+      // CAST AS BIGINT: DuckDB types the windowed sum as HUGEINT (int128),
+      // which hash-mismatches Spark's BIGINT even when values agree.
       "numbered AS (SELECT user_id, ts, value, " +
-      "sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
-      "ROWS UNBOUNDED PRECEDING) AS session_no FROM flagged) " +
+      "CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no FROM flagged) " +
       "SELECT user_id, session_no, min(ts) AS session_start, " +
       "max(ts) AS session_end, count(*) AS n_events, " +
       s"${Relational.sqlDsum("value")} AS session_value " +
@@ -188,8 +194,8 @@ object EventQueries {
       "ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session " +
       "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
       "numbered AS (SELECT user_id, ts, value, " +
-      "sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
-      "ROWS UNBOUNDED PRECEDING) AS session_no FROM flagged) " +
+      "CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no FROM flagged) " +
       "SELECT user_id, min(ts) AS session_start, " +
       "max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events, " +
       s"${Relational.sqlDsum("value")} AS session_value " +

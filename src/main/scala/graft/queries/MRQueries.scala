@@ -46,7 +46,11 @@ object MRQueries {
         // SQL-substr semantics (total on short strings), not Java
         // substring (which throws below 16 chars)
         val prefix = name.slice(14, 16)
-        Iterator.single((prefix, math.round(bal * 100)))
+        // half-AWAY-FROM-ZERO to match DuckDB/Spark round();
+        // math.round alone is half-up (floor(x+0.5)), which disagrees
+        // on negative exact half-cent values (-2.5 → -2 vs -3)
+        val cents = if (bal < 0) -math.round(-bal * 100) else math.round(bal * 100)
+        Iterator.single((prefix, cents))
       }
       .reduceWithCombine(sum, numReducers = 8)
       .map { (k, cents) => Iterator.single((k, cents / 100.0)) }

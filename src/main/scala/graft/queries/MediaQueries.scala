@@ -145,7 +145,9 @@ object MediaQueries {
   val qMediaByKindSql: String =
     "SELECT CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' " +
       "ELSE 'video' END AS kind, count(*) AS n, " +
-      "sum(octet_length(encode(text))) AS total_bytes, " +
+      // CAST AS BIGINT: DuckDB's sum is HUGEINT, Spark's is BIGINT; the
+      // driver hash is type-sensitive.
+      "CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes, " +
       "max(CAST(doc_id % 4 * 160 + 320 AS INT)) AS max_width " +
       "FROM documents GROUP BY 1"
 

@@ -65,13 +65,51 @@ object PipelineQueries {
       "SELECT doc_id, n_tokens, round(quality, 6) AS quality_r FROM gated " +
       "WHERE doc_id IN (SELECT doc_id FROM surv)"
 
-  /** Full pipeline incl. LSH clustering (xxhash-based → rows-only driver
-    * check; cluster correctness is PipelineSpec's job). */
+  /** Full pipeline incl. LSH clustering. */
   def qPipelineFull(s: SparkSession, d: String): DataFrame =
     cleanNearDup(s, d)
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
         round(avg(col("quality")), 6).as("avg_quality"))
+
+  /** Oracle for the full pipeline: DuckDB recomputes the near-dup stage
+    * with EXACT Jaccard >= 0.8 pairs (all-pairs over the already-gated
+    * survivor set — driver-scale-sized) and a recursive-CTE transitive
+    * closure for clustering. The Spark side's LSH candidates are verified
+    * by signature-ESTIMATED Jaccard, so this oracle additionally asserts
+    * that on the fixture corpus the estimate agrees with the exact
+    * threshold decision for every pair (PipelineSpec covers the recall
+    * property in general); any gating / tokenizer / dedup / CC / stats
+    * bug breaks the hash. */
+  private val sqlShingles =
+    "list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)), " +
+      "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+
+  val qPipelineFullSql: String =
+    "WITH RECURSIVE " +
+      "scored AS (SELECT doc_id, text, lang, len(t) AS n_tokens, " +
+      s"$sqlQuality AS quality " +
+      s"FROM (SELECT doc_id, text, lang, n_chars, $sqlTokens AS t FROM documents) a), " +
+      s"gated AS (SELECT * FROM scored WHERE lang = 'en' AND quality >= $QualityFloor), " +
+      "ex AS (SELECT g.* FROM gated g WHERE doc_id IN " +
+      "(SELECT min(doc_id) FROM gated GROUP BY md5(text))), " +
+      s"sh AS (SELECT doc_id, unnest($sqlShingles) AS sh " +
+      s"FROM (SELECT doc_id, $sqlTokens AS t FROM ex) b), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+      "shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared " +
+      "FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "pairs AS (SELECT doc_a, doc_b FROM shared " +
+      "JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id " +
+      "WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8), " +
+      "sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs " +
+      "UNION SELECT doc_b, doc_a FROM pairs), " +
+      "reach(a, b) AS (SELECT a, b FROM sym " +
+      "UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE r.a <> s.b), " +
+      "comp AS (SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a), " +
+      "surv AS (SELECT e.* FROM ex e LEFT JOIN comp c ON e.doc_id = c.node " +
+      "WHERE c.node IS NULL OR c.comp = e.doc_id) " +
+      "SELECT count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens, " +
+      "round(avg(quality), 6) AS avg_quality FROM surv"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_exact" -> qPipelineExact _,
@@ -80,5 +118,6 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q_pipeline_exact" -> qPipelineExactSql,
+    "q_pipeline_full"  -> qPipelineFullSql,
   )
 }

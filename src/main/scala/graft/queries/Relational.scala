@@ -352,13 +352,36 @@ object Relational {
         .mkString(", ") +
       " FROM events GROUP BY user_id"
 
-  // ── Iterative PageRank (rows-only: float fixed-point, no SQL oracle;
-  // convergence is spec-tested on a known graph) ─────────────────────────
+  // ── Iterative PageRank ─────────────────────────────────────────────────
+  // Oracle = the same 3 damped iterations unrolled as DuckDB CTEs over the
+  // same edge projection. Ranks are doubles summed in engine-specific
+  // order, so both sides round to 6 decimals (sum-order noise is ~1e-12
+  // relative; convergence itself is spec-tested on a known graph).
   def qPagerank(s: SparkSession, d: String): DataFrame =
     graft.operators.PageRank.pagerank(
       Tables.lineitem(s, d).select(col("l_suppkey").as("src"),
         col("l_partkey").as("dst")),
       iterations = 3)
+      .select(col("node"), round(col("rank"), 6).as("rank_r"))
+
+  // (1 - CAST(0.85 AS DOUBLE)) reproduces Scala's `1 - 0.85` bit-exactly
+  // (0.15000000000000002); a literal 0.15 is a DIFFERENT double.
+  private def prIter(prev: String): String =
+    s"SELECT n.node, (1 - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * " +
+      "coalesce(s.s, CAST(0 AS DOUBLE)) AS rank FROM nodes n LEFT JOIN " +
+      s"(SELECT w.dst AS node, sum($prev.rank / w.deg) AS s " +
+      s"FROM w JOIN $prev ON w.src = $prev.node GROUP BY 1) s USING (node)"
+
+  val qPagerankSql: String =
+    "WITH e AS (SELECT l_suppkey AS src, l_partkey AS dst FROM lineitem), " +
+      "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+      "w AS (SELECT e.src, e.dst, d.deg FROM e JOIN " +
+      "(SELECT src, count(*) AS deg FROM e GROUP BY src) d USING (src)), " +
+      "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes), " +
+      s"r1 AS (${prIter("r0")}), " +
+      s"r2 AS (${prIter("r1")}), " +
+      s"r3 AS (${prIter("r2")}) " +
+      "SELECT node, round(rank, 6) AS rank_r FROM r3"
 
   // ── SQL-text entry with a correlated-free scalar subquery ──────────────
   // The engine's spark.sql surface is first-class: the same Catalyst plan
@@ -445,8 +468,7 @@ object Relational {
     "q_scalar_subq"     -> qScalarSubqSql,
     "q_cpu_fib"         -> qCpuFibSql,
     "q_pivot"           -> qPivotSql,
-    // q_pagerank: intentionally no oracle (iterative double fixed-point);
-    // PageRankSpec checks convergence on a known graph.
+    "q_pagerank"        -> qPagerankSql,
     "q_intersect"       -> qIntersectSql,
     "q_except"          -> qExceptSql,
     "q_cube"            -> qCubeSql,

@@ -171,12 +171,16 @@ object SimilarityQueries {
     Tables.embeddings(s, d)
       .select(col("label"), posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
       .groupBy(col("label"), col("dim"))
-      .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
-        count(col("x"))).as("c"))
+      // final round(6): the decimal sum is exact/order-independent, but
+      // each float summand's double→DECIMAL(28,12) TIE rounding can
+      // differ between engines (observed: one cell off by 2e-14 under
+      // DuckDB 1.0.0) — rounding the quotient absorbs that last-ulp noise
+      .agg(round(sum(col("x").cast("decimal(28,12)")).cast("double") /
+        count(col("x")), 6).as("c"))
 
   val qCentroidsSql: String =
     "SELECT label, pos - 1 AS dim, " +
-      "CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(x) AS c " +
+      "round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(x), 6) AS c " +
       "FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x, " +
       "generate_subscripts(embedding, 1) AS pos FROM embeddings) t " +
       "GROUP BY 1, 2"

@@ -1,0 +1,249 @@
+package graft.sources.kv
+
+import java.util
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.{EqualTo, Filter}
+import org.apache.spark.sql.types.{DataType, StringType, StructType, TimestampType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A real DataSource V2 connector for the reference's DynamoDB-shaped KV
+  * tables (SURVEY.md §2A A14 source / A16 sink; reference
+  * `data_sources/input_handler_dynamodb.py:135-213`,
+  * `output_handler_dynamodb.py:62-112`) — `spark.read.format("graft-kv")`,
+  * not a parquet analogy. The backing store here is an in-process map
+  * (this sandbox has no network KV service; in production the reader
+  * factory would carry connection config instead of a table name — every
+  * planner-side mechanism below is the real one):
+  *
+  *  - **projection pushdown** (`SupportsPushDownRequiredColumns`): the
+  *    store materializes ONLY the pruned attributes per item, the DSv2
+  *    analog of a DynamoDB `ProjectionExpression` — at scale this is the
+  *    difference between shipping 2 attributes and shipping the item.
+  *  - **key-equality pushdown** (`SupportsPushDownFilters`): an `EqualTo`
+  *    on the key column becomes a point lookup (DynamoDB `Query`/GetItem)
+  *    instead of a full scan, and the filter is consumed at the source so
+  *    Spark plans no post-scan filter for it.
+  *  - **partitioned scan**: the key space splits into `partitions` slices
+  *    by a stable hash (DynamoDB parallel-`Scan` segments,
+  *    `input_handler_dynamodb.py:173-189`) so the read parallelizes.
+  *  - **DSv2 write** (`SupportsWrite` + `SupportsTruncate`): per-task
+  *    writers batch puts and commit last-write-wins per key (PutItem
+  *    semantics); overwrite truncates first.
+  */
+class KvDataSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-kv"
+
+  private def tableName(options: CaseInsensitiveStringMap): String = {
+    val t = options.get("table")
+    require(t != null, "graft-kv requires option(\"table\", <name>)")
+    t
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KvStore.schemaOf(tableName(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new KvTable(properties.get("table"), schema,
+      Option(properties.get("partitions")).map(_.toInt).getOrElse(4))
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+/** In-process KV backing store: table → (key column, schema, items).
+  * Items are last-write-wins per key, like DynamoDB PutItem. Values are
+  * stored as plain Scala rows (`Seq[Any]` aligned to the schema) so
+  * reader partitions can prune attributes positionally. */
+object KvStore {
+  final case class TableData(keyCol: String, schema: StructType,
+      items: TrieMap[String, Seq[Any]])
+
+  private val tables = TrieMap.empty[String, TableData]
+
+  def register(name: String, keyCol: String, schema: StructType): Unit = {
+    require(schema.fieldNames.contains(keyCol),
+      s"key column $keyCol not in schema ${schema.fieldNames.mkString(",")}")
+    tables.putIfAbsent(name, TableData(keyCol, schema, TrieMap.empty))
+  }
+
+  def put(name: String, rows: Iterable[Seq[Any]]): Unit = {
+    val t = data(name)
+    val ki = t.schema.fieldIndex(t.keyCol)
+    rows.foreach(r => t.items.put(String.valueOf(r(ki)), r))
+  }
+
+  def truncate(name: String): Unit = data(name).items.clear()
+  def exists(name: String): Boolean = tables.contains(name)
+  def schemaOf(name: String): StructType = data(name).schema
+  def data(name: String): TableData =
+    tables.getOrElse(name,
+      throw new IllegalArgumentException(s"graft-kv table not registered: $name"))
+}
+
+class KvTable(table: String, schema0: StructType, partitions: Int)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"graft-kv:$table"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new KvScanBuilder(table, schema0, partitions)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new KvWriteBuilder(table, info.schema())
+}
+
+class KvScanBuilder(table: String, full: StructType, partitions: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  private var required: StructType = full
+  private var keyLookup: Option[String] = None
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val keyCol = KvStore.data(table).keyCol
+    val (point, rest) = filters.partition {
+      case EqualTo(c, v) => c == keyCol && v != null && keyLookup.isEmpty
+      case _ => false
+    }
+    keyLookup = point.headOption.map { case EqualTo(_, v) => String.valueOf(v) }
+    // a consumed key-equality is FULLY satisfied at the source; everything
+    // else (and any extra equalities) stays a post-scan filter
+    rest ++ point.drop(1)
+  }
+
+  override def pushedFilters(): Array[Filter] =
+    keyLookup.map(v => EqualTo(KvStore.data(table).keyCol, v): Filter).toArray
+
+  override def build(): Scan =
+    new KvScan(table, full, required, keyLookup, partitions)
+}
+
+class KvScan(table: String, full: StructType, required: StructType,
+    keyLookup: Option[String], partitions: Int) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  // shows up in .explain so specs (and users) can see what was pushed
+  override def description(): String =
+    s"graft-kv table=$table pruned=[${required.fieldNames.mkString(",")}] " +
+      s"keyLookup=${keyLookup.getOrElse("none")}"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val prunedIdx = required.fieldNames.map(full.fieldIndex)
+    keyLookup match {
+      // point lookup: one partition, one key (DynamoDB Query/GetItem)
+      case Some(k) => Array(KvPartition(table, 0, 1, prunedIdx, Some(k)))
+      case None => (0 until partitions).map(i =>
+        KvPartition(table, i, partitions, prunedIdx, None)).toArray[InputPartition]
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KvReaderFactory(required)
+}
+
+/** Serializable slice descriptor: segment `idx` of `n` by stable key hash
+  * (murmur3 — NOT String.hashCode, which is JVM-implementation-defined). */
+case class KvPartition(table: String, idx: Int, n: Int,
+    prunedIdx: Array[Int], keyLookup: Option[String]) extends InputPartition
+
+class KvReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[KvPartition]
+    val data = KvStore.data(part.table)
+    val rows: Iterator[Seq[Any]] = part.keyLookup match {
+      case Some(k) => data.items.get(k).iterator
+      case None => data.items.iterator.collect {
+        case (k, v) if math.floorMod(
+          scala.util.hashing.MurmurHash3.stringHash(k), part.n) == part.idx => v
+      }
+    }
+    val converters = part.prunedIdx.map(i => KvConvert.toCatalyst(data.schema(i).dataType))
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean = rows.hasNext && {
+        val r = rows.next()
+        // materialize ONLY the pruned attributes (the pushdown payoff)
+        current = InternalRow.fromSeq(part.prunedIdx.indices.map(j =>
+          converters(j)(r(part.prunedIdx(j)))))
+        true
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
+
+private object KvConvert {
+  /** External JVM value → catalyst value for the atomic types a KV item
+    * carries (strings, numbers, booleans, timestamps). */
+  def toCatalyst(dt: DataType): Any => Any = dt match {
+    case StringType => v => if (v == null) null else UTF8String.fromString(v.toString)
+    case TimestampType => {
+      case null => null
+      case t: java.sql.Timestamp =>
+        java.util.concurrent.TimeUnit.MILLISECONDS.toMicros(t.getTime) +
+          (t.getNanos % 1000000) / 1000
+      case v => v
+    }
+    case _ => identity
+  }
+
+  /** Catalyst value → plain JVM value (for the write path's store rows). */
+  def fromCatalyst(dt: DataType): Any => Any = dt match {
+    case StringType => v => if (v == null) null else v.toString
+    case _ => identity
+  }
+}
+
+class KvWriteBuilder(table: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new BatchWrite {
+      override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+        new KvWriterFactory(schema)
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        // last-write-wins puts, applied atomically at commit (the driver
+        // is the single committer, like the reference's final DynamoDB
+        // batch_writer flush)
+        if (doTruncate) KvStore.truncate(table)
+        messages.foreach { case KvCommit(rows) => KvStore.put(table, rows) }
+      }
+      override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+    }
+  }
+}
+
+case class KvCommit(rows: Seq[Seq[Any]]) extends WriterCommitMessage
+
+class KvWriterFactory(schema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+      private val converters = schema.fields.map(f => KvConvert.fromCatalyst(f.dataType))
+      override def write(row: InternalRow): Unit =
+        buf += schema.indices.map(i =>
+          converters(i)(if (row.isNullAt(i)) null
+          else row.get(i, schema(i).dataType)))
+      override def commit(): WriterCommitMessage = KvCommit(buf.toSeq)
+      override def abort(): Unit = buf.clear()
+      override def close(): Unit = ()
+    }
+}

@@ -44,6 +44,21 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(inner.head().isNullAt(inner.head().fieldIndex("px")))
   }
 
+  test("reserved internal names are rejected, including _hit") {
+    // _hit is the internal match-flag column; a left frame carrying it
+    // would silently collide with the filter/drop step
+    val tr = Seq((1L, 20L, true)).toDF("k", "ts", "_hit")
+    val err = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(tr, quotes, Seq("k"), "ts", "qts", Seq("px"))
+    }
+    assert(err.getMessage.contains("_hit"))
+    // the right side is guarded too
+    val q = Seq((1L, 8L, 100.0, false)).toDF("k", "qts", "px", "_hit")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asof(trades, q, Seq("k"), "ts", "qts", Seq("px"))
+    }
+  }
+
   test("asof plan shuffles once on the key") {
     val out = AsOfJoin.asof(trades, quotes, Seq("k"), "ts", "qts", Seq("px"))
     val exchanges = out.queryExecution.executedPlan.toString

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.kv.KvStore
+
+class KvSourceSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("bal", DoubleType)))
+
+  private def fixture(table: String): Unit = {
+    KvStore.register(table, "id", schema)
+    KvStore.truncate(table)
+    KvStore.put(table, (1L to 20L).map(i => Seq[Any](i, s"name_$i", i * 1.5)))
+  }
+
+  private def read(table: String) =
+    spark.read.format("graft-kv").option("table", table).load()
+
+  test("kv read returns every registered row with the registered schema") {
+    fixture("t_read")
+    val df = read("t_read")
+    assert(df.schema === schema)
+    assert(df.count() === 20)
+    assert(df.select($"id").as[Long].collect().sorted.toSeq === (1L to 20L))
+  }
+
+  test("scan splits the key space into multiple partitions, rows seen once") {
+    fixture("t_part")
+    val df = read("t_part")
+    assert(df.rdd.getNumPartitions === 4)
+    // segments form a partition of the key space: union = all, no dupes
+    assert(df.select($"id").as[Long].collect().sorted.toSeq === (1L to 20L))
+  }
+
+  test("projection pushdown reaches the provider (pruned attrs in the scan)") {
+    fixture("t_prune")
+    val df = read("t_prune").select($"name")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pruned=[name]"), s"expected pruned scan:\n$plan")
+    assert(!plan.contains("pruned=[id,name,bal]"))
+    assert(df.as[String].collect().toSet === (1 to 20).map(i => s"name_$i").toSet)
+  }
+
+  test("key equality becomes a point lookup consumed at the source") {
+    fixture("t_key")
+    val df = read("t_key").filter($"id" === 7L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("keyLookup=7"), s"expected point lookup:\n$plan")
+    // fully consumed: one partition, one row, correct values
+    assert(df.rdd.getNumPartitions === 1)
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((7L, "name_7")))
+    // a NON-key filter stays a post-scan filter and still evaluates right
+    val scan = read("t_key").filter($"bal" > 25.0)
+    assert(scan.queryExecution.executedPlan.toString.contains("keyLookup=none"))
+    assert(scan.count() === (1L to 20L).count(_ * 1.5 > 25.0))
+  }
+
+  test("dsv2 write: append puts are last-write-wins per key; overwrite truncates") {
+    KvStore.register("t_write", "id", schema)
+    KvStore.truncate("t_write")
+    val a = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "bal")
+    a.write.format("graft-kv").option("table", "t_write").mode("append").save()
+    assert(read("t_write").count() === 2)
+    // same key again → overwritten, not duplicated (PutItem semantics)
+    val b = Seq((2L, "b2", 2.5), (3L, "c", 3.0)).toDF("id", "name", "bal")
+    b.write.format("graft-kv").option("table", "t_write").mode("append").save()
+    val rows = read("t_write").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(rows === Map(1L -> ("a", 1.0), 2L -> ("b2", 2.5), 3L -> ("c", 3.0)))
+    // overwrite replaces the table contents
+    a.write.format("graft-kv").option("table", "t_write").mode("overwrite").save()
+    assert(read("t_write").select($"id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L))
+  }
+
+  test("registered q_kv_scan groups the nation dim read through the connector") {
+    val out = graft.queries.KvQueries.qKvScan(spark, sf)
+      .orderBy($"n_regionkey").collect()
+    val direct = Tables.nation(spark, sf)
+      .groupBy($"n_regionkey")
+      .agg(count(lit(1)).as("n_nations"), max($"n_name").as("max_name"))
+      .orderBy($"n_regionkey").collect()
+    assert(out.toSeq === direct.toSeq)
+  }
+}
