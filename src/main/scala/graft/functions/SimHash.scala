@@ -7,14 +7,17 @@ import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** 64-bit SimHash document fingerprint as a native Catalyst `Expression`
+/** 60-bit SimHash document fingerprint as a native Catalyst `Expression`
   * with codegen — near-identical documents get fingerprints within a small
   * Hamming distance, so near-dup grouping becomes `bit_count(a ^ b) <= k`
   * on two longs instead of a pairwise text comparison.
   *
-  * Token hashing is FNV-1a 64-bit (public-domain constants), tokens are
-  * the same lowercase-alphanumeric split the rest of the text stack uses.
-  * Fully deterministic: same text → same fingerprint on any executor.
+  * Token hashing is the shared md5-derived [[Md5Bits.hash60]] (60 bits —
+  * hence a 60-bit fingerprint), tokens are the same lowercase-alphanumeric
+  * split the rest of the text stack uses. Fully deterministic AND
+  * engine-agnostic: the DuckDB oracle recomputes the identical fingerprint
+  * from `md5(token)`, which is what upgrades `q_simhash_pairs` from a
+  * rows-only check to a full hash-compared oracle row.
   *
   * Beyond the reference (its only fingerprint-ish op is the sha256 key
   * partitioner, `default/partition.py:4-12`); this is the LLM-pipeline
@@ -38,34 +41,29 @@ case class SimHashExpression(child: Expression) extends UnaryExpression {
 }
 
 object SimHash {
-  private val FnvOffset = 0xcbf29ce484222325L
-  private val FnvPrime = 0x100000001b3L
 
-  /** FNV-1a 64-bit over UTF-8 bytes. */
-  def fnv1a(s: String): Long = {
-    var h = FnvOffset
-    val bytes = s.getBytes("UTF-8")
-    var i = 0
-    while (i < bytes.length) {
-      h ^= (bytes(i) & 0xffL)
-      h *= FnvPrime
-      i += 1
-    }
-    h
-  }
+  /** Fingerprint width: 60 bits (= Md5Bits.hash60 width), banded as 4
+    * blocks of [[BlockBits]] for the pigeonhole candidate generator. */
+  val Bits = 60
+  val Blocks = 4
+  val BlockBits: Int = Bits / Blocks // 15
+  val BlockMask: Long = (1L << BlockBits) - 1
 
   /** SimHash over lowercase-alphanumeric tokens (the shared
     * TextFunctions.tokenize rule — Locale.ROOT, so identical on every
-    * executor). Called from generated code — must stay a
-    * static-reachable pure function. */
+    * executor), each token hashed with the shared md5-derived
+    * Md5Bits.hash60. Called from generated code — must stay a
+    * static-reachable pure function. Bit rule: set iff strictly more
+    * tokens have the bit than not (ties → 0), mirrored by the oracle. */
   def compute(text: String): Long = {
-    val counts = new Array[Int](64)
+    val counts = new Array[Int](Bits)
     val toks = TextFunctions.tokenize(text)
+    val md = java.security.MessageDigest.getInstance("MD5")
     var t = 0
     while (t < toks.length) {
-      val h = fnv1a(toks(t))
+      val h = Md5Bits.hash60Prefix(md.digest(toks(t).getBytes("UTF-8")))
       var b = 0
-      while (b < 64) {
+      while (b < Bits) {
         if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
         b += 1
       }
@@ -73,7 +71,7 @@ object SimHash {
     }
     var out = 0L
     var b = 0
-    while (b < 64) {
+    while (b < Bits) {
       if (counts(b) > 0) out |= (1L << b)
       b += 1
     }

@@ -28,34 +28,32 @@ object VectorFunctions {
   /** Cosine similarity (computed fully — inputs need not be unit-norm). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Deterministic pseudo-random ±1.0 from (plane, component) — the
-    * hyperplane "matrix" of the sign-random-projection LSH is never
-    * materialized; each cell is recomputed from its indices on demand, so
-    * every executor sees the identical hyperplanes with zero broadcast. */
-  def planeSign(plane: Int, component: Column): Column =
-    when(pmod(xxhash64(lit(plane), component), lit(2)) === 0, lit(1.0))
-      .otherwise(lit(-1.0))
+  /** Deterministic ±1.0 hyperplane for sign-random-projection LSH, derived
+    * at PLAN-BUILD time from the shared md5 hash: component d of plane j
+    * is +1.0 iff bit 0 of `Md5Bits.hash60("j,d")` is set. Engine-agnostic
+    * — the DuckDB oracle rebuilds the identical planes from `md5(j||','||d)`
+    * — and embedded as a literal array, so every executor sees the same
+    * hyperplanes with zero broadcast and zero per-row hashing. */
+  def srpPlane(plane: Int, dims: Int): Seq[Double] =
+    (0 until dims).map { d =>
+      if ((Md5Bits.hash60(s"$plane,$d") & 1L) == 1L) 1.0 else -1.0
+    }
 
-  /** One sign-random-projection bit: sign of v · plane_i. Empty vectors
-    * are guarded (sequence(0, -1) would count DOWN, null-padding the
-    * fold): their projection is 0.0 → bit 1, per sign(0) >= 0. */
-  def srpBit(v: Column, plane: Int): Column = {
-    val proj = when(size(v) > 0,
-      aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, j) => x * planeSign(plane, j)),
-        lit(0.0), (acc, x) => acc + x))
-      .otherwise(lit(0.0))
-    when(proj >= 0, lit(1L)).otherwise(lit(0L))
-  }
+  /** One sign-random-projection bit: sign of v · plane_i, the dot folded
+    * left-to-right like every other dot in the stack (oracle parity with
+    * DuckDB's `list_dot_product(v, plane)`). Projection >= 0 → bit 1
+    * (zero vectors get all-ones, same rule on both engines). */
+  def srpBit(v: Column, plane: Int, dims: Int): Column =
+    when(dot(v, typedlit(srpPlane(plane, dims))) >= 0, lit(1L)).otherwise(lit(0L))
 
   /** `nBits`-bit sign-random-projection sketch packed into one long.
     * Hamming distance between sketches estimates angular distance.
-    * NULL vector → NULL sketch (it must not silently collide with the
-    * empty/zero vectors' sketch in bucketed candidate generation). */
-  def srpSketch(v: Column, nBits: Int): Column =
-    when(v.isNull, lit(null).cast("long"))
-      .otherwise((0 until nBits).map(i => shiftleft(srpBit(v, i), i))
+    * NULL or wrong-dimension vector → NULL sketch (it must not silently
+    * collide with the zero vector's sketch in bucketed candidate
+    * generation; a short vector would zip-pad with nulls mid-fold). */
+  def srpSketch(v: Column, nBits: Int, dims: Int): Column =
+    when(v.isNull || size(v) =!= dims, lit(null).cast("long"))
+      .otherwise((0 until nBits).map(i => shiftleft(srpBit(v, i, dims), i))
         .reduce(_.bitwiseOR(_)))
 
   // ── int8 scalar quantization ─────────────────────────────────────────

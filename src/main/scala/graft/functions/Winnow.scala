@@ -13,21 +13,25 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, "Winnowing:
   * Local Algorithms for Document Fingerprinting", SIGMOD 2003) as a native
-  * codegen Expression: Rabin-style rolling hash over character k-grams,
-  * then the minimum hash of every w-hash window (rightmost-min tie-break),
-  * deduplicated — the guarantee is that any shared substring of length
-  * >= w + k - 1 between two documents yields at least one shared
-  * fingerprint.
+  * codegen Expression: the shared md5-derived `Md5Bits.hash60` over
+  * character k-grams, then the minimum hash of every w-hash window
+  * (rightmost-min tie-break), deduplicated — the guarantee is that any
+  * shared substring of length >= w + k - 1 between two documents yields at
+  * least one shared fingerprint.
   *
-  * One O(len) pass per document, no shuffle — 8-byte hashes are the only
+  * One pass per document, no shuffle — 8-byte hashes are the only
   * thing that ever moves, which is what makes fingerprint-overlap dedup
   * viable at 100 TB. Complements SimHash (global near-dup signal) with a
   * LOCAL one: winnowing catches partial overlap / containment (a copied
   * paragraph inside an otherwise-different document), which whole-document
   * fingerprints cannot.
   *
-  * Spark-specific constants → no SQL oracle; properties are spec-tested
-  * (determinism, the winnowing window guarantee, containment detection).
+  * The emitted set is the DISTINCT selected hash VALUES, so the DuckDB
+  * oracle needs no tie-break simulation: a window's selected value is its
+  * min either way, hence fingerprints(doc) = distinct over windows of
+  * min(hash over window) — expressible with one windowed `min` (the
+  * `q_winnow_overlap` oracle). Properties (determinism, window guarantee,
+  * containment) remain spec-tested.
   */
 case class WinnowExpression(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
@@ -52,15 +56,15 @@ case class WinnowExpression(child: Expression, k: Int, w: Int)
 }
 
 object WinnowExpression {
-  private val Base = 1000003L
 
   /** Called from generated code. Normalizes to lowercase ASCII
     * alphanumeric — EXACTLY the [a-z0-9] character class the shared
     * tokenizer uses, so all fingerprint families canonicalize the same
     * text (Character.isLetterOrDigit would keep accented/CJK chars the
-    * tokenizer drops) — rolls a polynomial hash over k-grams, winnows
-    * with a w-sized monotone deque, emits the distinct selected hashes
-    * in ascending order. */
+    * tokenizer drops) — hashes each k-gram with the shared md5-derived
+    * Md5Bits.hash60 (oracle-reproducible: `md5(substr(s, i, k))` in
+    * DuckDB), winnows with a w-sized monotone deque, emits the distinct
+    * selected hashes in ascending order. */
   def compute(text: String, k: Int, w: Int): ArrayData = {
     val sb = new java.lang.StringBuilder(text.length)
     var ci = 0
@@ -73,19 +77,16 @@ object WinnowExpression {
     val n = s.length - k + 1
     if (n <= 0) return new GenericArrayData(Array.empty[Any])
 
-    // rolling k-gram hashes
+    // md5-derived k-gram hashes (normalized text is ASCII by
+    // construction, so charAt == UTF-8 byte — digest bytes directly)
     val hashes = new Array[Long](n)
-    var pow = 1L
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val gram = new Array[Byte](k)
     var i = 0
-    while (i < k - 1) { pow *= Base; i += 1 }
-    var h = 0L
-    i = 0
-    while (i < k) { h = h * Base + s.charAt(i); i += 1 }
-    hashes(0) = h
-    i = 1
     while (i < n) {
-      h = (h - s.charAt(i - 1) * pow) * Base + s.charAt(i + k - 1)
-      hashes(i) = h
+      var j = 0
+      while (j < k) { gram(j) = s.charAt(i + j).toByte; j += 1 }
+      hashes(i) = Md5Bits.hash60Prefix(md.digest(gram))
       i += 1
     }
 

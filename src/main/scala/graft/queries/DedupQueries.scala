@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{Shingles, SimHash, Winnow}
+import graft.functions.{Md5Bits, Shingles, SimHash, Winnow}
 
 /** Deduplication suite over the `documents` table — the LLM-training-data
   * operators the reference lacks entirely (SURVEY.md §7.0 step 5), each
@@ -136,13 +136,15 @@ object DedupQueries {
       "WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8"
 
   // ── MinHash-LSH near-dup candidates (the 100 TB path) ──────────────────
-  // numHashes minhashes per doc from one shingle scan (min over
-  // xxhash64(seed, shingle)); split into bands of rows; docs sharing any
-  // band bucket become candidates; candidates verified by signature
-  // Jaccard (estimate of true Jaccard). No oracle (xxhash64 is
-  // Spark-specific) → rows-only driver check + LshDedupSpec recall test.
+  // numHashes minhashes per doc from one shingle scan (min over the
+  // md5-derived hash60 of "seed|shingle"); split into bands of rows; docs
+  // sharing any band become candidates; candidates verified by signature
+  // Jaccard (estimate of true Jaccard). The md5 derivation is
+  // engine-agnostic, so the full candidate+estimate pipeline has a DuckDB
+  // oracle (qMinhashLshSql); recall vs exact Jaccard stays spec-tested.
   def minhashSignature(shingle: Column, numHashes: Int): Seq[Column] =
-    (0 until numHashes).map(i => min(xxhash64(lit(i), shingle)).as(s"mh_$i"))
+    (0 until numHashes).map(i =>
+      min(Md5Bits.hash60(concat(lit(s"$i|"), shingle))).as(s"mh_$i"))
 
   // 4 rows per band (not 2): the band-collision probability for a pair at
   // Jaccard J is J^4, so weakly-similar pairs (J≈0.3, common in the
@@ -165,11 +167,14 @@ object DedupQueries {
       .agg(sigCols.head, sigCols.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
-    // band key = hash of the band's slice of the signature
+    // band key = the band's slice of the signature itself (exact bucket
+    // semantics — no bucket-hash collisions, and the oracle can reproduce
+    // the join by comparing slices; rowsPerBand longs per key is still a
+    // constant-size shuffle key)
     val banded = sig.select(col("doc_id"), col("sig"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("bucket"))
       }: _*)).as("bk"))
     val cands = banded.as("x")
       .join(banded.as("y"),
@@ -187,8 +192,8 @@ object DedupQueries {
 
   // ── SimHash fingerprints + Hamming near-dup pairs ──────────────────────
   // Fingerprinting is one codegen'd scan (no shuffle). Pairing at scale
-  // uses the same banding idea: split the 64-bit fingerprint into 4
-  // 16-bit blocks; Hamming distance <= 3 guarantees at least one block
+  // uses the same banding idea: split the 60-bit fingerprint into 4
+  // 15-bit blocks; Hamming distance <= 3 guarantees at least one block
   // matches exactly, so block-equality buckets are a complete candidate
   // generator (pigeonhole) with O(docs × 4) shuffle.
   def qSimhashPairs(s: SparkSession, d: String): DataFrame = {
@@ -196,26 +201,29 @@ object DedupQueries {
     val fp = Tables.documents(s, d)
       .select(col("doc_id"), SimHash.simhash(col("text")).as("fp"))
     val blocks = fp.select(col("doc_id"), col("fp"),
-      explode(array((0 until 4).map { b =>
+      explode(array((0 until SimHash.Blocks).map { b =>
         struct(lit(b).as("block"),
-          shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))
+          shiftrightunsigned(col("fp"), b * SimHash.BlockBits)
+            .bitwiseAND(lit(SimHash.BlockMask)).as("key"))
       }: _*)).as("bk"))
     blocks.as("x")
       .join(blocks.as("y"),
         col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("bigint").as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= 3)
   }
 
   // ── Winnowing fingerprint overlap (LOCAL near-dup / containment) ───────
-  // Rolling-hash winnowing fingerprints (one codegen pass per doc, only
+  // md5-derived winnowing fingerprints (one codegen pass per doc, only
   // 8-byte hashes shuffle); pairs sharing >= 50% of the SMALLER doc's
   // fingerprints — catches a copied passage inside an otherwise-different
   // document, which whole-doc signals (SimHash, MinHash) miss.
-  // Spark-specific hash constants → rows-only driver check; the winnowing
-  // guarantee itself is spec-tested.
+  // Oracle: fingerprints(doc) = DISTINCT windowed min of the k-gram
+  // hashes (value sets don't depend on the tie-break — see Winnow's
+  // scaladoc), so DuckDB recomputes them with one windowed `min`; the
+  // winnowing guarantee itself stays spec-tested.
   // k=12 normalized chars (~2 words), w=8: short grams collide across
   // unrelated docs in a small vocabulary and quadratically flood the
   // self-join — 12-char grams keep matches meaningful (guarantee: any
@@ -237,6 +245,70 @@ object DedupQueries {
       .filter(col("overlap") >= 0.5)
   }
 
+  // ── DuckDB oracles for the approximate family ──────────────────────────
+  // Every hash bit above derives from md5 (Md5Bits), so DuckDB recomputes
+  // the minhash signatures / simhash fingerprints / winnow prints
+  // bit-for-bit and the "approximate" queries become fully hash-checked:
+  // approximate refers to what they estimate (Jaccard, Hamming
+  // neighborhoods), not to any engine-specific randomness.
+
+  private def sqlHash60(e: String) = Md5Bits.sqlHash60(e)
+
+  val qMinhashLshSql: String =
+    s"WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents), " +
+      s"sh AS (SELECT doc_id, unnest($sqlShingles) AS sh FROM toks), " +
+      "mh AS (SELECT doc_id, i, " +
+      s"min(${sqlHash60("CAST(i AS VARCHAR) || '|' || sh")}) AS mh " +
+      "FROM sh, range(0, 32) r(i) GROUP BY 1, 2), " +
+      "sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY 1), " +
+      "cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "CAST(len(list_filter(range(1, 33), j -> a.sig[j] = b.sig[j])) AS DOUBLE) / 32 AS est_jaccard " +
+      "FROM sig a JOIN sig b ON a.doc_id < b.doc_id " +
+      "WHERE EXISTS (SELECT 1 FROM range(0, 8) t(bb) " +
+      "WHERE a.sig[bb*4+1 : bb*4+4] = b.sig[bb*4+1 : bb*4+4])) " +
+      "SELECT doc_a, doc_b, est_jaccard FROM cand WHERE est_jaccard >= 0.8"
+
+  val qSimhashPairsSql: String = {
+    val bits = SimHash.Bits
+    s"WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents WHERE text IS NOT NULL), " +
+      "tok AS (SELECT doc_id, unnest(t) AS w FROM toks), " +
+      s"th AS (SELECT doc_id, ${sqlHash60("w")} AS h FROM tok), " +
+      "bits AS (SELECT doc_id, b, " +
+      "sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS c " +
+      s"FROM th, range(0, $bits) r(b) GROUP BY 1, 2), " +
+      "fph AS (SELECT doc_id, CAST(sum(CASE WHEN c > 0 " +
+      "THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS fp " +
+      "FROM bits GROUP BY 1), " +
+      // token-less docs still fingerprint (all counts 0 → fp 0) on the
+      // engine side — LEFT JOIN + coalesce mirrors that
+      "fp AS (SELECT d.doc_id, coalesce(f.fp, 0) AS fp " +
+      "FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d " +
+      "LEFT JOIN fph f ON d.doc_id = f.doc_id) " +
+      "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming " +
+      "FROM fp a JOIN fp b ON a.doc_id < b.doc_id " +
+      "WHERE bit_count(xor(a.fp, b.fp)) <= 3"
+  }
+
+  val qWinnowOverlapSql: String =
+    "WITH norm AS (SELECT doc_id, " +
+      "regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "grams AS (SELECT doc_id, " +
+      "unnest(generate_series(1, greatest(len(s) - 11, 0))) AS i, s FROM norm), " +
+      s"gh AS (SELECT doc_id, i, ${sqlHash60("substr(s, i, 12)")} AS h FROM grams), " +
+      "wm AS (SELECT doc_id, i, min(h) OVER (PARTITION BY doc_id ORDER BY i " +
+      "ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS mh FROM gh), " +
+      "fp AS (SELECT DISTINCT doc_id, mh AS h FROM wm WHERE i >= 8), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY 1), " +
+      "shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared " +
+      "FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      "SELECT doc_a, doc_b, shared, " +
+      "CAST(shared AS DOUBLE) / least(sa.n, sb.n) AS overlap " +
+      "FROM shared JOIN sizes sa ON doc_a = sa.doc_id " +
+      "JOIN sizes sb ON doc_b = sb.doc_id " +
+      "WHERE CAST(shared AS DOUBLE) / least(sa.n, sb.n) >= 0.5"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_winnow_overlap" -> qWinnowOverlap _,
     "q_dedup_exact"   -> qDedupExact _,
@@ -245,11 +317,11 @@ object DedupQueries {
     "q_simhash_pairs" -> qSimhashPairs _,
   )
 
-  /** xxhash64/FNV are Spark-side constructs — no DuckDB equivalent, so the
-    * approximate queries get the driver's rows-only check; their quality
-    * is asserted against the exact Jaccard oracle in LshDedupSpec. */
   val oracles: Map[String, String] = Map(
-    "q_dedup_exact"   -> qDedupExactSql,
-    "q_ngram_jaccard" -> qNgramJaccardSql,
+    "q_dedup_exact"    -> qDedupExactSql,
+    "q_ngram_jaccard"  -> qNgramJaccardSql,
+    "q_minhash_lsh"    -> qMinhashLshSql,
+    "q_simhash_pairs"  -> qSimhashPairsSql,
+    "q_winnow_overlap" -> qWinnowOverlapSql,
   )
 }

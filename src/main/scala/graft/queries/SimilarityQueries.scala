@@ -126,21 +126,26 @@ object SimilarityQueries {
   // over small Hamming distances, exactly like SimHash block-banding), so
   // shuffle volume is O(vectors × bands) instead of O(pairs). Candidates
   // are re-scored with exact cosine and top-k ranked per query.
-  // xxhash64-derived hyperplanes are Spark-specific → rows-only driver
-  // check; recall vs brute force is asserted in SimilaritySpec.
+  // The hyperplanes derive from md5 (VectorFunctions.srpPlane), so the
+  // DuckDB oracle rebuilds the identical sketches and the whole query is
+  // hash-checked; recall vs brute force stays asserted in SimilaritySpec.
+  private val Dims = 64 // embeddings table dimension
+
   def qAnnLsh(s: SparkSession, d: String): DataFrame =
     annLsh(vecs(s, d).select(col("vec_id"), col("v")), nBits = 16, bands = 4,
-      k = K, queryFilter = col("vec_id") < NumQueries)
+      k = K, queryFilter = col("vec_id") < NumQueries, dims = Dims)
 
-  /** Reusable LSH ANN over any (vec_id, v: array<double>) frame. */
+  /** Reusable LSH ANN over any (vec_id, v: array<double>) frame; `dims`
+    * fixes the hyperplane width at plan-build time (vectors of any other
+    * length sketch to NULL and never pair). */
   def annLsh(vecFrame: DataFrame, nBits: Int, bands: Int, k: Int,
-      queryFilter: Column): DataFrame = {
+      queryFilter: Column, dims: Int): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
     DotProduct.register(vecFrame.sparkSession)
     val bandBits = nBits / bands
     val mask = (1L << bandBits) - 1
     val sketched = vecFrame.select(col("vec_id"), col("v"),
-      srpSketch(col("v"), nBits).as("sk"),
+      srpSketch(col("v"), nBits, dims).as("sk"),
       sqrt(DotProduct.dot(col("v"), col("v"))).as("nrm"))
     val banded = sketched.select(col("vec_id"), col("v"), col("nrm"),
       explode(array((0 until bands).map { b =>
@@ -157,9 +162,38 @@ object SimilarityQueries {
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
     cand.select(col("qid"), col("nid"),
       (DotProduct.dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("sim"))
+      // zero-norm vectors have undefined cosine — excluded on both the
+      // engine and oracle sides (oracle guards qn * nn > 0)
+      .filter(col("sim").isNotNull)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("nid"), col("rnk"), round(col("sim"), 6).as("sim_r"))
+  }
+
+  /** DuckDB oracle for qAnnLsh: rebuild the md5-derived hyperplanes,
+    * sketch, band-match, exact-cosine re-score, rank — the identical
+    * computation (same fold order via list_dot_product). */
+  val qAnnLshSql: String = {
+    val h = graft.functions.Md5Bits.sqlHash60(
+      "CAST(j AS VARCHAR) || ',' || CAST(d AS VARCHAR)")
+    "WITH planes AS (SELECT j, list(CAST(CASE WHEN (" + h + " & 1) = 1 " +
+      "THEN 1.0 ELSE -1.0 END AS DOUBLE) ORDER BY d) AS sv " +
+      s"FROM range(0, 16) a(j), range(0, $Dims) b(d) GROUP BY j), " +
+      "vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "sk AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, " +
+      "CAST(sum(CASE WHEN list_dot_product(v, sv) >= 0 " +
+      "THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS sk " +
+      "FROM vs, planes GROUP BY vec_id, v), " +
+      "cand AS (SELECT q.vec_id AS qid, c.vec_id AS nid, " +
+      "list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim " +
+      s"FROM sk q JOIN sk c ON q.vec_id < $NumQueries " +
+      "AND c.vec_id <> q.vec_id AND q.nrm * c.nrm > 0 " +
+      "AND EXISTS (SELECT 1 FROM range(0, 4) t(b) " +
+      "WHERE ((q.sk >> (b*4)) & 15) = ((c.sk >> (b*4)) & 15))) " +
+      "SELECT qid, nid, rnk, round(sim, 6) AS sim_r FROM (" +
+      "SELECT qid, nid, sim, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rnk FROM cand) r " +
+      s"WHERE rnk <= $K"
   }
 
   // ── Per-label centroids (elementwise mean vectors) ─────────────────────
@@ -213,5 +247,6 @@ object SimilarityQueries {
     "q_knn_brute"   -> qKnnBruteSql,
     "q_knn_heap"    -> qKnnHeapSql,
     "q_cos_neardup" -> qCosNearDupSql,
+    "q_ann_lsh"     -> qAnnLshSql,
   )
 }

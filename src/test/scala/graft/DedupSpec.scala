@@ -126,15 +126,16 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("simhash block-banding is a complete candidate generator for d<=3") {
-    // pigeonhole: hamming<=3 over 4 blocks of 16 bits → >=1 block equal
+    // pigeonhole: hamming<=3 over 4 blocks of 15 bits → >=1 block equal
     val r = new scala.util.Random(7)
     (1 to 200).foreach { _ =>
-      val a = r.nextLong()
+      val a = r.nextLong() & ((1L << SimHash.Bits) - 1)
       var b = a
       val flips = r.nextInt(4) // 0..3 bit flips
-      (1 to flips).foreach(_ => b ^= (1L << r.nextInt(64)))
-      val blocksEqual = (0 until 4).count { i =>
-        ((a >>> (i * 16)) & 0xffffL) == ((b >>> (i * 16)) & 0xffffL)
+      (1 to flips).foreach(_ => b ^= (1L << r.nextInt(SimHash.Bits)))
+      val blocksEqual = (0 until SimHash.Blocks).count { i =>
+        ((a >>> (i * SimHash.BlockBits)) & SimHash.BlockMask) ==
+          ((b >>> (i * SimHash.BlockBits)) & SimHash.BlockMask)
       }
       assert(blocksEqual >= 1)
     }

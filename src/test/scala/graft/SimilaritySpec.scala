@@ -49,7 +49,7 @@ class SimilaritySpec extends AnyFunSuite {
     val df = rows.toDF("vec_id", "v")
 
     val ann = SimilarityQueries.annLsh(df, nBits = 16, bands = 4, k = 1,
-      queryFilter = lit(true))
+      queryFilter = lit(true), dims = dim)
       .filter($"rnk" === 1)
       .select($"qid", $"nid").as[(Long, Long)].collect()
 
@@ -105,10 +105,22 @@ class SimilaritySpec extends AnyFunSuite {
   test("srp sketch is deterministic across evaluations") {
     val df = Tables.embeddings(spark, sf).limit(50)
       .select($"vec_id", asDouble($"embedding").as("v"))
-    val a = df.select($"vec_id", srpSketch($"v", 16).as("sk"))
+    val a = df.select($"vec_id", srpSketch($"v", 16, 64).as("sk"))
       .as[(Long, Long)].collect().toMap
-    val b = df.select($"vec_id", srpSketch($"v", 16).as("sk"))
+    val b = df.select($"vec_id", srpSketch($"v", 16, 64).as("sk"))
       .as[(Long, Long)].collect().toMap
     assert(a === b)
+  }
+
+  test("md5-derived hash60: JVM spelling equals the column spelling") {
+    val samples = Seq("", "a", "the quick brown fox", "0|tok en", "é¿unicode",
+      "15,63") ++ (0 until 50).map(i => s"s$i")
+    val df = samples.toDF("s")
+      .select($"s", graft.functions.Md5Bits.hash60($"s").as("h"))
+      .as[(String, Long)].collect().toMap
+    samples.foreach { s =>
+      assert(df(s) === graft.functions.Md5Bits.hash60(s), s"mismatch for '$s'")
+      assert(df(s) >= 0L, "hash60 must be non-negative")
+    }
   }
 }
