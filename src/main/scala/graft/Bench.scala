@@ -45,7 +45,13 @@ object Bench {
     // total); they are visible as -1 in "queries" and counted in "failed".
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$runs,"failed":$failed,"sf":"$sfDir"}""")
+    // Contention diagnostics (max-min per query) go to STDERR: round-3's
+    // artifact captured only the tail of one long stdout line, keeping the
+    // noise map and losing the signal. stdout stays ONE JSON line (the
+    // driver contract), ordered so a tail-truncated capture still ends
+    // with per-query mins and the total (repeated as the LAST key).
+    System.err.println(s"""{"metric":"spread","runs":$runs,"spread":$spread}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"failed":$failed,"sf":"$sfDir","queries":$qs,"total_sec":$total}""")
     spark.stop()
   }
 }

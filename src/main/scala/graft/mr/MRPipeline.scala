@@ -89,15 +89,39 @@ final class MRPipeline[K, V] private (
     val pre: RDD[(K, V)] = combiner match {
       case None => rdd
       case Some(c) =>
-        // Map-side combine: per input partition, group locally then apply
-        // the combiner. Same memory envelope as the reference's mapper
-        // (which buffered its whole output anyway).
+        // Map-side combine with a BOUNDED buffer: group locally, but
+        // flush whenever maxBuffered values accumulate — a partition
+        // whose key cardinality approaches its row count can no longer
+        // OOM the task (the reference's mapper buffered its whole output;
+        // Spark's own map-side combine spills the same way). Chunked
+        // application is exactly as sound as having a combiner at all:
+        // the reduce re-groups every combined run, so any ALGEBRAIC
+        // combiner (the only kind a combiner may be) yields identical
+        // final results — spec-asserted with a tiny flush threshold.
+        val maxBuffered = spark.conf
+          .get("graft.mr.combine.maxBuffered", (1 << 20).toString).toInt
         rdd.mapPartitions { it =>
-          val groups = mutable.LinkedHashMap.empty[K, mutable.ArrayBuffer[V]]
-          it.foreach { case (k, v) =>
-            groups.getOrElseUpdate(k, mutable.ArrayBuffer.empty[V]) += v
+          new Iterator[(K, V)] {
+            private var out: Iterator[(K, V)] = Iterator.empty
+            private def refill(): Unit = {
+              val groups = mutable.LinkedHashMap.empty[K, mutable.ArrayBuffer[V]]
+              var buffered = 0
+              while (it.hasNext && buffered < maxBuffered) {
+                val (k, v) = it.next()
+                groups.getOrElseUpdate(k, mutable.ArrayBuffer.empty[V]) += v
+                buffered += 1
+              }
+              out = groups.iterator.flatMap { case (k, vs) => c(k, vs.toSeq) }
+            }
+            override def hasNext: Boolean = {
+              while (!out.hasNext && it.hasNext) refill()
+              out.hasNext
+            }
+            override def next(): (K, V) = {
+              if (!hasNext) throw new NoSuchElementException("empty combine")
+              out.next()
+            }
           }
-          groups.iterator.flatMap { case (k, vs) => c(k, vs.toSeq) }
         }
     }
     val partitioner: Partitioner = partitionFn match {
@@ -146,13 +170,17 @@ object MRPipeline {
     *
     *   - `input.format`: `wholetext` (reference S3 semantics: one
     *     (path, contents) pair per object), `text` (one (path, line) pair
-    *     per line), or `parquet.kv` (first two columns stringified — the
-    *     DynamoDB-source analog, `input_handler_dynamodb.py:168-213`)
-    *   - `input.path`: source location
+    *     per line), `parquet.kv` (first two columns stringified), or `kv`
+    *     — the REAL DynamoDB-source analog: reads through the `graft-kv`
+    *     DSv2 connector (projection pushdown, segmented parallel scan;
+    *     reference `driver/driver.py:240-251` routing
+    *     `inputSourceType: dynamodb` to
+    *     `input_handler_dynamodb.py:135-213`)
+    *   - `input.path`: source location (`input.table` for `kv`)
     */
   def fromConfig(spark: SparkSession,
       conf: Map[String, String]): MRPipeline[String, String] = {
-    val path = conf.getOrElse("input.path",
+    def path = conf.getOrElse("input.path",
       throw new IllegalArgumentException("config requires input.path"))
     conf.getOrElse("input.format", "wholetext") match {
       case "wholetext" => wholeText(spark, path)
@@ -170,6 +198,20 @@ object MRPipeline {
         fromDataset(df.select(
           org.apache.spark.sql.functions.col(df.columns(0)).cast("string"),
           org.apache.spark.sql.functions.col(df.columns(1)).cast("string"))
+          .as[(String, String)])
+      case "kv" =>
+        import spark.implicits._
+        val table = conf.getOrElse("input.table",
+          throw new IllegalArgumentException("input.format=kv requires input.table"))
+        val df = spark.read.format("graft-kv").option("table", table).load()
+        // key column first (the reference streams (key, item) pairs);
+        // selecting just two columns lets the connector's projection
+        // pushdown materialize only those attributes
+        val keyCol = graft.sources.kv.KvStore.data(table).keyCol
+        val other = df.columns.filter(_ != keyCol).headOption.getOrElse(keyCol)
+        fromDataset(df.select(
+          org.apache.spark.sql.functions.col(keyCol).cast("string"),
+          org.apache.spark.sql.functions.col(other).cast("string"))
           .as[(String, String)])
       case other =>
         throw new IllegalArgumentException(s"unknown input.format: $other")

@@ -26,11 +26,23 @@ import graft.functions.DotProduct
   */
 object KMeans {
 
-  /** Squared L2 distance via the codegen dot product:
-    * |a-b|² = a·a - 2a·b + b·b. */
-  private def dist2(v: org.apache.spark.sql.Column, na2: org.apache.spark.sql.Column,
-      c: org.apache.spark.sql.Column, nc2: org.apache.spark.sql.Column) =
-    na2 - lit(2.0) * DotProduct.dot(v, c) + nc2
+  /** The k centroids, collected to the driver (k rows by construction)
+    * and embedded as per-centroid literal score columns: for a vector
+    * column `v`, centroid c scores `c·c - 2·v·c` — the squared-L2
+    * argmin key (the row-constant `v·v` term cancels in comparisons).
+    * Each entry is `struct(score, cluster)`, so struct ordering = score
+    * asc, tie-break cluster asc. */
+  private def centroidScores(centroids: DataFrame,
+      v: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+    centroids.select(col("cluster"), col("c")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+      .map { case (cl, cv) =>
+        // same left-to-right fold as DotProduct.dot → bit-identical c·c
+        val c2 = cv.foldLeft(0.0)((a, x) => a + x * x)
+        struct((lit(c2) - lit(2.0) * DotProduct.dot(v, typedlit(cv))).as("d"),
+          lit(cl).as("cluster"))
+      }
 
   /** @param vecs (id, v: array<double>) frame
     * @return (cluster, centroid: array<double>) — k rows */
@@ -100,18 +112,18 @@ object KMeans {
     centroids
   }
 
-  /** Nearest-centroid assignment: broadcast the k centroids, one scan. */
+  /** Nearest-centroid assignment as ONE projection: the k centroids are
+    * plan-time literals and the argmin is a codegen'd `least` over k
+    * `struct(score, cluster)` columns — no crossJoin, no window, zero
+    * Exchange (PlanSpec pins this). The old crossJoin+window spelling
+    * pushed corpus×k rows through a hash exchange per Lloyd round — the
+    * one avoidable scale-killer at 100 TB. */
   def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
     DotProduct.register(vecs.sparkSession)
-    val v2 = vecs.withColumn("_n2", DotProduct.dot(col("v"), col("v")))
-    val c2 = centroids.withColumn("_c2", DotProduct.dot(col("c"), col("c")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("_d").asc, col("cluster").asc)
-    v2.crossJoin(broadcast(c2))
-      .withColumn("_d", dist2(col("v"), col("_n2"), col("c"), col("_c2")))
-      .withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") === 1)
-      .select(col("id"), col("v"), col("cluster"))
+    val scored = centroidScores(centroids, col("v"))
+    val best =
+      if (scored.size == 1) scored.head else least(scored: _*)
+    vecs.select(col("id"), col("v"), best.getField("cluster").as("cluster"))
   }
 
   /** IVF top-k cosine search: probe only the nProbe nearest cells per
@@ -128,16 +140,15 @@ object KMeans {
     DotProduct.register(s)
     val cells = assign(corpus, centroids) // inverted file: (id, v, cluster)
       .withColumn("nrm", sqrt(DotProduct.dot(col("v"), col("v"))))
-    val c2 = centroids.withColumn("_c2", DotProduct.dot(col("c"), col("c")))
-    val probeW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("_d").asc, col("cluster").asc)
+    // top-nProbe cells per query, shuffle-free: sort the k literal score
+    // structs per row, keep the first nProbe, explode — a narrow stage
+    // (the old crossJoin+window spelling shuffled queries×k rows)
+    val qScored = centroidScores(centroids, col("qv"))
     val probes = queries.select(col("id").as("qid"), col("v").as("qv"))
-      .withColumn("_q2", DotProduct.dot(col("qv"), col("qv")))
-      .crossJoin(broadcast(c2))
-      .withColumn("_d", dist2(col("qv"), col("_q2"), col("c"), col("_c2")))
-      .withColumn("_rk", row_number().over(probeW))
-      .filter(col("_rk") <= nProbe)
-      .select(col("qid"), col("qv"), sqrt(col("_q2")).as("qn"), col("cluster"))
+      .withColumn("qn", sqrt(DotProduct.dot(col("qv"), col("qv"))))
+      .select(col("qid"), col("qv"), col("qn"),
+        explode(slice(array_sort(array(qScored: _*)), 1, nProbe)).as("pc"))
+      .select(col("qid"), col("qv"), col("qn"), col("pc.cluster").as("cluster"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
     probes.join(cells, Seq("cluster"))

@@ -42,11 +42,35 @@ object KvQueries {
     "SELECT n_regionkey, count(*) AS n_nations, max(n_name) AS max_name " +
       "FROM nation GROUP BY 1"
 
+  /** Write path end-to-end: aggregate supplier per nation, WRITE the
+    * result through the DSv2 sink (`mode("overwrite")` → truncate +
+    * last-write-wins puts at commit — the reference's output-to-DynamoDB
+    * shape, `output_handler_dynamodb.py:62-112`), then READ it back
+    * through the connector. The oracle recomputes the aggregate from
+    * parquet, so a bug anywhere in writer buffering, commit, store
+    * round-tripping, or the read path breaks the hash. */
+  def qKvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val agg = Tables.supplier(s, d)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(col("s_suppkey")).cast("bigint").as("sum_suppkey"))
+    KvStore.register("kv_supp_agg", "s_nationkey", agg.schema) // idempotent
+    agg.write.format("graft-kv").option("table", "kv_supp_agg")
+      .mode("overwrite").save()
+    s.read.format("graft-kv").option("table", "kv_supp_agg").load()
+  }
+
+  val qKvRoundtripSql: String =
+    "SELECT s_nationkey, count(*) AS n_supp, " +
+      "CAST(sum(s_suppkey) AS BIGINT) AS sum_suppkey FROM supplier GROUP BY 1"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_kv_scan" -> qKvScan _,
+    "q_kv_scan"      -> qKvScan _,
+    "q_kv_roundtrip" -> qKvRoundtrip _,
   )
 
   val oracles: Map[String, String] = Map(
-    "q_kv_scan" -> qKvScanSql,
+    "q_kv_scan"      -> qKvScanSql,
+    "q_kv_roundtrip" -> qKvRoundtripSql,
   )
 }

@@ -151,15 +151,40 @@ object MediaQueries {
       "max(CAST(doc_id % 4 * 160 + 320 AS INT)) AS max_width " +
       "FROM documents GROUP BY 1"
 
+  /** Frame sampling through the codegen'd binary-substring path — every
+    * "video" payload sliced into its sampled frames; output is per-frame
+    * identity (length + md5) so the oracle checks the exact bytes. */
+  def qMediaFrames(s: SparkSession, d: String): DataFrame =
+    sampleFrames(mediaTable(s, d))
+      .select(col("media_id"), col("frame_no").cast("bigint").as("frame_no"),
+        length(col("frame")).cast("bigint").as("frame_bytes"),
+        md5(col("frame")).as("frame_md5"))
+
+  // Same ASCII-fixture convention as qMediaFeaturesSql: DuckDB has no
+  // BLOB substr, so the oracle slices the text by character — equal to
+  // the engine's byte slicing because the fixture text is ASCII.
+  // frameBytes=16, stride=4 → step 64 (sampleFrames defaults).
+  val qMediaFramesSql: String =
+    "WITH m AS (SELECT doc_id AS media_id, text, " +
+      "CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) AS n_frames " +
+      "FROM documents WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0), " +
+      "f AS (SELECT media_id, unnest(generate_series(0, n_frames - 1)) AS frame_no, " +
+      "text FROM m) " +
+      "SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no, " +
+      "CAST(octet_length(encode(substr(text, frame_no * 64 + 1, 16))) AS BIGINT) AS frame_bytes, " +
+      "md5(substr(text, frame_no * 64 + 1, 16)) AS frame_md5 FROM f"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_meta"     -> qMediaMeta _,
     "q_media_features" -> qMediaFeatures _,
     "q_media_by_kind"  -> qMediaByKind _,
+    "q_media_frames"   -> qMediaFrames _,
   )
 
   val oracles: Map[String, String] = Map(
     "q_media_meta"     -> qMediaMetaSql,
     "q_media_features" -> qMediaFeaturesSql,
     "q_media_by_kind"  -> qMediaByKindSql,
+    "q_media_frames"   -> qMediaFramesSql,
   )
 }

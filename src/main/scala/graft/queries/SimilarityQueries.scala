@@ -102,7 +102,17 @@ object SimilarityQueries {
   // LSH path below, same relationship as n-gram Jaccard : MinHash-LSH.
   private val NearDupThreshold = 0.4
 
+  /** Guard for the exact-quadratic spellings: they exist as small-scale
+    * ORACLES for the LSH paths, and refuse to run past this corpus size
+    * so no registered query is unconditionally O(n²) — point a real
+    * corpus at q_ann_lsh (SRP-banded) instead. */
+  private val MaxExactRows = 100000L
+
   def qCosNearDup(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.embeddings(s, d).count()
+    require(n <= MaxExactRows,
+      s"q_cos_neardup is the exact all-pairs oracle (corpus $n > $MaxExactRows rows); " +
+        "use q_ann_lsh (SRP-banded candidates) at scale")
     val a = vecs(s, d).select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = vecs(s, d).select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))

@@ -44,6 +44,21 @@ class MRPipelineSpec extends AnyFunSuite {
     assert(plain === comb)
   }
 
+  test("bounded combine buffer: chunked flushes preserve algebraic results") {
+    // cardinality ≈ rows (the OOM-shaped input) + a tiny flush threshold:
+    // the combiner runs many times per partition and once per partial run
+    // of a key; the reduce re-group must still see exact totals
+    val input = (1 to 5000).map(i => (s"k${i % 2000}", i))
+    val sum = (k: String, vs: Seq[Int]) => Iterator.single((k, vs.sum))
+    val plain = pairs(input: _*).reduce(sum, 4).collectPairs().sorted.toSeq
+    spark.conf.set("graft.mr.combine.maxBuffered", "64")
+    try {
+      val chunked = pairs(input: _*).combineReduce(sum, sum, 4)
+        .collectPairs().sorted.toSeq
+      assert(chunked === plain)
+    } finally spark.conf.unset("graft.mr.combine.maxBuffered")
+  }
+
   test("custom shuffle function controls exact partition placement") {
     val p = pairs("a" -> 1, "bb" -> 2, "ccc" -> 3, "dddd" -> 4)
       .shuffle((k: String, n: Int) => k.length % n)
@@ -90,6 +105,22 @@ class MRPipelineSpec extends AnyFunSuite {
     val whole = graft.mr.MRPipeline.fromConfig(spark, Map(
       "input.format" -> "wholetext", "input.path" -> dir.toString)).collectPairs()
     assert(whole.length === 1 && whole.head._2 === "alpha\nbeta\n")
+  }
+
+  test("fromConfig kv reads through the graft-kv DSv2 connector") {
+    import org.apache.spark.sql.types._
+    val table = "kv_mrconf"
+    if (!graft.sources.kv.KvStore.exists(table)) {
+      graft.sources.kv.KvStore.register(table, "k",
+        StructType(Seq(StructField("k", StringType), StructField("v", StringType))))
+      graft.sources.kv.KvStore.put(table,
+        Seq(Seq("a", "1"), Seq("b", "2"), Seq("c", "3")))
+    }
+    val pairs = graft.mr.MRPipeline.fromConfig(spark, Map(
+      "input.format" -> "kv", "input.table" -> table)).collectPairs()
+    assert(pairs.sorted.toSeq === Seq(("a", "1"), ("b", "2"), ("c", "3")))
+    // key column always arrives as the pair key, regardless of position
+    assert(pairs.forall { case (k, _) => Seq("a", "b", "c").contains(k) })
   }
 
   test("MR word count equals DataFrame word count") {

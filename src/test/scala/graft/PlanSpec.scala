@@ -67,6 +67,17 @@ class PlanSpec extends AnyFunSuite {
       s"date filter not pushed:\n$p")
   }
 
+  test("kmeans assign is one projection: no Exchange of any kind") {
+    import spark.implicits._
+    val vecs = (0L until 100L).map(i => (i, Seq.fill(8)(i.toDouble % 7)))
+      .toDF("id", "v")
+    val cents = graft.operators.KMeans.fit(vecs, k = 4, iterations = 1)
+    val p = graft.operators.KMeans.assign(vecs, cents)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"assign must not shuffle:\n$p")
+    assert(!p.contains("Window"), s"assign must not window:\n$p")
+  }
+
   test("knn corpus scan stays un-shuffled before the top-k aggregation") {
     // the only exchanges allowed: broadcast of queries + the final
     // per-qid aggregation; the corpus itself must not repartition
