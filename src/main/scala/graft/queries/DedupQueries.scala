@@ -136,15 +136,27 @@ object DedupQueries {
       "WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8"
 
   // ── MinHash-LSH near-dup candidates (the 100 TB path) ──────────────────
-  // numHashes minhashes per doc from one shingle scan (min over the
-  // md5-derived hash60 of "seed|shingle"); split into bands of rows; docs
-  // sharing any band become candidates; candidates verified by signature
-  // Jaccard (estimate of true Jaccard). The md5 derivation is
-  // engine-agnostic, so the full candidate+estimate pipeline has a DuckDB
-  // oracle (qMinhashLshSql); recall vs exact Jaccard stays spec-tested.
-  def minhashSignature(shingle: Column, numHashes: Int): Seq[Column] =
-    (0 until numHashes).map(i =>
-      min(Md5Bits.hash60(concat(lit(s"$i|"), shingle))).as(s"mh_$i"))
+  // numHashes minhashes per doc from ONE md5 per shingle: x = hash60(sh)
+  // mod p, then a Carter–Wegman universal family mh_i = (a_i·x + b_i)
+  // mod p with p prime < 2^31 and per-seed constants derived from i by
+  // the same closed formula on both engines. One digest per shingle (32
+  // md5s per shingle was the whole q_minhash_lsh bench cost), every
+  // product < 2^61 (ANSI-overflow-safe on Spark, BIGINT-safe on DuckDB),
+  // and proper cross-seed independence — a single globally-minimal
+  // md5 value cannot dominate every seed's min the way a shared-prefix
+  // family would. Signatures band into rows; docs sharing any band become
+  // candidates; candidates verified by signature Jaccard (estimate of
+  // true Jaccard). Fully reproduced by qMinhashLshSql; recall vs exact
+  // Jaccard stays spec-tested.
+  private[graft] val MinhashP = 1073741789L // largest prime < 2^30
+
+  /** Per-seed min over a pre-reduced hash column `x` (= hash60 mod p). */
+  def minhashSignature(x: Column, numHashes: Int): Seq[Column] =
+    (0 until numHashes).map { i =>
+      val a = (i * 2654435761L) % (MinhashP - 1) + 1 // in [1, p-1], never 0
+      val b = (i * 97531L) % MinhashP
+      min((lit(a) * x + lit(b)) % MinhashP).as(s"mh_$i")
+    }
 
   // 4 rows per band (not 2): the band-collision probability for a pair at
   // Jaccard J is J^4, so weakly-similar pairs (J≈0.3, common in the
@@ -162,7 +174,9 @@ object DedupQueries {
     Shingles.register(docs.sparkSession)
     val sh = docs
       .select(col("doc_id"), explode(Shingles.shingles(col("text"), 3)).as("sh"))
-    val sigCols = minhashSignature(col("sh"), numHashes)
+      // ONE md5 per shingle, reduced into the prime field before the agg
+      .select(col("doc_id"), (Md5Bits.hash60(col("sh")) % MinhashP).as("x"))
+    val sigCols = minhashSignature(col("x"), numHashes)
     val sig = sh.groupBy(col("doc_id"))
       .agg(sigCols.head, sigCols.tail: _*)
       .select(col("doc_id"),
@@ -257,9 +271,10 @@ object DedupQueries {
   val qMinhashLshSql: String =
     s"WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents), " +
       s"sh AS (SELECT doc_id, unnest($sqlShingles) AS sh FROM toks), " +
+      s"hx AS (SELECT doc_id, ${sqlHash60("sh")} % $MinhashP AS x FROM sh), " +
       "mh AS (SELECT doc_id, i, " +
-      s"min(${sqlHash60("CAST(i AS VARCHAR) || '|' || sh")}) AS mh " +
-      "FROM sh, range(0, 32) r(i) GROUP BY 1, 2), " +
+      s"min((((i * 2654435761) % ${MinhashP - 1} + 1) * x + (i * 97531) % $MinhashP) % $MinhashP) AS mh " +
+      "FROM hx, range(0, 32) r(i) GROUP BY 1, 2), " +
       "sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY 1), " +
       "cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
       "CAST(len(list_filter(range(1, 33), j -> a.sig[j] = b.sig[j])) AS DOUBLE) / 32 AS est_jaccard " +
