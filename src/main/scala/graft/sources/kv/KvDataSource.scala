@@ -70,6 +70,15 @@ object KvStore {
 
   private val tables = TrieMap.empty[String, TableData]
 
+  // DynamoDB-style request-unit meters (one unit per item written/read),
+  // consumed by graft.CostAccounting (A21 cost model analog). In-process
+  // like the store itself; a networked provider would read these from the
+  // service's metrics instead.
+  private val writeCounter = new java.util.concurrent.atomic.LongAdder
+  private val readCounter = new java.util.concurrent.atomic.LongAdder
+  def writeOps: Long = writeCounter.sum
+  def readOps: Long = readCounter.sum
+
   def register(name: String, keyCol: String, schema: StructType): Unit = {
     require(schema.fieldNames.contains(keyCol),
       s"key column $keyCol not in schema ${schema.fieldNames.mkString(",")}")
@@ -79,8 +88,13 @@ object KvStore {
   def put(name: String, rows: Iterable[Seq[Any]]): Unit = {
     val t = data(name)
     val ki = t.schema.fieldIndex(t.keyCol)
-    rows.foreach(r => t.items.put(String.valueOf(r(ki)), r))
+    rows.foreach { r =>
+      t.items.put(String.valueOf(r(ki)), r)
+      writeCounter.increment()
+    }
   }
+
+  private[kv] def readUnit(): Unit = readCounter.increment()
 
   def truncate(name: String): Unit = data(name).items.clear()
   def exists(name: String): Boolean = tables.contains(name)
@@ -180,6 +194,7 @@ class KvReaderFactory(required: StructType) extends PartitionReaderFactory {
         // materialize ONLY the pruned attributes (the pushdown payoff)
         current = InternalRow.fromSeq(part.prunedIdx.indices.map(j =>
           converters(j)(r(part.prunedIdx(j)))))
+        KvStore.readUnit()
         true
       }
       override def get(): InternalRow = current
