@@ -25,7 +25,8 @@ object SparkEntry {
     Relational.queries ++ MRQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ EventQueries.queries ++
-      MediaQueries.queries ++ PipelineQueries.queries ++ KvQueries.queries
+      MediaQueries.queries ++ PipelineQueries.queries ++ KvQueries.queries ++
+      StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
     Relational.oracles ++ MRQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ EventQueries.oracles ++
-      MediaQueries.oracles ++ PipelineQueries.oracles ++ KvQueries.oracles
+      MediaQueries.oracles ++ PipelineQueries.oracles ++ KvQueries.oracles ++
+      StreamQueries.oracles
 }

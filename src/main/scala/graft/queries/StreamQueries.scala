@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.streaming.EventStreams
+
+/** Oracle-checked Structured Streaming: the SAME streaming plans the
+  * specs exercise, run end-to-end as a bounded backfill — `readStream`
+  * over the events parquet, windowed aggregation, `writeStream` into a
+  * memory sink under `Trigger.AvailableNow` (process everything
+  * available, then stop: the production backfill/catch-up shape). The
+  * result table is handed to the driver's DuckDB gate under the same
+  * oracle SQL as the equivalent batch query — streaming == batch becomes
+  * a hash-checked correctness row, not only a ScalaTest property.
+  *
+  * Decimal sums inside the streaming aggregations make results exact and
+  * order-independent, so micro-batch boundaries cannot perturb the hash.
+  *
+  * Scale shape: AvailableNow chunks the backlog into bounded micro-
+  * batches (state + watermark semantics identical to a live run); the
+  * memory sink here is the verification harness — production uses
+  * `EventStreams.writeParquetSink` (checkpointed, exactly-once).
+  */
+object StreamQueries {
+
+  private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Run a bounded streaming aggregation to completion, return the sink
+    * table. Complete mode: every window is emitted at end-of-input (in
+    * append mode the windows newer than the final watermark would be
+    * withheld — correct for an unbounded run, wrong for a backfill
+    * compare). */
+  private def runToMemory(s: SparkSession, df: DataFrame): DataFrame = {
+    val name = s"graft_stream_sink_${sinkCounter.incrementAndGet()}"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_ckpt").toString
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** The streaming file source wants a DIRECTORY to watch; the fixture
+    * events table is a single parquet file — expose it through a temp-dir
+    * symlink (no copy; a production events feed is a directory already). */
+  private def eventStream(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
+    EventStreams.readEventStream(s, dir.toString, nanosTs = true)
+  }
+
+  /** Streaming hourly tumbling windows == batch q_tumbling_hourly. */
+  def qStreamTumbling(s: SparkSession, d: String): DataFrame =
+    runToMemory(s, EventStreams.hourlyCounts(eventStream(s, d)))
+
+  /** Streaming native session windows == batch q_session_window. */
+  def qStreamSessions(s: SparkSession, d: String): DataFrame =
+    runToMemory(s, EventStreams.sessionWindows(eventStream(s, d)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_tumbling" -> qStreamTumbling _,
+    "q_stream_sessions" -> qStreamSessions _,
+  )
+
+  /** Same ground truth as the batch forms — that is the point. */
+  val oracles: Map[String, String] = Map(
+    "q_stream_tumbling" -> EventQueries.qTumblingHourlySql,
+    "q_stream_sessions" -> EventQueries.qSessionWindowSql,
+  )
+}

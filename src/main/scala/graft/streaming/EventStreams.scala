@@ -34,20 +34,24 @@ object EventStreams {
     *        TIMESTAMP(NANOS) (as the repo's own events.parquet does):
     *        the column is then read as BIGINT under the session's
     *        nanosAsLong setting and converted to a microsecond
-    *        timestamp, mirroring Tables.events. */
+    *        timestamp, mirroring Tables.events.
+    * @param basePath required when `dir` is a single file or glob (the
+    *        file source wants a directory anchor for partition
+    *        discovery); pass the containing directory. */
   def readEventStream(spark: SparkSession, dir: String,
-      nanosTs: Boolean = false): DataFrame =
-    if (nanosTs)
-      spark.readStream
-        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+      nanosTs: Boolean = false, basePath: Option[String] = None): DataFrame = {
+    val reader0 = spark.readStream
+      .schema(if (nanosTs)
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, props STRING"
+      else
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
           "event_type STRING, value DOUBLE, props STRING")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else
-      spark.readStream
-        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
-          "event_type STRING, value DOUBLE, props STRING")
-        .parquet(dir)
+    val reader = basePath.fold(reader0)(reader0.option("basePath", _))
+    val df = reader.parquet(dir)
+    if (nanosTs) df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
 
   /** Hourly tumbling counts/revenue per event type — the streaming form
     * of EventQueries.qTumblingHourly. The watermark lets Spark emit and
