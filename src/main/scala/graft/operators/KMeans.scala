@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, Md5Bits}
 
 /** Lloyd's k-means over an embedding column, plus the IVF
   * (inverted-file) approximate nearest-neighbor search it trains — the
@@ -51,14 +51,15 @@ object KMeans {
     DotProduct.register(s)
     import s.implicits._
     // Init, stage 1 — oversample: the 4k rows with the smallest
-    // xxhash64(id). A seed-free uniform pseudo-random sample,
-    // reproducible everywhere; orderBy+limit compiles to
+    // md5-derived hash60(id). A seed-free uniform pseudo-random sample,
+    // reproducible everywhere AND on the DuckDB oracle side (md5 of the
+    // same decimal id string); orderBy+limit compiles to
     // TakeOrderedAndProject (per-partition heap of 4k + driver merge),
     // NOT the full global sort the old stride init paid — the one
     // avoidable full-sort stage in the suite at 100 TB.
     val m = 4 * k
     val sample = vecs
-      .select(xxhash64(col("id")).as("h"), col("id"), col("v"))
+      .select(Md5Bits.hash60(col("id")).as("h"), col("id"), col("v"))
       .orderBy(col("h"), col("id")).limit(m)
       .as[(Long, Long, Seq[Double])].collect()
       .sortBy(t => (t._1, t._2)) // driver-side re-sort: order is contractual
@@ -70,10 +71,18 @@ object KMeans {
     // one dense cluster and Lloyd's never recovers; farthest-point
     // guarantees spread. Deterministic: start at the min-hash row,
     // tie-break on id.
+    // |a-b|² spelled as a·a - 2·a·b + b·b with three left folds — the
+    // same operation sequence as `list_dot_product`-based SQL, so the
+    // DuckDB oracle's farthest-point comparisons are bit-identical
     def d2(a: Array[Double], b: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
-      acc
+      var aa = 0.0; var ab = 0.0; var bb = 0.0
+      var i = 0
+      while (i < a.length) { aa += a(i) * a(i); i += 1 }
+      i = 0
+      while (i < a.length) { ab += a(i) * b(i); i += 1 }
+      i = 0
+      while (i < b.length) { bb += b(i) * b(i); i += 1 }
+      aa - 2 * ab + bb
     }
     val kEff = math.min(k, sample.length)
     val chosen = scala.collection.mutable.ArrayBuffer(sample.head)
@@ -95,10 +104,15 @@ object KMeans {
       .localCheckpoint(true)
     for (_ <- 1 to iterations) {
       val assigned = assign(vecs, centroids)
+      // decimal-sum mean rounded to 6 decimals: exact and ORDER-
+      // INDEPENDENT (a double avg would vary with partition order), and
+      // the identical spelling as the oracle-proven q_centroids — so
+      // every Lloyd round is reproducible on both engines bit-for-bit
       val recomputed = assigned
         .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cluster"), col("dim"))
-        .agg(avg(col("x")).as("m"))
+        .agg(round(sum(col("x").cast("decimal(28,12)")).cast("double") /
+          count(col("x")), 6).as("m"))
         .groupBy(col("cluster"))
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("p"))
         .select(col("cluster"), transform(col("p"), e => e("m")).as("c"))

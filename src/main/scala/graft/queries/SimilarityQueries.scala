@@ -232,15 +232,86 @@ object SimilarityQueries {
   // ── IVF ANN: k-means-trained inverted file, probe nProbe cells ─────────
   // The other standard ANN family next to LSH: the corpus is bucketed by
   // nearest trained centroid; each query scans only its 4 nearest of 16
-  // cells (~25% of the corpus). Iterative float training → rows-only
-  // driver check; exactness at full probe + cluster recall are
-  // spec-tested in KMeansSpec.
+  // cells (~25% of the corpus). The whole training run is deterministic
+  // AND engine-agnostic (md5-derived init sample, dot-product-spelled
+  // distances, order-independent decimal means — see KMeans.fit), so the
+  // oracle replays init + every Lloyd round + the probed search in SQL;
+  // exactness at full probe + cluster recall stay spec-tested.
+  private val IvfK = 16
+  private val IvfIters = 3
+  private val IvfProbe = 4
+
   def qAnnIvf(s: SparkSession, d: String): DataFrame = {
     val v = vecs(s, d).select(col("vec_id").as("id"), col("v"))
-    val centroids = graft.operators.KMeans.fit(v, k = 16, iterations = 3)
+    val centroids = graft.operators.KMeans.fit(v, k = IvfK, iterations = IvfIters)
     graft.operators.KMeans.ivfSearch(
-      v, v.filter(col("id") < NumQueries), centroids, k = K, nProbe = 4)
+      v, v.filter(col("id") < NumQueries), centroids, k = K, nProbe = IvfProbe)
       .select(col("qid"), col("nid"), col("rnk"), round(col("sim"), 6).as("sim_r"))
+  }
+
+  /** DuckDB oracle for qAnnIvf — the full pipeline unrolled as CTEs:
+    * md5-ordered oversample, k greedy farthest-point selections (argmax
+    * of min-distance, tie on id — KMeans.fit's exact rule), `IvfIters`
+    * Lloyd rounds (argmin assign + decimal-mean recompute + empty-cell
+    * coalesce), then the probed cosine search. Every float op uses the
+    * same spelling/fold order as the engine (`list_dot_product`,
+    * `c·c - 2·v·c` scores, round-6 means), so comparisons agree
+    * bit-for-bit. */
+  val qAnnIvfSql: String = {
+    val m = 4 * IvfK
+    def dot(a: String, b: String) = s"list_dot_product($a, $b)"
+    def d2(a: String, b: String) = s"${dot(a, a)} - 2*${dot(a, b)} + ${dot(b, b)}"
+    def score(v: String, c: String) = s"${dot(c, c)} - 2*${dot(v, c)}"
+    def assignCte(name: String, src: String, cent: String) =
+      s"$name AS MATERIALIZED (SELECT id, v, cluster FROM (" +
+        s"SELECT e.id, e.v, c.cluster, row_number() OVER (PARTITION BY e.id " +
+        s"ORDER BY ${score("e.v", "c.v")} ASC, c.cluster ASC) AS rn " +
+        s"FROM $src e, $cent c) WHERE rn = 1)"
+    val sb = new StringBuilder
+    // MATERIALIZED: the corpus CTE is referenced by every Lloyd round —
+    // inlining it would re-open the parquet per reference (observed:
+    // fd exhaustion) and rescan ~20×
+    sb ++= "WITH vs AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    sb ++= "smp AS MATERIALIZED (SELECT id, v, " +
+      graft.functions.Md5Bits.sqlHash60("CAST(id AS VARCHAR)") +
+      s" AS h FROM vs ORDER BY h, id LIMIT $m), "
+    sb ++= "ch0 AS MATERIALIZED (SELECT id, v FROM smp ORDER BY h, id LIMIT 1), "
+    sb ++= s"md0 AS MATERIALIZED (SELECT s.id, s.v, ${d2("s.v", "c.v")} AS mind FROM smp s, ch0 c), "
+    for (j <- 1 until IvfK) {
+      sb ++= s"ch$j AS MATERIALIZED (SELECT id, v FROM md${j - 1} ORDER BY mind DESC, id ASC LIMIT 1), "
+      if (j < IvfK - 1)
+        sb ++= s"md$j AS MATERIALIZED (SELECT m.id, m.v, least(m.mind, ${d2("m.v", "c.v")}) AS mind " +
+          s"FROM md${j - 1} m, ch$j c), "
+    }
+    sb ++= (0 until IvfK)
+      .map(j => s"SELECT $j AS cluster, v FROM ch$j")
+      .mkString("cent0 AS MATERIALIZED (", " UNION ALL ", "), ")
+    for (t <- 1 to IvfIters) {
+      sb ++= assignCte(s"a$t", "vs", s"cent${t - 1}") + ", "
+      sb ++= s"m$t AS (SELECT cluster, pos - 1 AS dim, " +
+        "round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(x), 6) AS mval " +
+        s"FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM a$t) " +
+        "GROUP BY 1, 2), "
+      sb ++= s"n$t AS (SELECT cluster, list(mval ORDER BY dim) AS v FROM m$t GROUP BY cluster), "
+      sb ++= s"cent$t AS MATERIALIZED (SELECT p.cluster, coalesce(n.v, p.v) AS v " +
+        s"FROM cent${t - 1} p LEFT JOIN n$t n USING (cluster)), "
+    }
+    sb ++= assignCte("cellsa", "vs", s"cent$IvfIters") + ", "
+    sb ++= s"cells AS (SELECT id, v, cluster, sqrt(${dot("v", "v")}) AS nrm FROM cellsa), "
+    sb ++= s"qs AS (SELECT id AS qid, v AS qv, sqrt(${dot("v", "v")}) AS qn " +
+      s"FROM vs WHERE id < $NumQueries), "
+    sb ++= "probes AS (SELECT qid, qv, qn, cluster FROM (" +
+      "SELECT q.qid, q.qv, q.qn, c.cluster, row_number() OVER (PARTITION BY q.qid " +
+      s"ORDER BY ${score("q.qv", "c.v")} ASC, c.cluster ASC) AS rn " +
+      s"FROM qs q, cent$IvfIters c) WHERE rn <= $IvfProbe), "
+    sb ++= s"cand AS (SELECT p.qid, l.id AS nid, " +
+      s"${dot("p.qv", "l.v")} / (p.qn * l.nrm) AS sim " +
+      "FROM probes p JOIN cells l USING (cluster) WHERE l.id <> p.qid) "
+    sb ++= "SELECT qid, nid, rnk, round(sim, 6) AS sim_r FROM (" +
+      "SELECT qid, nid, sim, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rnk FROM cand) " +
+      s"WHERE rnk <= $K"
+    sb.toString
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -258,5 +329,6 @@ object SimilarityQueries {
     "q_knn_heap"    -> qKnnHeapSql,
     "q_cos_neardup" -> qCosNearDupSql,
     "q_ann_lsh"     -> qAnnLshSql,
+    "q_ann_ivf"     -> qAnnIvfSql,
   )
 }
