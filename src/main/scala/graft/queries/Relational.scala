@@ -431,6 +431,30 @@ object Relational {
       s"count(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price " +
       "FROM orders GROUP BY 1"
 
+  // ── Bucketed co-located join (the repeated-join layout at 100 TB) ──────
+  // Pays the shuffle ONCE at write time: both sides bucketed+sorted on the
+  // join key, then the fact⋈fact join reads buckets directly (SourcesSpec
+  // pins the no-Exchange SortMergeJoin plan). Registered so the full
+  // write-bucketed → read → join → aggregate path sits under the DuckDB
+  // gate, not only a plan assertion.
+  def qBucketedJoin(s: SparkSession, d: String): DataFrame = {
+    graft.sources.Sources.writeBucketed(
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
+      "b_gate_lineitem", Seq("l_orderkey"), 8)
+    graft.sources.Sources.writeBucketed(
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+      "b_gate_orders", Seq("o_orderkey"), 8)
+    s.table("b_gate_lineitem")
+      .join(s.table("b_gate_orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("total_qty"))
+  }
+
+  val qBucketedJoinSql: String =
+    "SELECT o_custkey, count(*) AS n_items, " +
+      s"${sqlDsum("l_quantity")} AS total_qty " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1"
+
   /** All (name → query) pairs this module contributes. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_histogram"       -> qHistogram _,
@@ -460,6 +484,7 @@ object Relational {
     "q_date_filter"     -> qDateFilter _,
     "q_rollup"          -> qRollup _,
     "q_star_join"       -> qStarJoin _,
+    "q_bucketed_join"   -> qBucketedJoin _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -491,5 +516,6 @@ object Relational {
     "q_date_filter"     -> qDateFilterSql,
     "q_rollup"          -> qRollupSql,
     "q_star_join"       -> qStarJoinSql,
+    "q_bucketed_join"   -> qBucketedJoinSql,
   )
 }

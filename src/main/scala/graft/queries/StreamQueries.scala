@@ -31,12 +31,13 @@ object StreamQueries {
     * append mode the windows newer than the final watermark would be
     * withheld — correct for an unbounded run, wrong for a backfill
     * compare). */
-  private def runToMemory(s: SparkSession, df: DataFrame): DataFrame = {
+  private def runToMemory(s: SparkSession, df: DataFrame,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val name = s"graft_stream_sink_${sinkCounter.incrementAndGet()}"
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft_stream_ckpt").toString
     val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Complete())
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", ckpt)
       .start()
@@ -62,14 +63,39 @@ object StreamQueries {
   def qStreamSessions(s: SparkSession, d: String): DataFrame =
     runToMemory(s, EventStreams.sessionWindows(eventStream(s, d)))
 
+  /** Custom keyed state (flatMapGroupsWithState) run as a backfill: the
+    * update-mode sink logs one row per (user, micro-batch); the FINAL
+    * state per user is the row with the highest n_events (running counts
+    * are strictly increasing). Integer-cents accumulation makes the final
+    * state equal the batch decimal sum exactly — see
+    * EventStreams.runningUserCents. */
+  def qStreamRunning(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val totals = EventStreams.runningUserCents(
+      eventStream(s, d).as[EventStreams.Event])
+    runToMemory(s, totals.toDF(), OutputMode.Update())
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("value_cents"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.value_cents").as("value_cents"))
+  }
+
+  val qStreamRunningSql: String =
+    "SELECT user_id, count(*) AS n_events, " +
+      "CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents " +
+      "FROM events GROUP BY 1"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> qStreamTumbling _,
     "q_stream_sessions" -> qStreamSessions _,
+    "q_stream_running"  -> qStreamRunning _,
   )
 
   /** Same ground truth as the batch forms — that is the point. */
   val oracles: Map[String, String] = Map(
     "q_stream_tumbling" -> EventQueries.qTumblingHourlySql,
     "q_stream_sessions" -> EventQueries.qSessionWindowSql,
+    "q_stream_running"  -> qStreamRunningSql,
   )
 }

@@ -26,6 +26,8 @@ object EventStreams {
 
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 
+  case class UserTotals(user_id: Long, n_events: Long, value_cents: Long)
+
   /** Unbounded file-source read of an events directory (the production
     * entry point: new parquet files appear, Spark incrementally processes
     * them). Schema must be declared — streaming reads cannot infer.
@@ -101,6 +103,32 @@ object EventStreams {
           var total = prev.total_value
           batch.foreach { e => n += 1; total += e.value }
           val next = UserRunning(userId, n, total)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  /** Exact-arithmetic variant of [[runningUserTotals]]: values accumulate
+    * as integer CENTS (the decimal(18,2) reading of the double, Spark's
+    * own double→decimal rounding), so state totals are order-independent
+    * integers and the final per-user state equals the batch decimal sum
+    * bit-for-bit — which is what lets the custom-state operator sit under
+    * the DuckDB oracle gate (`q_stream_running`). */
+  def runningUserCents(events: Dataset[Event]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    def cents(v: Double): Long = java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+      .movePointRight(2).longValueExact
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserTotals, UserTotals](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(userId, 0L, 0L))
+          var n = prev.n_events
+          var c = prev.value_cents
+          batch.foreach { e => n += 1; c += cents(e.value) }
+          val next = UserTotals(userId, n, c)
           state.update(next)
           Iterator.single(next)
       }
