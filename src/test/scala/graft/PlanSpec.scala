@@ -67,6 +67,19 @@ class PlanSpec extends AnyFunSuite {
       s"date filter not pushed:\n$p")
   }
 
+  test("banded dedup/ANN queries pair via equi-joins, never cartesian") {
+    // the entire point of banding: candidate generation must be a keyed
+    // join on band buckets, not an all-pairs product (q_cos_neardup is
+    // the one deliberate, size-guarded exception)
+    for (q <- Seq("q_minhash_lsh", "q_simhash_pairs", "q_winnow_overlap",
+        "q_ann_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q joined without keys:\n$p")
+    }
+  }
+
   test("kmeans assign is one projection: no Exchange of any kind") {
     import spark.implicits._
     val vecs = (0L until 100L).map(i => (i, Seq.fill(8)(i.toDouble % 7)))

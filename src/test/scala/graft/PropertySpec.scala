@@ -98,4 +98,24 @@ class PropertySpec extends AnyFunSuite {
       assert(got === expect)
     }
   }
+
+  test("MR combineReduce equals scala groupBy-sum on random inputs (8 trials)") {
+    val r = new Random(7)
+    val sum = (k: String, vs: Seq[Int]) => Iterator.single((k, vs.sum))
+    for (trial <- 1 to 8) {
+      val n = 200 + r.nextInt(800)
+      val input = List.fill(n)((s"k${r.nextInt(50)}", r.nextInt(1000)))
+      val expected = input.groupBy(_._1).view
+        .mapValues(_.map(_._2).sum).toList.sorted
+      // odd trials force tiny combine buffers → many chunked flushes
+      if (trial % 2 == 1) spark.conf.set("graft.mr.combine.maxBuffered", "17")
+      try {
+        val got = graft.mr.MRPipeline
+          .fromPairs(spark, spark.sparkContext.parallelize(input, 5))
+          .combineReduce(sum, sum, 3)
+          .collectPairs().sorted.toSeq
+        assert(got === expected, s"trial $trial")
+      } finally spark.conf.unset("graft.mr.combine.maxBuffered")
+    }
+  }
 }
