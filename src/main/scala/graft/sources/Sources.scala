@@ -77,12 +77,22 @@ object Sources {
     * SortMergeJoin reads both sides' buckets directly; SourcesSpec
     * asserts the join plan has no Exchange. */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-      numBuckets: Int): Unit =
+      numBuckets: Int): Unit = {
+    val s = df.sparkSession
+    // a previous JVM may have left the managed-table LOCATION behind
+    // while this session's in-memory catalog has no entry — overwrite
+    // then refuses (LOCATION_ALREADY_EXISTS); drop both first
+    s.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Per-partition KV writer: `put` per row, `close` once at partition
     * end (flush the tail batch, release the connection). */
