@@ -42,7 +42,11 @@ object PipelineQueries {
   /** Stage 4 (approximate, spec-checked): near-dup clusters via
     * MinHash-LSH pairs + connected components; keep min doc per cluster. */
   def cleanNearDup(s: SparkSession, d: String): DataFrame = {
-    val cleaned = cleanExact(s, d)
+    // two consumers (LSH pair generation + the survivor join) — checkpoint
+    // so the gate+dedup subplan runs once, not twice; lazy, so it
+    // materializes at the CC loop's first action, and per-invocation, so
+    // repeated runs stay honestly cold (no cross-run cache)
+    val cleaned = cleanExact(s, d).localCheckpoint(false)
     val pairs = DedupQueries.lshPairs(
       cleaned.select(col("doc_id"), col("text")),
       numHashes = 32, bands = 8, threshold = 0.8)
