@@ -137,12 +137,52 @@ object TextQueries {
     s"SELECT doc_id, len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) " +
       "AS n_bpe_tokens FROM documents"
 
+  // ── Repetition signals (Gopher/C4-style repetition filters) ────────────
+  // The classic "repetitious documents are low-quality" gates: repeated
+  // token fraction, most-frequent-token share, repeated bigram fraction.
+  // Pure per-document column algebra (nested array lambdas, no shuffle);
+  // token counts are tiny per doc, so the O(T²) distinct×filter count is
+  // a per-row constant, not a scale risk.
+  def qRepetition(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    val bg = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), t.as("t"), bg.as("bg"))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("bigint").as("n_tokens"),
+        when(size(col("t")) > 0,
+          round(lit(1.0) - size(array_distinct(col("t"))).cast("double") /
+            size(col("t")), 6)).as("dup_token_frac"),
+        when(size(col("t")) > 0,
+          round(array_max(transform(array_distinct(col("t")),
+            w => size(filter(col("t"), x => x === w)))).cast("double") /
+            size(col("t")), 6)).as("top_token_share"),
+        when(size(col("bg")) > 0,
+          round(lit(1.0) - size(array_distinct(col("bg"))).cast("double") /
+            size(col("bg")), 6)).as("dup_bigram_frac"))
+  }
+
+  val qRepetitionSql: String =
+    "SELECT doc_id, len(t) AS n_tokens, " +
+      "CASE WHEN len(t) > 0 THEN round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) END AS dup_token_frac, " +
+      "CASE WHEN len(t) > 0 THEN round(CAST(list_max(list_transform(list_distinct(t), " +
+      "w -> len(list_filter(t, x -> x = w)))) AS DOUBLE) / len(t), 6) END AS top_token_share, " +
+      "CASE WHEN len(bg) > 0 THEN round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6) END AS dup_bigram_frac " +
+      s"FROM (SELECT doc_id, t, " +
+      "list_transform(generate_series(1, greatest(len(t) - 1, 0)), i -> t[i] || ' ' || t[i+1]) AS bg " +
+      s"FROM (SELECT doc_id, $sqlToks AS t FROM documents) a) b"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_bpe"     -> qTokenBpe _,
     "q_token_count"   -> qTokenCount _,
     "q_quality_score" -> qQualityScore _,
     "q_lang_id"       -> qLangId _,
     "q_fingerprint"   -> qFingerprint _,
+    "q_repetition"    -> qRepetition _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -151,5 +191,6 @@ object TextQueries {
     "q_quality_score" -> qQualityScoreSql,
     "q_lang_id"       -> qLangIdSql,
     "q_fingerprint"   -> qFingerprintSql,
+    "q_repetition"    -> qRepetitionSql,
   )
 }
