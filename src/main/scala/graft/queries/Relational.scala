@@ -455,6 +455,26 @@ object Relational {
       s"${sqlDsum("l_quantity")} AS total_qty " +
       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1"
 
+  // ── Salted skew join under the gate ────────────────────────────────────
+  // operators/SkewJoin spreads a heavy-hitter key over `salts` reducers;
+  // join CONTENT is salt-invariant (each left row matches exactly once
+  // whatever salt it draws), so the plain join is the exact oracle — a
+  // results-level proof that the mitigation never changes answers.
+  def qSkewJoin(s: SparkSession, d: String): DataFrame = {
+    val fact = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("okey"), col("l_quantity"))
+    val dim = Tables.orders(s, d)
+      .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+    graft.operators.SkewJoin.saltedJoin(fact, dim, "okey", salts = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("total_qty"))
+  }
+
+  val qSkewJoinSql: String =
+    "SELECT o_orderpriority, count(*) AS n_items, " +
+      s"${sqlDsum("l_quantity")} AS total_qty " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1"
+
   /** All (name → query) pairs this module contributes. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_histogram"       -> qHistogram _,
@@ -485,6 +505,7 @@ object Relational {
     "q_rollup"          -> qRollup _,
     "q_star_join"       -> qStarJoin _,
     "q_bucketed_join"   -> qBucketedJoin _,
+    "q_skew_join"       -> qSkewJoin _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -517,5 +538,6 @@ object Relational {
     "q_rollup"          -> qRollupSql,
     "q_star_join"       -> qStarJoinSql,
     "q_bucketed_join"   -> qBucketedJoinSql,
+    "q_skew_join"       -> qSkewJoinSql,
   )
 }

@@ -176,7 +176,29 @@ object TextQueries {
       "list_transform(generate_series(1, greatest(len(t) - 1, 0)), i -> t[i] || ' ' || t[i+1]) AS bg " +
       s"FROM (SELECT doc_id, $sqlToks AS t FROM documents) a) b"
 
+  // ── Deterministic hash sampling ────────────────────────────────────────
+  // The reproducible sampling primitive for a 100 TB corpus: membership is
+  // a pure function of the row key (md5-derived hash60 mod 10 == 0 → a
+  // fixed ~10% slice), so the sample is identical across engines, runs,
+  // retries, and cluster sizes — unlike rand()-based sampling. Filter is
+  // scan-fused (no shuffle until the final rollup).
+  def qSampleHash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(graft.functions.Md5Bits.hash60(col("doc_id")) % 10 === 0)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("bigint").as("total_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+
+  val qSampleHashSql: String =
+    "SELECT lang, count(*) AS n_docs, " +
+      "CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
+      "min(doc_id) AS min_id, max(doc_id) AS max_id FROM documents " +
+      s"WHERE ${graft.functions.Md5Bits.sqlHash60("CAST(doc_id AS VARCHAR)")} % 10 = 0 " +
+      "GROUP BY 1"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_hash"   -> qSampleHash _,
     "q_token_bpe"     -> qTokenBpe _,
     "q_token_count"   -> qTokenCount _,
     "q_quality_score" -> qQualityScore _,
@@ -186,6 +208,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sample_hash"   -> qSampleHashSql,
     "q_token_bpe"     -> qTokenBpeSql,
     "q_token_count"   -> qTokenCountSql,
     "q_quality_score" -> qQualityScoreSql,
