@@ -99,6 +99,61 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("connected components equal driver union-find on random graphs (10 trials)") {
+    val r = new Random(99)
+    for (_ <- 1 to 10) {
+      val nodes = 2 + r.nextInt(30)
+      val nEdges = r.nextInt(40)
+      val edges = List.fill(nEdges)(
+        (r.nextInt(nodes).toLong, r.nextInt(nodes).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // driver-side union-find ground truth
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val rt = find(p); parent(x) = rt; rt }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = parent.keys.map(n => n -> find(n)).toMap
+        // min-of-component labeling: normalize both sides to min member
+        val wantMin = want.groupBy(_._2).flatMap { case (_, m) =>
+          val mn = m.keys.min; m.keys.map(_ -> mn)
+        }
+        val got = graft.operators.ConnectedComponents
+          .components(edges.toDF("src", "dst"), maxIterations = nodes)
+          .as[(Long, Long)].collect().toMap
+        assert(got === wantMin, s"edges: $edges")
+      }
+    }
+  }
+
+  test("prefix-filtered jaccard equals naive join on random token docs (6 trials)") {
+    val r = new Random(5)
+    import org.apache.spark.sql.functions.{col, explode}
+    for (_ <- 1 to 6) {
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+      val docs = (0L until (4 + r.nextInt(6)).toLong).map { i =>
+        (i, List.fill(5 + r.nextInt(25))(vocab(r.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      graft.functions.Shingles.register(spark)
+      val sh = docs.select(col("doc_id"),
+        explode(graft.functions.Shingles.shingles(col("text"), 3)).as("sh"))
+      for (t <- Seq(0.3, 0.6, 0.9)) {
+        val fast = queries.DedupQueries.ngramJaccardPrefix(sh, t)
+          .select($"doc_a", $"doc_b", $"shared").as[(Long, Long, Long)]
+          .collect().toSet
+        val naive = queries.DedupQueries.ngramJaccardNaive(sh, t)
+          .select($"doc_a", $"doc_b", $"shared").as[(Long, Long, Long)]
+          .collect().toSet
+        assert(fast === naive, s"threshold $t")
+      }
+    }
+  }
+
   test("MR combineReduce equals scala groupBy-sum on random inputs (8 trials)") {
     val r = new Random(7)
     val sum = (k: String, vs: Seq[Int]) => Iterator.single((k, vs.sum))
