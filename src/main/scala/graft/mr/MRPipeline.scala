@@ -100,6 +100,8 @@ final class MRPipeline[K, V] private (
         // final results — spec-asserted with a tiny flush threshold.
         val maxBuffered = spark.conf
           .get("graft.mr.combine.maxBuffered", (1 << 20).toString).toInt
+        require(maxBuffered > 0, // <= 0 would spin refill() forever
+          s"graft.mr.combine.maxBuffered must be positive, got $maxBuffered")
         rdd.mapPartitions { it =>
           new Iterator[(K, V)] {
             private var out: Iterator[(K, V)] = Iterator.empty

@@ -126,18 +126,42 @@ object KMeans {
     centroids
   }
 
+  /** Beyond this many centroids the literal-argmin plan stops being a
+    * good idea (plan bloat, generated `least` past JVM method limits) —
+    * fall back to the broadcast-join spelling, which handles any k. */
+  private val MaxLiteralCentroids = 256
+
   /** Nearest-centroid assignment as ONE projection: the k centroids are
     * plan-time literals and the argmin is a codegen'd `least` over k
     * `struct(score, cluster)` columns — no crossJoin, no window, zero
     * Exchange (PlanSpec pins this). The old crossJoin+window spelling
     * pushed corpus×k rows through a hash exchange per Lloyd round — the
-    * one avoidable scale-killer at 100 TB. */
+    * one avoidable scale-killer at 100 TB. Past [[MaxLiteralCentroids]]
+    * (production IVF k reaches the thousands) the literals themselves
+    * become the problem, so the broadcast-join argmin takes over. */
   def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
     DotProduct.register(vecs.sparkSession)
     val scored = centroidScores(centroids, col("v"))
-    val best =
-      if (scored.size == 1) scored.head else least(scored: _*)
-    vecs.select(col("id"), col("v"), best.getField("cluster").as("cluster"))
+    if (scored.size > MaxLiteralCentroids) assignBroadcast(vecs, centroids)
+    else {
+      val best =
+        if (scored.size == 1) scored.head else least(scored: _*)
+      vecs.select(col("id"), col("v"), best.getField("cluster").as("cluster"))
+    }
+  }
+
+  /** Large-k fallback: broadcast the centroid table, score corpus×k pairs
+    * in the join, keep the per-row argmin via a window. One broadcast +
+    * one window exchange — the price of not carrying k literals. */
+  private def assignBroadcast(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val c2 = centroids.withColumn("_c2", DotProduct.dot(col("c"), col("c")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("_d").asc, col("cluster").asc)
+    vecs.crossJoin(broadcast(c2))
+      .withColumn("_d", col("_c2") - lit(2.0) * DotProduct.dot(col("v"), col("c")))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("id"), col("v"), col("cluster"))
   }
 
   /** IVF top-k cosine search: probe only the nProbe nearest cells per
@@ -167,8 +191,12 @@ object KMeans {
       .partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
     probes.join(cells, Seq("cluster"))
       .filter(if (excludeSelf) col("id") =!= col("qid") else lit(true))
+      // guarded divide: ANSI double division by zero THROWS; a zero-norm
+      // vector must yield NULL (ranked last, like the oracle's own
+      // NULL-on-zero-divide), not abort the search
       .select(col("qid"), col("id").as("nid"),
-        (DotProduct.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+        when(col("qn") * col("nrm") > 0,
+          DotProduct.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }

@@ -35,6 +35,14 @@ object SimilarityQueries {
   private val NumQueries = 20
   private val K = 5
 
+  /** Cosine with a zero-denominator guard. Under Spark's default ANSI
+    * mode a double division by zero THROWS (it does not return NULL), so
+    * every cosine must branch before dividing: zero-norm vectors get a
+    * NULL similarity — the same value DuckDB's unguarded division
+    * produces — instead of aborting the query. */
+  private def cosOrNull(dotv: Column, denom: Column): Column =
+    when(denom > 0, dotv / denom)
+
   /** Vectors with their norm precomputed ONCE per row (the pairwise join
     * then does a single codegen'd dot per pair instead of three
     * interpreted folds — ~4× on the all-pairs bench). */
@@ -52,10 +60,11 @@ object SimilarityQueries {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     vecs(s, d).join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
-        (DotProduct.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
-      // zero-norm vectors have undefined cosine (NULL under non-ANSI
-      // divide) — excluded on both engine and oracle sides; the heap
-      // aggregator's non-nullable input would otherwise reject the row
+        cosOrNull(DotProduct.dot(col("qv"), col("v")),
+          col("qn") * col("nrm")).as("sim"))
+      // zero-norm vectors have undefined cosine — excluded on both
+      // engine and oracle sides; the heap aggregator's non-nullable
+      // input would otherwise reject the row
       .filter(col("sim").isNotNull)
   }
 
@@ -109,15 +118,19 @@ object SimilarityQueries {
   private val MaxExactRows = 100000L
 
   def qCosNearDup(s: SparkSession, d: String): DataFrame = {
-    val n = Tables.embeddings(s, d).count()
-    require(n <= MaxExactRows,
-      s"q_cos_neardup is the exact all-pairs oracle (corpus $n > $MaxExactRows rows); " +
+    // limit-probe, not count(): the guard must not cost a full corpus
+    // scan at the very scale it exists to refuse
+    val probe = Tables.embeddings(s, d)
+      .limit(MaxExactRows.toInt + 1).count()
+    require(probe <= MaxExactRows,
+      s"q_cos_neardup is the exact all-pairs oracle (corpus > $MaxExactRows rows); " +
         "use q_ann_lsh (SRP-banded candidates) at scale")
     val a = vecs(s, d).select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = vecs(s, d).select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (DotProduct.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+        cosOrNull(DotProduct.dot(col("va"), col("vb")),
+          col("na") * col("nb")).as("sim"))
       .filter(col("sim") >= NearDupThreshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r"))
   }
@@ -171,7 +184,8 @@ object SimilarityQueries {
       .dropDuplicates("qid", "nid")
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
     cand.select(col("qid"), col("nid"),
-      (DotProduct.dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("sim"))
+      cosOrNull(DotProduct.dot(col("qv"), col("nv")),
+        col("qn") * col("nn")).as("sim"))
       // zero-norm vectors have undefined cosine — excluded on both the
       // engine and oracle sides (oracle guards qn * nn > 0)
       .filter(col("sim").isNotNull)

@@ -34,25 +34,40 @@ object StreamQueries {
   private def runToMemory(s: SparkSession, df: DataFrame,
       mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val name = s"graft_stream_sink_${sinkCounter.incrementAndGet()}"
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_stream_ckpt").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode)
       .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt)
+      .option("checkpointLocation", ckpt.toString)
       .start()
     q.awaitTermination()
-    s.table(name)
+    val out = s.table(name) // resolves to the sink's rows — keep the plan,
+    s.catalog.dropTempView(name) // drop the name (repeated runs must not
+    deleteRecursively(ckpt) //     accumulate views/checkpoints in one JVM)
+    out
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
   }
 
   /** The streaming file source wants a DIRECTORY to watch; the fixture
     * events table is a single parquet file — expose it through a temp-dir
-    * symlink (no copy; a production events feed is a directory already). */
+    * symlink (no copy; a production events feed is a directory already).
+    * One symlink dir per (sfDir), cached — repeated bench runs reuse it. */
+  private val srcDirs = new java.util.concurrent.ConcurrentHashMap[String, String]
   private def eventStream(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
-    java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
-    EventStreams.readEventStream(s, dir.toString, nanosTs = true)
+    val dir = srcDirs.computeIfAbsent(d, _ => {
+      val t = java.nio.file.Files.createTempDirectory("graft_stream_src")
+      java.nio.file.Files.createSymbolicLink(t.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
+      t.toString
+    })
+    EventStreams.readEventStream(s, dir, nanosTs = true)
   }
 
   /** Streaming hourly tumbling windows == batch q_tumbling_hourly. */

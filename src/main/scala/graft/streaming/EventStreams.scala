@@ -36,21 +36,17 @@ object EventStreams {
     *        TIMESTAMP(NANOS) (as the repo's own events.parquet does):
     *        the column is then read as BIGINT under the session's
     *        nanosAsLong setting and converted to a microsecond
-    *        timestamp, mirroring Tables.events.
-    * @param basePath required when `dir` is a single file or glob (the
-    *        file source wants a directory anchor for partition
-    *        discovery); pass the containing directory. */
+    *        timestamp, mirroring Tables.events. */
   def readEventStream(spark: SparkSession, dir: String,
-      nanosTs: Boolean = false, basePath: Option[String] = None): DataFrame = {
-    val reader0 = spark.readStream
+      nanosTs: Boolean = false): DataFrame = {
+    val df = spark.readStream
       .schema(if (nanosTs)
         "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
           "event_type STRING, value DOUBLE, props STRING"
       else
         "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
           "event_type STRING, value DOUBLE, props STRING")
-    val reader = basePath.fold(reader0)(reader0.option("basePath", _))
-    val df = reader.parquet(dir)
+      .parquet(dir)
     if (nanosTs) df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
@@ -108,26 +104,30 @@ object EventStreams {
       }
   }
 
-  /** Exact-arithmetic variant of [[runningUserTotals]]: values accumulate
-    * as integer CENTS (the decimal(18,2) reading of the double, Spark's
-    * own double→decimal rounding), so state totals are order-independent
-    * integers and the final per-user state equals the batch decimal sum
-    * bit-for-bit — which is what lets the custom-state operator sit under
-    * the DuckDB oracle gate (`q_stream_running`). */
+  /** Exact-arithmetic variant of [[runningUserTotals]]: values become
+    * integer CENTS BEFORE the stateful operator, via Spark's own
+    * double→decimal(18,2) cast — the same conversion every `dsum`-based
+    * batch query uses, so engine-side rounding has exactly one
+    * definition (a JVM-side BigDecimal re-rounding could disagree with
+    * it on 3+-decimal inputs). State totals are then order-independent
+    * long sums and the final per-user state equals the batch decimal
+    * sum — which is what lets the custom-state operator sit under the
+    * DuckDB oracle gate (`q_stream_running`). */
   def runningUserCents(events: Dataset[Event]): Dataset[UserTotals] = {
     import events.sparkSession.implicits._
-    def cents(v: Double): Long = java.math.BigDecimal.valueOf(v)
-      .setScale(2, java.math.RoundingMode.HALF_UP)
-      .movePointRight(2).longValueExact
     events
-      .groupByKey(_.user_id)
+      .select(col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
       .flatMapGroupsWithState[UserTotals, UserTotals](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (userId: Long, batch: Iterator[Event], state: GroupState[UserTotals]) =>
+        (userId: Long, batch: Iterator[(Long, Long)],
+            state: GroupState[UserTotals]) =>
           val prev = state.getOption.getOrElse(UserTotals(userId, 0L, 0L))
           var n = prev.n_events
           var c = prev.value_cents
-          batch.foreach { e => n += 1; c += cents(e.value) }
+          batch.foreach { kv => n += 1; c += kv._2 }
           val next = UserTotals(userId, n, c)
           state.update(next)
           Iterator.single(next)
