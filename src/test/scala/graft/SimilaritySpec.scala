@@ -112,6 +112,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("zero-norm vectors never crash cosine paths (ANSI divide-by-zero)") {
+    // under Spark's default ANSI mode an unguarded double division by
+    // zero THROWS — a single all-zero embedding must instead be excluded
+    // (LSH) or ranked last (IVF), never abort the query
+    val dim = 8
+    val r = new Random(3)
+    val rows = (0L until 30L).map(i => (i, Seq.fill(dim)(r.nextGaussian()))) :+
+      (30L, Seq.fill(dim)(0.0))
+    val df = rows.toDF("vec_id", "v")
+
+    val lsh = SimilarityQueries.annLsh(df, nBits = 16, bands = 4, k = 3,
+      queryFilter = lit(true), dims = dim).collect()
+    assert(lsh.nonEmpty)
+    assert(!lsh.exists(row => row.getLong(0) == 30L || row.getLong(1) == 30L),
+      "zero vector must not appear as query or neighbor in LSH results")
+
+    val vecs = df.select($"vec_id".as("id"), $"v")
+    val cents = graft.operators.KMeans.fit(
+      vecs.filter($"id" =!= 30L), k = 4, iterations = 1)
+    val ivf = graft.operators.KMeans.ivfSearch(
+      vecs, vecs.filter($"id" < 5), cents, k = 3, nProbe = 4)
+    // must evaluate without throwing; zero vector may appear with null
+    // sim only if fewer than k finite candidates exist in probed cells
+    val got = ivf.collect()
+    assert(got.nonEmpty)
+  }
+
   test("md5-derived hash60: JVM spelling equals the column spelling") {
     val samples = Seq("", "a", "the quick brown fox", "0|tok en", "é¿unicode",
       "15,63") ++ (0 until 50).map(i => s"s$i")
