@@ -28,6 +28,14 @@ object VectorFunctions {
   /** Cosine similarity (computed fully — inputs need not be unit-norm). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Guarded cosine from a precomputed dot and norm product. Under
+    * Spark's default ANSI mode a double division by zero THROWS (it does
+    * not return NULL), so every cosine over possibly-zero-norm vectors
+    * must branch before dividing: zero norms yield NULL — the same value
+    * DuckDB's unguarded division produces — instead of aborting. */
+  def cosineOrNull(dotv: Column, denom: Column): Column =
+    when(denom > 0, dotv / denom)
+
   /** Deterministic ±1.0 hyperplane for sign-random-projection LSH, derived
     * at PLAN-BUILD time from the shared md5 hash: component d of plane j
     * is +1.0 iff bit 0 of `Md5Bits.hash60("j,d")` is set. Engine-agnostic

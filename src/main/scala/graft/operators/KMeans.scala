@@ -191,12 +191,12 @@ object KMeans {
       .partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
     probes.join(cells, Seq("cluster"))
       .filter(if (excludeSelf) col("id") =!= col("qid") else lit(true))
-      // guarded divide: ANSI double division by zero THROWS; a zero-norm
-      // vector must yield NULL (ranked last, like the oracle's own
-      // NULL-on-zero-divide), not abort the search
+      // ANSI-safe divide: zero-norm vectors rank last with NULL sim
+      // (like the oracle's NULL-on-zero-divide), never abort the search
       .select(col("qid"), col("id").as("nid"),
-        when(col("qn") * col("nrm") > 0,
-          DotProduct.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+        graft.functions.VectorFunctions.cosineOrNull(
+          DotProduct.dot(col("qv"), col("v")),
+          col("qn") * col("nrm")).as("sim"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }

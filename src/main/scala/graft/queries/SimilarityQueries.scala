@@ -35,13 +35,8 @@ object SimilarityQueries {
   private val NumQueries = 20
   private val K = 5
 
-  /** Cosine with a zero-denominator guard. Under Spark's default ANSI
-    * mode a double division by zero THROWS (it does not return NULL), so
-    * every cosine must branch before dividing: zero-norm vectors get a
-    * NULL similarity — the same value DuckDB's unguarded division
-    * produces — instead of aborting the query. */
   private def cosOrNull(dotv: Column, denom: Column): Column =
-    when(denom > 0, dotv / denom)
+    cosineOrNull(dotv, denom) // shared ANSI-safe guard — VectorFunctions
 
   /** Vectors with their norm precomputed ONCE per row (the pairwise join
     * then does a single codegen'd dot per pair instead of three

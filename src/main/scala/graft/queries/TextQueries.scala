@@ -145,10 +145,7 @@ object TextQueries {
   // a per-row constant, not a scale risk.
   def qRepetition(s: SparkSession, d: String): DataFrame = {
     val t = tokens(col("text"))
-    val bg = when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
-      .otherwise(array().cast("array<string>"))
+    val bg = shingles(col("text"), 2) // the shared positional n-gram rule
     Tables.documents(s, d)
       .select(col("doc_id"), t.as("t"), bg.as("bg"))
       .select(
