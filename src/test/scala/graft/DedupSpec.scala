@@ -125,6 +125,18 @@ class DedupSpec extends AnyFunSuite {
     assert(hamming(fp(0L), fp(10L)) > 6, "unrelated should be far")
   }
 
+  test("portable HLL estimate is within 15% of exact distinct shingles") {
+    graft.functions.Shingles.register(spark)
+    val exact = Tables.documents(spark, sf)
+      .select(explode(graft.functions.Shingles.shingles($"text", 3)).as("v"))
+      .select(countDistinct($"v")).head().getLong(0)
+    val est = DedupQueries.qHllDistinct(spark, sf)
+      .head().getAs[Double]("est_distinct")
+    assert(exact > 0)
+    assert(math.abs(est / exact - 1.0) <= 0.15,
+      s"HLL est $est vs exact $exact (m=128 should be ~9% error)")
+  }
+
   test("simhash block-banding is a complete candidate generator for d<=3") {
     // pigeonhole: hamming<=3 over 4 blocks of 15 bits → >=1 block equal
     val r = new scala.util.Random(7)
