@@ -64,11 +64,17 @@ object CostAccounting {
   val KvWriteUsdPerOp   = 1.25 / 1e6
   val KvReadUsdPerOp    = 0.25 / 1e6
 
-  /** One run's metered usage + its priced components. */
+  /** One run's metered usage + its priced components.
+    *
+    * `drained` is false when the async listener bus had NOT gone quiet
+    * within the wait window — the counters may then under-count the run.
+    * measure() also assumes a quiescent context: concurrent Spark jobs in
+    * the same session (or overlapping measure() calls, which share the
+    * process-global KvStore meters) are attributed to this report. */
   final case class CostReport(
       tasks: Long, computeGbSec: Double, inputBytes: Long,
       shuffleBytes: Long, putOps: Long, getOps: Long,
-      kvWrites: Long, kvReads: Long) {
+      kvWrites: Long, kvReads: Long, drained: Boolean = true) {
     def computeUsd: Double = computeGbSec * LambdaUsdPerGbSec
     /** Reference charges intermediate storage for one hour
       * (`driver.py:671` multiplies the rate by 1). */
@@ -110,7 +116,8 @@ object CostAccounting {
         putOps = acct.putOps.sum,
         getOps = acct.getOps.sum,
         kvWrites = KvStore.writeOps - kvW0,
-        kvReads = KvStore.readOps - kvR0)
+        kvReads = KvStore.readOps - kvR0,
+        drained = stable >= 2)
       (a, report)
     } finally sc.removeSparkListener(acct)
   }

@@ -206,14 +206,22 @@ object MRPipeline {
         val table = conf.getOrElse("input.table",
           throw new IllegalArgumentException("input.format=kv requires input.table"))
         val df = spark.read.format("graft-kv").option("table", table).load()
-        // key column first (the reference streams (key, item) pairs);
-        // selecting just two columns lets the connector's projection
-        // pushdown materialize only those attributes
+        // key column first (the reference streams (key, item) pairs,
+        // `input_handler_dynamodb.py:168-213`). A two-column table keeps
+        // its single attribute as the raw value; a wider item is
+        // serialized whole as JSON — the reference hands the mapper the
+        // FULL projected item dict, never a silently truncated one.
         val keyCol = graft.sources.kv.KvStore.data(table).keyCol
-        val other = df.columns.filter(_ != keyCol).headOption.getOrElse(keyCol)
+        val attrs = df.columns.filter(_ != keyCol)
+        val valueCol = attrs match {
+          case Array() => org.apache.spark.sql.functions.col(keyCol).cast("string")
+          case Array(only) => org.apache.spark.sql.functions.col(only).cast("string")
+          case many => org.apache.spark.sql.functions.to_json(
+            org.apache.spark.sql.functions.struct(
+              many.map(org.apache.spark.sql.functions.col).toSeq: _*))
+        }
         fromDataset(df.select(
-          org.apache.spark.sql.functions.col(keyCol).cast("string"),
-          org.apache.spark.sql.functions.col(other).cast("string"))
+          org.apache.spark.sql.functions.col(keyCol).cast("string"), valueCol)
           .as[(String, String)])
       case other =>
         throw new IllegalArgumentException(s"unknown input.format: $other")

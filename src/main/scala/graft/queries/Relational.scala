@@ -438,14 +438,21 @@ object Relational {
   // write-bucketed → read → join → aggregate path sits under the DuckDB
   // gate, not only a plan assertion.
   def qBucketedJoin(s: SparkSession, d: String): DataFrame = {
+    // table names carry a dataset-dir fingerprint: two suites (or two
+    // dataset dirs) sharing one warehouse can't clobber each other's
+    // bucket layout mid-read; same-dir runs within one warehouse are
+    // still assumed serial (writeBucketed overwrites in place)
+    val tag = f"${scala.util.hashing.MurmurHash3.stringHash(d) & 0xffffffffL}%08x"
+    val lTab = s"b_gate_lineitem_$tag"
+    val oTab = s"b_gate_orders_$tag"
     graft.sources.Sources.writeBucketed(
       Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
-      "b_gate_lineitem", Seq("l_orderkey"), 8)
+      lTab, Seq("l_orderkey"), 8)
     graft.sources.Sources.writeBucketed(
       Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-      "b_gate_orders", Seq("o_orderkey"), 8)
-    s.table("b_gate_lineitem")
-      .join(s.table("b_gate_orders"), col("l_orderkey") === col("o_orderkey"))
+      oTab, Seq("o_orderkey"), 8)
+    s.table(lTab)
+      .join(s.table(oTab), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("total_qty"))
   }

@@ -112,11 +112,16 @@ object SimilarityQueries {
     * corpus at q_ann_lsh (SRP-banded) instead. */
   private val MaxExactRows = 100000L
 
+  /** One guard verdict per (session, dataset dir): the probe job runs
+    * once, not on every (benchmarked) invocation. */
+  private val guardCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Long]
+
   def qCosNearDup(s: SparkSession, d: String): DataFrame = {
     // limit-probe, not count(): the guard must not cost a full corpus
     // scan at the very scale it exists to refuse
-    val probe = Tables.embeddings(s, d)
-      .limit(MaxExactRows.toInt + 1).count()
+    val probe = guardCache.getOrElseUpdate((System.identityHashCode(s), d),
+      Tables.embeddings(s, d).limit(MaxExactRows.toInt + 1).count())
     require(probe <= MaxExactRows,
       s"q_cos_neardup is the exact all-pairs oracle (corpus > $MaxExactRows rows); " +
         "use q_ann_lsh (SRP-banded candidates) at scale")

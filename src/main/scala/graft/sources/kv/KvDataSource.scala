@@ -70,14 +70,24 @@ object KvStore {
 
   private val tables = TrieMap.empty[String, TableData]
 
-  // DynamoDB-style request-unit meters (one unit per item written/read),
-  // consumed by graft.CostAccounting (A21 cost model analog). In-process
-  // like the store itself; a networked provider would read these from the
-  // service's metrics instead.
+  // DynamoDB-style request-unit meters, consumed by graft.CostAccounting
+  // (A21 cost model analog). Units are SIZE-SCALED like the real service
+  // bills them — ceil(itemBytes/1KB) per write, ceil(itemBytes/4KB) per
+  // read (min 1 each) — so large items are not underpriced relative to
+  // the reference's cost model. In-process like the store itself; a
+  // networked provider would read these from the service's metrics.
   private val writeCounter = new java.util.concurrent.atomic.LongAdder
   private val readCounter = new java.util.concurrent.atomic.LongAdder
   def writeOps: Long = writeCounter.sum
   def readOps: Long = readCounter.sum
+
+  /** Serialized-size proxy: attribute values as strings (DynamoDB bills
+    * on attribute names + values; names are schema-constant, values
+    * dominate for large items). */
+  private[kv] def itemBytes(r: Seq[Any]): Long =
+    r.foldLeft(0L)((a, v) => a + (if (v == null) 1 else String.valueOf(v).length))
+
+  private def units(bytes: Long, per: Long): Long = math.max(1L, (bytes + per - 1) / per)
 
   def register(name: String, keyCol: String, schema: StructType): Unit = {
     require(schema.fieldNames.contains(keyCol),
@@ -90,11 +100,14 @@ object KvStore {
     val ki = t.schema.fieldIndex(t.keyCol)
     rows.foreach { r =>
       t.items.put(String.valueOf(r(ki)), r)
-      writeCounter.increment()
+      writeCounter.add(units(itemBytes(r), 1024))
     }
   }
 
-  private[kv] def readUnit(): Unit = readCounter.increment()
+  /** Reads bill the FULL stored item (projection does not shrink a
+    * DynamoDB read unit), 4KB per unit. */
+  private[kv] def readUnits(fullRow: Seq[Any]): Unit =
+    readCounter.add(units(itemBytes(fullRow), 4096))
 
   def truncate(name: String): Unit = data(name).items.clear()
   def exists(name: String): Boolean = tables.contains(name)
@@ -194,7 +207,7 @@ class KvReaderFactory(required: StructType) extends PartitionReaderFactory {
         // materialize ONLY the pruned attributes (the pushdown payoff)
         current = InternalRow.fromSeq(part.prunedIdx.indices.map(j =>
           converters(j)(r(part.prunedIdx(j)))))
-        KvStore.readUnit()
+        KvStore.readUnits(r)
         true
       }
       override def get(): InternalRow = current

@@ -23,6 +23,29 @@ class CostSpec extends AnyFunSuite {
     // rate-card identity, not just positivity
     assert(math.abs(r.computeUsd -
       r.computeGbSec * CostAccounting.LambdaUsdPerGbSec) < 1e-12)
+    // quiescent context: the listener bus must have visibly drained, and
+    // the report must say so (drained=false marks an under-count risk)
+    assert(r.drained, s"listener bus never went quiet: $r")
+  }
+
+  test("kv units scale with item size (4KB reads / 1KB writes)") {
+    import org.apache.spark.sql.types._
+    val table = "kv_sized"
+    if (!graft.sources.kv.KvStore.exists(table)) {
+      graft.sources.kv.KvStore.register(table, "k",
+        StructType(Seq(StructField("k", StringType), StructField("v", StringType))))
+    }
+    val w0 = graft.sources.kv.KvStore.writeOps
+    // one ~5KB item: ceil(5120/1024) = 5 write units, ceil(5120/4096) = 2 read units
+    graft.sources.kv.KvStore.put(table, Seq(Seq("big", "x" * 5117)))
+    val wUnits = graft.sources.kv.KvStore.writeOps - w0
+    assert(wUnits === 5L, s"5KB item must bill 5 write units, got $wUnits")
+    val r0 = graft.sources.kv.KvStore.readOps
+    val n = spark.read.format("graft-kv").option("table", table).load()
+      .filter(col("k") === "big").count()
+    assert(n === 1)
+    val rUnits = graft.sources.kv.KvStore.readOps - r0
+    assert(rUnits === 2L, s"5KB item must bill 2 read units, got $rUnits")
   }
 
   test("narrow scan meters no shuffle ops; kv round-trip meters kv units") {

@@ -123,6 +123,26 @@ class MRPipelineSpec extends AnyFunSuite {
     assert(pairs.forall { case (k, _) => Seq("a", "b", "c").contains(k) })
   }
 
+  test("fromConfig kv serializes wide items whole (full-item JSON value)") {
+    import org.apache.spark.sql.types._
+    val table = "kv_mrconf_wide"
+    if (!graft.sources.kv.KvStore.exists(table)) {
+      graft.sources.kv.KvStore.register(table, "k",
+        StructType(Seq(StructField("k", StringType),
+          StructField("a", StringType), StructField("b", LongType))))
+      graft.sources.kv.KvStore.put(table, Seq(Seq("x", "hello", 7L)))
+    }
+    val pairs = graft.mr.MRPipeline.fromConfig(spark, Map(
+      "input.format" -> "kv", "input.table" -> table)).collectPairs()
+    assert(pairs.length === 1)
+    val (k, v) = pairs.head
+    assert(k === "x")
+    // no attribute silently dropped: the value is the full item as JSON
+    // (reference streams the whole projected item per key,
+    // input_handler_dynamodb.py:168-213)
+    assert(v.contains("\"a\":\"hello\"") && v.contains("\"b\":7"), v)
+  }
+
   test("MR word count equals DataFrame word count") {
     val mr = queries.MRQueries.qMrWordCount(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1))).sorted
