@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Md5Bits
+import graft.functions.TextFunctions.{tokens, sqlTokens}
+
+/** Probabilistic-sketch operators a 100 TB curation pipeline leans on:
+  * count-min-sketch heavy hitters and Bloom-filter join pruning. The
+  * sketch family extends the reference's only aggregation machinery
+  * (exact grouped counts, `word_count/reduce.py`) with the fixed-memory
+  * versions that survive unbounded key cardinality.
+  *
+  * Like the MinHash/SimHash family (DedupQueries), every hash bit is
+  * md5-derived ([[Md5Bits]]) so DuckDB can recompute the *identical*
+  * sketch — the heavy-hitter query is oracle-checked hash-exact, not
+  * rows-only.
+  */
+object SketchQueries {
+
+  // ── Count-min sketch heavy hitters ─────────────────────────────────────
+  // CMS(d×w): counter[i][h_i(key) mod w] += 1; estimate = min_i of the
+  // key's d cells — never an underestimate (Cormode & Muthukrishnan '05).
+  // At 100 TB the payoff is the sketch's size: d×w integers TOTAL (here
+  // 4×256), mergeable by cell-wise sum, vs an exact per-key count whose
+  // state grows with vocabulary. The scan aggregates straight into the
+  // d×w cells (one groupBy over a 1 KB key space); the candidate side
+  // then probes the broadcast-sized sketch.
+  private val CmsDepth = 4
+  private val CmsWidth = 256
+  private val HeavyThreshold = 400L // ≈2% of the sf0.01 token stream
+
+  /** h_i(tok): the shared md5-derived 60-bit hash over "i:tok", mod w. */
+  private def cmsBucket(i: org.apache.spark.sql.Column,
+      tok: org.apache.spark.sql.Column) =
+    Md5Bits.hash60(concat(i.cast("string"), lit(":"), tok)) % CmsWidth
+
+  def qHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+    // the sketch: one pass, d copies of the stream folded into d×w cells
+    val cells = toks
+      .select(explode(sequence(lit(0), lit(CmsDepth - 1))).as("i"), col("tok"))
+      .select(col("i"), cmsBucket(col("i"), col("tok")).as("bucket"))
+      .groupBy(col("i"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    // probe: each candidate key reads its d cells from the broadcast
+    // sketch; estimate = min. Candidates here are the corpus vocabulary
+    // (distinct tokens); in production the candidate set is whatever
+    // keys you need estimates for — the sketch answers any of them.
+    val est = toks.distinct()
+      .select(col("tok"), explode(sequence(lit(0), lit(CmsDepth - 1))).as("i"))
+      .select(col("tok"), col("i"), cmsBucket(col("i"), col("tok")).as("bucket"))
+      .join(broadcast(cells), Seq("i", "bucket"))
+      .groupBy(col("tok")).agg(min(col("cnt")).as("est"))
+    est.filter(col("est") >= HeavyThreshold)
+  }
+
+  val qHeavyHittersSql: String = {
+    def bucket(i: String, tok: String) =
+      s"${Md5Bits.sqlHash60(s"CAST($i AS VARCHAR) || ':' || $tok")} % $CmsWidth"
+    s"""WITH toks AS (SELECT unnest($sqlTokens) AS tok FROM documents),
+        depth AS (SELECT unnest([0, 1, 2, 3]) AS i),
+        cells AS (SELECT i, ${bucket("i", "tok")} AS bucket, count(*) AS cnt
+                  FROM toks CROSS JOIN depth GROUP BY 1, 2)
+        SELECT tok, min(cnt) AS est
+        FROM (SELECT DISTINCT tok FROM toks) v
+        CROSS JOIN depth
+        JOIN cells ON cells.i = depth.i
+                  AND cells.bucket = ${bucket("depth.i", "tok")}
+        GROUP BY tok HAVING min(cnt) >= $HeavyThreshold"""
+  }
+
+  // ── Bloom-filter join pruning ──────────────────────────────────────────
+  // The 100 TB semi-join play: build a Bloom filter over the (small)
+  // filtered dim-key set with Spark's native distributed sketch
+  // (`df.stat.bloomFilter` — one aggregation, driver gets ~1 MB of bits),
+  // prune the fact scan BEFORE its shuffle, then exact-semi-join the
+  // survivors so false positives never reach the result. The registered
+  // result is therefore bit-identical to the plain semi-join — which IS
+  // the oracle: a results-level proof that pruning can only drop rows the
+  // join would drop anyway. The membership probe is the suite's one
+  // deliberate UDF (Spark exposes no public might_contain Column fn);
+  // it sits scan-side, before any exchange, where a non-codegen filter
+  // costs least.
+  def qBloomPrune(s: SparkSession, d: String): DataFrame = {
+    val dimKeys = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bloom = dimKeys.stat.bloomFilter("o_orderkey", 100000, 0.01)
+    val might = udf((k: Long) => bloom.mightContainLong(k))
+    val fact = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_linestatus"))
+      .filter(might(col("l_orderkey"))) // scan-side prune, pre-shuffle
+    fact.join(dimKeys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"), Relational.dsum(col("l_quantity")).as("total_qty"))
+  }
+
+  val qBloomPruneSql: String =
+    "SELECT l_linestatus, count(*) AS n_items, " +
+      s"${Relational.sqlDsum("l_quantity")} AS total_qty FROM lineitem " +
+      "WHERE l_orderkey IN (SELECT o_orderkey FROM orders " +
+      "WHERE o_orderpriority = '1-URGENT') GROUP BY 1"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heavy_hitters" -> qHeavyHitters _,
+    "q_bloom_prune"   -> qBloomPrune _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_heavy_hitters" -> qHeavyHittersSql,
+    "q_bloom_prune"   -> qBloomPruneSql,
+  )
+}

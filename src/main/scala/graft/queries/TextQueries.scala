@@ -194,8 +194,105 @@ object TextQueries {
       s"WHERE ${graft.functions.Md5Bits.sqlHash60("CAST(doc_id AS VARCHAR)")} % 10 = 0 " +
       "GROUP BY 1"
 
+  // ── Stratified quota sampling ──────────────────────────────────────────
+  // Per-stratum quotas (here: N docs per language) with md5-rank
+  // membership — the balanced-mixture primitive for training-data
+  // curation, reproducible like qSampleHash: the rank is a pure function
+  // of the row key, so the sample is identical across engines and runs.
+  // One shuffle on the stratum key; doc_id tie-break is unreachable
+  // (hash60 collisions aside, doc_id is unique) but keeps the ordering
+  // total so both engines agree by construction.
+  private val StratumQuota = 20
+
+  def qSampleStratified(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(graft.functions.Md5Bits.hash60(col("doc_id")), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= StratumQuota)
+  }
+
+  val qSampleStratifiedSql: String =
+    "SELECT lang, doc_id, n_chars, rk FROM (" +
+      "SELECT lang, doc_id, n_chars, row_number() OVER (PARTITION BY lang " +
+      s"ORDER BY ${graft.functions.Md5Bits.sqlHash60("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk " +
+      s"FROM documents) r WHERE rk <= $StratumQuota"
+
+  // ── TF-IDF top terms per document ──────────────────────────────────────
+  // Classic salient-term extraction, with a RATIONAL idf — tf·(N+1)/(df+1)
+  // instead of tf·ln(N/df). Monotone in the same direction per term
+  // (decreasing in df), but free of transcendental functions, so the
+  // score is one IEEE division of exact integers and both engines
+  // compute it bit-identically (ln() is correctly-rounded in neither).
+  // Plan: token explode → (doc,term) counts → df by term → broadcast-join
+  // the (small) per-term df + the 1-row corpus count → per-doc top-5
+  // window. The (doc,term) groupBy is the one data-sized shuffle.
+  private val TfIdfTopK = 5
+
+  def qTfIdf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df_docs"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(df), Seq("term")).crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * (col("n_docs") + lit(1.0)) / (col("df_docs") + lit(1)))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TfIdfTopK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df_docs"),
+        round(col("score"), 6).as("score_r"), col("rnk"))
+  }
+
+  val qTfIdfSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df_docs FROM t GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, term, tf, df_docs, round(score, 6) AS score_r, rnk
+        FROM (SELECT doc_id, term, tf, df_docs,
+                     tf * (n_docs + 1.0) / (df_docs + 1) AS score,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tf * (n_docs + 1.0) / (df_docs + 1) DESC, term) AS rnk
+              FROM tf JOIN df USING (term) CROSS JOIN n) s
+        WHERE rnk <= $TfIdfTopK"""
+
+  // ── Pattern redaction (the PII-masking shape) ──────────────────────────
+  // Global regexp masking + hit counting + masked-content fingerprint —
+  // the exact machinery of a PII scrubber (emails/phones/SSNs), pure
+  // per-document column algebra, zero shuffle. The synthetic corpus
+  // contains no PII-shaped strings, so the registered pattern masks
+  // stopword tokens instead — same operator, nonzero matches; swap the
+  // pattern constant for the real PII alternation in production. The
+  // pattern avoids lookarounds so Java regex and RE2 (DuckDB) agree.
+  private val RedactPattern = "\\b(?:the|a)\\b"
+  private val RedactMask = "[MASK]"
+
+  def qRedact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(RedactPattern), lit(0)))
+        .cast("bigint").as("n_hits"),
+      length(regexp_replace(col("text"), RedactPattern, RedactMask))
+        .cast("bigint").as("n_chars_clean"),
+      md5(regexp_replace(col("text"), RedactPattern, RedactMask)).as("clean_md5"))
+
+  val qRedactSql: String =
+    s"SELECT doc_id, len(regexp_extract_all(text, '$RedactPattern')) AS n_hits, " +
+      s"length(regexp_replace(text, '$RedactPattern', '$RedactMask', 'g')) AS n_chars_clean, " +
+      s"md5(regexp_replace(text, '$RedactPattern', '$RedactMask', 'g')) AS clean_md5 " +
+      "FROM documents"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_hash"   -> qSampleHash _,
+    "q_sample_stratified" -> qSampleStratified _,
+    "q_tfidf"         -> qTfIdf _,
+    "q_redact"        -> qRedact _,
     "q_token_bpe"     -> qTokenBpe _,
     "q_token_count"   -> qTokenCount _,
     "q_quality_score" -> qQualityScore _,
@@ -206,6 +303,9 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q_sample_hash"   -> qSampleHashSql,
+    "q_sample_stratified" -> qSampleStratifiedSql,
+    "q_tfidf"         -> qTfIdfSql,
+    "q_redact"        -> qRedactSql,
     "q_token_bpe"     -> qTokenBpeSql,
     "q_token_count"   -> qTokenCountSql,
     "q_quality_score" -> qQualityScoreSql,

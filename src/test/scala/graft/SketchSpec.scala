@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{Relational, SketchQueries, TextQueries}
+import graft.functions.TextFunctions.tokens
+
+/** Sketch-operator guarantees: CMS never underestimates, Bloom pruning
+  * never changes join results, and the new text operators keep their
+  * defining invariants (quota bounds, top-k shape, lossless mask counts).
+  */
+class SketchSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("CMS heavy-hitter estimates are >= the exact counts (never under)") {
+    val exact = graft.Tables.documents(spark, sf)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val est = SketchQueries.qHeavyHitters(spark, sf)
+    assert(est.count() > 0, "sf0.001 corpus must yield at least one heavy hitter")
+    val under = est.join(exact, Seq("tok")).filter(col("est") < col("cnt")).count()
+    assert(under === 0, "count-min sketch must never underestimate")
+    // every truly-heavy key is reported (one-sided error only)
+    val missed = exact.filter(col("cnt") >= 400)
+      .join(est, Seq("tok"), "left_anti").count()
+    assert(missed === 0, "CMS one-sided error must not drop true heavy hitters")
+  }
+
+  test("bloom-pruned semi-join equals the unpruned semi-join") {
+    val pruned = SketchQueries.qBloomPrune(spark, sf)
+    val plain = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_linestatus"))
+      .join(graft.Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"), Relational.dsum(col("l_quantity")).as("total_qty"))
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty,
+      "bloom pruning must be invisible in the result")
+  }
+
+  test("stratified sample honors per-language quota") {
+    val sampled = TextQueries.qSampleStratified(spark, sf)
+    val per = sampled.groupBy(col("lang")).agg(count(lit(1)).as("n")).collect()
+    assert(per.nonEmpty)
+    assert(per.forall(_.getLong(1) <= 20), "quota exceeded in some stratum")
+    // quota binds exactly when the stratum is large enough
+    val sizes = graft.Tables.documents(spark, sf)
+      .groupBy(col("lang")).agg(count(lit(1)).as("total")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    per.foreach { r =>
+      assert(r.getLong(1) === math.min(20L, sizes(r.getString(0))))
+    }
+  }
+
+  test("tf-idf returns at most k terms per doc, ranked without score ties broken wrong") {
+    val top = TextQueries.qTfIdf(spark, sf)
+    val per = top.groupBy(col("doc_id")).agg(count(lit(1)).as("n"),
+      max(col("rnk")).as("maxr")).collect()
+    assert(per.forall(r => r.getLong(1) <= 5 && r.getInt(2) <= 5))
+    // rank 1 really is the max score within each doc
+    val bad = top.as("a").join(top.as("b"), Seq("doc_id"))
+      .filter(col("a.rnk") < col("b.rnk") && col("a.score_r") < col("b.score_r"))
+      .count()
+    assert(bad === 0, "rank order must follow score order")
+  }
+
+  test("redaction counts hits and masks them losslessly") {
+    val r = TextQueries.qRedact(spark, sf)
+    assert(r.filter(col("n_hits") > 0).count() > 0,
+      "the registered pattern must actually fire on the corpus")
+    // masked length = original length + hits * (mask_len - match_len) is
+    // not checkable without per-match lengths, but a doc with zero hits
+    // must hash to its own text
+    val zero = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("orig_md5"))
+      .join(r.filter(col("n_hits") === 0), Seq("doc_id"))
+    assert(zero.filter(col("orig_md5") =!= col("clean_md5")).count() === 0)
+  }
+}
