@@ -91,6 +91,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"assign must not window:\n$p")
   }
 
+  test("sketch probes ride broadcast joins, never data-sized shuffles") {
+    // CMS: the d×w cell table is broadcast to the candidate probe — the
+    // sketch side must never hash-exchange with the data side
+    val hh = plan("q_heavy_hitters")
+    assert(hh.contains("BroadcastHashJoin"), s"cells not broadcast:\n$hh")
+    // tf-idf: per-term df and the 1-row corpus count are broadcast
+    val tf = plan("q_tfidf")
+    assert("BroadcastExchange".r.findAllIn(tf).size >= 2,
+      s"df/count sides not broadcast:\n$tf")
+  }
+
+  test("bloom prune filters the fact scan before the semi-join") {
+    val p = plan("q_bloom_prune")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"exact semi-join must broadcast the dim side:\n$p")
+    // the UDF membership probe sits under the join (scan-side), so the
+    // filter appears before the semi-join in the plan tree
+    assert(p.indexOf("UDF") > p.indexOf("LeftSemi"),
+      s"bloom probe must be below (after in text) the semi-join:\n$p")
+  }
+
   test("knn corpus scan stays un-shuffled before the top-k aggregation") {
     // the only exchanges allowed: broadcast of queries + the final
     // per-qid aggregation; the corpus itself must not repartition
