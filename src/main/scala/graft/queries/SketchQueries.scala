@@ -32,43 +32,57 @@ object SketchQueries {
   private val CmsWidth = 256
   private val HeavyThreshold = 400L // ≈2% of the sf0.01 token stream
 
-  /** h_i(tok): the shared md5-derived 60-bit hash over "i:tok", mod w. */
-  private def cmsBucket(i: org.apache.spark.sql.Column,
-      tok: org.apache.spark.sql.Column) =
-    Md5Bits.hash60(concat(i.cast("string"), lit(":"), tok)) % CmsWidth
+  /** The d row-hashes come from TWO md5s via Kirsch–Mitzenmacher double
+    * hashing, h_i = (h1 + i·h2) mod w — same guarantees as d independent
+    * hashes (Kirsch & Mitzenmacher ESA'06), half the hashing cost of
+    * md5-per-row at d=4. h1,h2 < 2^60 and i ≤ 3, so h1 + i·h2 < 2^62:
+    * no int64 overflow on either engine. */
+  private def cmsBuckets(tok: org.apache.spark.sql.Column) = {
+    val h1 = Md5Bits.hash60(concat(lit("cms1:"), tok))
+    val h2 = Md5Bits.hash60(concat(lit("cms2:"), tok))
+    (0 until CmsDepth).map(i => ((h1 + lit(i.toLong) * h2) % CmsWidth).as(s"b$i"))
+  }
 
   def qHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    // both the sketch fold and the candidate probe consume the token
+    // stream — materialize it ONCE (eager localCheckpoint, same iterative
+    // discipline as PageRank/KMeans) instead of tokenizing the corpus
+    // twice; at scale this trades one local spill of (tok) rows for a
+    // second full scan+regex pass
     val toks = Tables.documents(s, d)
       .select(explode(tokens(col("text"))).as("tok"))
-    // the sketch: one pass, d copies of the stream folded into d×w cells
-    val cells = toks
-      .select(explode(sequence(lit(0), lit(CmsDepth - 1))).as("i"), col("tok"))
-      .select(col("i"), cmsBucket(col("i"), col("tok")).as("bucket"))
+      .localCheckpoint(true)
+    // the sketch: one pass — hash each token once (two md5s), unfold its
+    // d (row, bucket) cells, fold the stream into d×w counters
+    val withBuckets = toks.select(
+      posexplode(array(cmsBuckets(col("tok")): _*)).as(Seq("i", "bucket")))
+    val cells = withBuckets
       .groupBy(col("i"), col("bucket")).agg(count(lit(1)).as("cnt"))
     // probe: each candidate key reads its d cells from the broadcast
     // sketch; estimate = min. Candidates here are the corpus vocabulary
     // (distinct tokens); in production the candidate set is whatever
     // keys you need estimates for — the sketch answers any of them.
     val est = toks.distinct()
-      .select(col("tok"), explode(sequence(lit(0), lit(CmsDepth - 1))).as("i"))
-      .select(col("tok"), col("i"), cmsBucket(col("i"), col("tok")).as("bucket"))
+      .select(col("tok"),
+        posexplode(array(cmsBuckets(col("tok")): _*)).as(Seq("i", "bucket")))
       .join(broadcast(cells), Seq("i", "bucket"))
       .groupBy(col("tok")).agg(min(col("cnt")).as("est"))
     est.filter(col("est") >= HeavyThreshold)
   }
 
   val qHeavyHittersSql: String = {
-    def bucket(i: String, tok: String) =
-      s"${Md5Bits.sqlHash60(s"CAST($i AS VARCHAR) || ':' || $tok")} % $CmsWidth"
+    val h1 = Md5Bits.sqlHash60("'cms1:' || tok")
+    val h2 = Md5Bits.sqlHash60("'cms2:' || tok")
     s"""WITH toks AS (SELECT unnest($sqlTokens) AS tok FROM documents),
         depth AS (SELECT unnest([0, 1, 2, 3]) AS i),
-        cells AS (SELECT i, ${bucket("i", "tok")} AS bucket, count(*) AS cnt
-                  FROM toks CROSS JOIN depth GROUP BY 1, 2)
+        hashed AS (SELECT tok, $h1 AS h1, $h2 AS h2 FROM toks),
+        cells AS (SELECT i, (h1 + i * h2) % $CmsWidth AS bucket, count(*) AS cnt
+                  FROM hashed CROSS JOIN depth GROUP BY 1, 2)
         SELECT tok, min(cnt) AS est
-        FROM (SELECT DISTINCT tok FROM toks) v
+        FROM (SELECT DISTINCT tok, h1, h2 FROM hashed) v
         CROSS JOIN depth
         JOIN cells ON cells.i = depth.i
-                  AND cells.bucket = ${bucket("depth.i", "tok")}
+                  AND cells.bucket = (v.h1 + depth.i * v.h2) % $CmsWidth
         GROUP BY tok HAVING min(cnt) >= $HeavyThreshold"""
   }
 
