@@ -328,7 +328,41 @@ object SimilarityQueries {
     sb.toString
   }
 
+  // ── int8 scalar quantization under the oracle gate ─────────────────────
+  // The 4× storage/scan compression for a 100 TB embedding corpus
+  // (VectorFunctions.i8Scale/quantizeI8), reported per vector as
+  // integer-exact signals: the quantized-component sum (a bigint — any
+  // engine divergence in scale or rounding flips it) plus the rounded
+  // max reconstruction error, which must respect the scale/2 bound.
+  // Pure per-row column algebra — zero shuffle, scan-fused at any scale.
+  def qQuantize(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("scale", i8Scale(col("v")))
+      .withColumn("q", quantizeI8(col("v"), col("scale")))
+      .select(col("vec_id"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x.cast("long")).as("q_sum"),
+        round(aggregate(
+          zip_with(col("v"), dequantizeI8(col("q"), col("scale")),
+            (x, y) => abs(x - y)),
+          lit(0.0), (a, e) => greatest(a, e)), 9).as("max_err_r"))
+  }
+
+  val qQuantizeSql: String =
+    "SELECT vec_id, CAST(list_sum(q) AS BIGINT) AS q_sum, " +
+      "round(list_max(list_transform(generate_series(1, len(v)), " +
+      "i -> abs(v[i] - q[i] * scale))), 9) AS max_err_r " +
+      "FROM (SELECT vec_id, v, scale, " +
+      "list_transform(v, x -> round(x / scale)) AS q " +
+      "FROM (SELECT vec_id, v, " +
+      "CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS scale " +
+      "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
+      "list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS m " +
+      "FROM embeddings) a) b) c"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quantize"    -> qQuantize _,
     "q_ann_ivf"     -> qAnnIvf _,
     "q_centroids"   -> qCentroids _,
     "q_knn_brute"   -> qKnnBrute _,
@@ -338,6 +372,7 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_quantize"    -> qQuantizeSql,
     "q_centroids"   -> qCentroidsSql,
     "q_knn_brute"   -> qKnnBruteSql,
     "q_knn_heap"    -> qKnnHeapSql,

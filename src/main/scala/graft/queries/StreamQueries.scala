@@ -101,10 +101,35 @@ object StreamQueries {
       "CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents " +
       "FROM events GROUP BY 1"
 
+  /** Stream-stream inner join run as a backfill: clicks joined to
+    * purchases by user within 60 minutes (EventStreams.clickToPurchase —
+    * both sides watermarked, the time-bound condition lets Spark expire
+    * buffered state). Inner-join results emit as matched, so Append mode
+    * yields the complete join at end-of-input; the batch join over the
+    * same events IS the oracle. */
+  def qStreamJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val joined = EventStreams.clickToPurchase(
+      eventStream(s, d).filter(col("event_type") === "click"),
+      eventStream(s, d).filter(col("event_type") === "purchase"),
+      withinMinutes = 60)
+    runToMemory(s, joined, OutputMode.Append())
+      .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"),
+        col("purchase_value"))
+  }
+
+  val qStreamJoinSql: String =
+    "SELECT c.event_id AS click_id, p.event_id AS purchase_id, " +
+      "c.user_id AS user_id, p.value AS purchase_value " +
+      "FROM events c JOIN events p ON c.user_id = p.user_id " +
+      "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
+      "AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTE"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> qStreamTumbling _,
     "q_stream_sessions" -> qStreamSessions _,
     "q_stream_running"  -> qStreamRunning _,
+    "q_stream_join"     -> qStreamJoin _,
   )
 
   /** Same ground truth as the batch forms — that is the point. */
@@ -112,5 +137,6 @@ object StreamQueries {
     "q_stream_tumbling" -> EventQueries.qTumblingHourlySql,
     "q_stream_sessions" -> EventQueries.qSessionWindowSql,
     "q_stream_running"  -> qStreamRunningSql,
+    "q_stream_join"     -> qStreamJoinSql,
   )
 }

@@ -262,6 +262,41 @@ object TextQueries {
               FROM tf JOIN df USING (term) CROSS JOIN n) s
         WHERE rnk <= $TfIdfTopK"""
 
+  // ── Sequence packing (context-window binning) ──────────────────────────
+  // The training-prep step after curation: pack documents into
+  // fixed-token-budget bins (per language, in deterministic md5-rank
+  // order) so every training sequence is near-full. bin = how many whole
+  // budgets precede the doc in its stratum's running token count — a
+  // windowed prefix sum, the canonical distributed spelling (one shuffle
+  // on the stratum key; integer arithmetic end to end, so both engines
+  // bin identically). Reported per bin: doc count + token fill.
+  private val PackBudget = 2048L
+
+  def qPackBins(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.tokenCount
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(graft.functions.Md5Bits.hash60(col("doc_id")), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), tokenCount(col("text")).as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("lang"),
+        floor((col("cum") - col("n_tok")) / PackBudget).as("bin"),
+        col("n_tok"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
+  }
+
+  val qPackBinsSql: String =
+    "SELECT lang, CAST(floor((cum - n_tok) / " + PackBudget + ") AS BIGINT) AS bin, " +
+      "count(*) AS n_docs, sum(n_tok) AS bin_tokens " +
+      "FROM (SELECT lang, n_tok, sum(n_tok) OVER (PARTITION BY lang " +
+      s"ORDER BY ${graft.functions.Md5Bits.sqlHash60("CAST(doc_id AS VARCHAR)")}, doc_id " +
+      "ROWS UNBOUNDED PRECEDING) AS cum " +
+      s"FROM (SELECT lang, doc_id, len($sqlToks) AS n_tok FROM documents) a) b " +
+      "GROUP BY 1, 2"
+
   // ── Pattern redaction (the PII-masking shape) ──────────────────────────
   // Global regexp masking + hit counting + masked-content fingerprint —
   // the exact machinery of a PII scrubber (emails/phones/SSNs), pure
@@ -293,6 +328,7 @@ object TextQueries {
     "q_sample_stratified" -> qSampleStratified _,
     "q_tfidf"         -> qTfIdf _,
     "q_redact"        -> qRedact _,
+    "q_pack_bins"     -> qPackBins _,
     "q_token_bpe"     -> qTokenBpe _,
     "q_token_count"   -> qTokenCount _,
     "q_quality_score" -> qQualityScore _,
@@ -306,6 +342,7 @@ object TextQueries {
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_tfidf"         -> qTfIdfSql,
     "q_redact"        -> qRedactSql,
+    "q_pack_bins"     -> qPackBinsSql,
     "q_token_bpe"     -> qTokenBpeSql,
     "q_token_count"   -> qTokenCountSql,
     "q_quality_score" -> qQualityScoreSql,
