@@ -482,6 +482,89 @@ object Relational {
       s"${sqlDsum("l_quantity")} AS total_qty " +
       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1"
 
+  // ── CDC upsert merge (latest-version-wins) ─────────────────────────────
+  // The lakehouse MERGE INTO pattern as one shuffle: union the base table
+  // with the change batch under a version tag, keep the max-version row
+  // per key via a keyed window. At 100 TB the change batch is typically
+  // tiny relative to base — the union shuffles on the SAME key the next
+  // consumer joins/aggregates on, so the merge piggybacks the partition
+  // layout. The change batch here is derived deterministically from
+  // orders (every 10th key gets a re-priced row), so the oracle can state
+  // the post-merge truth directly with a CASE — the semantic proof that
+  // the window merge applies updates exactly once, drops nothing, and
+  // duplicates nothing.
+  def qUpsertMerge(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("ver", lit(0))
+    val changes = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (col("o_totalprice") + 100.0).as("o_totalprice"))
+      .withColumn("ver", lit(1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderkey")).orderBy(col("ver").desc)
+    base.unionByName(changes)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+  }
+
+  val qUpsertMergeSql: String =
+    "SELECT o_orderpriority, count(*) AS n_orders, " +
+      s"${sqlDsum("p2")} AS total_price FROM (" +
+      "SELECT o_orderpriority, CASE WHEN o_orderkey % 10 = 0 " +
+      "THEN o_totalprice + 100.0 ELSE o_totalprice END AS p2 " +
+      "FROM orders) m GROUP BY 1"
+
+  // ── Z-order clustering (multi-dimensional data layout) ─────────────────
+  // The lakehouse OPTIMIZE ZORDER BY primitive: interleave the bits of two
+  // dimension keys so rows close in BOTH dimensions land in the same
+  // z-range — then writing range-partitioned by z gives min/max file
+  // stats that prune on either dimension. The z-value is pure integer
+  // column algebra (16 bit-extract terms per dimension, codegen'd, no
+  // UDF), bit-identical in DuckDB. The registered query reports per
+  // z-bucket extents: tight min/max spans on BOTH dims per bucket are
+  // exactly the property file-skipping needs.
+  private val ZBits = 16
+
+  /** Interleave the low 16 bits: x → even positions, y → odd. */
+  def zValue(x: Column, y: Column): Column =
+    (0 until ZBits).map { i =>
+      (shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+
+  private def sqlZValue(x: String, y: String): String =
+    (0 until ZBits).map { i =>
+      s"(($x >> $i) & 1) * ${1L << (2 * i)} + (($y >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString("(", " + ", ")")
+
+  def qZorder(s: SparkSession, d: String): DataFrame = {
+    val day = datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"),
+        zValue(pmod(col("o_custkey"), lit(65536L)).cast("long"),
+          pmod(day, lit(65536)).cast("long")).as("z"),
+        day.cast("long").as("day"))
+      .withColumn("z_bucket", (col("z") / lit(1L << 16)).cast("bigint"))
+      .groupBy(col("z_bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"),
+        min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+  }
+
+  val qZorderSql: String = {
+    val z = sqlZValue("o_custkey % 65536", "day % 65536")
+    "SELECT CAST(floor(z / " + (1L << 16) + ") AS BIGINT) AS z_bucket, " +
+      "count(*) AS n_rows, min(o_custkey) AS min_cust, max(o_custkey) AS max_cust, " +
+      "min(day) AS min_day, max(day) AS max_day " +
+      s"FROM (SELECT o_custkey, day, $z AS z FROM (" +
+      "SELECT o_custkey, datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day " +
+      "FROM orders) a) b GROUP BY 1"
+  }
+
   /** All (name → query) pairs this module contributes. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_histogram"       -> qHistogram _,
@@ -513,6 +596,8 @@ object Relational {
     "q_star_join"       -> qStarJoin _,
     "q_bucketed_join"   -> qBucketedJoin _,
     "q_skew_join"       -> qSkewJoin _,
+    "q_upsert_merge"    -> qUpsertMerge _,
+    "q_zorder"          -> qZorder _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -546,5 +631,7 @@ object Relational {
     "q_star_join"       -> qStarJoinSql,
     "q_bucketed_join"   -> qBucketedJoinSql,
     "q_skew_join"       -> qSkewJoinSql,
+    "q_upsert_merge"    -> qUpsertMergeSql,
+    "q_zorder"          -> qZorderSql,
   )
 }

@@ -70,4 +70,36 @@ class RelationalSpec extends AnyFunSuite {
     val e = Tables.events(spark, sf).filter(col("event_type") === "purchase").count()
     assert(queries.Relational.qUnionMerge(spark, sf).count() === o + e)
   }
+
+  test("upsert merge applies each change exactly once, drops nothing") {
+    import org.apache.spark.sql.functions._
+    // Post-merge row universe == base keys (changes only overwrite), and
+    // the total price delta == 100 per changed key, exactly.
+    val base = Tables.orders(spark, sf)
+    val nKeys = base.select(col("o_orderkey")).distinct().count()
+    val nChanged = base.filter(col("o_orderkey") % 10 === 0).count()
+    val merged = queries.Relational.qUpsertMerge(spark, sf)
+    assert(merged.agg(sum("n_orders")).head().getLong(0) === nKeys)
+    val mergedTotal = merged.agg(sum("total_price")).head().getDouble(0)
+    val baseTotal = base
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+      .head().getDouble(0)
+    assert(math.abs(mergedTotal - (baseTotal + 100.0 * nChanged)) < 1e-6)
+  }
+
+  test("z-value interleave is a bijection on 16-bit pairs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // deinterleave(zValue(x, y)) == (x, y) for a deterministic sample —
+    // the property file-level min/max pruning on either dimension needs.
+    val xs = (0 until 64).map(i => (i * 1021L % 65536, i * 2039L % 65536))
+    val df = xs.toDF("x", "y")
+      .withColumn("z", queries.Relational.zValue(col("x"), col("y")))
+    val back = df.select(col("x"), col("y"),
+      (0 until 16).map(i => shiftright(col("z"), 2 * i).bitwiseAND(lit(1L)) * lit(1L << i))
+        .reduce(_ + _).as("x2"),
+      (0 until 16).map(i => shiftright(col("z"), 2 * i + 1).bitwiseAND(lit(1L)) * lit(1L << i))
+        .reduce(_ + _).as("y2"))
+    assert(back.filter(col("x") =!= col("x2") || col("y") =!= col("y2")).count() === 0)
+  }
 }
