@@ -269,7 +269,84 @@ object EventQueries {
       "AND ts < date_trunc('hour', ts - INTERVAL (q * 15) MINUTE) + INTERVAL (q * 15) MINUTE + INTERVAL 1 HOUR" +
       ") b GROUP BY 1, 2"
 
+  // ── LOCF gap-fill (last observation carried forward) ───────────────────
+  // Time-series regularization: densify each user's daily totals onto the
+  // full day grid, carrying the last observed value across gap days — the
+  // standard prep step before feeding irregular event streams to models
+  // that expect a regular cadence. Plan shape: one shuffle to aggregate
+  // on (user, day), the day dimension is broadcast into the grid (days
+  // are tiny even at 100 TB — a year is 365 rows), and the carry-forward
+  // window reuses the user hash partitioning. `last(_, ignoreNulls)` over
+  // a running ROWS frame is the distributed LOCF spelling — no
+  // driver-side loop, no self-join per gap.
+  def qGapFill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val daily = ev
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(Relational.dsum(col("value")).as("day_value"))
+    val days = ev.select(date_trunc("day", col("ts")).as("day")).distinct()
+    val users = ev.select(col("user_id")).distinct()
+    val carry = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    users.crossJoin(broadcast(days))
+      .join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled_value",
+        last(col("day_value"), ignoreNulls = true).over(carry))
+      .select(col("user_id"), col("day"), col("filled_value"))
+  }
+
+  val qGapFillSql: String =
+    "WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day, " +
+      s"${Relational.sqlDsum("value")} AS day_value FROM events GROUP BY 1, 2), " +
+      "days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events), " +
+      "users AS (SELECT DISTINCT user_id FROM events) " +
+      "SELECT u.user_id, dy.day, " +
+      "last_value(dl.day_value IGNORE NULLS) OVER (PARTITION BY u.user_id " +
+      "ORDER BY dy.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value " +
+      "FROM users u CROSS JOIN days dy " +
+      "LEFT JOIN daily dl ON u.user_id = dl.user_id AND dy.day = dl.day"
+
+  // ── Z-score outlier detection ──────────────────────────────────────────
+  // Per-event-type anomaly flagging: events more than 3 standard
+  // deviations from their type's mean. Moments come from EXACT decimal
+  // sums (sum and sum-of-squares), so both engines derive bit-identical
+  // doubles for mean/variance and make identical |z| > 3 decisions — the
+  // usual float-aggregation nondeterminism never enters. Plan shape: one
+  // tiny per-type stats aggregate (rows = #types) broadcast back onto the
+  // event scan — the corpus itself is never shuffled, which is what makes
+  // this viable at 100 TB.
+  def qOutliers(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ev = Tables.events(s, d)
+    val vd = col("value").cast(DecimalType(18, 2))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Relational.dsum(col("value")).as("s1"),
+        sum(vd * vd).cast("double").as("s2"))
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("variance", col("s2") / col("n") - col("mean") * col("mean"))
+      .select(col("event_type"), col("mean"), col("variance"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", (col("value") - col("mean")) / sqrt(col("variance")))
+      .filter(abs(col("z")) > 3.0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("z"), 6).as("z_r"))
+  }
+
+  val qOutliersSql: String =
+    "WITH st AS (SELECT event_type, count(*) AS n, " +
+      s"${Relational.sqlDsum("value")} AS s1, " +
+      "CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2 " +
+      "FROM events GROUP BY 1), " +
+      "m AS (SELECT event_type, s1 / n AS mean, s2 / n - (s1 / n) * (s1 / n) AS variance FROM st) " +
+      "SELECT e.event_id, e.event_type, e.value, " +
+      "round((e.value - m.mean) / sqrt(m.variance), 6) AS z_r " +
+      "FROM events e JOIN m USING (event_type) " +
+      "WHERE abs((e.value - m.mean) / sqrt(m.variance)) > 3"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gap_fill"         -> qGapFill _,
+    "q_outliers"         -> qOutliers _,
     "q_sliding_window"   -> qSlidingWindow _,
     "q_range_join"       -> qRangeJoin _,
     "q_asof_join"        -> qAsofJoin _,
@@ -283,6 +360,8 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_gap_fill"         -> qGapFillSql,
+    "q_outliers"         -> qOutliersSql,
     "q_sliding_window"   -> qSlidingWindowSql,
     "q_range_join"       -> qRangeJoinSql,
     "q_asof_join"        -> qAsofJoinSql,

@@ -565,8 +565,38 @@ object Relational {
       "FROM orders) a) b GROUP BY 1"
   }
 
+  // ── Incremental materialized-view refresh (algebraic state merge) ──────
+  // The per-customer order summary maintained incrementally: a BASE state
+  // (orders before the cutover, in production a stored table from the
+  // previous refresh) is merged with a DELTA state computed only from new
+  // orders. count/decimal-sum states are algebraic, so merge = re-sum —
+  // the same partial-aggregate algebra Spark's own map-side combine uses,
+  // lifted to the view level. At 100 TB the refresh scans ONLY the delta
+  // partition; the oracle proves merged state == full recompute exactly
+  // (decimal partial sums merge losslessly; double sums would not).
+  private val MvCut = "1997-01-01"
+
+  def qMvRefresh(s: SparkSession, d: String): DataFrame = {
+    def state(df: DataFrame): DataFrame =
+      df.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total_d"))
+    val ord = Tables.orders(s, d)
+    val base = state(ord.filter(col("o_orderdate") < lit(MvCut).cast("timestamp")))
+    val delta = state(ord.filter(col("o_orderdate") >= lit(MvCut).cast("timestamp")))
+    base.unionByName(delta)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("total_d")).cast("double").as("total_spent"))
+  }
+
+  val qMvRefreshSql: String =
+    "SELECT o_custkey, count(*) AS n_orders, " +
+      s"${sqlDsum("o_totalprice")} AS total_spent FROM orders GROUP BY 1"
+
   /** All (name → query) pairs this module contributes. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mv_refresh"      -> qMvRefresh _,
     "q_histogram"       -> qHistogram _,
     "q_percentiles"     -> qPercentiles _,
     "q_scalar_subq"     -> qScalarSubq _,
@@ -601,6 +631,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_mv_refresh"      -> qMvRefreshSql,
     "q_histogram"       -> qHistogramSql,
     "q_percentiles"     -> qPercentilesSql,
     "q_scalar_subq"     -> qScalarSubqSql,

@@ -125,7 +125,30 @@ object StreamQueries {
       "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
       "AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTE"
 
+  /** Streaming exact dedup (dropDuplicatesWithinWatermark) run as a
+    * backfill: one row per distinct (user, event_type) key. Only the KEY
+    * columns are emitted — which concrete row wins the first-seen race
+    * is micro-batch-order-dependent, the key set is not. The watermark
+    * is set beyond the fixture's 30-day span so no dedup state expires
+    * mid-backfill and the result is exactly DISTINCT; a live deployment
+    * uses a horizon-sized watermark to bound state and catches
+    * horizon-crossing duplicates in the downstream batch dedup
+    * (q_dedup_exact) — the standard lambda split, documented at
+    * EventStreams.dedupStream. */
+  def qStreamDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    runToMemory(s,
+      EventStreams.dedupStream(eventStream(s, d),
+          Seq("user_id", "event_type"), watermark = "40 days")
+        .select(col("user_id"), col("event_type")),
+      OutputMode.Append())
+  }
+
+  val qStreamDedupSql: String =
+    "SELECT DISTINCT user_id, event_type FROM events"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_dedup"    -> qStreamDedup _,
     "q_stream_tumbling" -> qStreamTumbling _,
     "q_stream_sessions" -> qStreamSessions _,
     "q_stream_running"  -> qStreamRunning _,
@@ -134,6 +157,7 @@ object StreamQueries {
 
   /** Same ground truth as the batch forms — that is the point. */
   val oracles: Map[String, String] = Map(
+    "q_stream_dedup"    -> qStreamDedupSql,
     "q_stream_tumbling" -> EventQueries.qTumblingHourlySql,
     "q_stream_sessions" -> EventQueries.qSessionWindowSql,
     "q_stream_running"  -> qStreamRunningSql,

@@ -323,7 +323,41 @@ object TextQueries {
       s"md5(regexp_replace(text, '$RedactPattern', '$RedactMask', 'g')) AS clean_md5 " +
       "FROM documents"
 
+  // ── Inverted index with capped postings ────────────────────────────────
+  // The retrieval-side complement of q_tfidf: postings are keyed by TERM
+  // (tf-idf windows by document), giving each term its document frequency
+  // and the top-`PostingsCap` posting rows ranked by (tf desc, doc_id).
+  // Both window functions share one hash partitioning on term — a single
+  // shuffle builds the whole index. The CAP is the scale story: a
+  // stopword's postings list is bounded at PostingsCap rows no matter how
+  // many billions of documents contain it (full-df retrieval engines keep
+  // skip lists instead; a curation pipeline wants exactly this truncated
+  // form for term statistics + exemplar lookup).
+  private val PostingsCap = 5
+
+  def qInvertedIndex(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val byTerm = Window.partitionBy(col("term"))
+    tf.withColumn("rnk",
+        row_number().over(byTerm.orderBy(col("tf").desc, col("doc_id").asc)))
+      .withColumn("df_docs", count(lit(1)).over(byTerm))
+      .filter(col("rnk") <= PostingsCap)
+      .select(col("term"), col("df_docs"), col("rnk"), col("doc_id"), col("tf"))
+  }
+
+  val qInvertedIndexSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
+        tf AS (SELECT term, doc_id, count(*) AS tf FROM t GROUP BY 1, 2),
+        r AS (SELECT term, doc_id, tf,
+                row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rnk,
+                count(*) OVER (PARTITION BY term) AS df_docs FROM tf)
+        SELECT term, df_docs, rnk, doc_id, tf FROM r WHERE rnk <= $PostingsCap"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_inverted_index" -> qInvertedIndex _,
     "q_sample_hash"   -> qSampleHash _,
     "q_sample_stratified" -> qSampleStratified _,
     "q_tfidf"         -> qTfIdf _,
@@ -338,6 +372,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_inverted_index" -> qInvertedIndexSql,
     "q_sample_hash"   -> qSampleHashSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_tfidf"         -> qTfIdfSql,

@@ -96,4 +96,46 @@ class EventSpec extends AnyFunSuite {
     // first event per user has no preceding frame → null avg
     assert(out.filter($"seq_no" === 1 && $"avg_prev3".isNotNull).count() === 0)
   }
+
+  test("gap-fill densifies to the full user x day grid and carries forward") {
+    val ev = Tables.events(spark, sf)
+    val users = ev.select($"user_id").distinct().count()
+    val days = ev.select(date_trunc("day", $"ts")).distinct().count()
+    val rows = EventQueries.qGapFill(spark, sf).collect()
+    assert(rows.length.toLong === users * days)
+    // ground truth: per-user daily decimal sums, carried forward in order
+    val daily = ev
+      .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+      .agg(sum($"value".cast("decimal(18,2)")).cast("double").as("v"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("day")) -> r.getAs[Double]("v"))
+      .toMap
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (uid, rs) =>
+      var carried: Option[Double] = None
+      rs.sortBy(_.getAs[Timestamp]("day").getTime).foreach { r =>
+        daily.get((uid, r.getAs[Timestamp]("day"))).foreach(v => carried = Some(v))
+        val got = Option(r.getAs[java.lang.Double]("filled_value")).map(_.doubleValue)
+        assert(got === carried, s"user $uid day ${r.getAs[Timestamp]("day")}")
+      }
+    }
+  }
+
+  test("z-score outliers are exactly the events beyond 3 sigma of their type") {
+    val got = EventQueries.qOutliers(spark, sf).collect()
+    assert(got.nonEmpty) // the fixture's heavy-tailed values guarantee hits
+    got.foreach(r => assert(math.abs(r.getAs[Double]("z_r")) > 3.0 - 1e-6))
+    // ground truth per type from exact driver-side moments over cents
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"event_type", $"value").collect()
+    val want = ev.groupBy(_.getAs[String]("event_type")).toSeq.flatMap { case (_, rs) =>
+      val cents = rs.map(r => math.rint(r.getAs[Double]("value") * 100).toLong)
+      val n = cents.length.toDouble
+      val mean = cents.sum / 100.0 / n
+      val variance = cents.map(c => c * c).sum / 10000.0 / n - mean * mean
+      rs.filter { r =>
+        math.abs((r.getAs[Double]("value") - mean) / math.sqrt(variance)) > 3.0
+      }.map(_.getAs[Long]("event_id"))
+    }.toSet
+    assert(got.map(_.getAs[Long]("event_id")).toSet === want)
+  }
 }

@@ -121,4 +121,39 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
       s"query side not broadcast:\n$p")
   }
+
+  test("outlier stats broadcast back onto the scan; the corpus never shuffles") {
+    val p = plan("q_outliers")
+    assert(p.contains("BroadcastHashJoin"), s"stats not broadcast:\n$p")
+    // the only hash exchange allowed is the tiny per-type stats aggregate
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 1, s"event corpus shuffled for the stats join:\n$p")
+  }
+
+  test("gap-fill broadcasts the day dimension into the grid") {
+    val p = plan("q_gap_fill")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"day grid not built via broadcast:\n$p")
+  }
+
+  test("triangle counting broadcasts degrees; wedge joins are equi-joins") {
+    val p = plan("q_triangles")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"triangle plan must never go cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"degree join not broadcast:\n$p")
+  }
+
+  test("inverted index builds both window functions over one term shuffle") {
+    val p = plan("q_inverted_index")
+    // tf aggregation on (term, doc) + ONE term repartition for both
+    // windows — a second term exchange would mean the windows split
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 2, s"extra exchange in index build:\n$p")
+    assert("Window".r.findAllIn(p).size >= 1, s"no window operator:\n$p")
+  }
+
+  test("MV refresh merges states with partial aggregation on both phases") {
+    val p = plan("q_mv_refresh")
+    assert(p.contains("partial_"), s"no map-side combine in state build:\n$p")
+  }
 }

@@ -173,4 +173,48 @@ class PropertySpec extends AnyFunSuite {
       } finally spark.conf.unset("graft.mr.combine.maxBuffered")
     }
   }
+
+  test("degree-oriented triangle count equals naive enumeration on random graphs (10 trials)") {
+    val r = new Random(7)
+    for (trial <- 1 to 10) {
+      val nodes = 4 + r.nextInt(20)
+      val edges = List.fill(5 + r.nextInt(60)) {
+        val a = r.nextInt(nodes); val b = r.nextInt(nodes)
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.filter { case (a, b) => a != b }.distinct
+      if (edges.nonEmpty) {
+        val es = edges.toSet
+        val ns = edges.flatMap(e => List(e._1, e._2)).distinct.sorted
+        val want = ns.combinations(3).count { case Seq(a, b, c) =>
+          es((a, b)) && es((b, c)) && es((a, c))
+        }
+        val got = graft.queries.GraphQueries
+          .triangleCount(edges.toDF("src", "dst"))
+          .as[Long].head()
+        assert(got === want.toLong, s"trial $trial edges: $edges")
+      }
+    }
+  }
+
+  test("inverted index postings equal a driver-side index on the fixture docs") {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    // driver-side ground truth: tf per (term, doc), df per term,
+    // postings ranked by (tf desc, doc_id asc) and capped at 5
+    val tf = docs.flatMap { case (id, t) =>
+      TextFunctions.tokenize(t).groupBy(identity).map {
+        case (term, hits) => (term, id, hits.length.toLong)
+      }
+    }
+    val want = tf.groupBy(_._1).toSeq.flatMap { case (term, ps) =>
+      val ranked = ps.sortBy(p => (-p._3, p._2)).take(5)
+      ranked.zipWithIndex.map { case ((_, id, n), i) =>
+        (term, ps.length.toLong, (i + 1).toLong, id, n)
+      }
+    }.toSet
+    val got = graft.queries.TextQueries.qInvertedIndex(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
+  }
 }

@@ -102,4 +102,17 @@ class RelationalSpec extends AnyFunSuite {
         .reduce(_ + _).as("y2"))
     assert(back.filter(col("x") =!= col("x2") || col("y") =!= col("y2")).count() === 0)
   }
+
+  test("incremental MV refresh merges base+delta states to the full recompute") {
+    import org.apache.spark.sql.functions._
+    val got = queries.Relational.qMvRefresh(spark, sf)
+    val full = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_spent"))
+    // exact equality — decimal partial states merge losslessly
+    assert(got.exceptAll(full).count() === 0)
+    assert(full.exceptAll(got).count() === 0)
+    assert(got.count() > 0)
+  }
 }
