@@ -344,7 +344,32 @@ object EventQueries {
       "FROM events e JOIN m USING (event_type) " +
       "WHERE abs((e.value - m.mean) / sqrt(m.variance)) > 3"
 
+  // ── Decile bucketing (ntile) ───────────────────────────────────────────
+  // Per-type value deciles with per-bucket stats — the robust-stats
+  // summary (winsorization bounds, drift monitoring) over a skewed
+  // measure. ntile's bucket rule is SQL-standard (larger buckets first on
+  // non-divisible counts) so both engines bucket identically; ordering
+  // ties break on event_id so the assignment is total. One shuffle on
+  // event_type; the groupBy reuses the window's partitioning.
+  def qDeciles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("event_type"), col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"),
+        Relational.dsum(col("value")).as("sum_value"))
+  }
+
+  val qDecilesSql: String =
+    "SELECT event_type, decile, count(*) AS n, min(value) AS lo, max(value) AS hi, " +
+      s"${Relational.sqlDsum("value")} AS sum_value " +
+      "FROM (SELECT event_type, value, ntile(10) OVER (PARTITION BY event_type " +
+      "ORDER BY value, event_id) AS decile FROM events) a GROUP BY 1, 2"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_deciles"          -> qDeciles _,
     "q_gap_fill"         -> qGapFill _,
     "q_outliers"         -> qOutliers _,
     "q_sliding_window"   -> qSlidingWindow _,
@@ -360,6 +385,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_deciles"          -> qDecilesSql,
     "q_gap_fill"         -> qGapFillSql,
     "q_outliers"         -> qOutliersSql,
     "q_sliding_window"   -> qSlidingWindowSql,

@@ -10,15 +10,21 @@ import graft.Tables
   * triangle counting over a co-purchase graph derived from `lineitem`
   * (parts are nodes; an edge connects two parts bought in the same order).
   *
-  * The Spark plan uses DEGREE ORIENTATION — every undirected edge is
-  * directed from its lower-(degree, id) endpoint to its higher one, so
-  * each triangle is generated exactly once and, crucially, the wedge
-  * fan-out per node is bounded by O(sqrt(m)) regardless of skew (a
-  * celebrity node with degree 10^6 contributes wedges only through its
-  * out-edges, which orientation caps). This is what makes the plan hold
-  * at 100 TB where the naive edge^3 join explodes on hubs. The DuckDB
-  * oracle runs the naive canonical-ordered triple join — same count,
-  * affordable at verification scale only.
+  * The Spark plan is the edge-iterator algorithm with DEGREE ORIENTATION
+  * (Suri & Vassilvitskii, "Counting Triangles and the Curse of the Last
+  * Reducer", WWW'11): every undirected edge is directed from its
+  * lower-(degree, id) endpoint to its higher one, out-neighborhoods are
+  * collected into per-node arrays, and each edge (u,v) contributes
+  * |adj(u) ∩ adj(v)| — counted inside whole-stage codegen via
+  * `array_intersect`, so no wedge set is ever materialized (the naive
+  * wedge join would shuffle ~50M rows at sf0.1 alone). Orientation bounds
+  * every out-neighborhood at O(sqrt(m)) regardless of skew, which caps
+  * both the array payloads and the per-edge intersection work — the
+  * "last reducer" hub problem is structurally gone. The adjacency side is
+  * |V| rows; AQE broadcasts it while it fits and falls back to a
+  * sort-merge join at billion-node scale — no hint pins the wrong choice.
+  * The DuckDB oracle runs the naive canonical-ordered triple join — same
+  * count, affordable at verification scale only.
   */
 object GraphQueries {
 
@@ -50,14 +56,15 @@ object GraphQueries {
     val o = withDeg.select(
       when(fwd, col("src")).otherwise(col("dst")).as("u"),
       when(fwd, col("dst")).otherwise(col("src")).as("v"))
-    // Wedges through the middle node, closed by a third oriented edge.
-    // The orientation's total order makes u ≺ v ≺ w, so each triangle
-    // materializes exactly once.
-    val wedges = o.as("e1").join(o.as("e2"), col("e1.v") === col("e2.u"))
-      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
-    wedges.join(o.as("e3"), col("x") === col("e3.u") && col("z") === col("e3.v"),
-        "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
+    // Out-neighborhoods under the orientation: ≤ O(sqrt(m)) values each,
+    // so the arrays stay small no matter how skewed the raw degrees are.
+    val adj = o.groupBy(col("u")).agg(collect_list(col("v")).as("nbrs"))
+    // A triangle a ≺ b ≺ c is counted exactly once: at edge (a,b), as the
+    // common out-neighbor c ∈ adj(a) ∩ adj(b).
+    o.join(adj.withColumnRenamed("nbrs", "nu"), Seq("u"))
+      .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
+      .agg(coalesce(sum(size(array_intersect(col("nu"), col("nv")))), lit(0L))
+        .as("n_triangles"))
   }
 
   def qTriangles(s: SparkSession, d: String): DataFrame =

@@ -356,7 +356,44 @@ object TextQueries {
                 count(*) OVER (PARTITION BY term) AS df_docs FROM tf)
         SELECT term, df_docs, rnk, doc_id, tf FROM r WHERE rnk <= $PostingsCap"""
 
+  // ── Document chunking (overlapping fixed-size windows) ─────────────────
+  // The RAG/pretraining prep step: split each document into
+  // ChunkSize-char windows every ChunkStride chars (100-char overlap so
+  // no boundary sentence is lost). Pure per-document column algebra —
+  // sequence + explode + substring, zero shuffle, embarrassingly parallel
+  // at 100 TB. Chunks are identified by (doc_id, chunk_no) with a
+  // content md5 so a downstream exact-dedup pass (q_dedup_exact) can
+  // collapse identical chunks across documents. greatest(0, …) keeps the
+  // chunk enumerator total on empty docs — and dodges Spark's
+  // sequence(0, -1) counting DOWN instead of returning empty.
+  private val ChunkSize = 400
+  private val ChunkStride = 300
+
+  def qChunk(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L),
+          greatest(lit(0L),
+            floor((length(col("text")) - 1) / ChunkStride).cast("long")))).as("chunk_no"))
+      .select(col("doc_id"), col("chunk_no"),
+        (col("chunk_no") * ChunkStride + 1).as("start_pos"),
+        expr(s"substring(text, CAST(chunk_no * $ChunkStride + 1 AS INT), $ChunkSize)").as("c"))
+      .select(col("doc_id"), col("chunk_no"), col("start_pos"),
+        length(col("c")).cast("bigint").as("chunk_len"), md5(col("c")).as("chunk_md5"))
+
+  // list-form generate_series + unnest: DuckDB's lateral table function
+  // rejects per-row (column) bounds, the list form accepts them
+  val qChunkSql: String =
+    s"SELECT doc_id, chunk_no, chunk_no * $ChunkStride + 1 AS start_pos, " +
+      "length(c) AS chunk_len, md5(c) AS chunk_md5 " +
+      s"FROM (SELECT doc_id, q AS chunk_no, " +
+      s"substring(text, CAST(q * $ChunkStride + 1 AS INT), $ChunkSize) AS c " +
+      "FROM (SELECT doc_id, text, unnest(generate_series(0, greatest(0, " +
+      s"CAST(floor((length(text) - 1) / $ChunkStride) AS BIGINT)))) AS q " +
+      "FROM documents) u) a"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk"          -> qChunk _,
     "q_inverted_index" -> qInvertedIndex _,
     "q_sample_hash"   -> qSampleHash _,
     "q_sample_stratified" -> qSampleStratified _,
@@ -372,6 +409,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_chunk"          -> qChunkSql,
     "q_inverted_index" -> qInvertedIndexSql,
     "q_sample_hash"   -> qSampleHashSql,
     "q_sample_stratified" -> qSampleStratifiedSql,

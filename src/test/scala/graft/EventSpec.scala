@@ -120,6 +120,24 @@ class EventSpec extends AnyFunSuite {
     }
   }
 
+  test("deciles partition each type into 10 near-equal buckets covering all events") {
+    val rows = EventQueries.qDeciles(spark, sf).collect()
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum === total)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      assert(rs.map(_.getAs[Int]("decile")).toSet === (1 to 10).toSet, t)
+      val sizes = rs.map(_.getAs[Long]("n"))
+      assert(sizes.max - sizes.min <= 1, s"$t bucket sizes: ${sizes.toList}")
+      // decile value ranges are non-overlapping and ordered
+      val ordered = rs.sortBy(_.getAs[Int]("decile"))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo") + 1e-9, t)
+        case _ =>
+      }
+    }
+  }
+
   test("z-score outliers are exactly the events beyond 3 sigma of their type") {
     val got = EventQueries.qOutliers(spark, sf).collect()
     assert(got.nonEmpty) // the fixture's heavy-tailed values guarantee hits

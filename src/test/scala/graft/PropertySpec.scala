@@ -196,6 +196,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("chunking covers every document: counts, bounds, and overlap agree") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val chunks = graft.queries.TextQueries.qChunk(spark, sf).collect()
+    val byDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet === docs.keySet)
+    byDoc.foreach { case (id, cs) =>
+      val len = docs(id).length
+      val wantChunks = math.max(0, (len - 1) / 300) + 1
+      assert(cs.length === wantChunks, s"doc $id len $len")
+      val ordered = cs.sortBy(_.getAs[Long]("chunk_no"))
+      // chunk_no dense from 0; starts advance by the stride
+      ordered.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getAs[Long]("chunk_no") === i.toLong)
+        assert(c.getAs[Long]("start_pos") === i.toLong * 300 + 1)
+        assert(c.getAs[Long]("chunk_len") <= 400L)
+      }
+      // every chunk except possibly the last is full-size when the doc
+      // extends past its window
+      ordered.dropRight(1).foreach { c =>
+        val start = c.getAs[Long]("start_pos")
+        if (len >= start + 400 - 1) assert(c.getAs[Long]("chunk_len") === 400L)
+      }
+    }
+  }
+
   test("inverted index postings equal a driver-side index on the fixture docs") {
     import graft.functions.TextFunctions
     val docs = Tables.documents(spark, sf)
