@@ -594,8 +594,95 @@ object Relational {
     "SELECT o_custkey, count(*) AS n_orders, " +
       s"${sqlDsum("o_totalprice")} AS total_spent FROM orders GROUP BY 1"
 
+  // ── Full-outer reconciliation ──────────────────────────────────────────
+  // Daily order counts vs daily event counts, FULL OUTER joined on the
+  // day — the reconciliation shape (rows exist for days seen by either
+  // side only). The fixture's order and event date ranges barely overlap,
+  // so both null-sides are exercised for real. Both inputs aggregate
+  // before the join, so the join is dimension-sized however large the
+  // fact tables are.
+  def qFullOuter(s: SparkSession, d: String): DataFrame = {
+    val od = Tables.orders(s, d)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val ev = Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    od.join(ev, Seq("day"), "full_outer")
+      .select(col("day"), col("n_orders"), col("n_events"))
+  }
+
+  val qFullOuterSql: String =
+    "SELECT coalesce(o.day, e.day) AS day, o.n_orders, e.n_events " +
+      "FROM (SELECT date_trunc('day', o_orderdate) AS day, count(*) AS n_orders " +
+      "FROM orders GROUP BY 1) o " +
+      "FULL OUTER JOIN (SELECT date_trunc('day', ts) AS day, count(*) AS n_events " +
+      "FROM events GROUP BY 1) e ON o.day = e.day"
+
+  // ── Unpivot (wide → long) ──────────────────────────────────────────────
+  // The inverse of q_pivot: per-type stats melted into (type, metric,
+  // value) rows via the native unpivot operator — the long form BI tools
+  // and metric stores ingest. All measures cast to double so the value
+  // column is homogeneous; the melt itself is a zero-shuffle projection.
+  def qUnpivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n_events"),
+        dsum(col("value")).as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .unpivot(Array(col("event_type")),
+        Array(col("n_events"), col("sum_value"), col("min_value"), col("max_value")),
+        "metric", "metric_value")
+
+  val qUnpivotSql: String =
+    "WITH w AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n_events, " +
+      s"${sqlDsum("value")} AS sum_value, min(value) AS min_value, " +
+      "max(value) AS max_value FROM events GROUP BY 1) " +
+      "SELECT event_type, 'n_events' AS metric, n_events AS metric_value FROM w " +
+      "UNION ALL SELECT event_type, 'sum_value', sum_value FROM w " +
+      "UNION ALL SELECT event_type, 'min_value', min_value FROM w " +
+      "UNION ALL SELECT event_type, 'max_value', max_value FROM w"
+
+  // ── Data-quality audit ─────────────────────────────────────────────────
+  // Constraint checks as one report: referential integrity (orphan
+  // lineitems), key uniqueness (duplicate order keys), and domain checks
+  // (non-positive quantity, out-of-domain status). Each check is an
+  // independent aggregate over one scan — they run in parallel and union
+  // into a fixed-shape report; `count` over an empty filter is 0, so a
+  // clean dataset yields all-zero rows rather than missing rows. The
+  // anti-join is the only shuffle (broadcast when the key side fits).
+  def qDqReport(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+    def row(name: String, n: Column): DataFrame => DataFrame =
+      _.agg(n.as("n_violations")).select(lit(name).as("check_name"), col("n_violations"))
+    val orphans = row("orphan_lineitems", count(lit(1)))(
+      li.join(ord.select(col("o_orderkey")),
+        li("l_orderkey") === col("o_orderkey"), "left_anti"))
+    val dupKeys = row("duplicate_order_keys", count(lit(1)))(
+      ord.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c")).filter(col("c") > 1))
+    val negQty = row("nonpositive_quantity", count(lit(1)))(
+      li.filter(col("l_quantity") <= 0))
+    val badStatus = row("bad_order_status", count(lit(1)))(
+      ord.filter(!col("o_orderstatus").isin("O", "F", "P")))
+    orphans.unionByName(dupKeys).unionByName(negQty).unionByName(badStatus)
+  }
+
+  val qDqReportSql: String =
+    "SELECT 'orphan_lineitems' AS check_name, count(*) AS n_violations FROM lineitem l " +
+      "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey) " +
+      "UNION ALL SELECT 'duplicate_order_keys', count(*) FROM " +
+      "(SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1) a " +
+      "UNION ALL SELECT 'nonpositive_quantity', count(*) FROM lineitem WHERE l_quantity <= 0 " +
+      "UNION ALL SELECT 'bad_order_status', count(*) FROM orders " +
+      "WHERE o_orderstatus NOT IN ('O', 'F', 'P')"
+
   /** All (name → query) pairs this module contributes. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_full_outer"      -> qFullOuter _,
+    "q_unpivot"         -> qUnpivot _,
+    "q_dq_report"       -> qDqReport _,
     "q_mv_refresh"      -> qMvRefresh _,
     "q_histogram"       -> qHistogram _,
     "q_percentiles"     -> qPercentiles _,
@@ -631,6 +718,9 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_full_outer"      -> qFullOuterSql,
+    "q_unpivot"         -> qUnpivotSql,
+    "q_dq_report"       -> qDqReportSql,
     "q_mv_refresh"      -> qMvRefreshSql,
     "q_histogram"       -> qHistogramSql,
     "q_percentiles"     -> qPercentilesSql,

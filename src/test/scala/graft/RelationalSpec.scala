@@ -103,6 +103,44 @@ class RelationalSpec extends AnyFunSuite {
     assert(back.filter(col("x") =!= col("x2") || col("y") =!= col("y2")).count() === 0)
   }
 
+  test("full-outer reconciliation keeps days seen by either side only") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.Relational.qFullOuter(spark, sf)
+    val orderDays = Tables.orders(spark, sf)
+      .select(date_trunc("day", col("o_orderdate")).as("day")).distinct().count()
+    val eventDays = Tables.events(spark, sf)
+      .select(date_trunc("day", col("ts")).as("day")).distinct().count()
+    val bothDays = rows.count()
+    // |A ∪ B| bounds; the fixture ranges are disjoint so the union is a sum
+    assert(bothDays >= math.max(orderDays, eventDays))
+    assert(bothDays <= orderDays + eventDays)
+    // order-only days carry null event counts and vice versa
+    assert(rows.filter(col("n_events").isNull).count() > 0)
+    assert(rows.filter(col("n_orders").isNull).count() > 0)
+    assert(rows.filter(col("n_orders").isNull && col("n_events").isNull).count() === 0)
+  }
+
+  test("unpivot melts the per-type stats into metric rows, values preserved") {
+    import org.apache.spark.sql.functions._
+    val long = queries.Relational.qUnpivot(spark, sf)
+    val types = Tables.events(spark, sf).select(col("event_type")).distinct().count()
+    assert(long.count() === types * 4)
+    // melting then re-pivoting restores the wide n_events values
+    val back = long.filter(col("metric") === "n_events")
+      .select(col("event_type"), col("metric_value"))
+    val wide = Tables.events(spark, sf).groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("metric_value"))
+    assert(back.exceptAll(wide).count() === 0)
+  }
+
+  test("dq report has a row per check and the fixture is clean") {
+    val rows = queries.Relational.qDqReport(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("check_name")).toSet ===
+      Set("orphan_lineitems", "duplicate_order_keys",
+        "nonpositive_quantity", "bad_order_status"))
+    rows.foreach(r => assert(r.getAs[Long]("n_violations") === 0L))
+  }
+
   test("incremental MV refresh merges base+delta states to the full recompute") {
     import org.apache.spark.sql.functions._
     val got = queries.Relational.qMvRefresh(spark, sf)
