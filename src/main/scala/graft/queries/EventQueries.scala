@@ -271,24 +271,31 @@ object EventQueries {
 
   // ── LOCF gap-fill (last observation carried forward) ───────────────────
   // Time-series regularization: densify each user's daily totals onto the
-  // full day grid, carrying the last observed value across gap days — the
+  // day grid, carrying the last observed value across gap days — the
   // standard prep step before feeding irregular event streams to models
-  // that expect a regular cadence. Plan shape: one shuffle to aggregate
-  // on (user, day), the day dimension is broadcast into the grid (days
-  // are tiny even at 100 TB — a year is 365 rows), and the carry-forward
-  // window reuses the user hash partitioning. `last(_, ignoreNulls)` over
-  // a running ROWS frame is the distributed LOCF spelling — no
-  // driver-side loop, no self-join per gap.
+  // that expect a regular cadence. Each user's grid starts at their OWN
+  // first active day: at 100M users × years of history, rows for days
+  // before a user existed are pure waste (and meaningless leading nulls)
+  // — the filter keeps the densified output proportional to real
+  // lifetimes, and guarantees every emitted cell has a carried value.
+  // Plan shape: one shuffle to aggregate on (user, day), the day
+  // dimension is broadcast into the grid (days are tiny even at 100 TB —
+  // a year is 365 rows), and the carry-forward window reuses the user
+  // hash partitioning. `last(_, ignoreNulls)` over a running ROWS frame
+  // is the distributed LOCF spelling — no driver-side loop, no self-join
+  // per gap.
   def qGapFill(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val daily = ev
       .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
       .agg(Relational.dsum(col("value")).as("day_value"))
     val days = ev.select(date_trunc("day", col("ts")).as("day")).distinct()
-    val users = ev.select(col("user_id")).distinct()
+    val users = ev.groupBy(col("user_id"))
+      .agg(date_trunc("day", min(col("ts"))).as("first_day"))
     val carry = Window.partitionBy(col("user_id")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     users.crossJoin(broadcast(days))
+      .filter(col("day") >= col("first_day"))
       .join(daily, Seq("user_id", "day"), "left")
       .withColumn("filled_value",
         last(col("day_value"), ignoreNulls = true).over(carry))
@@ -299,12 +306,14 @@ object EventQueries {
     "WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day, " +
       s"${Relational.sqlDsum("value")} AS day_value FROM events GROUP BY 1, 2), " +
       "days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events), " +
-      "users AS (SELECT DISTINCT user_id FROM events) " +
+      "users AS (SELECT user_id, date_trunc('day', min(ts)) AS first_day " +
+      "FROM events GROUP BY 1) " +
       "SELECT u.user_id, dy.day, " +
       "last_value(dl.day_value IGNORE NULLS) OVER (PARTITION BY u.user_id " +
       "ORDER BY dy.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value " +
       "FROM users u CROSS JOIN days dy " +
-      "LEFT JOIN daily dl ON u.user_id = dl.user_id AND dy.day = dl.day"
+      "LEFT JOIN daily dl ON u.user_id = dl.user_id AND dy.day = dl.day " +
+      "WHERE dy.day >= u.first_day"
 
   // ── Z-score outlier detection ──────────────────────────────────────────
   // Per-event-type anomaly flagging: events more than 3 standard

@@ -97,12 +97,21 @@ class EventSpec extends AnyFunSuite {
     assert(out.filter($"seq_no" === 1 && $"avg_prev3".isNotNull).count() === 0)
   }
 
-  test("gap-fill densifies to the full user x day grid and carries forward") {
+  test("gap-fill densifies each user from their first day and carries forward") {
     val ev = Tables.events(spark, sf)
-    val users = ev.select($"user_id").distinct().count()
-    val days = ev.select(date_trunc("day", $"ts")).distinct().count()
+    val allDays = ev.select(date_trunc("day", $"ts").as("day"))
+      .distinct().collect().map(_.getAs[Timestamp]("day")).sorted(
+        Ordering.by((t: Timestamp) => t.getTime))
+    val firstDay = ev.groupBy($"user_id")
+      .agg(date_trunc("day", min($"ts")).as("fd")).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Timestamp]("fd")).toMap
     val rows = EventQueries.qGapFill(spark, sf).collect()
-    assert(rows.length.toLong === users * days)
+    // grid = per user, every corpus day from their first active day on
+    val wantCells = firstDay.valuesIterator
+      .map(fd => allDays.count(_.getTime >= fd.getTime).toLong).sum
+    assert(rows.length.toLong === wantCells)
+    // from the first day on, the carry is always defined
+    assert(rows.forall(r => !r.isNullAt(r.fieldIndex("filled_value"))))
     // ground truth: per-user daily decimal sums, carried forward in order
     val daily = ev
       .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
