@@ -678,8 +678,30 @@ object Relational {
       "UNION ALL SELECT 'bad_order_status', count(*) FROM orders " +
       "WHERE o_orderstatus NOT IN ('O', 'F', 'P')"
 
+  // ── Grouped string aggregation (LISTAGG shape) ─────────────────────────
+  // Per-region sorted roster of nation names — the string_agg/listagg
+  // surface. collect_list's arrival order is nondeterministic by design;
+  // sort_array before joining makes the result total-order deterministic
+  // (exactly what the ORDER BY inside DuckDB's string_agg does), which is
+  // the only way a concatenation aggregate can be reproducible on a
+  // cluster. Dimension-sized: grouped on the broadcast side's key.
+  def qStringAgg(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"),
+        concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"))
+  }
+
+  val qStringAggSql: String =
+    "SELECT r_name, count(*) AS n_nations, " +
+      "string_agg(n_name, ',' ORDER BY n_name) AS nations " +
+      "FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY 1"
+
   /** All (name → query) pairs this module contributes. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_string_agg"      -> qStringAgg _,
     "q_full_outer"      -> qFullOuter _,
     "q_unpivot"         -> qUnpivot _,
     "q_dq_report"       -> qDqReport _,
@@ -718,6 +740,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_string_agg"      -> qStringAggSql,
     "q_full_outer"      -> qFullOuterSql,
     "q_unpivot"         -> qUnpivotSql,
     "q_dq_report"       -> qDqReportSql,

@@ -103,6 +103,16 @@ class RelationalSpec extends AnyFunSuite {
     assert(back.filter(col("x") =!= col("x2") || col("y") =!= col("y2")).count() === 0)
   }
 
+  test("string-agg rosters are sorted, complete, and deterministic") {
+    val rows = queries.Relational.qStringAgg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val parts = r.getAs[String]("nations").split(",").toSeq
+      assert(parts.length.toLong === r.getAs[Long]("n_nations"))
+      assert(parts === parts.sorted)
+    }
+  }
+
   test("full-outer reconciliation keeps days seen by either side only") {
     import org.apache.spark.sql.functions._
     val rows = queries.Relational.qFullOuter(spark, sf)
