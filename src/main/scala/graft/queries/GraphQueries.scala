@@ -142,13 +142,64 @@ object GraphQueries {
       "JOIN e e2 ON e2.src = e1.dst " +
       "JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst"
 
+  // ── Frequent itemsets + association rules ──────────────────────────────
+  // Market-basket mining over the same baskets: the top pairs by order
+  // co-occurrence with confidence(src→dst) and lift. Counts are DISTINCT
+  // orders (a part twice in one order is one occurrence), so supports are
+  // integers and the ratios are identical double expressions on both
+  // engines. Item supports are |parts| rows — broadcast onto the pair
+  // aggregate; the basket total is a scalar. Top-k by (support, src, dst)
+  // is a deterministic TakeOrdered, no global sort.
+  private val ItemsetTopK = 20
+
+  def qItemsets(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    // per-order DISTINCT pairs: dedup the basket array before expansion
+    val pairOrders = li.groupBy(col("l_orderkey"))
+      .agg(array_distinct(sort_array(collect_list(col("l_partkey")))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS src, y AS dst))))")).as("p"))
+      .groupBy(col("p.src").as("src"), col("p.dst").as("dst"))
+      .agg(count(lit(1)).as("pair_orders"))
+    val itemOrders = li.groupBy(col("l_partkey").as("item"))
+      .agg(countDistinct(col("l_orderkey")).as("item_orders"))
+    val baskets = li.agg(countDistinct(col("l_orderkey")).as("n_baskets"))
+    pairOrders
+      .join(broadcast(itemOrders.select(col("item").as("src"), col("item_orders").as("src_orders"))), Seq("src"))
+      .join(broadcast(itemOrders.select(col("item").as("dst"), col("item_orders").as("dst_orders"))), Seq("dst"))
+      .crossJoin(broadcast(baskets))
+      .select(col("src"), col("dst"), col("pair_orders"),
+        round(col("pair_orders") / col("src_orders"), 6).as("confidence_r"),
+        round(col("pair_orders") * col("n_baskets") /
+          (col("src_orders") * col("dst_orders")), 6).as("lift_r"))
+      .orderBy(col("pair_orders").desc, col("src").asc, col("dst").asc)
+      .limit(ItemsetTopK)
+  }
+
+  val qItemsetsSql: String =
+    "WITH po AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, " +
+      "count(DISTINCT a.l_orderkey) AS pair_orders " +
+      "FROM lineitem a JOIN lineitem b " +
+      "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2), " +
+      "io AS (SELECT l_partkey AS item, count(DISTINCT l_orderkey) AS item_orders " +
+      "FROM lineitem GROUP BY 1), " +
+      "nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM lineitem) " +
+      "SELECT src, dst, pair_orders, " +
+      "round(pair_orders / s.item_orders, 6) AS confidence_r, " +
+      "round(pair_orders * n_baskets / (s.item_orders * t.item_orders), 6) AS lift_r " +
+      "FROM po JOIN io s ON po.src = s.item JOIN io t ON po.dst = t.item CROSS JOIN nb " +
+      s"ORDER BY pair_orders DESC, src, dst LIMIT $ItemsetTopK"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_triangles"  -> qTriangles _,
     "q_components" -> qComponents _,
+    "q_itemsets"   -> qItemsets _,
   )
 
   val oracles: Map[String, String] = Map(
     "q_triangles"  -> qTrianglesSql,
     "q_components" -> qComponentsSql,
+    "q_itemsets"   -> qItemsetsSql,
   )
 }

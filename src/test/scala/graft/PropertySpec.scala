@@ -196,6 +196,18 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("itemset rules: confidence in (0,1], support ordered, lift consistent") {
+    val rows = graft.queries.GraphQueries.qItemsets(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val supports = rows.map(_.getAs[Long]("pair_orders"))
+    assert(supports.toSeq === supports.sortBy(-_).toSeq) // descending
+    rows.foreach { r =>
+      val c = r.getAs[Double]("confidence_r")
+      assert(c > 0.0 && c <= 1.0)
+      assert(r.getAs[Double]("lift_r") > 0.0)
+    }
+  }
+
   test("component histogram: sizes >= 2 and nodes conserved") {
     import org.apache.spark.sql.functions._
     val hist = graft.queries.GraphQueries.qComponents(spark, sf).collect()
