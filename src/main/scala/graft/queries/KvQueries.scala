@@ -64,13 +64,63 @@ object KvQueries {
     "SELECT s_nationkey, count(*) AS n_supp, " +
       "CAST(sum(s_suppkey) AS BIGINT) AS sum_suppkey FROM supplier GROUP BY 1"
 
+  // ── CSV sink → source round-trip (A13/A15 as a correctness row) ────────
+  // The text-format analog of q_kv_roundtrip: write a typed frame through
+  // the CSV sink, read it back with a declared schema, aggregate — the
+  // oracle aggregates the original parquet, so any type lost or mangled
+  // in the text round-trip (long/string/double here) breaks the hash.
+  // Doubles survive because Spark writes the shortest-round-trip decimal
+  // form, and the aggregate goes through decimal(18,2) anyway.
+  def qCsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString
+    val supp = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+    graft.sources.Sources.writeCsv(supp, out)
+    graft.sources.Sources.readCsv(s, out, supp.schema,
+        Map("header" -> "true"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        Relational.dsum(col("s_acctbal")).as("sum_bal"))
+  }
+
+  val qCsvRoundtripSql: String =
+    "SELECT s_nationkey, count(*) AS n_supp, " +
+      s"${Relational.sqlDsum("s_acctbal")} AS sum_bal FROM supplier GROUP BY 1"
+
+  // ── JSON-lines sink → source round-trip ────────────────────────────────
+  // Timestamps ride as integer epoch-micros: the JSON text format's
+  // default timestamp rendering is millisecond-lossy, and an engine that
+  // silently drops microseconds would corrupt event-time semantics — the
+  // integer spelling makes the round-trip exact and the loss impossible.
+  def qJsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_json_rt").toString
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+    graft.sources.Sources.writeJsonLines(ev, out)
+    graft.sources.Sources.readJsonLines(s, out, ev.schema)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Relational.dsum(col("value")).as("sum_value"),
+        max(col("ts_us")).as("last_ts_us"))
+  }
+
+  val qJsonRoundtripSql: String =
+    "SELECT event_type, count(*) AS n_events, " +
+      s"${Relational.sqlDsum("value")} AS sum_value, " +
+      "max(epoch_us(ts)) AS last_ts_us FROM events GROUP BY 1"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_kv_scan"      -> qKvScan _,
-    "q_kv_roundtrip" -> qKvRoundtrip _,
+    "q_kv_scan"        -> qKvScan _,
+    "q_kv_roundtrip"   -> qKvRoundtrip _,
+    "q_csv_roundtrip"  -> qCsvRoundtrip _,
+    "q_json_roundtrip" -> qJsonRoundtrip _,
   )
 
   val oracles: Map[String, String] = Map(
-    "q_kv_scan"      -> qKvScanSql,
-    "q_kv_roundtrip" -> qKvRoundtripSql,
+    "q_kv_scan"        -> qKvScanSql,
+    "q_kv_roundtrip"   -> qKvRoundtripSql,
+    "q_csv_roundtrip"  -> qCsvRoundtripSql,
+    "q_json_roundtrip" -> qJsonRoundtripSql,
   )
 }
