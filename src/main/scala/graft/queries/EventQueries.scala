@@ -377,7 +377,31 @@ object EventQueries {
       "FROM (SELECT event_type, value, ntile(10) OVER (PARTITION BY event_type " +
       "ORDER BY value, event_id) AS decile FROM events) a GROUP BY 1, 2"
 
+  // ── ARGMAX via max_by (direct spelling) ────────────────────────────────
+  // The reference's phase-2/3 argmax (query_3_phase_{2,3}.py) as the
+  // single-aggregate spelling — no window, no join, one partial-merging
+  // aggregate. Ties on value are broken by event_id through an INTEGER
+  // composite ordering key (cents·10^10 + id): both engines' arg-max
+  // functions pick arbitrarily on equal keys, so determinism must be
+  // built into the key itself (a struct key would do it in Spark, but
+  // DuckDB's arg_max only takes scalar sort keys).
+  def qArgmax(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+    val key = cents * lit(10000000000L) + col("event_id")
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(max_by(col("event_id"), key).as("top_event"),
+        max(col("value")).as("max_value"))
+  }
+
+  val qArgmaxSql: String =
+    "SELECT event_type, arg_max(event_id, " +
+      "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000000 + event_id" +
+      ") AS top_event, max(value) AS max_value FROM events GROUP BY 1"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_argmax"           -> qArgmax _,
     "q_deciles"          -> qDeciles _,
     "q_gap_fill"         -> qGapFill _,
     "q_outliers"         -> qOutliers _,
@@ -394,6 +418,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_argmax"           -> qArgmaxSql,
     "q_deciles"          -> qDecilesSql,
     "q_gap_fill"         -> qGapFillSql,
     "q_outliers"         -> qOutliersSql,

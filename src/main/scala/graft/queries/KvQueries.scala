@@ -110,7 +110,31 @@ object KvQueries {
       s"${Relational.sqlDsum("value")} AS sum_value, " +
       "max(epoch_us(ts)) AS last_ts_us FROM events GROUP BY 1"
 
+  // ── Partitioned-parquet write → pruned read ────────────────────────────
+  // The 100 TB table layout as a correctness row: write events
+  // partitioned by event_type, read back filtering one partition — the
+  // filter must resolve to directory-level PartitionFilters (PlanSpec
+  // asserts it), so the engine lists and scans ONE partition's files no
+  // matter how many the table has. The aggregate is checked against the
+  // unpartitioned oracle, proving the layout round-trip loses nothing.
+  def qPartitionPrune(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_part_rt").toString
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    graft.sources.Sources.writeParquetPartitioned(ev, out, Seq("event_type"))
+    s.read.parquet(out)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), Relational.dsum(col("value")).as("sum_value"))
+  }
+
+  val qPartitionPruneSql: String =
+    "SELECT user_id, count(*) AS n, " +
+      s"${Relational.sqlDsum("value")} AS sum_value FROM events " +
+      "WHERE event_type = 'purchase' GROUP BY 1"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_partition_prune" -> qPartitionPrune _,
     "q_kv_scan"        -> qKvScan _,
     "q_kv_roundtrip"   -> qKvRoundtrip _,
     "q_csv_roundtrip"  -> qCsvRoundtrip _,
@@ -118,6 +142,7 @@ object KvQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_partition_prune" -> qPartitionPruneSql,
     "q_kv_scan"        -> qKvScanSql,
     "q_kv_roundtrip"   -> qKvRoundtripSql,
     "q_csv_roundtrip"  -> qCsvRoundtripSql,

@@ -156,4 +156,10 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q_mv_refresh")
     assert(p.contains("partial_"), s"no map-side combine in state build:\n$p")
   }
+
+  test("partitioned layout: the type filter prunes at the directory level") {
+    val p = formatted("q_partition_prune")
+    assert(p.contains("PartitionFilters") && p.contains("event_type"),
+      s"filter did not become a partition filter:\n$p")
+  }
 }
