@@ -400,7 +400,41 @@ object EventQueries {
       "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000000 + event_id" +
       ") AS top_event, max(value) AS max_value FROM events GROUP BY 1"
 
+  // ── Time-weighted average (TWAP) ───────────────────────────────────────
+  // Each event's value holds until the next event of its type; the mean
+  // weights each value by that holding duration — the finance/telemetry
+  // aggregate a plain avg() misstates whenever sampling is irregular.
+  // Arithmetic is integer end to end (cents × epoch-micros; products
+  // bounded well under 2^63), so the weighted sums are exact on both
+  // engines and only the final division is floating point. One shuffle
+  // on event_type; the lead window and the aggregate share it.
+  def qTwap(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val byType = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+    Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), col("ts"), cents.as("cents"))
+      .withColumn("dur_us",
+        lead(unix_micros(col("ts")), 1).over(byType) - unix_micros(col("ts")))
+      .filter(col("dur_us").isNotNull) // the last event has no holding span
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_spans"),
+        round((sum(col("cents") * col("dur_us")).cast("double") /
+          sum(col("dur_us")) / 100.0), 6).as("twap_r"))
+  }
+
+  val qTwapSql: String =
+    "SELECT event_type, count(*) AS n_spans, " +
+      "round(CAST(sum(cents * dur_us) AS DOUBLE) / sum(dur_us) / 100.0, 6) AS twap_r " +
+      "FROM (SELECT event_type, " +
+      "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents, " +
+      "lead(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id) " +
+      "- epoch_us(ts) AS dur_us FROM events) a " +
+      "WHERE dur_us IS NOT NULL GROUP BY 1"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_twap"             -> qTwap _,
     "q_argmax"           -> qArgmax _,
     "q_deciles"          -> qDeciles _,
     "q_gap_fill"         -> qGapFill _,
@@ -418,6 +452,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_twap"             -> qTwapSql,
     "q_argmax"           -> qArgmaxSql,
     "q_deciles"          -> qDecilesSql,
     "q_gap_fill"         -> qGapFillSql,

