@@ -699,8 +699,73 @@ object Relational {
       "string_agg(n_name, ',' ORDER BY n_name) AS nations " +
       "FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY 1"
 
+  // ── GROUPING SETS with grouping flags ──────────────────────────────────
+  // The general form rollup/cube specialize: an explicit lattice of
+  // grouping combinations in ONE pass (Spark expands the sets over a
+  // single shuffle — no union of per-set scans), with grouping() flags
+  // disambiguating aggregate NULLs from data NULLs. Runs through the
+  // spark.sql text surface, same Catalyst plan as the DataFrame form.
+  def qGroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+    s.sql(
+      "SELECT o_orderstatus, o_orderpriority, " +
+        "CAST(grouping(o_orderstatus) AS INT) AS g_status, " +
+        "CAST(grouping(o_orderpriority) AS INT) AS g_prio, " +
+        "count(*) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
+        "FROM orders_gs GROUP BY GROUPING SETS " +
+        "((o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority), ())")
+  }
+
+  val qGroupingSetsSql: String =
+    "SELECT o_orderstatus, o_orderpriority, " +
+      "CAST(grouping(o_orderstatus) AS INT) AS g_status, " +
+      "CAST(grouping(o_orderpriority) AS INT) AS g_prio, " +
+      "count(*) AS n, " +
+      s"${sqlDsum("o_totalprice")} AS sum_price " +
+      "FROM orders GROUP BY GROUPING SETS " +
+      "((o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority), ())"
+
+  // ── Correlation / covariance from exact moments ────────────────────────
+  // Pearson corr and sample covariance per group, derived from DECIMAL
+  // sums (Σx, Σy, Σxy, Σx², Σy²) so both engines assemble the identical
+  // doubles — the builtin corr()/covar_samp() stream in float and would
+  // differ in the last bits by reduction order. One aggregate pass; the
+  // five moments ride the same partial-agg shuffle.
+  def qCorr(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity").cast(DecimalType(18, 2))
+    val y = col("l_extendedprice").cast(DecimalType(18, 2))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sx2"), sum(y * y).cast("double").as("sy2"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sx2") - col("sx") * col("sx")) *
+            (col("n") * col("sy2") - col("sy") * col("sy"))), 6).as("corr_r"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * (col("n") - 1)), 6).as("covar_r"))
+  }
+
+  val qCorrSql: String = {
+    val dx = "CAST(l_quantity AS DECIMAL(18,2))"
+    val dy = "CAST(l_extendedprice AS DECIMAL(18,2))"
+    "SELECT l_returnflag, n, " +
+      "round((n * sxy - sx * sy) / sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy)), 6) AS corr_r, " +
+      "round((n * sxy - sx * sy) / (n * (n - 1)), 6) AS covar_r " +
+      "FROM (SELECT l_returnflag, count(*) AS n, " +
+      s"CAST(sum($dx) AS DOUBLE) AS sx, CAST(sum($dy) AS DOUBLE) AS sy, " +
+      s"CAST(sum($dx * $dy) AS DOUBLE) AS sxy, " +
+      s"CAST(sum($dx * $dx) AS DOUBLE) AS sx2, CAST(sum($dy * $dy) AS DOUBLE) AS sy2 " +
+      "FROM lineitem GROUP BY 1) a"
+  }
+
   /** All (name → query) pairs this module contributes. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grouping_sets"   -> qGroupingSets _,
+    "q_corr"            -> qCorr _,
     "q_string_agg"      -> qStringAgg _,
     "q_full_outer"      -> qFullOuter _,
     "q_unpivot"         -> qUnpivot _,
@@ -740,6 +805,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_grouping_sets"   -> qGroupingSetsSql,
+    "q_corr"            -> qCorrSql,
     "q_string_agg"      -> qStringAggSql,
     "q_full_outer"      -> qFullOuterSql,
     "q_unpivot"         -> qUnpivotSql,

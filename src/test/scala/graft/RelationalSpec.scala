@@ -103,6 +103,39 @@ class RelationalSpec extends AnyFunSuite {
     assert(back.filter(col("x") =!= col("x2") || col("y") =!= col("y2")).count() === 0)
   }
 
+  test("grouping sets emit every lattice combination with correct flags") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.Relational.qGroupingSets(spark, sf)
+    // the grand-total row: both flags set, count = full table
+    val grand = rows.filter(col("g_status") === 1 && col("g_prio") === 1).collect()
+    assert(grand.length === 1)
+    assert(grand(0).getAs[Long]("n") === Tables.orders(spark, sf).count())
+    // per-set totals all equal the table count
+    Seq((0, 0), (0, 1), (1, 0)).foreach { case (gs, gp) =>
+      val total = rows.filter(col("g_status") === gs && col("g_prio") === gp)
+        .agg(sum(col("n"))).collect()(0).getLong(0)
+      assert(total === grand(0).getAs[Long]("n"), s"set ($gs,$gp)")
+    }
+  }
+
+  test("exact-moment corr is in [-1,1] and covar matches Spark's builtin closely") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.Relational.qCorr(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("corr_r")) <= 1.0 + 1e-9)
+    }
+    // cross-check one group against the streaming builtin (float noise only)
+    val builtin = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c")).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Double]("c")).toMap
+    rows.foreach { r =>
+      val mine = r.getAs[Double]("corr_r")
+      assert(math.abs(mine - builtin(r.getAs[String]("l_returnflag"))) < 1e-6)
+    }
+  }
+
   test("string-agg rosters are sorted, complete, and deterministic") {
     val rows = queries.Relational.qStringAgg(spark, sf).collect()
     assert(rows.nonEmpty)
