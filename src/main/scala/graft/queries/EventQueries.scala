@@ -289,9 +289,13 @@ object EventQueries {
     val daily = ev
       .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
       .agg(Relational.dsum(col("value")).as("day_value"))
-    val days = ev.select(date_trunc("day", col("ts")).as("day")).distinct()
-    val users = ev.groupBy(col("user_id"))
-      .agg(date_trunc("day", min(col("ts"))).as("first_day"))
+      .localCheckpoint(true)
+    // days and first-days derive from the (tiny) daily aggregate — the
+    // corpus is scanned exactly once; min(day) == date_trunc(min(ts))
+    // because date_trunc is monotone
+    val days = daily.select(col("day")).distinct()
+    val users = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
     val carry = Window.partitionBy(col("user_id")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     users.crossJoin(broadcast(days))
@@ -305,9 +309,8 @@ object EventQueries {
   val qGapFillSql: String =
     "WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day, " +
       s"${Relational.sqlDsum("value")} AS day_value FROM events GROUP BY 1, 2), " +
-      "days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events), " +
-      "users AS (SELECT user_id, date_trunc('day', min(ts)) AS first_day " +
-      "FROM events GROUP BY 1) " +
+      "days AS (SELECT DISTINCT day FROM daily), " +
+      "users AS (SELECT user_id, min(day) AS first_day FROM daily GROUP BY 1) " +
       "SELECT u.user_id, dy.day, " +
       "last_value(dl.day_value IGNORE NULLS) OVER (PARTITION BY u.user_id " +
       "ORDER BY dy.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value " +
@@ -334,6 +337,11 @@ object EventQueries {
         sum(vd * vd).cast("double").as("s2"))
       .withColumn("mean", col("s1") / col("n"))
       .withColumn("variance", col("s2") / col("n") - col("mean") * col("mean"))
+      // a constant-valued type has variance 0 (or float-negative by
+      // cancellation): without the guard Spark emits ±Inf z while DuckDB
+      // NULLs the division — both engines compute the identical double
+      // here, so the same rows drop on both sides
+      .filter(col("variance") > 0.0)
       .select(col("event_type"), col("mean"), col("variance"))
     ev.join(broadcast(stats), Seq("event_type"))
       .withColumn("z", (col("value") - col("mean")) / sqrt(col("variance")))
@@ -347,7 +355,8 @@ object EventQueries {
       s"${Relational.sqlDsum("value")} AS s1, " +
       "CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2 " +
       "FROM events GROUP BY 1), " +
-      "m AS (SELECT event_type, s1 / n AS mean, s2 / n - (s1 / n) * (s1 / n) AS variance FROM st) " +
+      "m AS (SELECT event_type, s1 / n AS mean, s2 / n - (s1 / n) * (s1 / n) AS variance FROM st " +
+      "WHERE s2 / n - (s1 / n) * (s1 / n) > 0) " +
       "SELECT e.event_id, e.event_type, e.value, " +
       "round((e.value - m.mean) / sqrt(m.variance), 6) AS z_r " +
       "FROM events e JOIN m USING (event_type) " +
@@ -384,7 +393,12 @@ object EventQueries {
   // composite ordering key (cents·10^10 + id): both engines' arg-max
   // functions pick arbitrarily on equal keys, so determinism must be
   // built into the key itself (a struct key would do it in Spark, but
-  // DuckDB's arg_max only takes scalar sort keys).
+  // DuckDB's arg_max only takes scalar sort keys). max_value is the
+  // dequantized max of the SAME cents the key orders by, so top_event
+  // always achieves max_value even for sub-cent inputs. Key bounds:
+  // |value| < ~9.2·10^6 (cents·10^10 < 2^63) and event_id < 10^10 —
+  // far beyond the domain; a wider domain would move to cents·2^20-style
+  // packing or a two-pass argmax.
   def qArgmax(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
@@ -392,13 +406,15 @@ object EventQueries {
     Tables.events(s, d)
       .groupBy(col("event_type"))
       .agg(max_by(col("event_id"), key).as("top_event"),
-        max(col("value")).as("max_value"))
+        (max(cents) / 100.0).as("max_value"))
   }
 
   val qArgmaxSql: String =
     "SELECT event_type, arg_max(event_id, " +
       "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000000 + event_id" +
-      ") AS top_event, max(value) AS max_value FROM events GROUP BY 1"
+      ") AS top_event, " +
+      "max(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) / 100.0 AS max_value " +
+      "FROM events GROUP BY 1"
 
   // ── Time-weighted average (TWAP) ───────────────────────────────────────
   // Each event's value holds until the next event of its type; the mean

@@ -49,6 +49,19 @@ object GraphQueries {
   private def coEdges(s: SparkSession, d: String): DataFrame =
     pairBaskets(s, d).distinct()
 
+  /** Per-order DISTINCT pairs — one row per (order, pair), built from the
+    * deduplicated basket array. This is the co-occurrence multiset
+    * association metrics count over: a part appearing twice in one order
+    * is still ONE occurrence of each of its pairs. */
+  private def orderPairs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(array_distinct(sort_array(collect_list(col("l_partkey")))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS src, y AS dst))))")).as("p"))
+      .select(col("p.src"), col("p.dst"))
+
   /** Exact triangle count over canonical undirected edges (src < dst,
     * no duplicates). Returns a single row `n_triangles`. */
   def triangleCount(e: DataFrame): DataFrame = {
@@ -94,9 +107,11 @@ object GraphQueries {
   private val MinSupport = 2
   private val CcRounds = 20
 
-  /** Co-purchase edges kept only at co-occurrence count ≥ minSupport. */
+  /** Co-purchase edges kept only when the pair co-occurs in ≥ minSupport
+    * DISTINCT orders — a part repeated inside one order must not inflate
+    * its pairs' support past the threshold. */
   private def supportedEdges(s: SparkSession, d: String, minSupport: Int): DataFrame =
-    pairBaskets(s, d)
+    orderPairs(s, d)
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minSupport)
@@ -125,7 +140,7 @@ object GraphQueries {
     "WITH e AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst " +
       "FROM lineitem a JOIN lineitem b " +
       "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
-      s"GROUP BY 1, 2 HAVING count(*) >= $MinSupport), " +
+      s"GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= $MinSupport), " +
       "sym AS MATERIALIZED (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e), " +
       "l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS comp FROM sym), " +
       rounds + " " +
@@ -154,13 +169,8 @@ object GraphQueries {
 
   def qItemsets(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
-    // per-order DISTINCT pairs: dedup the basket array before expansion
-    val pairOrders = li.groupBy(col("l_orderkey"))
-      .agg(array_distinct(sort_array(collect_list(col("l_partkey")))).as("ps"))
-      .select(explode(expr(
-        "flatten(transform(ps, (x, i) -> " +
-          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS src, y AS dst))))")).as("p"))
-      .groupBy(col("p.src").as("src"), col("p.dst").as("dst"))
+    val pairOrders = orderPairs(s, d)
+      .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("pair_orders"))
     val itemOrders = li.groupBy(col("l_partkey").as("item"))
       .agg(countDistinct(col("l_orderkey")).as("item_orders"))

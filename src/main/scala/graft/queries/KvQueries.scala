@@ -71,8 +71,16 @@ object KvQueries {
   // in the text round-trip (long/string/double here) breaks the hash.
   // Doubles survive because Spark writes the shortest-round-trip decimal
   // form, and the aggregate goes through decimal(18,2) anyway.
+  /** One reusable sink dir per (query, dataset) per JVM — every sink here
+    * writes mode("overwrite"), so repeated bench/verify runs replace the
+    * same directory instead of leaking a full table copy per invocation. */
+  private val rtDirs = new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def rtDir(tag: String, d: String): String =
+    rtDirs.computeIfAbsent(s"$tag|$d", _ =>
+      java.nio.file.Files.createTempDirectory(s"graft_${tag}_rt").toString)
+
   def qCsvRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString
+    val out = rtDir("csv", d)
     val supp = Tables.supplier(s, d)
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
     graft.sources.Sources.writeCsv(supp, out)
@@ -93,7 +101,7 @@ object KvQueries {
   // silently drops microseconds would corrupt event-time semantics — the
   // integer spelling makes the round-trip exact and the loss impossible.
   def qJsonRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_json_rt").toString
+    val out = rtDir("json", d)
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("event_type"), col("value"),
         unix_micros(col("ts")).as("ts_us"))
@@ -118,7 +126,7 @@ object KvQueries {
   // matter how many the table has. The aggregate is checked against the
   // unpartitioned oracle, proving the layout round-trip loses nothing.
   def qPartitionPrune(s: SparkSession, d: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_part_rt").toString
+    val out = rtDir("part", d)
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
     graft.sources.Sources.writeParquetPartitioned(ev, out, Seq("event_type"))

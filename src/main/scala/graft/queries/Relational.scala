@@ -741,10 +741,16 @@ object Relational {
         sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
         sum(x * y).cast("double").as("sxy"),
         sum(x * x).cast("double").as("sx2"), sum(y * y).cast("double").as("sy2"))
+      .withColumn("vx", col("n") * col("sx2") - col("sx") * col("sx"))
+      .withColumn("vy", col("n") * col("sy2") - col("sy") * col("sy"))
+      // degenerate groups (n=1, or a constant column whose variance term
+      // cancels to 0 or float-negative) would NaN in Spark but hard-error
+      // DuckDB's sqrt; both engines hold identical doubles here, so the
+      // guard drops the same rows on both sides
+      .filter(col("n") > 1 && col("vx") > 0.0 && col("vy") > 0.0)
       .select(col("l_returnflag"), col("n"),
         round((col("n") * col("sxy") - col("sx") * col("sy")) /
-          sqrt((col("n") * col("sx2") - col("sx") * col("sx")) *
-            (col("n") * col("sy2") - col("sy") * col("sy"))), 6).as("corr_r"),
+          sqrt(col("vx") * col("vy")), 6).as("corr_r"),
         round((col("n") * col("sxy") - col("sx") * col("sy")) /
           (col("n") * (col("n") - 1)), 6).as("covar_r"))
   }
@@ -753,13 +759,15 @@ object Relational {
     val dx = "CAST(l_quantity AS DECIMAL(18,2))"
     val dy = "CAST(l_extendedprice AS DECIMAL(18,2))"
     "SELECT l_returnflag, n, " +
-      "round((n * sxy - sx * sy) / sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy)), 6) AS corr_r, " +
+      "round((n * sxy - sx * sy) / sqrt(vx * vy), 6) AS corr_r, " +
       "round((n * sxy - sx * sy) / (n * (n - 1)), 6) AS covar_r " +
+      "FROM (SELECT *, n * sx2 - sx * sx AS vx, n * sy2 - sy * sy AS vy " +
       "FROM (SELECT l_returnflag, count(*) AS n, " +
       s"CAST(sum($dx) AS DOUBLE) AS sx, CAST(sum($dy) AS DOUBLE) AS sy, " +
       s"CAST(sum($dx * $dy) AS DOUBLE) AS sxy, " +
       s"CAST(sum($dx * $dx) AS DOUBLE) AS sx2, CAST(sum($dy * $dy) AS DOUBLE) AS sy2 " +
-      "FROM lineitem GROUP BY 1) a"
+      "FROM lineitem GROUP BY 1) a) b " +
+      "WHERE n > 1 AND vx > 0 AND vy > 0"
   }
 
   /** All (name → query) pairs this module contributes. */

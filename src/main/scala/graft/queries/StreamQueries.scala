@@ -109,10 +109,14 @@ object StreamQueries {
     * same events IS the oracle. */
   def qStreamJoin(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // horizon-sized watermark (like qStreamDedup): with the default 2 h,
+    // a backlog spanning several micro-batches would expire join state
+    // between batches and silently drop cross-batch matches the batch
+    // oracle returns
     val joined = EventStreams.clickToPurchase(
       eventStream(s, d).filter(col("event_type") === "click"),
       eventStream(s, d).filter(col("event_type") === "purchase"),
-      withinMinutes = 60)
+      withinMinutes = 60, watermark = "40 days")
     runToMemory(s, joined, OutputMode.Append())
       .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"),
         col("purchase_value"))

@@ -235,8 +235,11 @@ object TextQueries {
     val docs = Tables.documents(s, d)
     val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = terms.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df_docs"))
+      .localCheckpoint(true)
+    // df from the (doc, term) aggregate — tf already holds exactly one
+    // row per pair, so this replaces a countDistinct over the full
+    // exploded token stream with a count over the far smaller tf table
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
@@ -252,7 +255,7 @@ object TextQueries {
   val qTfIdfSql: String =
     s"""WITH t AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
         tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
-        df AS (SELECT term, count(DISTINCT doc_id) AS df_docs FROM t GROUP BY 1),
+        df AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY 1),
         n AS (SELECT count(*) AS n_docs FROM documents)
         SELECT doc_id, term, tf, df_docs, round(score, 6) AS score_r, rnk
         FROM (SELECT doc_id, term, tf, df_docs,

@@ -214,10 +214,21 @@ class PropertySpec extends AnyFunSuite {
     assert(hist.nonEmpty)
     // every node in the thresholded graph has an edge → no singletons
     hist.foreach(r => assert(r.getAs[Long]("component_size") >= 2L))
-    // Σ size × count == number of labeled nodes (nothing lost or doubled)
+    // Σ size × count == number of labeled nodes (nothing lost or doubled):
+    // recompute the thresholded graph's node count independently
+    val nodes = Tables.lineitem(spark, sf)
+      .groupBy($"l_orderkey")
+      .agg(array_distinct(sort_array(collect_list($"l_partkey"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS src, y AS dst))))")).as("p"))
+      .groupBy($"p.src", $"p.dst").agg(count(lit(1)).as("n"))
+      .filter($"n" >= 2)
+      .select(explode(array($"src", $"dst")).as("node"))
+      .distinct().count()
     val total = hist.map(r =>
       r.getAs[Long]("component_size") * r.getAs[Long]("n_components")).sum
-    assert(total > 0)
+    assert(total === nodes)
   }
 
   test("chunking covers every document: counts, bounds, and overlap agree") {
