@@ -284,8 +284,8 @@ object EventQueries {
   // hash partitioning. `last(_, ignoreNulls)` over a running ROWS frame
   // is the distributed LOCF spelling — no driver-side loop, no self-join
   // per gap.
-  def qGapFill(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
+  /** The LOCF core over any (user_id, ts, value) frame — see qGapFill. */
+  def gapFillDaily(ev: DataFrame): DataFrame = {
     val daily = ev
       .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
       .agg(Relational.dsum(col("value")).as("day_value"))
@@ -305,6 +305,9 @@ object EventQueries {
         last(col("day_value"), ignoreNulls = true).over(carry))
       .select(col("user_id"), col("day"), col("filled_value"))
   }
+
+  def qGapFill(s: SparkSession, d: String): DataFrame =
+    gapFillDaily(Tables.events(s, d))
 
   val qGapFillSql: String =
     "WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day, " +
@@ -424,13 +427,13 @@ object EventQueries {
   // bounded well under 2^63), so the weighted sums are exact on both
   // engines and only the final division is floating point. One shuffle
   // on event_type; the lead window and the aggregate share it.
-  def qTwap(s: SparkSession, d: String): DataFrame = {
+  /** The TWAP core over any (event_type, event_id, ts, value) frame. */
+  def twapByType(ev: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val byType = Window.partitionBy(col("event_type"))
       .orderBy(col("ts"), col("event_id"))
     val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
-    Tables.events(s, d)
-      .select(col("event_type"), col("event_id"), col("ts"), cents.as("cents"))
+    ev.select(col("event_type"), col("event_id"), col("ts"), cents.as("cents"))
       .withColumn("dur_us",
         lead(unix_micros(col("ts")), 1).over(byType) - unix_micros(col("ts")))
       .filter(col("dur_us").isNotNull) // the last event has no holding span
@@ -439,6 +442,9 @@ object EventQueries {
         round((sum(col("cents") * col("dur_us")).cast("double") /
           sum(col("dur_us")) / 100.0), 6).as("twap_r"))
   }
+
+  def qTwap(s: SparkSession, d: String): DataFrame =
+    twapByType(Tables.events(s, d))
 
   val qTwapSql: String =
     "SELECT event_type, count(*) AS n_spans, " +

@@ -196,6 +196,73 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("LOCF gap-fill equals driver-side carry-forward on random series (6 trials)") {
+    import org.apache.spark.sql.functions._
+    val r = new Random(31)
+    for (trial <- 1 to 6) {
+      val nUsers = 1 + r.nextInt(4)
+      val rows = List.fill(8 + r.nextInt(25))(
+        (r.nextInt(nUsers).toLong,
+          ts(r.nextInt(12) * 86400L + r.nextInt(86400)), // within 12 days
+          (r.nextInt(10000) + 1) / 100.0))
+      val got = graft.queries.EventQueries
+        .gapFillDaily(rows.toDF("user_id", "ts", "value"))
+        .collect()
+        .map(x => (x.getAs[Long]("user_id"), x.getAs[Timestamp]("day").getTime,
+          x.getAs[Double]("filled_value"))).toSet
+      // driver-side reference: daily cent-sums, full day list, carry per user
+      def dayOf(t: Timestamp) = t.getTime - Math.floorMod(t.getTime, 86400000L)
+      val daily = rows.groupBy(x => (x._1, dayOf(x._2))).map { case (k, vs) =>
+        k -> vs.map(v => math.rint(v._3 * 100).toLong).sum / 100.0
+      }
+      val allDays = rows.map(x => dayOf(x._2)).distinct.sorted
+      val want = rows.map(_._1).distinct.flatMap { u =>
+        val first = rows.filter(_._1 == u).map(x => dayOf(x._2)).min
+        var carried = 0.0
+        allDays.filter(_ >= first).map { day =>
+          daily.get((u, day)).foreach(v => carried = v)
+          (u, day, carried)
+        }
+      }.toSet
+      assert(got === want, s"trial $trial")
+    }
+  }
+
+  test("TWAP equals the driver-side weighted mean on random series (6 trials)") {
+    import org.apache.spark.sql.functions._
+    val r = new Random(41)
+    for (trial <- 1 to 6) {
+      val rows = List.fill(6 + r.nextInt(20))(
+        ((100 + r.nextInt(3)).toLong, // event_id also orders ties
+          ts(r.nextInt(500000).toLong),
+          (r.nextInt(50000) + 1) / 100.0))
+        .zipWithIndex.map { case ((t, time, v), i) =>
+          (s"t${t % 3}", i.toLong, time, v)
+        }
+      val got = graft.queries.EventQueries
+        .twapByType(rows.toDF("event_type", "event_id", "ts", "value"))
+        .collect()
+        .map(x => x.getAs[String]("event_type") -> x.getAs[Double]("twap_r")).toMap
+      val want = rows.groupBy(_._1).flatMap { case (t, rs) =>
+        val sorted = rs.sortBy(x => (x._3.getTime, x._2))
+        val spans = sorted.zip(sorted.tail).map { case (a, b) =>
+          (math.rint(a._4 * 100).toLong, (b._3.getTime - a._3.getTime) * 1000L)
+        }
+        if (spans.isEmpty) None
+        else {
+          val num = spans.map { case (c, dUs) => c * dUs }.sum
+          val den = spans.map(_._2).sum
+          if (den == 0) None // all same timestamp: zero total span
+          else Some(t -> BigDecimal(num.toDouble / den / 100.0)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }
+      want.foreach { case (t, w) =>
+        assert(math.abs(got(t) - w) < 1e-9, s"trial $trial type $t")
+      }
+    }
+  }
+
   test("itemset rules: confidence in (0,1], support ordered, lift consistent") {
     val rows = graft.queries.GraphQueries.qItemsets(spark, sf).collect()
     assert(rows.nonEmpty)
