@@ -197,7 +197,6 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("LOCF gap-fill equals driver-side carry-forward on random series (6 trials)") {
-    import org.apache.spark.sql.functions._
     val r = new Random(31)
     for (trial <- 1 to 6) {
       val nUsers = 1 + r.nextInt(4)
@@ -229,7 +228,6 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("TWAP equals the driver-side weighted mean on random series (6 trials)") {
-    import org.apache.spark.sql.functions._
     val r = new Random(41)
     for (trial <- 1 to 6) {
       val rows = List.fill(6 + r.nextInt(20))(
