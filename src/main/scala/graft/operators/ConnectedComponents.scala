@@ -30,8 +30,14 @@ object ConnectedComponents {
     // undirected: propagate both ways
     val sym = e.union(e.select(col("dst"), col("src")))
       .toDF("a", "b").persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("comp", col("node")).localCheckpoint(true)
+    // init fused with the first propagation round: every node starts at
+    // min(self, neighbors) — one aggregation over sym replaces both the
+    // distinct-nodes pass and the first loop round (any labeling between
+    // the identity and the fixed point converges to the same labels)
+    var labels = sym.groupBy(col("a"))
+      .agg(least(col("a"), min(col("b"))).as("comp"))
+      .withColumnRenamed("a", "node")
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {

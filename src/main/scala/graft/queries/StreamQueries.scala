@@ -151,7 +151,23 @@ object StreamQueries {
   val qStreamDedupSql: String =
     "SELECT DISTINCT user_id, event_type FROM events"
 
+  /** Streaming hopping (sliding) windows == batch q_sliding_window: each
+    * event lands in 4 overlapping hour windows hopping every 15 minutes.
+    * Overlapping-window state multiplies by the overlap factor (4×) — the
+    * watermark bound matters 4× more than for tumbling windows, which is
+    * exactly what this backfill exercises. */
+  def qStreamSliding(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    runToMemory(s,
+      eventStream(s, d)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("w_start"), col("event_type"), col("n")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_sliding"  -> qStreamSliding _,
     "q_stream_dedup"    -> qStreamDedup _,
     "q_stream_tumbling" -> qStreamTumbling _,
     "q_stream_sessions" -> qStreamSessions _,
@@ -161,6 +177,7 @@ object StreamQueries {
 
   /** Same ground truth as the batch forms — that is the point. */
   val oracles: Map[String, String] = Map(
+    "q_stream_sliding"  -> EventQueries.qSlidingWindowSql,
     "q_stream_dedup"    -> qStreamDedupSql,
     "q_stream_tumbling" -> EventQueries.qTumblingHourlySql,
     "q_stream_sessions" -> EventQueries.qSessionWindowSql,
