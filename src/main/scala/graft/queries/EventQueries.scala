@@ -455,7 +455,38 @@ object EventQueries {
       "- epoch_us(ts) AS dur_us FROM events) a " +
       "WHERE dur_us IS NOT NULL GROUP BY 1"
 
+  // ── Rolling window over a RANGE frame ──────────────────────────────────
+  // Per-user rolling 3-day revenue via RANGE BETWEEN 2 PRECEDING — the
+  // value-based frame: a user with gap days aggregates only days within
+  // the range, which a ROWS frame (always 3 physical rows) gets wrong.
+  // Day totals ride as integer cents so the frame sums are exact on both
+  // engines; the day index is an integer so RANGE semantics are identical.
+  def qRollingRange(s: SparkSession, d: String): DataFrame = {
+    // cents from the DECIMAL sum directly (×100 before any double cast):
+    // a double×100 could land an ulp under the integer and truncate
+    val daily = Tables.events(s, d)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg((sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))) * 100)
+        .cast("long").as("cents"))
+      .withColumn("day_num",
+        datediff(col("day"), lit("1970-01-01").cast("date")))
+    val frame = Window.partitionBy(col("user_id")).orderBy(col("day_num"))
+      .rangeBetween(-2, Window.currentRow)
+    daily
+      .withColumn("rolling_3d", sum(col("cents")).over(frame) / 100.0)
+      .select(col("user_id"), col("day"), col("rolling_3d"))
+  }
+
+  val qRollingRangeSql: String =
+    "SELECT user_id, day, sum(cents) OVER (PARTITION BY user_id ORDER BY day_num " +
+      "RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0 AS rolling_3d " +
+      "FROM (SELECT user_id, date_trunc('day', ts) AS day, " +
+      "CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents, " +
+      "datediff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE)) AS day_num " +
+      "FROM events GROUP BY 1, 2) a"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_range"    -> qRollingRange _,
     "q_twap"             -> qTwap _,
     "q_argmax"           -> qArgmax _,
     "q_deciles"          -> qDeciles _,
@@ -474,6 +505,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_rolling_range"    -> qRollingRangeSql,
     "q_twap"             -> qTwapSql,
     "q_argmax"           -> qArgmaxSql,
     "q_deciles"          -> qDecilesSql,

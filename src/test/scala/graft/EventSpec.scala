@@ -129,6 +129,25 @@ class EventSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling RANGE frame sums only days within the 3-day span") {
+    val rows = EventQueries.qRollingRange(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // ground truth per user from the daily cent totals
+    val daily = Tables.events(spark, sf)
+      .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+      .agg((sum($"value".cast("decimal(18,2)")) * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("day").getTime) ->
+        r.getAs[Long]("cents")).toMap
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val dayMs = r.getAs[Timestamp]("day").getTime
+      val want = (0 to 2).flatMap(k => daily.get((u, dayMs - k * 86400000L))).sum
+      assert(r.getAs[Double]("rolling_3d") === want / 100.0,
+        s"user $u day ${r.getAs[Timestamp]("day")}")
+    }
+  }
+
   test("twap lies within the value range and differs from the plain mean") {
     val rows = EventQueries.qTwap(spark, sf).collect()
     assert(rows.nonEmpty)
