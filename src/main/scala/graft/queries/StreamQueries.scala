@@ -152,10 +152,14 @@ object StreamQueries {
     "SELECT DISTINCT user_id, event_type FROM events"
 
   /** Streaming hopping (sliding) windows == batch q_sliding_window: each
-    * event lands in 4 overlapping hour windows hopping every 15 minutes.
-    * Overlapping-window state multiplies by the overlap factor (4×) — the
-    * watermark bound matters 4× more than for tumbling windows, which is
-    * exactly what this backfill exercises. */
+    * event lands in 4 overlapping hour windows hopping every 15 minutes —
+    * overlapping-window state multiplies by the overlap factor (4×),
+    * which is the production sizing concern this plan carries. The
+    * watermark mirrors the production (Append-mode) plan but is inert
+    * under this backfill's Complete mode, where every window re-emits at
+    * end-of-input — what the oracle checks is the window assignment and
+    * aggregation, not state expiry (StreamingSpec's watermark test covers
+    * lateness semantics). */
   def qStreamSliding(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     runToMemory(s,
