@@ -162,4 +162,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PartitionFilters") && p.contains("event_type"),
       s"filter did not become a partition filter:\n$p")
   }
+
+  test("itemsets: supports broadcast, top-k is TakeOrdered, never cartesian on data") {
+    val p = plan("q_itemsets")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"item supports not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k fell back to a global sort:\n$p")
+  }
+
+  test("string-agg joins the dimension via broadcast") {
+    assert(plan("q_string_agg").contains("BroadcastHashJoin"))
+  }
+
+  test("rolling RANGE window reuses the daily aggregate's user partitioning") {
+    val p = plan("q_rolling_range")
+    // one exchange for the (user, day) aggregate, at most one more for
+    // the user-keyed window — a third would mean the frame re-shuffles
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 2, s"extra exchange in rolling window:\n$p")
+  }
 }
