@@ -485,7 +485,35 @@ object EventQueries {
       "datediff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE)) AS day_num " +
       "FROM events GROUP BY 1, 2) a"
 
+  // ── Mode (most frequent bucket) ────────────────────────────────────────
+  // The builtin mode() picks arbitrarily among tied candidates on both
+  // engines, so the reproducible spelling is count + rank with an
+  // explicit tiebreak (highest count, then smallest bucket) — the same
+  // determinism-by-construction rule as q_argmax. Values bucket to
+  // decades so the mode is meaningful over a continuous measure.
+  def qMode(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .select(col("event_type"),
+        floor(col("value") / 10).cast("long").as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val best = Window.partitionBy(col("event_type"))
+      .orderBy(col("cnt").desc, col("bucket").asc)
+    counts.withColumn("rnk", row_number().over(best))
+      .filter(col("rnk") === 1)
+      .select(col("event_type"), col("bucket").as("mode_bucket"),
+        col("cnt").as("mode_count"))
+  }
+
+  val qModeSql: String =
+    "SELECT event_type, bucket AS mode_bucket, cnt AS mode_count " +
+      "FROM (SELECT event_type, bucket, cnt, row_number() OVER " +
+      "(PARTITION BY event_type ORDER BY cnt DESC, bucket) AS rnk " +
+      "FROM (SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bucket, " +
+      "count(*) AS cnt FROM events GROUP BY 1, 2) a) b WHERE rnk = 1"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mode"             -> qMode _,
     "q_rolling_range"    -> qRollingRange _,
     "q_twap"             -> qTwap _,
     "q_argmax"           -> qArgmax _,
@@ -505,6 +533,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_mode"             -> qModeSql,
     "q_rolling_range"    -> qRollingRangeSql,
     "q_twap"             -> qTwapSql,
     "q_argmax"           -> qArgmaxSql,

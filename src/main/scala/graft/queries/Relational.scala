@@ -770,8 +770,25 @@ object Relational {
       "WHERE n > 1 AND vx > 0 AND vy > 0"
   }
 
+  // ── Synthetic range source ─────────────────────────────────────────────
+  // spark.range is the engine's built-in data generator (splittable,
+  // no-I/O, the seed of every synthetic benchmark and backfill): prove
+  // its parity with SQL generate_series via exact integer aggregates.
+  // The dataset dir is unused — the source IS the generator.
+  private val RangeN = 100000L
+
+  def qRangeGen(s: SparkSession, d: String): DataFrame =
+    s.range(1L, RangeN + 1)
+      .agg(sum(col("id") * col("id")).cast("long").as("sum_sq"),
+        count(lit(1)).as("n"))
+
+  val qRangeGenSql: String =
+    "SELECT CAST(sum(i * i) AS BIGINT) AS sum_sq, count(*) AS n " +
+      s"FROM generate_series(1, $RangeN) t(i)"
+
   /** All (name → query) pairs this module contributes. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_gen"       -> qRangeGen _,
     "q_grouping_sets"   -> qGroupingSets _,
     "q_corr"            -> qCorr _,
     "q_string_agg"      -> qStringAgg _,
@@ -813,6 +830,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_range_gen"       -> qRangeGenSql,
     "q_grouping_sets"   -> qGroupingSetsSql,
     "q_corr"            -> qCorrSql,
     "q_string_agg"      -> qStringAggSql,

@@ -129,6 +129,22 @@ class EventSpec extends AnyFunSuite {
     }
   }
 
+  test("mode picks the highest bucket count with smallest-bucket tiebreak") {
+    val got = EventQueries.qMode(spark, sf).collect()
+    val counts = Tables.events(spark, sf)
+      .groupBy($"event_type", floor($"value" / 10).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .groupBy(_.getAs[String]("event_type"))
+    assert(got.length === counts.size)
+    got.foreach { r =>
+      val rs = counts(r.getAs[String]("event_type"))
+      val best = rs.map(_.getAs[Long]("cnt")).max
+      assert(r.getAs[Long]("mode_count") === best)
+      val tied = rs.filter(_.getAs[Long]("cnt") == best).map(_.getAs[Long]("bucket"))
+      assert(r.getAs[Long]("mode_bucket") === tied.min)
+    }
+  }
+
   test("rolling RANGE frame sums only days within the 3-day span") {
     val rows = EventQueries.qRollingRange(spark, sf).collect()
     assert(rows.nonEmpty)
