@@ -485,6 +485,39 @@ object EventQueries {
       "datediff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE)) AS day_num " +
       "FROM events GROUP BY 1, 2) a"
 
+  // ── Cohort retention matrix ────────────────────────────────────────────
+  // The product-analytics staple: group users by their FIRST activity day
+  // (the cohort) and count how many are still active k weeks later. Two
+  // shuffles, both on natural keys: the per-user min rides a window on
+  // user_id, the matrix aggregation groups the (cohort, offset) grid —
+  // whose size is days × weeks, tiny at any corpus scale. countDistinct
+  // re-shuffles internally on (grid, user) first, so heavy cohorts can't
+  // hot-spot a single reducer. The week offset is derived from integer
+  // day arithmetic (floor(days/7)), not engine week-truncation, so both
+  // engines bucket identically regardless of their ISO-week conventions.
+  def qCohort(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      .withColumn("cohort_day", min(col("day")).over(byUser))
+      .withColumn("week_offset",
+        floor(datediff(col("day"), col("cohort_day")) / 7).cast("long"))
+      .groupBy(col("cohort_day"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        Relational.dsum(col("value")).as("sum_value"))
+  }
+
+  val qCohortSql: String =
+    "WITH f AS (SELECT user_id, CAST(ts AS DATE) AS day, value, " +
+      "min(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort_day " +
+      "FROM events) " +
+      "SELECT cohort_day, " +
+      "CAST(floor(date_diff('day', cohort_day, day) / 7) AS BIGINT) AS week_offset, " +
+      "count(DISTINCT user_id) AS n_users, count(*) AS n_events, " +
+      s"${Relational.sqlDsum("value")} AS sum_value " +
+      "FROM f GROUP BY 1, 2"
+
   // ── Mode (most frequent bucket) ────────────────────────────────────────
   // The builtin mode() picks arbitrarily among tied candidates on both
   // engines, so the reproducible spelling is count + rank with an
@@ -513,6 +546,7 @@ object EventQueries {
       "count(*) AS cnt FROM events GROUP BY 1, 2) a) b WHERE rnk = 1"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohort"           -> qCohort _,
     "q_mode"             -> qMode _,
     "q_rolling_range"    -> qRollingRange _,
     "q_twap"             -> qTwap _,
@@ -533,6 +567,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_cohort"           -> qCohortSql,
     "q_mode"             -> qModeSql,
     "q_rolling_range"    -> qRollingRangeSql,
     "q_twap"             -> qTwapSql,

@@ -770,6 +770,90 @@ object Relational {
       "WHERE n > 1 AND vx > 0 AND vy > 0"
   }
 
+  // ── SCD Type-2 dimension build ─────────────────────────────────────────
+  // Treat each customer's orders as a change feed and build the Type-2
+  // slowly-changing-dimension table: one validity interval per version,
+  // [valid_from, valid_to) with a NULL valid_to marking the current row —
+  // the standard warehouse shape for reproducible point-in-time snapshots
+  // (the reference has no temporal modeling at all; its closest feature is
+  // the last-write-wins DynamoDB sink, output_handler_dynamodb.py:62-75,
+  // which keeps only the newest version). ONE window over the business
+  // key: version numbering and the interval close-out (lead) ride the
+  // same sort, so the build is a single shuffle on o_custkey. At 100 TB
+  // the change feed is date-partitioned and each key holds a handful of
+  // versions — the window state is per-key-bounded, never corpus-sized.
+  def qScd2(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("o_orderpriority"), col("o_orderdate"))
+      // row_number is INT in Spark but BIGINT in DuckDB — align to long
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+      .withColumnRenamed("o_orderdate", "valid_from")
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  val qScd2Sql: String =
+    "SELECT o_custkey, o_orderkey, o_totalprice, o_orderpriority, " +
+      "o_orderdate AS valid_from, " +
+      "CAST(row_number() OVER w AS BIGINT) AS version, " +
+      "lead(o_orderdate) OVER w AS valid_to, " +
+      "lead(o_orderdate) OVER w IS NULL AS is_current " +
+      "FROM orders WINDOW w AS " +
+      "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
+
+  // ── Per-group OLS regression from exact moments ────────────────────────
+  // Least-squares slope/intercept/R² of order value over time, per
+  // priority class — the trend-detection primitive (data drift, volume
+  // forecasts) assembled from the same five decimal moments as qCorr:
+  // Σx, Σy, Σxy, Σx², Σy² are exact and order-independent, so both
+  // engines derive bit-identical doubles; the builtin regr_slope streams
+  // in float and is reduction-order-dependent. One aggregate pass — the
+  // moments ride a single partial-agg shuffle, state is 5 numbers per
+  // group at any corpus size.
+  def qRegression(s: SparkSession, d: String): DataFrame = {
+    val x = datediff(col("o_orderdate"), to_date(lit("1992-01-01")))
+      .cast(DecimalType(18, 2))
+    val y = col("o_totalprice").cast(DecimalType(18, 2))
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sx2"), sum(y * y).cast("double").as("sy2"))
+      .withColumn("vx", col("n") * col("sx2") - col("sx") * col("sx"))
+      .withColumn("vy", col("n") * col("sy2") - col("sy") * col("sy"))
+      .withColumn("cov", col("n") * col("sxy") - col("sx") * col("sy"))
+      // same degenerate-group guard as qCorr: both engines hold identical
+      // doubles, so the filter drops the same rows on both sides
+      .filter(col("n") > 1 && col("vx") > 0.0 && col("vy") > 0.0)
+      .select(col("o_orderpriority"), col("n"),
+        round(col("cov") / col("vx"), 6).as("slope_r"),
+        round((col("sy") * col("sx2") - col("sx") * col("sxy")) / col("vx"), 6)
+          .as("intercept_r"),
+        round(col("cov") * col("cov") / (col("vx") * col("vy")), 6).as("r2_r"))
+  }
+
+  val qRegressionSql: String = {
+    val dx = "CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS DECIMAL(18,2))"
+    val dy = "CAST(o_totalprice AS DECIMAL(18,2))"
+    "SELECT o_orderpriority, n, " +
+      "round(cov / vx, 6) AS slope_r, " +
+      "round((sy * sx2 - sx * sxy) / vx, 6) AS intercept_r, " +
+      "round(cov * cov / (vx * vy), 6) AS r2_r " +
+      "FROM (SELECT *, n * sx2 - sx * sx AS vx, n * sy2 - sy * sy AS vy, " +
+      "n * sxy - sx * sy AS cov " +
+      "FROM (SELECT o_orderpriority, count(*) AS n, " +
+      s"CAST(sum($dx) AS DOUBLE) AS sx, CAST(sum($dy) AS DOUBLE) AS sy, " +
+      s"CAST(sum($dx * $dy) AS DOUBLE) AS sxy, " +
+      s"CAST(sum($dx * $dx) AS DOUBLE) AS sx2, CAST(sum($dy * $dy) AS DOUBLE) AS sy2 " +
+      "FROM orders GROUP BY 1) a) b " +
+      "WHERE n > 1 AND vx > 0 AND vy > 0"
+  }
+
   // ── Synthetic range source ─────────────────────────────────────────────
   // spark.range is the engine's built-in data generator (splittable,
   // no-I/O, the seed of every synthetic benchmark and backfill): prove
@@ -788,6 +872,8 @@ object Relational {
 
   /** All (name → query) pairs this module contributes. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2"            -> qScd2 _,
+    "q_regression"      -> qRegression _,
     "q_range_gen"       -> qRangeGen _,
     "q_grouping_sets"   -> qGroupingSets _,
     "q_corr"            -> qCorr _,
@@ -830,6 +916,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_scd2"            -> qScd2Sql,
+    "q_regression"      -> qRegressionSql,
     "q_range_gen"       -> qRangeGenSql,
     "q_grouping_sets"   -> qGroupingSetsSql,
     "q_corr"            -> qCorrSql,

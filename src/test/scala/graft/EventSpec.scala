@@ -196,6 +196,26 @@ class EventSpec extends AnyFunSuite {
     }
   }
 
+  test("cohort matrix covers every event and offset-0 holds each cohort's full size") {
+    val rows = EventQueries.qCohort(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("week_offset") >= 0L))
+    // the matrix partitions the event set
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    assert(total === Tables.events(spark, sf).count())
+    // ground truth: per user first day -> cohort sizes
+    val firstDay = Tables.events(spark, sf)
+      .groupBy($"user_id").agg(min(to_date($"ts")).as("d")).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[java.sql.Date]("d"))
+    val cohortSize = firstDay.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    // at offset 0 every user of the cohort is present (they were active
+    // on their own first day by construction)
+    rows.filter(_.getAs[Long]("week_offset") === 0L).foreach { r =>
+      assert(r.getAs[Long]("n_users") ===
+        cohortSize(r.getAs[java.sql.Date]("cohort_day")))
+    }
+  }
+
   test("z-score outliers are exactly the events beyond 3 sigma of their type") {
     val got = EventQueries.qOutliers(spark, sf).collect()
     assert(got.nonEmpty) // the fixture's heavy-tailed values guarantee hits

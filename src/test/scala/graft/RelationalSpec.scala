@@ -184,6 +184,48 @@ class RelationalSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("n_violations") === 0L))
   }
 
+  test("scd2 intervals chain per customer with exactly one current version") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.Relational.qScd2(spark, sf)
+      .orderBy(col("o_custkey"), col("version")).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("o_custkey")).foreach { case (ck, vs) =>
+      // versions are 1..n with no holes
+      assert(vs.map(_.getAs[Long]("version")).toSeq === (1L to vs.length).toSeq, s"cust $ck")
+      // exactly one open (current) interval, and it is the last version
+      val current = vs.filter(_.getAs[Boolean]("is_current"))
+      assert(current.length === 1 && current.head.getAs[Long]("version") === vs.length.toLong)
+      // closed intervals chain: valid_to == next version's valid_from
+      vs.sliding(2).foreach {
+        case Array(a, b) =>
+          // generic compare: parquet NTZ timestamps surface as LocalDateTime
+          assert(a.getAs[Any]("valid_to") === b.getAs[Any]("valid_from"),
+            s"cust $ck gap")
+        case _ =>
+      }
+    }
+  }
+
+  test("exact-moment regression matches Spark's builtin regr_slope closely") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.Relational.qRegression(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val builtin = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("regr_slope(o_totalprice, datediff(o_orderdate, date'1992-01-01'))").as("b"),
+        expr("regr_intercept(o_totalprice, datediff(o_orderdate, date'1992-01-01'))").as("a"))
+      .collect()
+      .map(r => r.getAs[String]("o_orderpriority") ->
+        (r.getAs[Double]("b"), r.getAs[Double]("a"))).toMap
+    rows.foreach { r =>
+      val (b, a) = builtin(r.getAs[String]("o_orderpriority"))
+      assert(math.abs(r.getAs[Double]("slope_r") - b) < 1e-4)
+      assert(math.abs(r.getAs[Double]("intercept_r") - a) < 1e-2)
+      val r2 = r.getAs[Double]("r2_r")
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9)
+    }
+  }
+
   test("incremental MV refresh merges base+delta states to the full recompute") {
     import org.apache.spark.sql.functions._
     val got = queries.Relational.qMvRefresh(spark, sf)
