@@ -353,7 +353,60 @@ object DedupQueries {
       s"SELECT unnest($sqlShingles) AS v " +
         s"FROM (SELECT $sqlToks AS t FROM documents) tt")
 
+  // ── Blocked fuzzy matching (record linkage) ────────────────────────────
+  // Approximate string matching between records that exact dedup misses:
+  // candidate pairs come from cheap deterministic BLOCKING keys, and only
+  // within-block pairs pay the edit-distance comparison — the standard
+  // record-linkage shape (Fellegi–Sunter). MULTI-PASS blocking (first
+  // token AND last token — a pair is a candidate if it agrees on either)
+  // because single-key blocking provably loses recall here: "red ring" /
+  // "red rod" differ in the last token yet are 3 edits apart; the
+  // DedupSpec proves the two passes reach full all-pairs recall on this
+  // fixture rather than assuming it. Scale: comparisons run over the
+  // DEDUPLICATED name dictionary (names << rows; the groupBy carries each
+  // name's support), and the pair explosion is per-block bounded — never
+  // all-pairs over the corpus. Spark's levenshtein(threshold) variant
+  // short-circuits the DP at MaxEdit, so cost per pair is O(len·k) not
+  // O(len²). Both engines implement plain Levenshtein — the distance is
+  // engine-portable, giving the fuzzy family an exact oracle.
+  private val MaxEdit = 3
+
+  def qFuzzyMatch(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.part(s, d)
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_parts"))
+    val blocks = names.select(col("name"), col("n_parts"),
+      explode(array(
+        element_at(split(col("name"), " "), 1),
+        element_at(split(col("name"), " "), -1))).as("block"))
+    val a = blocks.select(col("block"), col("name").as("name_a"),
+      col("n_parts").as("n_a"))
+    val b = blocks.select(col("block"), col("name").as("name_b"),
+      col("n_parts").as("n_b"))
+    a.join(b, Seq("block"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("lev",
+        levenshtein(col("name_a"), col("name_b"), MaxEdit).cast("long"))
+      // the threshold variant returns -1 above MaxEdit — keep 0..MaxEdit
+      .filter(col("lev").between(0, MaxEdit))
+      // a pair found by both passes must count once
+      .select(col("name_a"), col("name_b"), col("lev"),
+        col("n_a"), col("n_b"))
+      .distinct()
+  }
+
+  val qFuzzyMatchSql: String =
+    "WITH names AS (SELECT p_name AS name, count(*) AS n_parts FROM part GROUP BY 1), " +
+      "blocks AS (SELECT name, n_parts, unnest([" +
+      "(str_split(name, ' '))[1], (str_split(name, ' '))[-1]]) AS block FROM names) " +
+      "SELECT DISTINCT a.name AS name_a, b.name AS name_b, " +
+      "CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev, " +
+      "a.n_parts AS n_a, b.n_parts AS n_b " +
+      "FROM blocks a JOIN blocks b ON a.block = b.block AND a.name < b.name " +
+      s"WHERE levenshtein(a.name, b.name) <= $MaxEdit"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fuzzy_match"   -> qFuzzyMatch _,
     "q_winnow_overlap" -> qWinnowOverlap _,
     "q_dedup_exact"   -> qDedupExact _,
     "q_ngram_jaccard" -> qNgramJaccard _,
@@ -363,6 +416,7 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_fuzzy_match"    -> qFuzzyMatchSql,
     "q_dedup_exact"    -> qDedupExactSql,
     "q_ngram_jaccard"  -> qNgramJaccardSql,
     "q_minhash_lsh"    -> qMinhashLshSql,

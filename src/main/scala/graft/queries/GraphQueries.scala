@@ -201,13 +201,92 @@ object GraphQueries {
       "FROM po JOIN io s ON po.src = s.item JOIN io t ON po.dst = t.item CROSS JOIN nb " +
       s"ORDER BY pair_orders DESC, src, dst LIMIT $ItemsetTopK"
 
+  // ── Single-source BFS (shortest hop distances) ─────────────────────────
+  // Unweighted shortest paths from a deterministic source (the minimum
+  // node id) over the same support-thresholded co-purchase graph the CC
+  // query uses: synchronous frontier expansion, one join + one aggregate
+  // per round, distances fixed at first touch (the BFS layer property —
+  // a node reached in round k has hop distance exactly k). The loop
+  // early-exits when the reached set stops growing, which for BFS happens
+  // only at completion, so the early exit is semantics-free; the oracle
+  // unrolls the same MAX rounds as DuckDB CTEs (a converged frontier is a
+  // fixed point — extra rounds are no-ops on both engines). Scale: each
+  // round shuffles (node, dist) pairs only — never adjacency payloads —
+  // and localCheckpoint truncates the growing lineage exactly as the CC
+  // operator does. The registered result is the hop-distance histogram of
+  // the source's component.
+  private val BfsRounds = 20
+
+  /** (node, dist) hop distances from `source` over undirected `edges`
+    * (src/dst columns); unreached nodes are absent. Testable core of
+    * qBfs. */
+  def bfsDistances(edges: DataFrame, source: Long, maxRounds: Int): DataFrame = {
+    val sym = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
+      .localCheckpoint() // reused every round — materialize once
+    val nodes = sym.select(col("a").as("node")).distinct()
+    var dist = nodes.withColumn("dist",
+      when(col("node") === source, lit(0L)).otherwise(lit(null).cast("long")))
+      .localCheckpoint()
+    var reached = 1L
+    var round = 0
+    var growing = true
+    while (round < maxRounds && growing) {
+      val frontierMin = sym
+        .join(dist.filter(col("dist").isNotNull)
+          .select(col("node").as("a"), col("dist")), Seq("a"))
+        .groupBy(col("b").as("node")).agg(min(col("dist")).as("mn"))
+      val next = dist.join(frontierMin, Seq("node"), "left")
+        .select(col("node"),
+          when(col("dist").isNotNull, col("dist"))
+            .otherwise(col("mn") + 1L).as("dist"))
+        .localCheckpoint()
+      val nowReached = next.filter(col("dist").isNotNull).count()
+      growing = nowReached > reached
+      reached = nowReached
+      dist = next
+      round += 1
+    }
+    dist.filter(col("dist").isNotNull)
+  }
+
+  def qBfs(s: SparkSession, d: String): DataFrame = {
+    val e = supportedEdges(s, d, MinSupport)
+    val source = e.agg(least(min(col("src")), min(col("dst")))).head.getLong(0)
+    bfsDistances(e, source, BfsRounds)
+      .groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
+  }
+
+  private def bfsIter(prev: String): String =
+    s"SELECT l.node, CASE WHEN l.dist IS NOT NULL THEN l.dist ELSE m.mn + 1 END AS dist " +
+      s"FROM $prev l LEFT JOIN (SELECT s.b AS node, min(x.dist) AS mn FROM sym s " +
+      s"JOIN $prev x ON s.a = x.node WHERE x.dist IS NOT NULL GROUP BY 1) m USING (node)"
+
+  val qBfsSql: String = {
+    val rounds = (1 to BfsRounds)
+      .map(i => s"b$i AS MATERIALIZED (${bfsIter(s"b${i - 1}")})").mkString(", ")
+    "WITH e AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst " +
+      "FROM lineitem a JOIN lineitem b " +
+      "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+      s"GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= $MinSupport), " +
+      "sym AS MATERIALIZED (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e), " +
+      "b0 AS MATERIALIZED (SELECT node, CASE WHEN node = (SELECT min(a) FROM sym) " +
+      "THEN CAST(0 AS BIGINT) ELSE NULL END AS dist FROM " +
+      "(SELECT DISTINCT a AS node FROM sym) n), " +
+      rounds + " " +
+      s"SELECT dist, count(*) AS n_nodes FROM b$BfsRounds " +
+      "WHERE dist IS NOT NULL GROUP BY 1"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bfs"        -> qBfs _,
     "q_triangles"  -> qTriangles _,
     "q_components" -> qComponents _,
     "q_itemsets"   -> qItemsets _,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_bfs"        -> qBfsSql,
     "q_triangles"  -> qTrianglesSql,
     "q_components" -> qComponentsSql,
     "q_itemsets"   -> qItemsetsSql,

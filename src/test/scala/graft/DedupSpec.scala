@@ -137,6 +137,32 @@ class DedupSpec extends AnyFunSuite {
       s"HLL est $est vs exact $exact (m=128 should be ~9% error)")
   }
 
+  test("blocked fuzzy match equals the unblocked all-pairs comparison") {
+    // blocking on the last token loses no pairs on this fixture: any
+    // cross-block pair differs in the noun, whose edit distance alone
+    // already exceeds the threshold — the spec proves the recall claim
+    // rather than assuming it.
+    val got = DedupQueries.qFuzzyMatch(spark, sf)
+      .select($"name_a", $"name_b", $"lev").as[(String, String, Long)]
+      .collect().toSet
+    val names = Tables.part(spark, sf)
+      .select($"p_name").distinct().as[String].collect()
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val want = (for {
+      a <- names; b <- names if a < b
+      d = lev(a, b) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("simhash block-banding is a complete candidate generator for d<=3") {
     // pigeonhole: hamming<=3 over 4 blocks of 15 bits → >=1 block equal
     val r = new scala.util.Random(7)

@@ -196,6 +196,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("BFS hop distances equal driver-side BFS on random graphs (10 trials)") {
+    val r = new Random(17)
+    for (trial <- 1 to 10) {
+      val nodes = 3 + r.nextInt(25)
+      val edges = List.fill(4 + r.nextInt(50)) {
+        val a = r.nextInt(nodes); val b = r.nextInt(nodes)
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.filter { case (a, b) => a != b }.distinct
+      if (edges.nonEmpty) {
+        val adj = edges.flatMap(e => List(e, e.swap))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val source = adj.keys.min
+        // driver-side layered BFS ground truth
+        val want = scala.collection.mutable.Map(source -> 0L)
+        var layer = Set(source); var dd = 0L
+        while (layer.nonEmpty) {
+          dd += 1
+          layer = layer.flatMap(adj(_)).filterNot(want.contains)
+          layer.foreach(n => want(n) = dd)
+        }
+        val got = graft.queries.GraphQueries
+          .bfsDistances(edges.toDF("src", "dst"), source, maxRounds = nodes)
+          .as[(Long, Long)].collect().toMap
+        assert(got === want.toMap, s"trial $trial edges: $edges")
+      }
+    }
+  }
+
   test("LOCF gap-fill equals driver-side carry-forward on random series (6 trials)") {
     val r = new Random(31)
     for (trial <- 1 to 6) {
