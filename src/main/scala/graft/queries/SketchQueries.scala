@@ -118,12 +118,68 @@ object SketchQueries {
       "WHERE l_orderkey IN (SELECT o_orderkey FROM orders " +
       "WHERE o_orderpriority = '1-URGENT') GROUP BY 1"
 
+  // ── Histogram-sketch quantiles ─────────────────────────────────────────
+  // Approximate p50/p90/p99 from an equi-width histogram — the mergeable
+  // fixed-memory alternative to the exact global-sort percentile
+  // (q_percentiles): per-partition histograms merge by cell-wise sum, so
+  // the sketch state is `HistBins` integers at any corpus size, while
+  // quantile_cont must materialize a full sort. Entirely INTEGER-EXACT:
+  // values become cents, the bin width and in-bin interpolation use
+  // integer division, so both engines assemble identical estimates —
+  // float binning would risk boundary divergence. Two passes (a scalar
+  // min/max/count, then the histogram); a production pipeline amortizes
+  // pass one with fixed domain bounds. The cumulative window runs over
+  // HistBins rows — a driver-sized frame, not a data-sized one.
+  private val HistBins = 64
+  private val QuantilePcts = Seq(50, 90, 99)
+
+  def qQuantileSketch(s: SparkSession, d: String): DataFrame = {
+    val cents = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    val ev = Tables.events(s, d).select(cents.as("c"))
+    val bounds = ev.agg(min(col("c")).as("minc"), max(col("c")).as("maxc"),
+      count(lit(1)).as("n"))
+    val hist = ev.crossJoin(broadcast(bounds))
+      .select(expr(s"(c - minc) div ((maxc - minc) div $HistBins + 1)").as("bin"),
+        col("minc"), col("maxc"), col("n"))
+      .groupBy(col("bin"), col("minc"), col("maxc"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+    cum.select(col("*"), explode(array(QuantilePcts.map(lit): _*)).as("p"))
+      .withColumn("r", expr("(p * n + 99) div 100"))
+      .filter(col("cum") >= col("r") && col("cum") - col("cnt") < col("r"))
+      .select(col("p"),
+        // CAST to double BEFORE the division: bigint/100.0 is DECIMAL in
+        // Spark but DOUBLE in DuckDB; double/100.0 is DOUBLE in both
+        expr(s"CAST(minc + bin * ((maxc - minc) div $HistBins + 1) + " +
+          s"((r - (cum - cnt)) * ((maxc - minc) div $HistBins + 1)) div cnt " +
+          "AS DOUBLE) / 100.0").as("est_value"))
+  }
+
+  val qQuantileSketchSql: String = {
+    val width = s"(maxc - minc) // $HistBins + 1"
+    "WITH ev AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM events), " +
+      "b AS (SELECT min(c) AS minc, max(c) AS maxc, count(*) AS n FROM ev), " +
+      s"h AS (SELECT (c - minc) // ($width) AS bin, minc, maxc, n, count(*) AS cnt " +
+      "FROM ev CROSS JOIN b GROUP BY 1, 2, 3, 4), " +
+      "cdf AS (SELECT *, CAST(sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM h) " +
+      "SELECT p, (minc + bin * (" + width + ") + " +
+      "((r - (cum - cnt)) * (" + width + ")) // cnt) / 100.0 AS est_value " +
+      "FROM (SELECT *, (p * n + 99) // 100 AS r FROM cdf " +
+      s"CROSS JOIN (SELECT unnest([${QuantilePcts.mkString(", ")}]) AS p) q) x " +
+      "WHERE cum >= r AND cum - cnt < r"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quantile_sketch" -> qQuantileSketch _,
     "q_heavy_hitters" -> qHeavyHitters _,
     "q_bloom_prune"   -> qBloomPrune _,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_quantile_sketch" -> qQuantileSketchSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_bloom_prune"   -> qBloomPruneSql,
   )

@@ -151,6 +151,32 @@ object StreamQueries {
   val qStreamDedupSql: String =
     "SELECT DISTINCT user_id, event_type FROM events"
 
+  /** Stream-static enrichment join run as a backfill: the event stream
+    * LEFT-joined to the customer dimension (EventStreams.enrich — the
+    * static side is a plain DataFrame Spark re-reads per micro-batch and
+    * broadcasts, the production pattern for slowly-refreshed dims), then
+    * aggregated per (segment, event type). The left join keeps events
+    * whose user has no dimension row — the same rows the batch LEFT JOIN
+    * oracle produces. Decimal sums make the aggregation exact across
+    * micro-batch boundaries. */
+  def qStreamEnrich(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dim = graft.Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = EventStreams.enrich(
+      eventStream(s, d), dim, "user_id", "c_custkey")
+    runToMemory(s, enriched
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Relational.dsum(col("value")).as("sum_value")))
+  }
+
+  val qStreamEnrichSql: String =
+    "SELECT c_mktsegment, event_type, count(*) AS n_events, " +
+      s"${Relational.sqlDsum("value")} AS sum_value " +
+      "FROM events LEFT JOIN customer ON user_id = c_custkey " +
+      "GROUP BY 1, 2"
+
   /** Streaming hopping (sliding) windows == batch q_sliding_window: each
     * event lands in 4 overlapping hour windows hopping every 15 minutes —
     * overlapping-window state multiplies by the overlap factor (4×),
@@ -171,6 +197,7 @@ object StreamQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_enrich"   -> qStreamEnrich _,
     "q_stream_sliding"  -> qStreamSliding _,
     "q_stream_dedup"    -> qStreamDedup _,
     "q_stream_tumbling" -> qStreamTumbling _,
@@ -181,6 +208,7 @@ object StreamQueries {
 
   /** Same ground truth as the batch forms — that is the point. */
   val oracles: Map[String, String] = Map(
+    "q_stream_enrich"   -> qStreamEnrichSql,
     "q_stream_sliding"  -> EventQueries.qSlidingWindowSql,
     "q_stream_dedup"    -> qStreamDedupSql,
     "q_stream_tumbling" -> EventQueries.qTumblingHourlySql,

@@ -78,4 +78,21 @@ class SketchSpec extends AnyFunSuite {
       .join(r.filter(col("n_hits") === 0), Seq("doc_id"))
     assert(zero.filter(col("orig_md5") =!= col("clean_md5")).count() === 0)
   }
+
+  test("histogram-sketch quantiles are monotone and within one bin of exact") {
+    val est = queries.SketchQueries.qQuantileSketch(spark, sf).collect()
+      .map(r => r.getAs[Int]("p") -> r.getAs[Double]("est_value")).toMap
+    assert(est.keySet === Set(50, 90, 99))
+    assert(est(50) <= est(90) && est(90) <= est(99))
+    // exact quantiles + the bin width bound the estimate error
+    val vals = graft.Tables.events(spark, sf)
+      .select(col("value")).collect().map(_.getDouble(0)).sorted
+    val binWidth = (vals.last - vals.head) / 64.0 + 0.01
+    Seq(50, 90, 99).foreach { p =>
+      val exact = vals(math.min(vals.length - 1,
+        math.ceil(p / 100.0 * vals.length).toInt - 1))
+      assert(math.abs(est(p) - exact) <= binWidth + 1e-9,
+        s"p$p est ${est(p)} vs exact $exact (bin $binWidth)")
+    }
+  }
 }

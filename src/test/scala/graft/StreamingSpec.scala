@@ -102,6 +102,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(tiers(3L) === "basic")
   }
 
+  test("stream-static enrichment backfill equals the batch left-join aggregate") {
+    val got = queries.StreamQueries.qStreamEnrich(spark, sf)
+    val want = Tables.events(spark, sf)
+      .join(Tables.customer(spark, sf).select($"c_custkey", $"c_mktsegment"),
+        $"user_id" === $"c_custkey", "left")
+      .groupBy($"c_mktsegment", $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        queries.Relational.dsum($"value").as("sum_value"))
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+    assert(got.count() > 0)
+  }
+
   test("parquet sink starts, checkpoints, and lands rows durably") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_sink")
