@@ -405,7 +405,77 @@ object DedupQueries {
       "FROM blocks a JOIN blocks b ON a.block = b.block AND a.name < b.name " +
       s"WHERE levenshtein(a.name, b.name) <= $MaxEdit"
 
+  // ── Entity resolution: fuzzy clusters → golden records ─────────────────
+  // The full record-linkage pipeline the fuzzy matcher feeds: candidate
+  // pairs (multi-pass blocked levenshtein, qFuzzyMatch) become edges of a
+  // similarity graph, connected components merge transitively-linked
+  // name variants into entities, and each entity emits one GOLDEN RECORD
+  // — survivor = the variant with the highest support (ties broken
+  // lexicographically), plus the member count and pooled support the
+  // merge accumulates. Scale: everything downstream of the blocked
+  // compare operates on the deduplicated name dictionary (names << rows);
+  // the cluster aggregation shuffles once on the component label. The
+  // oracle replays the same min-label propagation unrolled as DuckDB
+  // CTEs (extra rounds past convergence are no-ops on both engines).
+  private val ErRounds = 16
+
+  def qEntityResolution(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.part(s, d)
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_parts"), min(col("p_partkey")).as("nid"))
+    val ids = names.select(col("name"), col("nid"))
+    val edges = qFuzzyMatch(s, d)
+      .join(ids.select(col("name").as("name_a"), col("nid").as("src")), Seq("name_a"))
+      .join(ids.select(col("name").as("name_b"), col("nid").as("dst")), Seq("name_b"))
+      .select(col("src"), col("dst"))
+    val labels = graft.operators.ConnectedComponents
+      .components(edges, maxIterations = ErRounds)
+    // unmatched names are their own singleton entity
+    val withComp = names
+      .join(labels.withColumnRenamed("node", "nid"), Seq("nid"), "left")
+      .withColumn("cluster", coalesce(col("comp"), col("nid")))
+    val byCluster = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+    withComp
+      .withColumn("rk", row_number().over(
+        byCluster.orderBy(col("n_parts").desc, col("name").asc)))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .withColumn("total_parts", sum(col("n_parts")).over(byCluster))
+      .filter(col("rk") === 1)
+      .select(col("cluster"), col("name").as("survivor"),
+        col("n_members"), col("total_parts"))
+  }
+
+  val qEntityResolutionSql: String = {
+    def iter(prev: String): String =
+      s"SELECT l.node, least(l.comp, coalesce(m.mn, l.comp)) AS comp FROM $prev l " +
+        s"LEFT JOIN (SELECT s.a AS node, min(x.comp) AS mn FROM sym s " +
+        s"JOIN $prev x ON s.b = x.node GROUP BY 1) m USING (node)"
+    val rounds = (1 to ErRounds)
+      .map(i => s"l$i AS MATERIALIZED (${iter(s"l${i - 1}")})").mkString(", ")
+    "WITH names AS (SELECT p_name AS name, count(*) AS n_parts, " +
+      "min(p_partkey) AS nid FROM part GROUP BY 1), " +
+      "blocks AS (SELECT name, nid, unnest([" +
+      "(str_split(name, ' '))[1], (str_split(name, ' '))[-1]]) AS block FROM names), " +
+      "pairs AS (SELECT DISTINCT a.nid AS src, b.nid AS dst " +
+      "FROM blocks a JOIN blocks b ON a.block = b.block AND a.name < b.name " +
+      s"WHERE levenshtein(a.name, b.name) <= $MaxEdit), " +
+      "sym AS MATERIALIZED (SELECT src AS a, dst AS b FROM pairs " +
+      "UNION SELECT dst, src FROM pairs), " +
+      "l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS comp FROM sym), " +
+      rounds + ", " +
+      s"labeled AS (SELECT n.name, n.n_parts, coalesce(l.comp, n.nid) AS cluster " +
+      s"FROM names n LEFT JOIN l$ErRounds l ON n.nid = l.node), " +
+      "ranked AS (SELECT *, row_number() OVER " +
+      "(PARTITION BY cluster ORDER BY n_parts DESC, name) AS rk, " +
+      "CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_members, " +
+      "CAST(sum(n_parts) OVER (PARTITION BY cluster) AS BIGINT) AS total_parts " +
+      "FROM labeled) " +
+      "SELECT cluster, name AS survivor, n_members, total_parts " +
+      "FROM ranked WHERE rk = 1"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_entity_resolution" -> qEntityResolution _,
     "q_fuzzy_match"   -> qFuzzyMatch _,
     "q_winnow_overlap" -> qWinnowOverlap _,
     "q_dedup_exact"   -> qDedupExact _,
@@ -416,6 +486,7 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_entity_resolution" -> qEntityResolutionSql,
     "q_fuzzy_match"    -> qFuzzyMatchSql,
     "q_dedup_exact"    -> qDedupExactSql,
     "q_ngram_jaccard"  -> qNgramJaccardSql,

@@ -485,6 +485,43 @@ object EventQueries {
       "datediff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE)) AS day_num " +
       "FROM events GROUP BY 1, 2) a"
 
+  // ── Robust outliers: median / MAD ──────────────────────────────────────
+  // The robust twin of q_outliers' z-score: deviation from the per-type
+  // MEDIAN in units of the median absolute deviation. Unlike mean/stddev,
+  // both statistics are immune to the very outliers being hunted —
+  // heavy-tailed values can't inflate the yardstick and mask each other.
+  // Plan shape: two tiny per-type aggregates (exact interpolated
+  // percentile — the same engine-portable spelling q_percentiles pins)
+  // broadcast back onto the scan; the corpus itself never shuffles.
+  // Both statistics are rounded to 6 decimals BEFORE use so a last-ulp
+  // interpolation difference between engines cannot flip a comparison.
+  private val MadK = 8
+
+  def qMadOutliers(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(round(expr("percentile(adev, 0.5)"), 6).as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .filter(col("adev") > lit(MadK) * col("mad"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("adev") / col("mad"), 6).as("mad_score"))
+  }
+
+  val qMadOutliersSql: String =
+    "WITH med AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med " +
+      "FROM events GROUP BY 1), " +
+      "dev AS (SELECT event_id, e.event_type, value, abs(value - med) AS adev " +
+      "FROM events e JOIN med USING (event_type)), " +
+      "mad AS (SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad " +
+      "FROM dev GROUP BY 1) " +
+      "SELECT event_id, d.event_type, value, round(adev / mad, 6) AS mad_score " +
+      s"FROM dev d JOIN mad USING (event_type) WHERE adev > $MadK * mad"
+
   // ── Cohort retention matrix ────────────────────────────────────────────
   // The product-analytics staple: group users by their FIRST activity day
   // (the cohort) and count how many are still active k weeks later. Two
@@ -546,6 +583,7 @@ object EventQueries {
       "count(*) AS cnt FROM events GROUP BY 1, 2) a) b WHERE rnk = 1"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mad_outliers"     -> qMadOutliers _,
     "q_cohort"           -> qCohort _,
     "q_mode"             -> qMode _,
     "q_rolling_range"    -> qRollingRange _,
@@ -567,6 +605,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_mad_outliers"     -> qMadOutliersSql,
     "q_cohort"           -> qCohortSql,
     "q_mode"             -> qModeSql,
     "q_rolling_range"    -> qRollingRangeSql,

@@ -172,13 +172,74 @@ object SketchQueries {
       "WHERE cum >= r AND cum - cnt < r"
   }
 
+  // ── Per-group HLL + sketch merge ───────────────────────────────────────
+  // Distinct-user cardinality per event type AND the global estimate
+  // obtained by MERGING the per-group sketches (cell-wise register max) —
+  // the property that makes HLL the scale answer for cardinality: group
+  // sketches union losslessly, so a 1000-executor rollup merges 128-cell
+  // states instead of re-scanning, and any group-by rollup (hour → day →
+  // all-time) reuses the same states. The merged '*' row is BY
+  // CONSTRUCTION identical to sketching the global stream directly
+  // (max of maxes == global max — spec-asserted); every bit is
+  // md5-derived (functions/Sketches) so DuckDB replays the whole
+  // pipeline, merge included.
+  def qHllGroups(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Sketches
+    val reg = Tables.events(s, d)
+      .select(col("event_type"),
+        Sketches.hllRegister(col("user_id").cast("string")),
+        Sketches.hllRank(col("user_id").cast("string")))
+    val mx = reg.groupBy(col("event_type"), col("hll_idx"))
+      .agg(max(col("hll_rho")).as("mx"))
+    val merged = mx.groupBy(col("hll_idx")).agg(max(col("mx")).as("mx"))
+      .select(lit("*").as("event_type"), col("hll_idx"), col("mx"))
+    val agg = mx.select(col("event_type"), col("hll_idx"), col("mx"))
+      .unionByName(merged)
+      .groupBy(col("event_type"))
+      .agg(sum(call_function("shiftleft", lit(1L),
+        lit(Sketches.RestBits + 1) - col("mx"))).as("s_present"),
+        count(lit(1)).as("n_present"))
+    agg.select(col("event_type") +:
+        Sketches.hllFinish(col("s_present"), col("n_present")): _*)
+      .select(col("event_type"), col("s_scaled"), col("zero_registers"),
+        Sketches.hllEstimate(col("s_scaled"), col("zero_registers"))
+          .as("est_distinct"))
+  }
+
+  val qHllGroupsSql: String = {
+    import graft.functions.{Md5Bits, Sketches => Sk}
+    val h = Md5Bits.sqlHash60("CAST(user_id AS VARCHAR)")
+    val rest = (1L << Sk.RestBits) - 1
+    s"WITH hv AS (SELECT event_type, $h AS h FROM events), " +
+      s"reg AS (SELECT event_type, h >> ${Sk.RestBits} AS idx, " +
+      s"CASE WHEN (h & $rest) = 0 THEN ${Sk.RestBits + 1} " +
+      s"ELSE ${Sk.RestBits + 1} - length(bin(h & $rest)) END AS rho FROM hv), " +
+      "mx AS (SELECT event_type, idx, max(rho) AS mx FROM reg GROUP BY 1, 2), " +
+      "allmx AS (SELECT event_type, idx, mx FROM mx " +
+      "UNION ALL SELECT '*', idx, max(mx) FROM mx GROUP BY 2), " +
+      "agg AS (SELECT event_type, " +
+      s"CAST(sum(CAST(1 AS BIGINT) << (${Sk.RestBits + 1} - mx)) AS BIGINT) AS s_present, " +
+      "count(*) AS n_present FROM allmx GROUP BY 1), " +
+      s"fin AS (SELECT event_type, s_present + (${Sk.M} - n_present) * ${Sk.Scale} AS s_scaled, " +
+      s"${Sk.M} - n_present AS zero_registers FROM agg) " +
+      "SELECT event_type, s_scaled, zero_registers, " +
+      s"round(CASE WHEN CAST(${Sk.Alpha} AS DOUBLE) * ${Sk.M} * ${Sk.M} * " +
+      s"CAST(${Sk.Scale} AS DOUBLE) / s_scaled <= ${2.5 * Sk.M} " +
+      "AND zero_registers > 0 " +
+      s"THEN CAST(${Sk.M} AS DOUBLE) * ln(CAST(${Sk.M} AS DOUBLE) / zero_registers) " +
+      s"ELSE CAST(${Sk.Alpha} AS DOUBLE) * ${Sk.M} * ${Sk.M} * " +
+      s"CAST(${Sk.Scale} AS DOUBLE) / s_scaled END, 4) AS est_distinct FROM fin"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hll_groups"      -> qHllGroups _,
     "q_quantile_sketch" -> qQuantileSketch _,
     "q_heavy_hitters" -> qHeavyHitters _,
     "q_bloom_prune"   -> qBloomPrune _,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_hll_groups"      -> qHllGroupsSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_bloom_prune"   -> qBloomPruneSql,

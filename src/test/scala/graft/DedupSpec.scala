@@ -163,6 +163,36 @@ class DedupSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("entity resolution clusters are transitively closed with max-support survivors") {
+    val golden = DedupQueries.qEntityResolution(spark, sf).collect()
+    val pairs = DedupQueries.qFuzzyMatch(spark, sf)
+      .select($"name_a", $"name_b").as[(String, String)].collect()
+    val support = Tables.part(spark, sf).groupBy($"p_name")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    // driver-side union-find over the fuzzy pairs
+    val parent = scala.collection.mutable.Map.empty[String, String]
+    def find(x: String): String = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val clusters = support.keys.groupBy(find).values.map(_.toSet).toSet
+    // one golden record per cluster; survivor maximizes (support, -name)
+    assert(golden.length === clusters.size)
+    val gotSurvivors = golden.map(_.getAs[String]("survivor")).toSet
+    val wantSurvivors = clusters.map(c =>
+      c.maxBy(n => (support(n), n.map(ch => (255 - ch).toChar).mkString)))
+    assert(gotSurvivors === wantSurvivors)
+    // pooled support adds up to the whole table
+    assert(golden.map(_.getAs[Long]("total_parts")).sum ===
+      Tables.part(spark, sf).count())
+  }
+
   test("simhash block-banding is a complete candidate generator for d<=3") {
     // pigeonhole: hamming<=3 over 4 blocks of 15 bits → >=1 block equal
     val r = new scala.util.Random(7)

@@ -196,6 +196,31 @@ class EventSpec extends AnyFunSuite {
     }
   }
 
+  test("MAD outliers are exactly the events beyond 8 robust deviations") {
+    val got = EventQueries.qMadOutliers(spark, sf).collect()
+      .map(_.getAs[Long]("event_id")).toSet
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2)
+      else {
+        val (a, b) = (s(n / 2 - 1), s(n / 2))
+        a + 0.5 * (b - a) // quantile_cont/percentile interpolation shape
+      }
+    }
+    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"event_type", $"value").collect()
+    val want = ev.groupBy(_.getAs[String]("event_type")).toSeq.flatMap { case (_, rs) =>
+      val vals = rs.map(_.getAs[Double]("value")).toSeq
+      val med = r6(median(vals))
+      val mad = r6(median(vals.map(v => math.abs(v - med))))
+      rs.filter(r => math.abs(r.getAs[Double]("value") - med) > 8 * mad)
+        .map(_.getAs[Long]("event_id"))
+    }.toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("cohort matrix covers every event and offset-0 holds each cohort's full size") {
     val rows = EventQueries.qCohort(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -79,6 +79,38 @@ class SketchSpec extends AnyFunSuite {
     assert(zero.filter(col("orig_md5") =!= col("clean_md5")).count() === 0)
   }
 
+  test("merged group HLL equals the direct global sketch and tracks exact counts") {
+    import graft.functions.Sketches
+    val rows = queries.SketchQueries.qHllGroups(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("est_distinct"))
+      .toMap
+    // the merged '*' sketch must equal sketching the global stream
+    // directly — lossless union is the point of the merge property
+    val direct = graft.Tables.events(spark, sf)
+      .select(Sketches.hllRegister(col("user_id").cast("string")),
+        Sketches.hllRank(col("user_id").cast("string")))
+      .groupBy(col("hll_idx"))
+      .agg(org.apache.spark.sql.functions.max(col("hll_rho")).as("mx"))
+      .agg(org.apache.spark.sql.functions.sum(call_function("shiftleft",
+        org.apache.spark.sql.functions.lit(1L),
+        org.apache.spark.sql.functions.lit(Sketches.RestBits + 1) - col("mx")))
+        .as("s_present"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_present"))
+      .select(Sketches.hllFinish(col("s_present"), col("n_present")): _*)
+      .select(Sketches.hllEstimate(col("s_scaled"), col("zero_registers")))
+      .head().getDouble(0)
+    assert(rows("*") === direct)
+    // per-group estimates stay within HLL error of the exact counts
+    val exact = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(org.apache.spark.sql.functions.countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+    exact.foreach { case (t, n) =>
+      assert(math.abs(rows(t) / n - 1.0) <= 0.3, s"type $t est ${rows(t)} vs $n")
+    }
+  }
+
   test("histogram-sketch quantiles are monotone and within one bin of exact") {
     val est = queries.SketchQueries.qQuantileSketch(spark, sf).collect()
       .map(r => r.getAs[Int]("p") -> r.getAs[Double]("est_value")).toMap
