@@ -805,6 +805,37 @@ object Relational {
       "FROM orders WINDOW w AS " +
       "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
 
+  // ── Time travel: point-in-time snapshots from SCD2 intervals ───────────
+  // Reconstruct the dimension AS OF each year-end snapshot date — the
+  // whole point of keeping Type-2 history: a version is current at D iff
+  // valid_from <= D < valid_to (open interval = still current). The
+  // snapshot dates are a broadcast handful (that is always their shape —
+  // a time-travel probe list never scales with the data), so the interval
+  // condition rides a broadcast join against the SCD2 build's single
+  // window shuffle; the output is the per-snapshot census of then-current
+  // priority values. Reproducible training snapshots at 100 TB are
+  // exactly this query with D = the training cut date.
+  def qTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val snaps = s.range(1996, 2002)
+      .select(make_date(col("id").cast("int"), lit(1), lit(1)).as("snap_date"))
+    val snapTs = col("snap_date").cast("timestamp")
+    qScd2(s, d)
+      .join(broadcast(snaps),
+        col("valid_from") <= snapTs &&
+          (col("valid_to").isNull || col("valid_to") > snapTs))
+      .groupBy(col("snap_date"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  val qTimeTravelSql: String =
+    s"WITH scd AS ($qScd2Sql), " +
+      "snaps AS (SELECT make_date(CAST(y AS INT), 1, 1) AS snap_date " +
+      "FROM generate_series(1996, 2001) t(y)) " +
+      "SELECT snap_date, o_orderpriority, count(*) AS n_customers " +
+      "FROM scd JOIN snaps ON valid_from <= CAST(snap_date AS TIMESTAMP) " +
+      "AND (valid_to IS NULL OR valid_to > CAST(snap_date AS TIMESTAMP)) " +
+      "GROUP BY 1, 2"
+
   // ── Per-group OLS regression from exact moments ────────────────────────
   // Least-squares slope/intercept/R² of order value over time, per
   // priority class — the trend-detection primitive (data drift, volume
@@ -873,6 +904,7 @@ object Relational {
   /** All (name → query) pairs this module contributes. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scd2"            -> qScd2 _,
+    "q_time_travel"     -> qTimeTravel _,
     "q_regression"      -> qRegression _,
     "q_range_gen"       -> qRangeGen _,
     "q_grouping_sets"   -> qGroupingSets _,
@@ -917,6 +949,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q_scd2"            -> qScd2Sql,
+    "q_time_travel"     -> qTimeTravelSql,
     "q_regression"      -> qRegressionSql,
     "q_range_gen"       -> qRangeGenSql,
     "q_grouping_sets"   -> qGroupingSetsSql,

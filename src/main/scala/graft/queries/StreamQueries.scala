@@ -151,6 +151,60 @@ object StreamQueries {
   val qStreamDedupSql: String =
     "SELECT DISTINCT user_id, event_type FROM events"
 
+  /** Streaming CDC apply: the event stream upserted into the KV store
+    * through foreachBatch — inside each micro-batch the rows reduce to
+    * the LATEST row per key (max_by on (ts, event_id)), then flow through
+    * the DSv2 sink whose append mode is last-write-wins puts.
+    * AvailableNow processes micro-batches in arrival order, so the final
+    * store state is the global latest per key: the standard streaming
+    * merge (dedupe within batch, upsert across batches — the streaming
+    * twin of the batch q_upsert_merge). The timestamp rides as epoch
+    * micros so the store round-trip is integer-exact. Oracle = batch
+    * argmax per key. Scale: per batch one partial-agg shuffle of keys,
+    * and the store receives one put per key per batch, not per event. */
+  def qStreamUpsert(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val table = "kv_user_latest"
+    applyLatestPerUser(s, eventStream(s, d), table)
+    s.read.format("graft-kv").option("table", table).load()
+  }
+
+  /** Run the upsert-apply stream to completion against `table` —
+    * factored out so the spec can drive it from a MemoryStream with
+    * controlled micro-batch boundaries. */
+  def applyLatestPerUser(s: SparkSession, stream: DataFrame, table: String): Unit = {
+    import org.apache.spark.sql.functions._
+    def latestPerKey(batch: DataFrame): DataFrame = batch
+      .groupBy(col("user_id"))
+      .agg(max(struct(unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        col("event_type"), col("value"))).as("m"))
+      .select(col("user_id"), col("m.ts_us").as("last_ts_us"),
+        col("m.event_id").as("last_event_id"),
+        col("m.event_type").as("last_type"), col("m.value").as("last_value"))
+    graft.sources.kv.KvStore.register(table, "user_id",
+      latestPerKey(s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], stream.schema)).schema)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_upsert_ckpt")
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        latestPerKey(batch).write.format("graft-kv")
+          .option("table", table).mode("append").save()
+      }
+      .start()
+    q.awaitTermination()
+    deleteRecursively(ckpt)
+  }
+
+  val qStreamUpsertSql: String =
+    "WITH ranked AS (SELECT user_id, epoch_us(ts) AS last_ts_us, " +
+      "event_id AS last_event_id, event_type AS last_type, value AS last_value, " +
+      "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk " +
+      "FROM events) " +
+      "SELECT user_id, last_ts_us, last_event_id, last_type, last_value " +
+      "FROM ranked WHERE rk = 1"
+
   /** Stream-static enrichment join run as a backfill: the event stream
     * LEFT-joined to the customer dimension (EventStreams.enrich — the
     * static side is a plain DataFrame Spark re-reads per micro-batch and
@@ -197,6 +251,7 @@ object StreamQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_upsert"   -> qStreamUpsert _,
     "q_stream_enrich"   -> qStreamEnrich _,
     "q_stream_sliding"  -> qStreamSliding _,
     "q_stream_dedup"    -> qStreamDedup _,
@@ -208,6 +263,7 @@ object StreamQueries {
 
   /** Same ground truth as the batch forms — that is the point. */
   val oracles: Map[String, String] = Map(
+    "q_stream_upsert"   -> qStreamUpsertSql,
     "q_stream_enrich"   -> qStreamEnrichSql,
     "q_stream_sliding"  -> EventQueries.qSlidingWindowSql,
     "q_stream_dedup"    -> qStreamDedupSql,

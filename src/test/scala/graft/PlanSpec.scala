@@ -182,4 +182,41 @@ class PlanSpec extends AnyFunSuite {
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(hashEx <= 2, s"extra exchange in rolling window:\n$p")
   }
+
+  test("MAD outlier stats broadcast; the corpus itself never hash-shuffles") {
+    val p = plan("q_mad_outliers")
+    // every stats join is a broadcast: med onto the output path, med+mad
+    // inside the MAD branch — the event rows reach the filter un-shuffled
+    val bcast = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bcast >= 2, s"median/MAD not broadcast:\n$p")
+    // allowed hash exchanges: per-type percentile aggregates only (6-row
+    // states; the med subtree appears twice because the dev branch is
+    // recomputed — every one is an ObjectHashAggregate input, never the
+    // corpus feeding a join)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 3, s"unexpected exchange count:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size ===
+      "partial_percentile".r.findAllIn(p).size,
+      s"a non-stats exchange appeared:\n$p")
+  }
+
+  test("SCD2 build is one window over the business key: single exchange") {
+    val p = plan("q_scd2")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx === 1, s"version numbering and close-out must share one shuffle:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("fuzzy match pairs via the block equi-join, never cartesian") {
+    val p = plan("q_fuzzy_match")
+    assert(!p.contains("CartesianProduct"), s"all-pairs comparison leaked in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"non-equi join on names:\n$p")
+  }
+
+  test("regression moments ride one partial-agg shuffle") {
+    val p = plan("q_regression")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 1, s"five-moment aggregate should shuffle once:\n$p")
+  }
 }

@@ -206,6 +206,23 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("time-travel snapshots census exactly the customers whose history has begun") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.Relational.qTimeTravel(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val perSnap = rows.groupBy(_.getAs[java.sql.Date]("snap_date").toString)
+      .view.mapValues(_.map(_.getAs[Long]("n_customers")).sum).toMap
+    (1996 to 2001).foreach { y =>
+      val snap = s"$y-01-01"
+      // exactly one version is current per customer at any instant, so the
+      // snapshot total equals the customers with any version by then
+      val want = Tables.orders(spark, sf)
+        .filter(col("o_orderdate") <= lit(snap).cast("timestamp"))
+        .select(countDistinct(col("o_custkey"))).head().getLong(0)
+      assert(perSnap.getOrElse(snap, 0L) === want, s"snapshot $snap")
+    }
+  }
+
   test("exact-moment regression matches Spark's builtin regr_slope closely") {
     import org.apache.spark.sql.functions._
     val rows = queries.Relational.qRegression(spark, sf).collect()

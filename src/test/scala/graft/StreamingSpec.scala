@@ -115,6 +115,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("foreachBatch upsert applies latest-per-key across separate applies") {
+    implicit val sqlCtx = spark.sqlContext
+    val table = "kv_upsert_spec"
+    val s1 = MemoryStream[Event]
+    s1.addData(fixture.take(4): _*)
+    queries.StreamQueries.applyLatestPerUser(spark, s1.toDF(), table)
+    val s2 = MemoryStream[Event]
+    s2.addData(Event(9L, t(300), 1L, "refund", 9.5, "{}"),
+      Event(10L, t(1), 3L, "click", 0.5, "{}"))
+    queries.StreamQueries.applyLatestPerUser(spark, s2.toDF(), table)
+    val got = spark.read.format("graft-kv").option("table", table).load()
+      .select($"user_id", $"last_event_id", $"last_value")
+      .as[(Long, Long, Double)].collect().toSet
+    // user 1 overwritten by the second apply; user 2 survives; user 3 new
+    assert(got === Set((1L, 9L, 9.5), (2L, 3L, 4.0), (3L, 10L, 0.5)))
+  }
+
   test("parquet sink starts, checkpoints, and lands rows durably") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_sink")
