@@ -582,7 +582,127 @@ object EventQueries {
       "FROM (SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bucket, " +
       "count(*) AS cnt FROM events GROUP BY 1, 2) a) b WHERE rnk = 1"
 
+  // ── Gaps and islands: longest consecutive-day streak per user ──────────
+  // The classic islands trick: within a user's DISTINCT activity days,
+  // day_num − row_number() is constant across a consecutive run, so one
+  // groupBy on that difference recovers each streak. Two shuffles total
+  // (distinct + the user-partitioned window; the final per-user rollup
+  // reuses the window's partitioning). Day index is an epoch-day integer
+  // so both engines agree on arithmetic; no date interval math in the hot
+  // path.
+  def qStreaks(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_num"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day_num"))
+    days
+      .withColumn("grp", col("day_num") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("len")).cast("long").as("n_active_days"))
+  }
+
+  val qStreaksSql: String =
+    "WITH days AS (SELECT DISTINCT user_id, " +
+      "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num FROM events), " +
+      "g AS (SELECT user_id, day_num, " +
+      "day_num - row_number() OVER (PARTITION BY user_id ORDER BY day_num) AS grp FROM days), " +
+      "st AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2) " +
+      "SELECT user_id, max(len) AS longest_streak, count(*) AS n_streaks, " +
+      "CAST(sum(len) AS BIGINT) AS n_active_days FROM st GROUP BY 1"
+
+  // ── Markov transitions: event-type bigram counts + probabilities ───────
+  // Per-user ordered event sequence → (from, to) pairs via lead, then one
+  // aggregation; the transition probability is count/row-total computed as
+  // a double division of two exact longs (IEEE-identical on both engines).
+  // The output is |types|² rows — driver-tiny at any corpus size; the one
+  // shuffle is the user-partitioned window, and the bigram aggregation is
+  // partial-aggregated map-side.
+  def qTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    pairs.withColumn("p",
+      round(col("n").cast("double") / sum(col("n")).over(byFrom), 6))
+  }
+
+  val qTransitionsSql: String =
+    "WITH nx AS (SELECT user_id, event_type AS from_type, " +
+      "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type " +
+      "FROM events), " +
+      "c AS (SELECT from_type, to_type, count(*) AS n FROM nx " +
+      "WHERE to_type IS NOT NULL GROUP BY 1, 2) " +
+      "SELECT from_type, to_type, n, " +
+      "round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p " +
+      "FROM c"
+
+  // ── Seasonal baseline: day-of-week revenue deviation ───────────────────
+  // Daily revenue vs the mean for that day-of-week — the first stage of
+  // any seasonality-aware anomaly detector. dow is epoch-day mod 7 (an
+  // engine-independent integer; named-weekday functions disagree across
+  // engines on week start). Daily sums ride as DECIMAL so the per-dow
+  // window mean is order-independent; doubles appear only at the final
+  // rounded division. One shuffle to daily grain (365 rows/year — the dow
+  // window is driver-tiny thereafter at any fact volume).
+  def qSeasonalDow(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .as("rev_d"))
+      .withColumn("dow",
+        pmod(datediff(col("day"), lit("1970-01-01").cast("date")), lit(7)).cast("long"))
+    val w = Window.partitionBy(col("dow"))
+    daily
+      .withColumn("baseline",
+        round(sum(col("rev_d")).over(w).cast("double") / count(lit(1)).over(w), 6))
+      .withColumn("rev", col("rev_d").cast("double"))
+      .select(col("day"), col("dow"), col("rev"), col("baseline"),
+        round(col("rev") - col("baseline"), 6).as("deviation"))
+  }
+
+  val qSeasonalDowSql: String =
+    "WITH daily AS (SELECT CAST(ts AS DATE) AS day, " +
+      "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS dow, " +
+      "sum(CAST(value AS DECIMAL(18,2))) AS rev_d FROM events GROUP BY 1, 2), " +
+      "b AS (SELECT day, dow, CAST(rev_d AS DOUBLE) AS rev, " +
+      "round(CAST(sum(rev_d) OVER w AS DOUBLE) / (count(*) OVER w), 6) AS baseline " +
+      "FROM daily WINDOW w AS (PARTITION BY dow)) " +
+      "SELECT day, dow, rev, baseline, round(rev - baseline, 6) AS deviation FROM b"
+
+  // ── Distribution position: percent_rank + cume_dist per type ───────────
+  // Where each event's value sits within its type's distribution — the
+  // normalized-score building block (feature scaling, percentile
+  // flagging). The ordering carries event_id as a tiebreak so every row
+  // has a unique rank and both engines agree bit-for-bit; one shuffle on
+  // event_type, both window functions share the single sort.
+  def qValueRanks(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+  }
+
+  val qValueRanksSql: String =
+    "SELECT event_id, event_type, value, " +
+      "round(percent_rank() OVER w, 6) AS pr, " +
+      "round(cume_dist() OVER w, 6) AS cd " +
+      "FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_streaks"          -> qStreaks _,
+    "q_transitions"      -> qTransitions _,
+    "q_seasonal_dow"     -> qSeasonalDow _,
+    "q_value_ranks"      -> qValueRanks _,
     "q_mad_outliers"     -> qMadOutliers _,
     "q_cohort"           -> qCohort _,
     "q_mode"             -> qMode _,
@@ -605,6 +725,10 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_streaks"          -> qStreaksSql,
+    "q_transitions"      -> qTransitionsSql,
+    "q_seasonal_dow"     -> qSeasonalDowSql,
+    "q_value_ranks"      -> qValueRanksSql,
     "q_mad_outliers"     -> qMadOutliersSql,
     "q_cohort"           -> qCohortSql,
     "q_mode"             -> qModeSql,

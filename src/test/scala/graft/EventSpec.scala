@@ -241,6 +241,68 @@ class EventSpec extends AnyFunSuite {
     }
   }
 
+  test("streaks recover the islands a driver-side scan finds") {
+    val got = EventQueries.qStreaks(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("longest_streak"), r.getAs[Long]("n_streaks"),
+          r.getAs[Long]("n_active_days")))).toMap
+    assert(got.nonEmpty)
+    // ground truth: per user, sorted distinct epoch days → island lengths
+    val days = Tables.events(spark, sf)
+      .select($"user_id", datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
+        .cast("long").as("d")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = days.groupBy(_._1).map { case (u, rs) =>
+      val ds = rs.map(_._2).sorted
+      val lens = ds.foldLeft(List.empty[Long]) {
+        case (h :: t, d0) if ds.contains(d0 - 1) => (h + 1) :: t
+        case (acc, _) => 1L :: acc
+      }
+      u -> ((lens.max, lens.length.toLong, ds.length.toLong))
+    }
+    assert(got === want)
+  }
+
+  test("transition probabilities sum to 1 within each from_type") {
+    val rows = EventQueries.qTransitions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (_, rs) =>
+      val pSum = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(pSum - 1.0) < 1e-4) // rounding each p to 6dp
+      assert(rs.map(_.getAs[String]("to_type")).distinct.length === rs.length)
+    }
+  }
+
+  test("seasonal deviation is revenue minus that day-of-week's mean") {
+    val rows = EventQueries.qSeasonalDow(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("dow")).foreach { case (_, rs) =>
+      val mean = rs.map(_.getAs[Double]("rev")).sum / rs.length
+      rs.foreach { r =>
+        assert(math.abs(r.getAs[Double]("baseline") - mean) < 1e-3)
+        assert(math.abs(r.getAs[Double]("deviation") -
+          (r.getAs[Double]("rev") - r.getAs[Double]("baseline"))) < 1e-6)
+      }
+    }
+  }
+
+  test("value ranks: pr spans [0,1], cd ends at 1, both monotone in value") {
+    val rows = EventQueries.qValueRanks(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(r => (r.getAs[Double]("value"), r.getAs[Long]("event_id")))
+      assert(sorted.head.getAs[Double]("pr") === 0.0)
+      assert(math.abs(sorted.last.getAs[Double]("pr") - 1.0) < 1e-6)
+      assert(math.abs(sorted.last.getAs[Double]("cd") - 1.0) < 1e-9)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("pr") <= b.getAs[Double]("pr"))
+          assert(a.getAs[Double]("cd") <= b.getAs[Double]("cd"))
+        case _ =>
+      }
+    }
+  }
+
   test("z-score outliers are exactly the events beyond 3 sigma of their type") {
     val got = EventQueries.qOutliers(spark, sf).collect()
     assert(got.nonEmpty) // the fixture's heavy-tailed values guarantee hits
