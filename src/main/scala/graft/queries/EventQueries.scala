@@ -678,6 +678,62 @@ object EventQueries {
       "FROM daily WINDOW w AS (PARTITION BY dow)) " +
       "SELECT day, dow, rev, baseline, round(rev - baseline, 6) AS deviation FROM b"
 
+  // ── Interval concurrency: peak simultaneous sessions per day ───────────
+  // Sweep-line over session endpoints (+1 start / −1 end), but partitioned
+  // by DAY rather than one global ordered pass: a global running sum needs
+  // a single-partition window (the classic sweep-line scale-killer). Here
+  // each day sweeps independently and sessions that span midnight
+  // contribute a per-day carry-in, generated by exploding each spanning
+  // session's crossed boundaries (a 30-min-gap session spans at most a
+  // handful of days, so the explode is bounded). Ties at one instant
+  // release ends before starts (delta sorts ascending), so back-to-back
+  // sessions never double-count. Peak = carry + max(0, running) — the
+  // max(0,·) covers the initial segment of a day where only ends occur.
+  def qConcurrency(s: SparkSession, d: String): DataFrame = {
+    val sess = qSessionize(s, d)
+      .select(col("user_id"), col("session_no"),
+        col("session_start").as("st"), col("session_end").as("en"))
+    val endpoints = sess.select(to_date(col("st")).as("day"), col("st").as("ts"),
+        lit(1L).as("delta"), col("user_id"), col("session_no"))
+      .unionAll(sess.select(to_date(col("en")).as("day"), col("en").as("ts"),
+        lit(-1L).as("delta"), col("user_id"), col("session_no")))
+    val carry = sess
+      .filter(to_date(col("en")) > to_date(col("st")))
+      .select(explode(sequence(date_add(to_date(col("st")), 1), to_date(col("en"))))
+        .as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("day"))
+      .orderBy(col("ts"), col("delta"), col("user_id"), col("session_no"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    endpoints
+      .withColumn("run", sum(col("delta")).over(w))
+      .groupBy(col("day"))
+      .agg(max(col("run")).as("peak_in_day"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("starts"))
+      .join(carry, Seq("day"), "full_outer")
+      .select(col("day"),
+        (coalesce(col("c"), lit(0L)) +
+          greatest(lit(0L), coalesce(col("peak_in_day"), lit(0L)))).as("peak"),
+        coalesce(col("starts"), lit(0L)).as("n_starts"))
+  }
+
+  val qConcurrencySql: String =
+    s"WITH sess AS (SELECT user_id, session_no, session_start AS st, session_end AS en " +
+      s"FROM ($qSessionizeSql) z), " +
+      "ep AS (SELECT CAST(st AS DATE) AS day, st AS ts, 1 AS delta, user_id, session_no FROM sess " +
+      "UNION ALL SELECT CAST(en AS DATE), en, -1, user_id, session_no FROM sess), " +
+      "runs AS (SELECT day, delta, CAST(sum(delta) OVER (PARTITION BY day " +
+      "ORDER BY ts, delta, user_id, session_no ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run FROM ep), " +
+      "agg AS (SELECT day, max(run) AS peak_in_day, " +
+      "CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS starts FROM runs GROUP BY 1), " +
+      "carry AS (SELECT CAST(g AS DATE) AS day, count(*) AS c FROM " +
+      "(SELECT unnest(generate_series(CAST(st AS DATE) + 1, CAST(en AS DATE), INTERVAL 1 DAY)) AS g " +
+      "FROM sess WHERE CAST(en AS DATE) > CAST(st AS DATE)) u GROUP BY 1) " +
+      "SELECT COALESCE(agg.day, carry.day) AS day, " +
+      "CAST(COALESCE(c, 0) + GREATEST(0, COALESCE(peak_in_day, 0)) AS BIGINT) AS peak, " +
+      "CAST(COALESCE(starts, 0) AS BIGINT) AS n_starts " +
+      "FROM agg FULL OUTER JOIN carry ON agg.day = carry.day"
+
   // ── Distribution position: percent_rank + cume_dist per type ───────────
   // Where each event's value sits within its type's distribution — the
   // normalized-score building block (feature scaling, percentile
@@ -700,6 +756,7 @@ object EventQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_streaks"          -> qStreaks _,
+    "q_concurrency"      -> qConcurrency _,
     "q_transitions"      -> qTransitions _,
     "q_seasonal_dow"     -> qSeasonalDow _,
     "q_value_ranks"      -> qValueRanks _,
@@ -726,6 +783,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "q_streaks"          -> qStreaksSql,
+    "q_concurrency"      -> qConcurrencySql,
     "q_transitions"      -> qTransitionsSql,
     "q_seasonal_dow"     -> qSeasonalDowSql,
     "q_value_ranks"      -> qValueRanksSql,

@@ -263,6 +263,35 @@ class EventSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("concurrency peaks match a driver-side global sweep sliced per day") {
+    val got = EventQueries.qConcurrency(spark, sf).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString -> r.getAs[Long]("peak")).toMap
+    assert(got.nonEmpty)
+    // brute force: one GLOBAL sweep (micros precision), track the running
+    // count, record the max seen within each calendar day — including the
+    // carry across midnight that the distributed plan reconstructs per day
+    val sess = EventQueries.qSessionize(spark, sf)
+      .select($"user_id", $"session_no",
+        unix_micros($"session_start").as("st"), unix_micros($"session_end").as("en"))
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    val events = sess.flatMap { case (st, en) => Seq((st, 1), (en, -1)) }
+      .sortBy { case (t, dl) => (t, dl) } // ends (−1) release before starts at a tie
+    var cur = 0L
+    val peakByDay = scala.collection.mutable.Map.empty[String, Long]
+    def dayOf(us: Long): String =
+      java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L))
+        .atZone(java.time.ZoneId.systemDefault()).toLocalDate.toString
+    // seed each day's peak with the concurrency carried into it
+    val boundaries = events.map(e => dayOf(e._1)).distinct
+    events.foreach { case (t, dl) =>
+      val day = dayOf(t)
+      if (!peakByDay.contains(day)) peakByDay(day) = cur // carry at day entry
+      cur += dl
+      peakByDay(day) = math.max(peakByDay(day), cur)
+    }
+    assert(boundaries.forall(d => got(d) === peakByDay(d)))
+  }
+
   test("transition probabilities sum to 1 within each from_type") {
     val rows = EventQueries.qTransitions(spark, sf).collect()
     assert(rows.nonEmpty)
