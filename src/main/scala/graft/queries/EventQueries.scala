@@ -678,6 +678,102 @@ object EventQueries {
       "FROM daily WINDOW w AS (PARTITION BY dow)) " +
       "SELECT day, dow, rev, baseline, round(rev - baseline, 6) AS deviation FROM b"
 
+  // ── A/B test: Welch t-statistic from exact moments ─────────────────────
+  // Experiment readout per event_type: users are deterministically
+  // bucketed into two arms by the salted md5 assignment hash (the same
+  // engine-portable Md5Bits used by the sampling family — assignment
+  // reproduces everywhere, including in the oracle), then one single-pass
+  // aggregate collects both arms' exact decimal moments and the Welch
+  // t-statistic assembles from them in doubles. No second scan, no
+  // per-arm shuffle: conditional aggregation is the scale spelling of
+  // "group by arm then pivot". Builtin stddev/avg would stream in floats
+  // (order-dependent); decimal sums are exact and order-independent.
+  def qAbTest(s: SparkSession, d: String): DataFrame = {
+    val v = col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    val arm = graft.functions.Md5Bits.hash60(
+      concat(lit("ab:"), col("user_id"))) % 2
+    val a0 = arm === 0
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(a0, 1L).otherwise(0L)).as("n0"),
+        sum(when(!a0, 1L).otherwise(0L)).as("n1"),
+        sum(when(a0, v)).cast("double").as("s0"),
+        sum(when(!a0, v)).cast("double").as("s1"),
+        sum(when(a0, v * v)).cast("double").as("q0"),
+        sum(when(!a0, v * v)).cast("double").as("q1"))
+      .filter(col("n0") > 1 && col("n1") > 1)
+      .withColumn("var0",
+        (col("n0") * col("q0") - col("s0") * col("s0")) / (col("n0") * (col("n0") - 1)))
+      .withColumn("var1",
+        (col("n1") * col("q1") - col("s1") * col("s1")) / (col("n1") * (col("n1") - 1)))
+      .filter(col("var0") / col("n0") + col("var1") / col("n1") > 0.0)
+      .select(col("event_type"), col("n0"), col("n1"),
+        round(col("s0") / col("n0"), 6).as("mean0"),
+        round(col("s1") / col("n1"), 6).as("mean1"),
+        round((col("s1") / col("n1") - col("s0") / col("n0")) /
+          sqrt(col("var0") / col("n0") + col("var1") / col("n1")), 6).as("welch_t"))
+  }
+
+  val qAbTestSql: String = {
+    val arm = graft.functions.Md5Bits.sqlHash60("'ab:' || CAST(user_id AS VARCHAR)") + " % 2"
+    val v = "CAST(value AS DECIMAL(18,2))"
+    "SELECT event_type, n0, n1, round(s0 / n0, 6) AS mean0, round(s1 / n1, 6) AS mean1, " +
+      "round((s1 / n1 - s0 / n0) / sqrt(var0 / n0 + var1 / n1), 6) AS welch_t " +
+      "FROM (SELECT *, (n0 * q0 - s0 * s0) / (n0 * (n0 - 1)) AS var0, " +
+      "(n1 * q1 - s1 * s1) / (n1 * (n1 - 1)) AS var1 " +
+      s"FROM (SELECT event_type, " +
+      s"CAST(sum(CASE WHEN $arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, " +
+      s"CAST(sum(CASE WHEN $arm <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+      s"CAST(sum(CASE WHEN $arm = 0 THEN $v END) AS DOUBLE) AS s0, " +
+      s"CAST(sum(CASE WHEN $arm <> 0 THEN $v END) AS DOUBLE) AS s1, " +
+      s"CAST(sum(CASE WHEN $arm = 0 THEN $v * $v END) AS DOUBLE) AS q0, " +
+      s"CAST(sum(CASE WHEN $arm <> 0 THEN $v * $v END) AS DOUBLE) AS q1 " +
+      "FROM events GROUP BY 1) a WHERE n0 > 1 AND n1 > 1) b " +
+      "WHERE var0 / n0 + var1 / n1 > 0"
+  }
+
+  // ── EWMA: exact dyadic exponential smoothing (α = 1/2, depth 10) ───────
+  // Per-user exponentially weighted value at their latest event. With a
+  // dyadic α and a fixed depth the weighted sum is INTEGER arithmetic on
+  // cents (weights 2⁹…2⁰ over the last 10 events, normalized by 2¹⁰ −
+  // 2^(10−available)), so both engines agree bit-for-bit — a float
+  // recurrence would be order-sensitive and engine-divergent. One
+  // user-partitioned window serves the 9 lags, the row count, and the
+  // is-last probe; doubles appear only at the final rounded division.
+  def qEwma(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val withCents = Tables.events(s, d)
+      .withColumn("cents",
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long"))
+    val weighted = (1 to 9).map(k =>
+        coalesce(lag(col("cents"), k).over(w), lit(0L)) * lit(1L << (9 - k)))
+      .foldLeft(col("cents") * lit(512L))(_ + _)
+    withCents
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("nxt", lead(col("event_id"), 1).over(w))
+      .withColumn("wsum", weighted)
+      .filter(col("nxt").isNull)
+      .select(col("user_id"), col("rn").as("n_events"),
+        round(col("wsum").cast("double") /
+          ((lit(1024L) - pow(lit(2), lit(10L) - least(col("rn"), lit(10L))).cast("long")) *
+            100L).cast("double"), 6).as("ewma10"))
+  }
+
+  val qEwmaSql: String = {
+    val wsum = (1 to 9).map(k => s"COALESCE(lag(cents, $k) OVER w, 0) * ${1L << (9 - k)}")
+      .mkString("cents * 512 + ", " + ", "")
+    "WITH c AS (SELECT user_id, ts, event_id, " +
+      "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events), " +
+      s"l AS (SELECT user_id, row_number() OVER w AS rn, " +
+      s"lead(event_id) OVER w AS nxt, $wsum AS wsum " +
+      "FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+      "SELECT user_id, CAST(rn AS BIGINT) AS n_events, " +
+      "round(CAST(wsum AS DOUBLE) / CAST((1024 - CAST(pow(2, 10 - least(rn, 10)) AS BIGINT)) * 100 AS DOUBLE), 6) AS ewma10 " +
+      "FROM l WHERE nxt IS NULL"
+  }
+
   // ── Interval concurrency: peak simultaneous sessions per day ───────────
   // Sweep-line over session endpoints (+1 start / −1 end), but partitioned
   // by DAY rather than one global ordered pass: a global running sum needs
@@ -757,6 +853,8 @@ object EventQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_streaks"          -> qStreaks _,
     "q_concurrency"      -> qConcurrency _,
+    "q_ab_test"          -> qAbTest _,
+    "q_ewma"             -> qEwma _,
     "q_transitions"      -> qTransitions _,
     "q_seasonal_dow"     -> qSeasonalDow _,
     "q_value_ranks"      -> qValueRanks _,
@@ -784,6 +882,8 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "q_streaks"          -> qStreaksSql,
     "q_concurrency"      -> qConcurrencySql,
+    "q_ab_test"          -> qAbTestSql,
+    "q_ewma"             -> qEwmaSql,
     "q_transitions"      -> qTransitionsSql,
     "q_seasonal_dow"     -> qSeasonalDowSql,
     "q_value_ranks"      -> qValueRanksSql,

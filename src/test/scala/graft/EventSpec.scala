@@ -263,6 +263,57 @@ class EventSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("Welch t matches a driver-side recomputation from raw values") {
+    val got = EventQueries.qAbTest(spark, sf).collect()
+    assert(got.nonEmpty)
+    val rows = Tables.events(spark, sf)
+      .select($"event_type", $"user_id", $"value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    got.foreach { g =>
+      val t = g.getAs[String]("event_type")
+      val (a0, a1) = rows.filter(_._1 == t).partition { case (_, u, _) =>
+        graft.functions.Md5Bits.hash60(s"ab:$u") % 2 == 0
+      }
+      def cents(xs: Array[(String, Long, Double)]) =
+        xs.map(x => math.rint(x._3 * 100).toLong)
+      val (c0, c1) = (cents(a0), cents(a1))
+      def meanVar(c: Array[Long]) = {
+        val n = c.length.toDouble
+        val m = c.sum / 100.0 / n
+        val q = c.map(x => x * x).sum / 10000.0
+        (n, m, (n * q - (c.sum / 100.0) * (c.sum / 100.0)) / (n * (n - 1)))
+      }
+      val (n0, m0, v0) = meanVar(c0); val (n1, m1, v1) = meanVar(c1)
+      assert(g.getAs[Long]("n0") === c0.length.toLong)
+      assert(g.getAs[Long]("n1") === c1.length.toLong)
+      assert(math.abs(g.getAs[Double]("mean0") - m0) < 1e-5)
+      assert(math.abs(g.getAs[Double]("welch_t") -
+        (m1 - m0) / math.sqrt(v0 / n0 + v1 / n1)) < 1e-5)
+    }
+  }
+
+  test("dyadic EWMA equals the driver-side weighted tail and bounds hold") {
+    val got = EventQueries.qEwma(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("ewma10")))).toMap
+    assert(got.nonEmpty)
+    val byUser = Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id", $"value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    byUser.foreach { case (u, rs) =>
+      val ordered = rs.sortBy(r => (r._2, r._3)).map(r => math.rint(r._4 * 100).toLong)
+      val tail = ordered.takeRight(10).reverse // newest first
+      val wsum = tail.zipWithIndex.map { case (c, k) => c * (1L << (9 - k)) }.sum
+      val norm = (1024L - (1L << (10 - tail.length))) * 100L
+      val (n, e) = got(u)
+      assert(n === ordered.length.toLong)
+      assert(math.abs(e - wsum.toDouble / norm) < 1e-6)
+      assert(e >= tail.map(_ / 100.0).min - 1e-9 && e <= tail.map(_ / 100.0).max + 1e-9)
+    }
+  }
+
   test("concurrency peaks match a driver-side global sweep sliced per day") {
     val got = EventQueries.qConcurrency(spark, sf).collect()
       .map(r => r.getAs[java.sql.Date]("day").toString -> r.getAs[Long]("peak")).toMap
