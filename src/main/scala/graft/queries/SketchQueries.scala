@@ -231,7 +231,81 @@ object SketchQueries {
       s"CAST(${Sk.Scale} AS DOUBLE) / s_scaled END, 4) AS est_distinct FROM fin"
   }
 
+  // ── HLL set algebra: union + inclusion–exclusion intersection ──────────
+  // Distinct-count set operations WITHOUT the sets: the parts that ship
+  // in tiny lots (quantity ≤ 2) and the parts that ship in bulk
+  // (quantity > 48) are sketched separately — partially overlapping
+  // populations — the union sketch is the cell-wise register max (the
+  // same mergeability q_hll_groups proves), and |A∩B| falls out of
+  // inclusion–exclusion over the three ALREADY-ROUNDED estimates — the
+  // textbook way to intersect HLLs (they don't intersect natively).
+  // Everything after the two fact-scan register reductions is
+  // driver-sized; the md5 register path reproduces bit-for-bit in DuckDB.
+  // Intersection error compounds both sketches' ±1.04/√m, which the spec
+  // quantifies against exact counts.
+  def qHllIntersect(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Sketches
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_quantity") <= 2.0 || col("l_quantity") > 48.0)
+      .select(when(col("l_quantity") <= 2.0, "a").otherwise("b").as("tag"),
+        Sketches.hllRegister(col("l_partkey").cast("string")),
+        Sketches.hllRank(col("l_partkey").cast("string")))
+    val mx = li.groupBy(col("tag"), col("hll_idx"))
+      .agg(max(col("hll_rho")).as("mx"))
+    val union = mx.groupBy(col("hll_idx")).agg(max(col("mx")).as("mx"))
+      .select(lit("u").as("tag"), col("hll_idx"), col("mx"))
+    val est = mx.select(col("tag"), col("hll_idx"), col("mx"))
+      .unionByName(union)
+      .groupBy(col("tag"))
+      .agg(sum(call_function("shiftleft", lit(1L),
+        lit(Sketches.RestBits + 1) - col("mx"))).as("s_present"),
+        count(lit(1)).as("n_present"))
+    val fin = est.select(col("tag") +:
+        Sketches.hllFinish(col("s_present"), col("n_present")): _*)
+      .select(col("tag"),
+        Sketches.hllEstimate(col("s_scaled"), col("zero_registers")).as("est"))
+    fin.groupBy()
+      .agg(max(when(col("tag") === "a", col("est"))).as("est_a"),
+        max(when(col("tag") === "b", col("est"))).as("est_b"),
+        max(when(col("tag") === "u", col("est"))).as("est_union"))
+      .withColumn("est_intersect",
+        round(col("est_a") + col("est_b") - col("est_union"), 4))
+  }
+
+  val qHllIntersectSql: String = {
+    import graft.functions.{Md5Bits, Sketches => Sk}
+    val h = Md5Bits.sqlHash60("CAST(l_partkey AS VARCHAR)")
+    val rest = (1L << Sk.RestBits) - 1
+    val estExpr =
+      s"round(CASE WHEN CAST(${Sk.Alpha} AS DOUBLE) * ${Sk.M} * ${Sk.M} * " +
+        s"CAST(${Sk.Scale} AS DOUBLE) / s_scaled <= ${2.5 * Sk.M} " +
+        "AND zero_registers > 0 " +
+        s"THEN CAST(${Sk.M} AS DOUBLE) * ln(CAST(${Sk.M} AS DOUBLE) / zero_registers) " +
+        s"ELSE CAST(${Sk.Alpha} AS DOUBLE) * ${Sk.M} * ${Sk.M} * " +
+        s"CAST(${Sk.Scale} AS DOUBLE) / s_scaled END, 4)"
+    s"WITH hv AS (SELECT CASE WHEN l_quantity <= 2 THEN 'a' ELSE 'b' END AS tag, " +
+      s"$h AS h FROM lineitem WHERE l_quantity <= 2 OR l_quantity > 48), " +
+      s"reg AS (SELECT tag, h >> ${Sk.RestBits} AS idx, " +
+      s"CASE WHEN (h & $rest) = 0 THEN ${Sk.RestBits + 1} " +
+      s"ELSE ${Sk.RestBits + 1} - length(bin(h & $rest)) END AS rho FROM hv), " +
+      "mx AS (SELECT tag, idx, max(rho) AS mx FROM reg GROUP BY 1, 2), " +
+      "allmx AS (SELECT tag, idx, mx FROM mx " +
+      "UNION ALL SELECT 'u', idx, max(mx) FROM mx GROUP BY 2), " +
+      "agg AS (SELECT tag, " +
+      s"CAST(sum(CAST(1 AS BIGINT) << (${Sk.RestBits + 1} - mx)) AS BIGINT) AS s_present, " +
+      "count(*) AS n_present FROM allmx GROUP BY 1), " +
+      s"fin AS (SELECT tag, s_present + (${Sk.M} - n_present) * ${Sk.Scale} AS s_scaled, " +
+      s"${Sk.M} - n_present AS zero_registers FROM agg), " +
+      s"est AS (SELECT tag, $estExpr AS est FROM fin), " +
+      "piv AS (SELECT max(CASE WHEN tag = 'a' THEN est END) AS est_a, " +
+      "max(CASE WHEN tag = 'b' THEN est END) AS est_b, " +
+      "max(CASE WHEN tag = 'u' THEN est END) AS est_union FROM est) " +
+      "SELECT est_a, est_b, est_union, " +
+      "round(est_a + est_b - est_union, 4) AS est_intersect FROM piv"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hll_intersect"   -> qHllIntersect _,
     "q_hll_groups"      -> qHllGroups _,
     "q_quantile_sketch" -> qQuantileSketch _,
     "q_heavy_hitters" -> qHeavyHitters _,
@@ -239,6 +313,7 @@ object SketchQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_hll_intersect"   -> qHllIntersectSql,
     "q_hll_groups"      -> qHllGroupsSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_heavy_hitters" -> qHeavyHittersSql,

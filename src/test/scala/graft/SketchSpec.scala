@@ -111,6 +111,26 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL set algebra: union/intersection estimates track the exact sets") {
+    val r = queries.SketchQueries.qHllIntersect(spark, sf).collect().head
+    val li = graft.Tables.lineitem(spark, sf)
+      .select(col("l_quantity"), col("l_partkey")).collect()
+      .map(x => (x.getDouble(0), x.getLong(1)))
+    val a = li.filter(_._1 <= 2.0).map(_._2).toSet
+    val b = li.filter(_._1 > 48.0).map(_._2).toSet
+    assert((a & b).nonEmpty && (a -- b).nonEmpty && (b -- a).nonEmpty)
+    // per-set and union sketches carry the standard ~1.04/sqrt(128) ≈ 9%
+    // error; allow 3 sigma
+    assert(math.abs(r.getAs[Double]("est_a") / a.size - 1.0) <= 0.3)
+    assert(math.abs(r.getAs[Double]("est_b") / b.size - 1.0) <= 0.3)
+    assert(math.abs(r.getAs[Double]("est_union") / (a ++ b).size - 1.0) <= 0.3)
+    // inclusion–exclusion compounds all three errors: bound the absolute
+    // miss by 30% of the UNION size (the scale the errors live on)
+    val exactI = (a & b).size
+    assert(math.abs(r.getAs[Double]("est_intersect") - exactI) <=
+      0.3 * (a ++ b).size, s"est_i ${r.getAs[Double]("est_intersect")} vs $exactI")
+  }
+
   test("histogram-sketch quantiles are monotone and within one bin of exact") {
     val est = queries.SketchQueries.qQuantileSketch(spark, sf).collect()
       .map(r => r.getAs[Int]("p") -> r.getAs[Double]("est_value")).toMap
