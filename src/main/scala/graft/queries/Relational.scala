@@ -518,6 +518,46 @@ object Relational {
       "THEN o_totalprice + 100.0 ELSE o_totalprice END AS p2 " +
       "FROM orders) m GROUP BY 1"
 
+  // ── CDC apply with tombstones (I/U/D change feed → snapshot) ──────────
+  // qUpsertMerge's missing third verb: DELETE. The change feed (orders
+  // replayed as per-customer change events, sequenced by o_orderkey, with
+  // a deterministic md5-assigned op so the oracle replays the same feed)
+  // merges onto the customer snapshot: latest change per key wins, a
+  // trailing tombstone drops the key entirely — base rows, updated rows,
+  // and deleted keys all resolved by ONE per-key window over
+  // base ∪ feed, the same single-shuffle shape a lakehouse MERGE
+  // compiles to. At scale the base side arrives sorted from the previous
+  // snapshot's layout and only the feed shuffles.
+  def qCdcDelete(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey").as("custkey"), col("c_acctbal").as("bal"),
+        lit(0L).as("ver"), lit("U").as("op"))
+    val feed = Tables.orders(s, d)
+      .select(col("o_custkey").as("custkey"), col("o_totalprice").as("bal"),
+        col("o_orderkey").as("ver"),
+        when(graft.functions.Md5Bits.hash60(
+          concat(lit("cdc:"), col("o_orderkey"))) % 10 === 0, "D")
+          .otherwise("U").as("op"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("custkey")).orderBy(col("ver").desc)
+    base.unionByName(feed)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("custkey"), col("bal"))
+  }
+
+  val qCdcDeleteSql: String = {
+    val h = graft.functions.Md5Bits.sqlHash60("'cdc:' || CAST(o_orderkey AS VARCHAR)")
+    "WITH feed AS (SELECT o_custkey AS custkey, o_totalprice AS bal, " +
+      s"o_orderkey AS ver, CASE WHEN $h % 10 = 0 THEN 'D' ELSE 'U' END AS op " +
+      "FROM orders), " +
+      "u AS (SELECT c_custkey AS custkey, c_acctbal AS bal, 0 AS ver, 'U' AS op " +
+      "FROM customer UNION ALL SELECT custkey, bal, ver, op FROM feed), " +
+      "r AS (SELECT custkey, bal, op, " +
+      "row_number() OVER (PARTITION BY custkey ORDER BY ver DESC) AS rn FROM u) " +
+      "SELECT custkey, bal FROM r WHERE rn = 1 AND op <> 'D'"
+  }
+
   // ── Z-order clustering (multi-dimensional data layout) ─────────────────
   // The lakehouse OPTIMIZE ZORDER BY primitive: interleave the bits of two
   // dimension keys so rows close in BOTH dimensions land in the same
@@ -903,6 +943,7 @@ object Relational {
 
   /** All (name → query) pairs this module contributes. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_delete"      -> qCdcDelete _,
     "q_scd2"            -> qScd2 _,
     "q_time_travel"     -> qTimeTravel _,
     "q_regression"      -> qRegression _,
@@ -948,6 +989,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_cdc_delete"      -> qCdcDeleteSql,
     "q_scd2"            -> qScd2Sql,
     "q_time_travel"     -> qTimeTravelSql,
     "q_regression"      -> qRegressionSql,

@@ -263,6 +263,27 @@ class EventSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("CDC apply with tombstones matches a driver-side merge") {
+    val got = graft.queries.Relational.qCdcDelete(spark, sf).collect()
+      .map(r => r.getAs[Long]("custkey") -> r.getAs[Double]("bal")).toMap
+    val base = Tables.customer(spark, sf)
+      .select($"c_custkey", $"c_acctbal").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val feed = Tables.orders(spark, sf)
+      .select($"o_custkey", $"o_totalprice", $"o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        graft.functions.Md5Bits.hash60(s"cdc:${r.getLong(2)}") % 10 == 0))
+    val want = scala.collection.mutable.Map.empty[Long, Double] ++= base
+    feed.groupBy(_._1).foreach { case (k, chgs) =>
+      val (_, bal, _, isDel) = chgs.maxBy(_._3)
+      if (isDel) want.remove(k) else want(k) = bal
+    }
+    assert(got === want.toMap)
+    // the feed genuinely exercises all three verbs
+    assert(feed.exists(_._4) && feed.exists(!_._4))
+    assert(got.size < base.size + feed.map(_._1).distinct.size)
+  }
+
   test("Welch t matches a driver-side recomputation from raw values") {
     val got = EventQueries.qAbTest(spark, sf).collect()
     assert(got.nonEmpty)
