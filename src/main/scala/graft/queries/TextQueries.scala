@@ -395,7 +395,44 @@ object TextQueries {
       s"CAST(floor((length(text) - 1) / $ChunkStride) AS BIGINT)))) AS q " +
       "FROM documents) u) a"
 
+  // ── Vocabulary coverage curve (tokenizer budget planning) ──────────────
+  // For a vocab budget of k, what fraction of all token occurrences do
+  // the top-k words cover? The question every tokenizer/vocab build asks
+  // first. Plan: full word count (partial-aggregated), top-100 via
+  // TakeOrdered (no global sort of the vocabulary), corpus total as a
+  // one-row broadcast, then the cumulative share on the 100 surviving
+  // rows — the only unpartitioned window in the plan runs on exactly 100
+  // rows whatever the corpus size.
+  def qVocab(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).cast("long").as("tot"))
+    val byCount = Window.orderBy(col("cnt").desc, col("word").asc)
+    counts.orderBy(col("cnt").desc, col("word").asc).limit(100)
+      .withColumn("rank", row_number().over(byCount).cast("long"))
+      .withColumn("cum",
+        sum(col("cnt")).over(byCount.rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("word"), col("cnt"),
+        round(col("cum").cast("double") / col("tot"), 6).as("cum_share"))
+  }
+
+  val qVocabSql: String =
+    "WITH wc AS (SELECT word, count(*) AS cnt FROM " +
+      "(SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word " +
+      "FROM documents) t WHERE length(word) > 0 GROUP BY 1), " +
+      "tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM wc), " +
+      "top AS (SELECT word, cnt FROM wc ORDER BY cnt DESC, word LIMIT 100) " +
+      "SELECT row_number() OVER o AS rank, word, cnt, " +
+      "round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, word ROWS UNBOUNDED PRECEDING) AS DOUBLE) / tot, 6) AS cum_share " +
+      "FROM top, tot WINDOW o AS (ORDER BY cnt DESC, word)"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab"          -> qVocab _,
     "q_chunk"          -> qChunk _,
     "q_inverted_index" -> qInvertedIndex _,
     "q_sample_hash"   -> qSampleHash _,
@@ -412,6 +449,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_vocab"          -> qVocabSql,
     "q_chunk"          -> qChunkSql,
     "q_inverted_index" -> qInvertedIndexSql,
     "q_sample_hash"   -> qSampleHashSql,

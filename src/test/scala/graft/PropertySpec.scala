@@ -371,4 +371,28 @@ class PropertySpec extends AnyFunSuite {
       .as[(String, Long, Long, Long, Long)].collect().toSet
     assert(got === want)
   }
+
+  test("vocab coverage: top-100 by count, cumulative share monotone and consistent") {
+    val rows = graft.queries.TextQueries.qVocab(spark, sf).collect()
+      .sortBy(_.getAs[Long]("rank"))
+    assert(rows.nonEmpty && rows.length <= 100)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq === (1L to rows.length.toLong))
+    // counts non-increasing down the ranking; shares strictly increasing
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("cnt") >= b.getAs[Long]("cnt"))
+        assert(a.getAs[Double]("cum_share") < b.getAs[Double]("cum_share"))
+      case _ =>
+    }
+    // the driver-side word count agrees on the head of the distribution
+    val wc = graft.queries.Relational.qWordCount(spark, sf).collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[Long]("cnt"))
+    val wantTop = wc.sortBy { case (w, c) => (-c, w) }.take(rows.length)
+    assert(rows.map(r => r.getAs[String]("word") -> r.getAs[Long]("cnt")).toSeq
+      === wantTop.toSeq)
+    val total = wc.map(_._2).sum.toDouble
+    val lastShare = rows.last.getAs[Double]("cum_share")
+    assert(math.abs(lastShare - wantTop.map(_._2).sum / total) < 1e-5)
+    assert(lastShare > 0.0 && lastShare <= 1.0)
+  }
 }
