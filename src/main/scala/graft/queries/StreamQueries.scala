@@ -122,6 +122,39 @@ object StreamQueries {
         col("purchase_value"))
   }
 
+  /** Streaming LEFT OUTER interval join backfill. Null-side emission is
+    * watermark-gated: an unmatched click emits only once the global
+    * watermark (min over both inputs of max-event-time − delay) passes
+    * the end of its join window — clicks in the final window+delay of
+    * the horizon stay open when the backfill stops, exactly as a live
+    * deployment would leave them pending. The batch oracle applies the
+    * SAME closure rule, so parity holds without pretending the stream
+    * saw the end of time. A 1-minute delay keeps the open tail short;
+    * matches are unaffected (the fixture arrives in one micro-batch,
+    * and matched rows emit immediately in any case). */
+  def qStreamLeftJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val joined = EventStreams.clickToPurchaseLeft(
+      eventStream(s, d).filter(col("event_type") === "click"),
+      eventStream(s, d).filter(col("event_type") === "purchase"),
+      withinMinutes = 60, watermark = "1 minute")
+    runToMemory(s, joined, OutputMode.Append())
+      .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"),
+        col("purchase_value"))
+  }
+
+  val qStreamLeftJoinSql: String =
+    "WITH c AS (SELECT * FROM events WHERE event_type = 'click'), " +
+      "p AS (SELECT * FROM events WHERE event_type = 'purchase'), " +
+      "wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p)) " +
+      "- INTERVAL 1 MINUTE AS w), " +
+      "j AS (SELECT c.event_id AS click_id, p.event_id AS purchase_id, " +
+      "c.user_id AS user_id, p.value AS purchase_value, c.ts AS click_ts " +
+      "FROM c LEFT JOIN p ON c.user_id = p.user_id " +
+      "AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTE) " +
+      "SELECT click_id, purchase_id, user_id, purchase_value FROM j, wm " +
+      "WHERE purchase_id IS NOT NULL OR click_ts + INTERVAL 60 MINUTE < w"
+
   val qStreamJoinSql: String =
     "SELECT c.event_id AS click_id, p.event_id AS purchase_id, " +
       "c.user_id AS user_id, p.value AS purchase_value " +
@@ -259,6 +292,7 @@ object StreamQueries {
     "q_stream_sessions" -> qStreamSessions _,
     "q_stream_running"  -> qStreamRunning _,
     "q_stream_join"     -> qStreamJoin _,
+    "q_stream_left_join" -> qStreamLeftJoin _,
   )
 
   /** Same ground truth as the batch forms — that is the point. */
@@ -271,5 +305,6 @@ object StreamQueries {
     "q_stream_sessions" -> EventQueries.qSessionWindowSql,
     "q_stream_running"  -> qStreamRunningSql,
     "q_stream_join"     -> qStreamJoinSql,
+    "q_stream_left_join" -> qStreamLeftJoinSql,
   )
 }

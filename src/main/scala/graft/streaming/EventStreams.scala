@@ -174,6 +174,30 @@ object EventStreams {
         col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $withinMinutes MINUTES"))
   }
 
+  /** LEFT OUTER stream-stream join: same interval condition as
+    * [[clickToPurchase]], but unmatched clicks ALSO emit (null purchase
+    * columns) — once the watermark passes the click's join window
+    * [click_ts, click_ts + within], proving no matching purchase can
+    * still arrive. This is the null-emission contract batch left joins
+    * get for free and streaming must earn from the watermark; state for
+    * a click is dropped at the same moment its null is emitted, so
+    * outer-join state is bounded by the watermark delay + window, not
+    * the stream length. */
+  def clickToPurchaseLeft(clicks: DataFrame, purchases: DataFrame,
+      withinMinutes: Int = 60, watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $withinMinutes MINUTES"),
+      "left_outer")
+  }
+
   /** Start writing a streaming frame to parquet with checkpointing — the
     * durable-sink shape (exactly-once via checkpoint + file sink log).
     * Returns the running StreamingQuery (await/stop is the caller's). */

@@ -218,6 +218,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Set((0L, 10L), (1L, 10L)))
   }
 
+  test("left-outer stream join emits nulls only for watermark-closed clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = EventStreams.clickToPurchaseLeft(
+      clicks.toDF(), purchases.toDF(), withinMinutes = 60, watermark = "1 minute")
+    val q = joined.writeStream.format("memory").queryName("ss_left_join")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        Event(0L, t(0), 1L, "click", 0.0, "{}"),   // matched
+        Event(1L, t(10), 2L, "click", 0.0, "{}"),  // never matched → null emit
+        Event(2L, t(290), 3L, "click", 0.0, "{}")) // unmatched but still OPEN
+      purchases.addData(
+        Event(10L, t(45), 1L, "purchase", 9.0, "{}"),
+        Event(11L, t(300), 9L, "purchase", 5.0, "{}")) // advances watermark
+      q.processAllAvailable()
+      // after round 1 the watermark sits at min(maxClick t290, maxPurchase
+      // t300) − 1min ≈ t289: past click 1's window end (t70) → its null
+      // row emits; click 2's window (ends t350) is still open → withheld
+      def snapshot() = spark.table("ss_left_join")
+        .select($"click_id", $"purchase_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      val round1 = snapshot()
+      assert(round1.contains((0L, 10L)))  // the real match
+      assert(round1.contains((1L, -1L)))  // closed unmatched click → null row
+      assert(!round1.exists(_._1 == 2L))  // open click withheld
+      // round 2 pushes the watermark past click 2's window → now it emits
+      clicks.addData(Event(3L, t(400), 8L, "click", 0.0, "{}"))
+      purchases.addData(Event(12L, t(400), 9L, "purchase", 1.0, "{}"))
+      q.processAllAvailable()
+      assert(snapshot().contains((2L, -1L)))
+    } finally q.stop()
+  }
+
   test("batch session_window query matches hand-rolled sessionization counts") {
     val sw = graft.queries.EventQueries.qSessionWindow(spark, sf)
     val manual = graft.queries.EventQueries.qSessionize(spark, sf)
