@@ -250,6 +250,91 @@ object GraphQueries {
     dist.filter(col("dist").isNotNull)
   }
 
+  // ── Weighted single-source shortest paths (Bellman–Ford rounds) ────────
+  // BFS's weighted sibling: synchronous relaxation rounds — every round,
+  // each node takes the min of its own distance and (neighbor distance +
+  // edge weight) — run to the fixed point with early exit. Edge weight is
+  // the integer "closeness" of a co-purchase tie (strong ties are short:
+  // w = max(1, 6 − co-order count)), so all arithmetic is exact longs on
+  // both engines. Unlike hop-BFS, convergence is detected on (reached
+  // count, total distance): a round can improve distances without
+  // reaching new nodes. Per round: one join of the frontier onto the
+  // symmetric edge list (shuffled on node id), one partial-aggregated
+  // min, one left join — the textbook Pregel round as three declarative
+  // ops; localCheckpoint truncates the growing lineage.
+  private val SsspRounds = 25
+
+  def ssspDistances(edges: DataFrame, source: Long, maxRounds: Int): DataFrame = {
+    val sym = edges.select(col("src").as("a"), col("dst").as("b"), col("w"))
+      .unionAll(edges.select(col("dst").as("a"), col("src").as("b"), col("w")))
+      .localCheckpoint()
+    val nodes = sym.select(col("a").as("node")).distinct()
+    var dist = nodes.withColumn("dist",
+      when(col("node") === source, lit(0L)).otherwise(lit(null).cast("long")))
+      .localCheckpoint()
+    var fixed = (-1L, -1L)
+    var round = 0
+    var changing = true
+    while (round < maxRounds && changing) {
+      val relax = sym
+        .join(dist.filter(col("dist").isNotNull)
+          .select(col("node").as("a"), col("dist")), Seq("a"))
+        .groupBy(col("b").as("node")).agg(min(col("dist") + col("w")).as("mn"))
+      val next = dist.join(relax, Seq("node"), "left")
+        .select(col("node"),
+          when(col("dist").isNull, col("mn"))
+            .when(col("mn").isNull, col("dist"))
+            .otherwise(least(col("dist"), col("mn"))).as("dist"))
+        .localCheckpoint()
+      val st = next.filter(col("dist").isNotNull)
+        .agg(count(lit(1)), sum(col("dist"))).head
+      val now = (st.getLong(0), st.getLong(1))
+      changing = now != fixed
+      fixed = now
+      dist = next
+      round += 1
+    }
+    dist.filter(col("dist").isNotNull)
+  }
+
+  private def weightedEdges(s: SparkSession, d: String): DataFrame =
+    orderPairs(s, d)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= MinSupport)
+      .select(col("src"), col("dst"),
+        greatest(lit(1L), lit(6L) - col("n")).as("w"))
+
+  def qSssp(s: SparkSession, d: String): DataFrame = {
+    val e = weightedEdges(s, d)
+    val source = e.agg(least(min(col("src")), min(col("dst")))).head.getLong(0)
+    ssspDistances(e, source, SsspRounds)
+  }
+
+  private def ssspIter(prev: String): String =
+    s"SELECT l.node, CASE WHEN l.dist IS NULL THEN m.mn " +
+      s"WHEN m.mn IS NULL THEN l.dist ELSE least(l.dist, m.mn) END AS dist " +
+      s"FROM $prev l LEFT JOIN (SELECT s.b AS node, min(x.dist + s.w) AS mn " +
+      s"FROM sym s JOIN $prev x ON s.a = x.node WHERE x.dist IS NOT NULL GROUP BY 1) m " +
+      "USING (node)"
+
+  val qSsspSql: String = {
+    val rounds = (1 to SsspRounds)
+      .map(i => s"s$i AS MATERIALIZED (${ssspIter(s"s${i - 1}")})").mkString(", ")
+    "WITH e AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst, " +
+      "CAST(GREATEST(1, 6 - count(DISTINCT a.l_orderkey)) AS BIGINT) AS w " +
+      "FROM lineitem a JOIN lineitem b " +
+      "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+      s"GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= $MinSupport), " +
+      "sym AS MATERIALIZED (SELECT src AS a, dst AS b, w FROM e " +
+      "UNION ALL SELECT dst, src, w FROM e), " +
+      "s0 AS MATERIALIZED (SELECT node, CASE WHEN node = (SELECT min(a) FROM sym) " +
+      "THEN CAST(0 AS BIGINT) ELSE NULL END AS dist FROM " +
+      "(SELECT DISTINCT a AS node FROM sym) n), " +
+      rounds + " " +
+      s"SELECT node, dist FROM s$SsspRounds WHERE dist IS NOT NULL"
+  }
+
   def qBfs(s: SparkSession, d: String): DataFrame = {
     val e = supportedEdges(s, d, MinSupport)
     val source = e.agg(least(min(col("src")), min(col("dst")))).head.getLong(0)
@@ -279,6 +364,7 @@ object GraphQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sssp"       -> qSssp _,
     "q_bfs"        -> qBfs _,
     "q_triangles"  -> qTriangles _,
     "q_components" -> qComponents _,
@@ -286,6 +372,7 @@ object GraphQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sssp"       -> qSsspSql,
     "q_bfs"        -> qBfsSql,
     "q_triangles"  -> qTrianglesSql,
     "q_components" -> qComponentsSql,

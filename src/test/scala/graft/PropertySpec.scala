@@ -224,6 +224,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("SSSP distances equal driver-side Dijkstra on random weighted graphs (10 trials)") {
+    val r = new Random(29)
+    for (trial <- 1 to 10) {
+      val nodes = 3 + r.nextInt(25)
+      val edges = List.fill(4 + r.nextInt(50)) {
+        val a = r.nextInt(nodes); val b = r.nextInt(nodes)
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.filter { case (a, b) => a != b }.distinct
+        .map { case (a, b) => (a, b, 1L + r.nextInt(5)) }
+      if (edges.nonEmpty) {
+        val adj = edges.flatMap { case (a, b, w) => List((a, b, w), (b, a, w)) }
+          .groupBy(_._1).view.mapValues(_.map(e => (e._2, e._3))).toMap
+        val source = adj.keys.min
+        // driver-side Dijkstra ground truth
+        val want = scala.collection.mutable.Map(source -> 0L)
+        val pq = scala.collection.mutable.PriorityQueue((0L, source))(
+          Ordering.by(-_._1))
+        while (pq.nonEmpty) {
+          val (dd, n) = pq.dequeue()
+          if (want(n) == dd) adj(n).foreach { case (m, w) =>
+            if (want.getOrElse(m, Long.MaxValue) > dd + w) {
+              want(m) = dd + w; pq.enqueue((dd + w, m))
+            }
+          }
+        }
+        val got = graft.queries.GraphQueries
+          .ssspDistances(edges.toDF("src", "dst", "w"), source, maxRounds = nodes)
+          .as[(Long, Long)].collect().toMap
+        assert(got === want.toMap, s"trial $trial edges: $edges")
+      }
+    }
+  }
+
   test("LOCF gap-fill equals driver-side carry-forward on random series (6 trials)") {
     val r = new Random(31)
     for (trial <- 1 to 6) {
