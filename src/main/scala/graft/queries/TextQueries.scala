@@ -395,6 +395,58 @@ object TextQueries {
       s"CAST(floor((length(text) - 1) / $ChunkStride) AS BIGINT)))) AS q " +
       "FROM documents) u) a"
 
+  // ── PMI word association (embedding-prep co-occurrence scores) ─────────
+  // Pointwise mutual information over document-level co-occurrence — the
+  // statistic word-vector pipelines (GloVe/SGNS shifted-PMI) start from.
+  // Presence-based: c12 = docs containing both words, c1/c2 = doc
+  // frequency, pmi = ln(N·c12 / (c1·c2)). Pairs are generated from each
+  // doc's SORTED DISTINCT token array (the same basket-explode shape as
+  // the co-purchase graph — one shuffle on the pair key, never a
+  // doc×doc join); doc frequencies are vocabulary-sized and broadcast.
+  // All counts stay integers; the single ln runs on one exactly-computed
+  // double and is rounded to 6 decimals (the HLL precedent for lone libm
+  // calls under the hash gate). Top-30 by support via TakeOrdered.
+  private val PmiMinDf = 5
+  private val PmiTopK = 30
+
+  def qPmi(s: SparkSession, d: String): DataFrame = {
+    val docWords = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("word"))
+    val pairs = Tables.documents(s, d)
+      .select(col("doc_id"), sort_array(array_distinct(tokens(col("text")))).as("ws"))
+      .select(explode(expr(
+        "flatten(transform(ws, (x, i) -> " +
+          "transform(slice(ws, i + 2, size(ws)), y -> struct(x AS w1, y AS w2))))")).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= PmiMinDf)
+    val dfreq = docWords.groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
+    pairs
+      .join(broadcast(dfreq.select(col("word").as("w1"), col("c").as("c1"))), Seq("w1"))
+      .join(broadcast(dfreq.select(col("word").as("w2"), col("c").as("c2"))), Seq("w2"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log((col("nd") * col("c12")).cast("double") /
+          (col("c1") * col("c2")).cast("double")), 6).as("pmi"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(PmiTopK)
+  }
+
+  val qPmiSql: String =
+    s"WITH dw AS (SELECT DISTINCT doc_id, word FROM " +
+      s"(SELECT doc_id, unnest($sqlToks) AS word FROM documents) t), " +
+      "pairs AS (SELECT a.word AS w1, b.word AS w2, count(*) AS c12 FROM dw a " +
+      "JOIN dw b ON a.doc_id = b.doc_id AND a.word < b.word " +
+      s"GROUP BY 1, 2 HAVING count(*) >= $PmiMinDf), " +
+      "dfreq AS (SELECT word, count(*) AS c FROM dw GROUP BY 1), " +
+      "n AS (SELECT count(*) AS nd FROM documents) " +
+      "SELECT w1, w2, c12, " +
+      "round(ln(CAST(nd * c12 AS DOUBLE) / CAST(a.c * b.c AS DOUBLE)), 6) AS pmi " +
+      "FROM pairs, n " +
+      "JOIN dfreq a ON w1 = a.word JOIN dfreq b ON w2 = b.word " +
+      s"ORDER BY c12 DESC, w1, w2 LIMIT $PmiTopK"
+
   // ── Vocabulary coverage curve (tokenizer budget planning) ──────────────
   // For a vocab budget of k, what fraction of all token occurrences do
   // the top-k words cover? The question every tokenizer/vocab build asks
@@ -433,6 +485,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vocab"          -> qVocab _,
+    "q_pmi"            -> qPmi _,
     "q_chunk"          -> qChunk _,
     "q_inverted_index" -> qInvertedIndex _,
     "q_sample_hash"   -> qSampleHash _,
@@ -450,6 +503,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q_vocab"          -> qVocabSql,
+    "q_pmi"            -> qPmiSql,
     "q_chunk"          -> qChunkSql,
     "q_inverted_index" -> qInvertedIndexSql,
     "q_sample_hash"   -> qSampleHashSql,

@@ -405,6 +405,26 @@ class PropertySpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("PMI pairs match a driver-side co-occurrence recomputation") {
+    val got = graft.queries.TextQueries.qPmi(spark, sf).collect()
+    assert(got.nonEmpty)
+    val docs = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => r.getLong(0) ->
+        graft.functions.TextFunctions.tokenize(r.getString(1)).toSet)
+    val nd = docs.length.toDouble
+    val dfreq = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.length).toMap
+    got.foreach { r =>
+      val (w1, w2) = (r.getAs[String]("w1"), r.getAs[String]("w2"))
+      assert(w1 < w2) // canonical pair order
+      val c12 = docs.count { case (_, ws) => ws(w1) && ws(w2) }
+      assert(r.getAs[Long]("c12") === c12.toLong)
+      val want = math.log(nd * c12 / (dfreq(w1).toDouble * dfreq(w2)))
+      assert(math.abs(r.getAs[Double]("pmi") - want) < 1e-5)
+    }
+  }
+
   test("vocab coverage: top-100 by count, cumulative share monotone and consistent") {
     val rows = graft.queries.TextQueries.qVocab(spark, sf).collect()
       .sortBy(_.getAs[Long]("rank"))
