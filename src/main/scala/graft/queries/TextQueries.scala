@@ -395,6 +395,56 @@ object TextQueries {
       s"CAST(floor((length(text) - 1) / $ChunkStride) AS BIGINT)))) AS q " +
       "FROM documents) u) a"
 
+  // ── Bigram LM scoring (model-based quality signal) ─────────────────────
+  // KenLM-style corpus filtering in miniature: fit a bigram model on the
+  // corpus itself (P(w2|w1) = c(w1 w2) / prefix-count(w1)), then score
+  // each document by its mean log-probability — low scorers are the
+  // incoherent docs every LM-based quality gate drops. The per-bigram
+  // log-prob is quantized to integer micro-nats BEFORE summing (one
+  // rounded libm call per distinct bigram, like q_pmi's), so the per-doc
+  // sum is exact integer arithmetic in any partition order and only the
+  // final mean divides in doubles. Model and scoring share one bigram
+  // shuffle key; prefix counts fold out of the bigram counts themselves
+  // (no second corpus scan).
+  def qLmScore(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val sh = toks.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(t) - 1), " +
+        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("bg"))
+    val c2 = sh.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val c1 = c2
+      .groupBy(element_at(split(col("bg"), " "), 1).as("w1"))
+      .agg(sum(col("c2")).cast("long").as("c1"))
+    val model = c2
+      .join(c1, element_at(split(col("bg"), " "), 1) === col("w1"))
+      .select(col("bg"),
+        round(log(col("c2").cast("double") / col("c1").cast("double")) *
+          lit(1000000.0)).cast("long").as("sm"))
+    sh.join(model, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("sm")).cast("long").as("ssum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("ssum").cast("double") / col("n_bigrams") / lit(1000000.0), 6)
+          .as("lm_score"))
+  }
+
+  val qLmScoreSql: String =
+    s"WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents), " +
+      "sh AS (SELECT doc_id, unnest(list_transform(" +
+      "generate_series(1, greatest(len(t) - 1, 0)), i -> t[i] || ' ' || t[i+1])) AS bg " +
+      "FROM toks), " +
+      "c2 AS (SELECT bg, count(*) AS c2 FROM sh GROUP BY 1), " +
+      "c1 AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(c2) AS BIGINT) AS c1 " +
+      "FROM c2 GROUP BY 1), " +
+      "model AS (SELECT bg, CAST(round(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) " +
+      "* 1000000.0) AS BIGINT) AS sm FROM c2 JOIN c1 ON string_split(bg, ' ')[1] = w1), " +
+      "agg AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(sm) AS BIGINT) AS ssum " +
+      "FROM sh JOIN model USING (bg) GROUP BY 1) " +
+      "SELECT doc_id, n_bigrams, " +
+      "round(CAST(ssum AS DOUBLE) / n_bigrams / 1000000.0, 6) AS lm_score FROM agg"
+
   // ── PMI word association (embedding-prep co-occurrence scores) ─────────
   // Pointwise mutual information over document-level co-occurrence — the
   // statistic word-vector pipelines (GloVe/SGNS shifted-PMI) start from.
@@ -486,6 +536,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vocab"          -> qVocab _,
     "q_pmi"            -> qPmi _,
+    "q_lm_score"       -> qLmScore _,
     "q_chunk"          -> qChunk _,
     "q_inverted_index" -> qInvertedIndex _,
     "q_sample_hash"   -> qSampleHash _,
@@ -504,6 +555,7 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "q_vocab"          -> qVocabSql,
     "q_pmi"            -> qPmiSql,
+    "q_lm_score"       -> qLmScoreSql,
     "q_chunk"          -> qChunkSql,
     "q_inverted_index" -> qInvertedIndexSql,
     "q_sample_hash"   -> qSampleHashSql,

@@ -405,6 +405,31 @@ class PropertySpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("bigram LM scores match a driver-side model fit + scoring") {
+    val got = graft.queries.TextQueries.qLmScore(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("lm_score")))).toMap
+    assert(got.nonEmpty)
+    val docs = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => r.getLong(0) ->
+        graft.functions.TextFunctions.tokenize(r.getString(1)).toSeq)
+    val bigrams = docs.flatMap(_._2.sliding(2).filter(_.length == 2).map(_.mkString(" ")))
+    val c2 = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = c2.groupBy(_._1.split(" ")(0)).view.mapValues(_.values.sum).toMap
+    def micro(bg: String): Long =
+      math.rint(math.log(c2(bg).toDouble / c1(bg.split(" ")(0))) * 1e6).toLong
+    docs.filter(_._2.length >= 2).foreach { case (id, ts) =>
+      val bgs = ts.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val (n, score) = got(id)
+      assert(n === bgs.length.toLong)
+      val want = bgs.map(micro).sum.toDouble / bgs.length / 1e6
+      assert(math.abs(score - want) < 1e-5, s"doc $id")
+      assert(score <= 0.0) // log-probs are never positive
+    }
+  }
+
   test("PMI pairs match a driver-side co-occurrence recomputation") {
     val got = graft.queries.TextQueries.qPmi(spark, sf).collect()
     assert(got.nonEmpty)
