@@ -219,4 +219,47 @@ class PlanSpec extends AnyFunSuite {
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(hashEx <= 1, s"five-moment aggregate should shuffle once:\n$p")
   }
+
+  test("A/B test is one conditional-aggregation pass: single scan, single shuffle") {
+    val p = plan("q_ab_test")
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      s"both arms must read from ONE scan (no per-arm passes):\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"moments for both arms should ride one shuffle:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("vocab coverage: top-k via TakeOrdered, the lone global window is post-limit") {
+    val p = plan("q_vocab")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 should be TakeOrdered, not a global sort of the vocabulary:\n$p")
+    // the corpus total joins in as a broadcast, not a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"corpus total should broadcast:\n$p")
+  }
+
+  test("transitions output aggregates over the user-window shuffle only") {
+    val p = plan("q_transitions")
+    // one exchange for the per-user window, one for the (from,to) rollup,
+    // and one REPARTITIONING OF THE |types|²-ROW OUTPUT for the
+    // probability window — the only exchanges touching fact-sized data
+    // are the first two
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      s"expected window + rollup + output-sized exchanges only:\n$p")
+    assert(p.contains("partial_"), s"bigram rollup lost map-side combine:\n$p")
+  }
+
+  test("EWMA: all lags, the count, and the is-last probe share ONE window sort") {
+    val p = plan("q_ewma")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"lags + row_number + lead must share the user partitioning:\n$p")
+    assert("Sort ".r.findAllIn(p).size <= 1 || p.contains("Window"),
+      s"expected a single user-ordered window:\n$p")
+  }
+
+  test("CDC delete: base and feed merge through one per-key window exchange") {
+    val p = plan("q_cdc_delete")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"the MERGE shape is one shuffle on the key:\n$p")
+  }
 }
