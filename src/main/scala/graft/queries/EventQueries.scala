@@ -678,7 +678,60 @@ object EventQueries {
       "FROM daily WINDOW w AS (PARTITION BY dow)) " +
       "SELECT day, dow, rev, baseline, round(rev - baseline, 6) AS deviation FROM b"
 
-  // ── A/B test: Welch t-statistic from exact moments ─────────────────────
+  // ── Multi-touch attribution with exact penny allocation ────────────────
+  // Linear attribution: every click within the hour before a purchase
+  // shares its revenue equally — except "equally" in floats leaks or
+  // mints money. The purchase amount rides as exact integer micro-units;
+  // each touch takes floor(micros/n) and the LAST touch also takes the
+  // remainder (largest-remainder penny allocation), so per-purchase
+  // credits sum to the purchase EXACTLY and the per-day rollup is
+  // integer arithmetic in any partition order. One interval join (the
+  // q_stream_join shape) + one per-purchase window + one day rollup.
+  def qAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) *
+          1000000).cast("long").as("micros"))
+    val touches = purchases.join(clicks,
+      col("c_user") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 60 MINUTES"))
+    val byPurchase = Window.partitionBy(col("purchase_id"))
+    val lastFirst = byPurchase.orderBy(col("click_ts").desc, col("click_id").desc)
+    touches
+      .withColumn("n", count(lit(1)).over(byPurchase))
+      .withColumn("rn", row_number().over(lastFirst))
+      .withColumn("credit",
+        // `div` is true integer division (no double round-trip)
+        expr("micros div n") +
+          when(col("rn") === 1, col("micros") % col("n")).otherwise(0L))
+      .groupBy(to_date(col("click_ts")).as("day"))
+      .agg(count(lit(1)).as("n_touches"),
+        (sum(col("credit")).cast("double") / 1000000.0).as("attributed"))
+  }
+
+  val qAttributionSql: String =
+    "WITH c AS (SELECT user_id, ts AS click_ts, event_id AS click_id " +
+      "FROM events WHERE event_type = 'click'), " +
+      "p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id, " +
+      "CAST(CAST(value AS DECIMAL(18,2)) * 1000000 AS BIGINT) AS micros " +
+      "FROM events WHERE event_type = 'purchase'), " +
+      "t AS (SELECT p.purchase_id, p.micros, c.click_ts, c.click_id FROM p JOIN c " +
+      "ON c.user_id = p.user_id AND c.click_ts <= p.purchase_ts " +
+      "AND c.click_ts >= p.purchase_ts - INTERVAL 60 MINUTE), " +
+      "w AS (SELECT click_ts, micros, " +
+      "count(*) OVER (PARTITION BY purchase_id) AS n, " +
+      "row_number() OVER (PARTITION BY purchase_id " +
+      "ORDER BY click_ts DESC, click_id DESC) AS rn FROM t) " +
+      "SELECT CAST(click_ts AS DATE) AS day, count(*) AS n_touches, " +
+      "CAST(sum(micros // n + CASE WHEN rn = 1 THEN micros % n ELSE 0 END) AS DOUBLE) " +
+      "/ 1000000.0 AS attributed " +
+      "FROM w GROUP BY 1"
   // Experiment readout per event_type: users are deterministically
   // bucketed into two arms by the salted md5 assignment hash (the same
   // engine-portable Md5Bits used by the sampling family — assignment
@@ -854,6 +907,7 @@ object EventQueries {
     "q_streaks"          -> qStreaks _,
     "q_concurrency"      -> qConcurrency _,
     "q_ab_test"          -> qAbTest _,
+    "q_attribution"      -> qAttribution _,
     "q_ewma"             -> qEwma _,
     "q_transitions"      -> qTransitions _,
     "q_seasonal_dow"     -> qSeasonalDow _,
@@ -883,6 +937,7 @@ object EventQueries {
     "q_streaks"          -> qStreaksSql,
     "q_concurrency"      -> qConcurrencySql,
     "q_ab_test"          -> qAbTestSql,
+    "q_attribution"      -> qAttributionSql,
     "q_ewma"             -> qEwmaSql,
     "q_transitions"      -> qTransitionsSql,
     "q_seasonal_dow"     -> qSeasonalDowSql,

@@ -518,6 +518,36 @@ object Relational {
       "THEN o_totalprice + 100.0 ELSE o_totalprice END AS p2 " +
       "FROM orders) m GROUP BY 1"
 
+  // ── Order-independent table checksum (replica reconciliation) ──────────
+  // Compare two replicas of a table WITHOUT moving either: each row
+  // canonicalizes to a typed string (decimals and epoch-days, never raw
+  // double rendering — engine float formatting differs), hashes through
+  // the shared md5 path, and the table fingerprint is the XOR of all row
+  // hashes + the row count. XOR is commutative/associative, so the
+  // checksum is identical under any partitioning, ordering, or engine —
+  // two sides exchange 16 bytes instead of the table. The anti-entropy
+  // primitive every cross-system migration check needs.
+  def qTableChecksum(s: SparkSession, d: String): DataFrame = {
+    val rowStr = concat_ws("|",
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice").cast(DecimalType(18, 2)),
+      datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).cast("long"),
+      col("o_orderpriority"))
+    Tables.orders(s, d)
+      .select(graft.functions.Md5Bits.hash60(rowStr).as("h"))
+      .agg(expr("bit_xor(h)").as("checksum"), count(lit(1)).as("n_rows"))
+  }
+
+  val qTableChecksumSql: String = {
+    val rowStr = "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, " +
+      "CAST(o_totalprice AS DECIMAL(18,2)), " +
+      "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)), " +
+      "o_orderpriority)"
+    val h = graft.functions.Md5Bits.sqlHash60(rowStr)
+    s"SELECT bit_xor(h) AS checksum, count(*) AS n_rows " +
+      s"FROM (SELECT $h AS h FROM orders) t"
+  }
+
   // ── CDC apply with tombstones (I/U/D change feed → snapshot) ──────────
   // qUpsertMerge's missing third verb: DELETE. The change feed (orders
   // replayed as per-customer change events, sequenced by o_orderkey, with
@@ -943,6 +973,7 @@ object Relational {
 
   /** All (name → query) pairs this module contributes. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_checksum"  -> qTableChecksum _,
     "q_cdc_delete"      -> qCdcDelete _,
     "q_scd2"            -> qScd2 _,
     "q_time_travel"     -> qTimeTravel _,
@@ -989,6 +1020,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_table_checksum"  -> qTableChecksumSql,
     "q_cdc_delete"      -> qCdcDeleteSql,
     "q_scd2"            -> qScd2Sql,
     "q_time_travel"     -> qTimeTravelSql,

@@ -263,6 +263,50 @@ class EventSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("table checksum is partition-order-invariant and detects a single edit") {
+    val a = graft.queries.Relational.qTableChecksum(spark, sf).collect().head
+    // recompute over a differently-partitioned copy of the same rows
+    val reshuffled = Tables.orders(spark, sf).repartition(13)
+    reshuffled.createOrReplaceTempView("orders_reshuffled")
+    val rowStr = concat_ws("|",
+      $"o_orderkey", $"o_custkey", $"o_orderstatus",
+      $"o_totalprice".cast(org.apache.spark.sql.types.DecimalType(18, 2)),
+      datediff($"o_orderdate", lit("1970-01-01").cast("date")).cast("long"),
+      $"o_orderpriority")
+    val b = reshuffled
+      .select(graft.functions.Md5Bits.hash60(rowStr).as("h"))
+      .agg(expr("bit_xor(h)").as("checksum"), count(lit(1)).as("n_rows"))
+      .collect().head
+    assert(a.getAs[Long]("checksum") === b.getAs[Long]("checksum"))
+    assert(a.getAs[Long]("n_rows") === b.getAs[Long]("n_rows"))
+    // one flipped attribute changes the fingerprint
+    val edited = Tables.orders(spark, sf)
+      .withColumn("o_custkey",
+        when($"o_orderkey" === 1L, $"o_custkey" + 1).otherwise($"o_custkey"))
+      .select(graft.functions.Md5Bits.hash60(rowStr).as("h"))
+      .agg(expr("bit_xor(h)").as("checksum")).collect().head
+    assert(edited.getAs[Long]("checksum") !== a.getAs[Long]("checksum"))
+  }
+
+  test("attribution conserves every purchase's revenue exactly") {
+    val got = EventQueries.qAttribution(spark, sf).collect()
+    assert(got.nonEmpty)
+    // total attributed == total revenue of purchases that HAVE >=1 touch
+    val ev = Tables.events(spark, sf)
+      .select($"event_type", $"user_id", unix_micros($"ts"), $"event_id", $"value")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val clicks = ev.filter(_._1 == "click")
+    val touched = ev.filter(_._1 == "purchase").filter { case (_, u, ts, _, _) =>
+      clicks.exists(c => c._2 == u && c._3 <= ts && c._3 >= ts - 3600000000L)
+    }
+    val wantMicros = touched.map(p => math.rint(p._5 * 100).toLong * 10000L).sum
+    val gotMicros = got.map(r =>
+      math.rint(r.getAs[Double]("attributed") * 1000000.0).toLong).sum
+    assert(gotMicros === wantMicros) // penny allocation leaks nothing
+  }
+
   test("CDC apply with tombstones matches a driver-side merge") {
     val got = graft.queries.Relational.qCdcDelete(spark, sf).collect()
       .map(r => r.getAs[Long]("custkey") -> r.getAs[Double]("bal")).toMap
