@@ -582,6 +582,29 @@ object EventQueries {
       "FROM (SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bucket, " +
       "count(*) AS cnt FROM events GROUP BY 1, 2) a) b WHERE rnk = 1"
 
+  // ── Cumulative distinct adoption (running COUNT DISTINCT) ──────────────
+  // Daily new + cumulative distinct users — the adoption curve. Windowed
+  // COUNT(DISTINCT) doesn't exist in either engine; the scalable spelling
+  // reduces each user to their FIRST activity day (one shuffle on the
+  // key), rolls those up to daily grain, and prefix-sums the day series —
+  // which is calendar-sized, so the lone unpartitioned window is ~365
+  // rows/year whatever the event volume.
+  def qRunningDistinct(s: SparkSession, d: String): DataFrame = {
+    val firstDay = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("day"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstDay.groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+  }
+
+  val qRunningDistinctSql: String =
+    "WITH fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1), " +
+      "daily AS (SELECT day, count(*) AS new_users FROM fd GROUP BY 1) " +
+      "SELECT day, new_users, CAST(sum(new_users) OVER " +
+      "(ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users FROM daily"
+
   // ── Gaps and islands: longest consecutive-day streak per user ──────────
   // The classic islands trick: within a user's DISTINCT activity days,
   // day_num − row_number() is constant across a consecutive run, so one
@@ -905,6 +928,7 @@ object EventQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_streaks"          -> qStreaks _,
+    "q_running_distinct" -> qRunningDistinct _,
     "q_concurrency"      -> qConcurrency _,
     "q_ab_test"          -> qAbTest _,
     "q_attribution"      -> qAttribution _,
@@ -935,6 +959,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "q_streaks"          -> qStreaksSql,
+    "q_running_distinct" -> qRunningDistinctSql,
     "q_concurrency"      -> qConcurrencySql,
     "q_ab_test"          -> qAbTestSql,
     "q_attribution"      -> qAttributionSql,

@@ -875,6 +875,49 @@ object Relational {
       "FROM orders WINDOW w AS " +
       "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
 
+  // ── Fact-to-versioned-dimension join (the SCD2 payoff query) ───────────
+  // Attribute every line item to the customer VERSION that was current
+  // when it shipped — the query Type-2 history exists to answer (facts
+  // joined to point-in-time dimension state, not today's). Equi-join on
+  // the business key carries the interval predicate alongside: each fact
+  // lands on exactly ONE version because Type-2 intervals partition the
+  // timeline once version 1 is backdated to −∞ — the standard
+  // early-arriving-fact rule (the fixture ships ~half its items before
+  // the order date, so "attribute to the earliest known state" is
+  // load-bearing here, not a corner case).
+  // At scale the dim side is versions (small multiple of keys), so this
+  // is a fact⋈dim shuffle on the key — the interval check never widens
+  // the join beyond the per-key version count.
+  def qScd2Join(s: SparkSession, d: String): DataFrame = {
+    val dim = qScd2(s, d).select(col("o_custkey"),
+        when(col("version") === 1L, lit("1900-01-01").cast("timestamp"))
+          .otherwise(col("valid_from")).as("eff_from"),
+        col("valid_to"), col("o_orderpriority"))
+    val fact = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+    fact.join(dim,
+        fact("o_custkey") === dim("o_custkey") &&
+          col("eff_from") <= col("l_shipdate") &&
+          (col("valid_to").isNull || col("valid_to") > col("l_shipdate")))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("total_price"))
+  }
+
+  val qScd2JoinSql: String =
+    s"WITH dim0 AS ($qScd2Sql), " +
+      "dim AS (SELECT o_custkey, o_orderpriority, valid_to, " +
+      "CASE WHEN version = 1 THEN TIMESTAMP '1900-01-01' ELSE valid_from END AS eff_from " +
+      "FROM dim0), " +
+      "f AS (SELECT o_custkey AS ck, l_shipdate AS sd, l_extendedprice AS px " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey) " +
+      "SELECT d.o_orderpriority, count(*) AS n_items, " +
+      s"${sqlDsum("px")} AS total_price " +
+      "FROM f JOIN dim d ON f.ck = d.o_custkey " +
+      "AND d.eff_from <= f.sd AND (d.valid_to IS NULL OR d.valid_to > f.sd) " +
+      "GROUP BY 1"
+
   // ── Time travel: point-in-time snapshots from SCD2 intervals ───────────
   // Reconstruct the dimension AS OF each year-end snapshot date — the
   // whole point of keeping Type-2 history: a version is current at D iff
@@ -974,6 +1017,7 @@ object Relational {
   /** All (name → query) pairs this module contributes. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_table_checksum"  -> qTableChecksum _,
+    "q_scd2_join"       -> qScd2Join _,
     "q_cdc_delete"      -> qCdcDelete _,
     "q_scd2"            -> qScd2 _,
     "q_time_travel"     -> qTimeTravel _,
@@ -1021,6 +1065,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q_table_checksum"  -> qTableChecksumSql,
+    "q_scd2_join"       -> qScd2JoinSql,
     "q_cdc_delete"      -> qCdcDeleteSql,
     "q_scd2"            -> qScd2Sql,
     "q_time_travel"     -> qTimeTravelSql,

@@ -263,6 +263,32 @@ class EventSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("running distinct: every fact lands once, curve ends at total users") {
+    val rows = EventQueries.qRunningDistinct(spark, sf).collect()
+      .sortBy(_.getAs[java.sql.Date]("day").getTime)
+    assert(rows.nonEmpty)
+    // new_users sums to the cumulative tail, and the curve is monotone
+    assert(rows.map(_.getAs[Long]("new_users")).sum ===
+      rows.last.getAs[Long]("cum_users"))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("cum_users") ===
+          a.getAs[Long]("cum_users") + b.getAs[Long]("new_users"))
+      case _ =>
+    }
+    val totalUsers = Tables.events(spark, sf)
+      .select($"user_id").distinct().count()
+    assert(rows.last.getAs[Long]("cum_users") === totalUsers)
+  }
+
+  test("SCD2 fact join attributes every line item to exactly one version") {
+    val got = graft.queries.Relational.qScd2Join(spark, sf).collect()
+    assert(got.nonEmpty)
+    // conservation: version attribution never drops or duplicates facts
+    val totalItems = Tables.lineitem(spark, sf).count()
+    assert(got.map(_.getAs[Long]("n_items")).sum === totalItems)
+  }
+
   test("table checksum is partition-order-invariant and detects a single edit") {
     val a = graft.queries.Relational.qTableChecksum(spark, sf).collect().head
     // recompute over a differently-partitioned copy of the same rows
