@@ -518,6 +518,47 @@ object Relational {
       "THEN o_totalprice + 100.0 ELSE o_totalprice END AS p2 " +
       "FROM orders) m GROUP BY 1"
 
+  // ── Skyline (Pareto frontier): best price × recency orders ─────────────
+  // The multi-criteria "best offers" query: orders not STRICTLY dominated
+  // on both price and date by any other. Naive skyline is a NOT EXISTS
+  // self-join (the oracle spelling, quadratic); the distributed plan
+  // prunes first: per price-BUCKET max dates (hundreds of rows) carry a
+  // running max from strictly-higher buckets — any row older than its
+  // bucket's carry is provably dominated (higher bucket ⇒ strictly higher
+  // price) and is dropped BEFORE the precise pass, which then runs the
+  // per-distinct-price cummax trick on the tiny candidate set. A chain
+  // argument makes the prefilter lossless: any dominator of a surviving
+  // candidate is itself a candidate. Expected skyline of random data is
+  // O(log n) rows — the only unpartitioned window here sees candidates,
+  // not the fact table.
+  def qSkyline(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+    val bucketed = o.withColumn("bucket", floor(col("o_totalprice") / 5000).cast("long"))
+    val bucketMax = bucketed.groupBy(col("bucket"))
+      .agg(max(col("o_orderdate")).as("bmax"))
+    val wB = org.apache.spark.sql.expressions.Window.orderBy(col("bucket").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val carry = bucketMax.withColumn("hi_b", max(col("bmax")).over(wB))
+      .select(col("bucket"), col("hi_b"))
+    val candidates = bucketed.join(broadcast(carry), Seq("bucket"))
+      .filter(col("hi_b").isNull || col("o_orderdate") >= col("hi_b"))
+    val byPrice = candidates.groupBy(col("o_totalprice").as("px"))
+      .agg(max(col("o_orderdate")).as("dmax"))
+    val wP = org.apache.spark.sql.expressions.Window.orderBy(col("px").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val hi = byPrice.withColumn("hi", max(col("dmax")).over(wP))
+      .select(col("px"), col("hi"))
+    candidates.join(hi, col("o_totalprice") === col("px"))
+      .filter(col("hi").isNull || col("o_orderdate") >= col("hi"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+  }
+
+  val qSkylineSql: String =
+    "SELECT o_orderkey, o_totalprice, o_orderdate FROM orders b " +
+      "WHERE NOT EXISTS (SELECT 1 FROM orders a " +
+      "WHERE a.o_totalprice > b.o_totalprice AND a.o_orderdate > b.o_orderdate)"
+
   // ── Order-independent table checksum (replica reconciliation) ──────────
   // Compare two replicas of a table WITHOUT moving either: each row
   // canonicalizes to a typed string (decimals and epoch-days, never raw
@@ -1017,6 +1058,7 @@ object Relational {
   /** All (name → query) pairs this module contributes. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_table_checksum"  -> qTableChecksum _,
+    "q_skyline"         -> qSkyline _,
     "q_scd2_join"       -> qScd2Join _,
     "q_cdc_delete"      -> qCdcDelete _,
     "q_scd2"            -> qScd2 _,
@@ -1065,6 +1107,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q_table_checksum"  -> qTableChecksumSql,
+    "q_skyline"         -> qSkylineSql,
     "q_scd2_join"       -> qScd2JoinSql,
     "q_cdc_delete"      -> qCdcDeleteSql,
     "q_scd2"            -> qScd2Sql,

@@ -263,6 +263,20 @@ class EventSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("skyline equals the brute-force non-dominated set") {
+    val got = graft.queries.Relational.qSkyline(spark, sf).collect()
+      .map(_.getAs[Long]("o_orderkey")).toSet
+    val rows = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_totalprice",
+        unix_micros($"o_orderdate".cast("timestamp"))).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val want = rows.filter { b =>
+      !rows.exists(a => a._2 > b._2 && a._3 > b._3)
+    }.map(_._1).toSet
+    assert(got === want)
+    assert(got.nonEmpty && got.size < rows.length / 10) // frontier is small
+  }
+
   test("running distinct: every fact lands once, curve ends at total users") {
     val rows = EventQueries.qRunningDistinct(spark, sf).collect()
       .sortBy(_.getAs[java.sql.Date]("day").getTime)
