@@ -582,6 +582,37 @@ object EventQueries {
       "FROM (SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bucket, " +
       "count(*) AS cnt FROM events GROUP BY 1, 2) a) b WHERE rnk = 1"
 
+  // ── Activity bitmap: a 64-bit day mask per user ────────────────────────
+  // The bitmap-index trick: a user's whole activity calendar collapses to
+  // ONE long (bit i = active on anchor+i), built by a bit_or aggregate —
+  // set algebra on user activity (retention = AND, churn = ANDNOT)
+  // becomes bitwise ops on 8 bytes instead of joins on day sets. The
+  // anchor is the corpus min day (scalar broadcast); bit_count gives
+  // active days back without re-expanding. One long covers a 64-day
+  // horizon — the fixture's span; a longer calendar shards the mask by
+  // (user, 64-day epoch) and the set algebra still works per shard.
+  def qActivityBitmap(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_num"))
+    val anchor = days.agg(min(col("day_num")).as("d0"))
+    days.crossJoin(broadcast(anchor))
+      .groupBy(col("user_id"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(day_num - d0 AS INT)))")
+        .as("day_mask"))
+      .select(col("user_id"), col("day_mask"),
+        expr("CAST(bit_count(day_mask) AS BIGINT)").as("active_days"))
+  }
+
+  val qActivityBitmapSql: String =
+    "WITH days AS (SELECT user_id, " +
+      "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num FROM events), " +
+      "anchor AS (SELECT min(day_num) AS d0 FROM days) " +
+      "SELECT user_id, bit_or(CAST(1 AS BIGINT) << CAST(day_num - d0 AS INT)) AS day_mask, " +
+      "CAST(bit_count(bit_or(CAST(1 AS BIGINT) << CAST(day_num - d0 AS INT))) AS BIGINT) " +
+      "AS active_days FROM days, anchor GROUP BY 1"
+
   // ── Cumulative distinct adoption (running COUNT DISTINCT) ──────────────
   // Daily new + cumulative distinct users — the adoption curve. Windowed
   // COUNT(DISTINCT) doesn't exist in either engine; the scalable spelling
@@ -929,6 +960,7 @@ object EventQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_streaks"          -> qStreaks _,
     "q_running_distinct" -> qRunningDistinct _,
+    "q_activity_bitmap"  -> qActivityBitmap _,
     "q_concurrency"      -> qConcurrency _,
     "q_ab_test"          -> qAbTest _,
     "q_attribution"      -> qAttribution _,
@@ -960,6 +992,7 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "q_streaks"          -> qStreaksSql,
     "q_running_distinct" -> qRunningDistinctSql,
+    "q_activity_bitmap"  -> qActivityBitmapSql,
     "q_concurrency"      -> qConcurrencySql,
     "q_ab_test"          -> qAbTestSql,
     "q_attribution"      -> qAttributionSql,

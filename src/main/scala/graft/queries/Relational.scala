@@ -629,6 +629,36 @@ object Relational {
       "SELECT custkey, bal FROM r WHERE rn = 1 AND op <> 'D'"
   }
 
+  // ── Snapshot diff (audit of a CDC apply) ───────────────────────────────
+  // What did the merge DO? Diff the post-CDC snapshot against the base:
+  // full-outer on the key, classify added / removed / changed /
+  // unchanged, count each. Composes directly over qCdcDelete — the audit
+  // every pipeline wants after an apply, and at scale it's one key-join
+  // of two snapshots (the fact volume of the change feed never appears).
+  def qSnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey").as("bk"), col("c_acctbal").as("bbal"))
+    val applied = qCdcDelete(s, d)
+      .select(col("custkey").as("ak"), col("bal").as("abal"))
+    base.join(applied, col("bk") === col("ak"), "full_outer")
+      .select(
+        when(col("bk").isNull, "added")
+          .when(col("ak").isNull, "removed")
+          .when(col("abal") =!= col("bbal"), "changed")
+          .otherwise("unchanged").as("change_type"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val qSnapshotDiffSql: String =
+    s"WITH applied AS ($qCdcDeleteSql) " +
+      "SELECT change_type, count(*) AS n FROM (" +
+      "SELECT CASE WHEN b.c_custkey IS NULL THEN 'added' " +
+      "WHEN a.custkey IS NULL THEN 'removed' " +
+      "WHEN a.bal <> b.c_acctbal THEN 'changed' ELSE 'unchanged' END AS change_type " +
+      "FROM customer b FULL OUTER JOIN applied a ON b.c_custkey = a.custkey) t " +
+      "GROUP BY 1"
+
   // ── Z-order clustering (multi-dimensional data layout) ─────────────────
   // The lakehouse OPTIMIZE ZORDER BY primitive: interleave the bits of two
   // dimension keys so rows close in BOTH dimensions land in the same
@@ -1059,6 +1089,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_table_checksum"  -> qTableChecksum _,
     "q_skyline"         -> qSkyline _,
+    "q_snapshot_diff"   -> qSnapshotDiff _,
     "q_scd2_join"       -> qScd2Join _,
     "q_cdc_delete"      -> qCdcDelete _,
     "q_scd2"            -> qScd2 _,
@@ -1108,6 +1139,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q_table_checksum"  -> qTableChecksumSql,
     "q_skyline"         -> qSkylineSql,
+    "q_snapshot_diff"   -> qSnapshotDiffSql,
     "q_scd2_join"       -> qScd2JoinSql,
     "q_cdc_delete"      -> qCdcDeleteSql,
     "q_scd2"            -> qScd2Sql,

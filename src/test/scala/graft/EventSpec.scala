@@ -263,6 +263,37 @@ class EventSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("snapshot diff partitions all keys and agrees with the CDC merge") {
+    val got = graft.queries.Relational.qSnapshotDiff(spark, sf).collect()
+      .map(r => r.getAs[String]("change_type") -> r.getAs[Long]("n")).toMap
+    val base = Tables.customer(spark, sf).count()
+    val applied = graft.queries.Relational.qCdcDelete(spark, sf).count()
+    // every base key is removed/changed/unchanged; every applied key is
+    // added/changed/unchanged
+    assert(got.getOrElse("removed", 0L) + got.getOrElse("changed", 0L) +
+      got.getOrElse("unchanged", 0L) === base)
+    assert(got.getOrElse("added", 0L) + got.getOrElse("changed", 0L) +
+      got.getOrElse("unchanged", 0L) === applied)
+    assert(got.getOrElse("changed", 0L) > 0L && got.getOrElse("removed", 0L) > 0L)
+  }
+
+  test("activity bitmap round-trips the day set and counts it") {
+    val got = EventQueries.qActivityBitmap(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("day_mask"), r.getAs[Long]("active_days")))).toMap
+    val days = Tables.events(spark, sf)
+      .select($"user_id", datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
+        .cast("long")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val d0 = days.map(_._2).min
+    days.groupBy(_._1).foreach { case (u, rs) =>
+      val want = rs.map(_._2 - d0).toSet
+      val (mask, n) = got(u)
+      assert(n === want.size.toLong)
+      assert((0 to 63).filter(i => (mask & (1L << i)) != 0).map(_.toLong).toSet
+        === want)
+    }
+  }
+
   test("skyline equals the brute-force non-dominated set") {
     val got = graft.queries.Relational.qSkyline(spark, sf).collect()
       .map(_.getAs[Long]("o_orderkey")).toSet
