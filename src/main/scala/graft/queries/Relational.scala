@@ -629,6 +629,78 @@ object Relational {
       "SELECT custkey, bal FROM r WHERE rn = 1 AND op <> 'D'"
   }
 
+  // ── Benford first-digit audit (fraud/DQ forensics) ─────────────────────
+  // Does the amount column follow Benford's law? The classic forensic
+  // screen for fabricated numbers. The leading digit comes from the
+  // DECIMAL's string form (never double formatting, never log10 — both
+  // are engine-divergent near powers of ten); observed shares are exact
+  // count ratios and the expected Benford share log10(1+1/d) is one
+  // rounded libm call per digit row. Single scan, nine-row output.
+  def qBenford(s: SparkSession, d: String): DataFrame = {
+    val total = Tables.orders(s, d).agg(count(lit(1)).as("tot"))
+    Tables.orders(s, d)
+      .select(substring(col("o_totalprice").cast(DecimalType(18, 2))
+        .cast("string"), 1, 1).as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("tot"), 6).as("observed"),
+        round(log(10.0, lit(1.0) + lit(1.0) /
+          col("digit").cast("double")), 6).as("benford"))
+  }
+
+  val qBenfordSql: String =
+    "WITH tot AS (SELECT count(*) AS tot FROM orders), " +
+      "d AS (SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) " +
+      "AS digit, count(*) AS n FROM orders GROUP BY 1) " +
+      "SELECT digit, n, round(CAST(n AS DOUBLE) / tot, 6) AS observed, " +
+      "round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford " +
+      "FROM d, tot"
+
+  // ── Mann–Whitney rank-sum (nonparametric A/B readout) ──────────────────
+  // The distribution-free sibling of q_ab_test: compare the two md5
+  // arms' value distributions by rank sum. Ranks are integers from one
+  // value-ordered window (event_id tiebreak makes them unique and
+  // engine-identical), so U = R₁ − n₁(n₁+1)/2 is exact integer algebra;
+  // the normal-approximation z-score is assembled from those integers in
+  // one rounded expression. Detects location shifts the t-test misses
+  // under heavy tails — and the fixture IS heavy-tailed.
+  def qRankSum(s: SparkSession, d: String): DataFrame = {
+    val arm = graft.functions.Md5Bits.hash60(
+      concat(lit("ab:"), col("user_id"))) % 2
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("arm", arm)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") =!= 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 0, col("rk"))).as("r0"))
+      .filter(col("n0") > 0 && col("n1") > 0)
+      .withColumn("u0", col("r0") - expr("(n0 * (n0 + 1)) div 2"))
+      .select(col("event_type"), col("n0"), col("n1"), col("u0"),
+        round((col("u0").cast("double") - col("n0") * col("n1") / 2.0) /
+          sqrt(col("n0").cast("double") * col("n1") * (col("n0") + col("n1") + 1) / 12.0), 6)
+          .as("z"))
+  }
+
+  val qRankSumSql: String = {
+    val arm = graft.functions.Md5Bits.sqlHash60("'ab:' || CAST(user_id AS VARCHAR)") + " % 2"
+    "SELECT event_type, n0, n1, u0, " +
+      "round((CAST(u0 AS DOUBLE) - n0 * n1 / 2.0) / " +
+      "sqrt(CAST(n0 AS DOUBLE) * n1 * (n0 + n1 + 1) / 12.0), 6) AS z " +
+      "FROM (SELECT event_type, n0, n1, r0 - (n0 * (n0 + 1)) // 2 AS u0 FROM (" +
+      s"SELECT event_type, " +
+      s"CAST(sum(CASE WHEN $arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, " +
+      s"CAST(sum(CASE WHEN $arm <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+      s"CAST(sum(CASE WHEN $arm = 0 THEN rk END) AS BIGINT) AS r0 FROM (" +
+      "SELECT event_type, user_id, " +
+      "CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rk " +
+      "FROM events) r GROUP BY 1) a WHERE n0 > 0 AND n1 > 0) b"
+  }
+
   // ── Snapshot diff (audit of a CDC apply) ───────────────────────────────
   // What did the merge DO? Diff the post-CDC snapshot against the base:
   // full-outer on the key, classify added / removed / changed /
@@ -1090,6 +1162,8 @@ object Relational {
     "q_table_checksum"  -> qTableChecksum _,
     "q_skyline"         -> qSkyline _,
     "q_snapshot_diff"   -> qSnapshotDiff _,
+    "q_benford"         -> qBenford _,
+    "q_rank_sum"        -> qRankSum _,
     "q_scd2_join"       -> qScd2Join _,
     "q_cdc_delete"      -> qCdcDelete _,
     "q_scd2"            -> qScd2 _,
@@ -1140,6 +1214,8 @@ object Relational {
     "q_table_checksum"  -> qTableChecksumSql,
     "q_skyline"         -> qSkylineSql,
     "q_snapshot_diff"   -> qSnapshotDiffSql,
+    "q_benford"         -> qBenfordSql,
+    "q_rank_sum"        -> qRankSumSql,
     "q_scd2_join"       -> qScd2JoinSql,
     "q_cdc_delete"      -> qCdcDeleteSql,
     "q_scd2"            -> qScd2Sql,

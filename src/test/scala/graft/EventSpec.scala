@@ -263,6 +263,40 @@ class EventSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("Benford digits cover all observations; shares sum to 1") {
+    val rows = graft.queries.Relational.qBenford(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum === total)
+    assert(math.abs(rows.map(_.getAs[Double]("observed")).sum - 1.0) < 1e-4)
+    rows.foreach { r =>
+      val d = r.getAs[String]("digit").toInt
+      assert(d >= 1 && d <= 9)
+      assert(math.abs(r.getAs[Double]("benford") -
+        math.log10(1.0 + 1.0 / d)) < 1e-5)
+    }
+  }
+
+  test("rank-sum U matches a driver-side computation from tie-broken ranks") {
+    val got = graft.queries.Relational.qRankSum(spark, sf).collect()
+    assert(got.nonEmpty)
+    val rows = Tables.events(spark, sf)
+      .select($"event_type", $"user_id", $"value", $"event_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    got.foreach { g =>
+      val t = g.getAs[String]("event_type")
+      val ranked = rows.filter(_._1 == t).sortBy(r => (r._3, r._4)).zipWithIndex
+      val r0 = ranked.filter { case ((_, u, _, _), _) =>
+        graft.functions.Md5Bits.hash60(s"ab:$u") % 2 == 0
+      }.map(_._2.toLong + 1L).sum
+      val n0 = g.getAs[Long]("n0"); val n1 = g.getAs[Long]("n1")
+      assert(g.getAs[Long]("u0") === r0 - n0 * (n0 + 1) / 2)
+      val z = (g.getAs[Long]("u0").toDouble - n0 * n1 / 2.0) /
+        math.sqrt(n0.toDouble * n1 * (n0 + n1 + 1) / 12.0)
+      assert(math.abs(g.getAs[Double]("z") - z) < 1e-5)
+    }
+  }
+
   test("snapshot diff partitions all keys and agrees with the CDC merge") {
     val got = graft.queries.Relational.qSnapshotDiff(spark, sf).collect()
       .map(r => r.getAs[String]("change_type") -> r.getAs[Long]("n")).toMap
