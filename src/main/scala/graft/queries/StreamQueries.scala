@@ -122,6 +122,29 @@ object StreamQueries {
         col("purchase_value"))
   }
 
+  /** KV change-feed backfill through the connector's MicroBatchStream:
+    * rebuild a dedicated feed table via the DSv2 overwrite path (truncate
+    * starts a fresh put log), then stream the log with AvailableNow —
+    * the DynamoDB-Streams shape end-to-end: batch write → change feed →
+    * streaming read, all through `format("graft-kv")`. The feed replays
+    * exactly the rows written (unique keys, one put each), so the batch
+    * customer slice is the oracle. */
+  def qKvChangefeed(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val table = "kv_feed_gate"
+    val src = graft.Tables.customer(s, d)
+      .filter(col("c_custkey") <= 40)
+      .select(col("c_custkey").as("custkey"), col("c_name").as("name"))
+    graft.sources.kv.KvStore.register(table, "custkey", src.schema)
+    src.write.format("graft-kv").option("table", table)
+      .mode("overwrite").save()
+    val feed = s.readStream.format("graft-kv").option("table", table).load()
+    runToMemory(s, feed, OutputMode.Append())
+  }
+
+  val qKvChangefeedSql: String =
+    "SELECT c_custkey AS custkey, c_name AS name FROM customer WHERE c_custkey <= 40"
+
   /** Streaming LEFT OUTER interval join backfill. Null-side emission is
     * watermark-gated: an unmatched click emits only once the global
     * watermark (min over both inputs of max-event-time − delay) passes
@@ -293,6 +316,7 @@ object StreamQueries {
     "q_stream_running"  -> qStreamRunning _,
     "q_stream_join"     -> qStreamJoin _,
     "q_stream_left_join" -> qStreamLeftJoin _,
+    "q_kv_changefeed"   -> qKvChangefeed _,
   )
 
   /** Same ground truth as the batch forms — that is the point. */
@@ -306,5 +330,6 @@ object StreamQueries {
     "q_stream_running"  -> qStreamRunningSql,
     "q_stream_join"     -> qStreamJoinSql,
     "q_stream_left_join" -> qStreamLeftJoinSql,
+    "q_kv_changefeed"   -> qKvChangefeedSql,
   )
 }

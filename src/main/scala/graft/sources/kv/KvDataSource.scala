@@ -65,8 +65,13 @@ class KvDataSource extends TableProvider
   * stored as plain Scala rows (`Seq[Any]` aligned to the schema) so
   * reader partitions can prune attributes positionally. */
 object KvStore {
+  /** `changes` is the table's append-only put log — the DynamoDB-Streams
+    * analog the streaming read path replays. CopyOnWriteArrayList:
+    * index-sliceable snapshots under concurrent appends. */
   final case class TableData(keyCol: String, schema: StructType,
-      items: TrieMap[String, Seq[Any]])
+      items: TrieMap[String, Seq[Any]],
+      changes: java.util.concurrent.CopyOnWriteArrayList[Seq[Any]] =
+        new java.util.concurrent.CopyOnWriteArrayList[Seq[Any]])
 
   private val tables = TrieMap.empty[String, TableData]
 
@@ -100,6 +105,7 @@ object KvStore {
     val ki = t.schema.fieldIndex(t.keyCol)
     rows.foreach { r =>
       t.items.put(String.valueOf(r(ki)), r)
+      t.changes.add(r)
       writeCounter.add(units(itemBytes(r), 1024))
     }
   }
@@ -109,7 +115,11 @@ object KvStore {
   private[kv] def readUnits(fullRow: Seq[Any]): Unit =
     readCounter.add(units(itemBytes(fullRow), 4096))
 
-  def truncate(name: String): Unit = data(name).items.clear()
+  def truncate(name: String): Unit = {
+    val t = data(name)
+    t.items.clear()
+    t.changes.clear() // a rebuilt table starts a fresh change feed
+  }
   def exists(name: String): Boolean = tables.contains(name)
   def schemaOf(name: String): StructType = data(name).schema
   def data(name: String): TableData =
@@ -123,7 +133,7 @@ class KvTable(table: String, schema0: StructType, partitions: Int)
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KvScanBuilder(table, schema0, partitions)
@@ -181,6 +191,66 @@ class KvScan(table: String, full: StructType, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new KvReaderFactory(required)
+
+  /** Streaming read: replay the table's put log — the DynamoDB-Streams
+    * shape. Offsets are log positions, so checkpoint recovery is exact:
+    * a resumed query replays precisely the puts that landed after its
+    * committed offset (KvSourceSpec pins this), and projection pruning
+    * applies to the feed the same as to a scan. */
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new KvMicroBatchStream(table, full, required)
+}
+
+case class KvOffset(n: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = n.toString
+}
+
+class KvMicroBatchStream(table: String, full: StructType, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+  override def initialOffset(): Offset = KvOffset(0L)
+  override def latestOffset(): Offset =
+    KvOffset(KvStore.data(table).changes.size().toLong)
+  override def deserializeOffset(json: String): Offset = KvOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val prunedIdx = required.fieldNames.map(full.fieldIndex)
+    Array(KvFeedPartition(table,
+      start.asInstanceOf[KvOffset].n, end.asInstanceOf[KvOffset].n, prunedIdx))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KvFeedReaderFactory
+}
+
+/** One change-log slice [from, until) — replayed in put order. */
+case class KvFeedPartition(table: String, from: Long, until: Long,
+    prunedIdx: Array[Int]) extends InputPartition
+
+class KvFeedReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[KvFeedPartition]
+    val data = KvStore.data(part.table)
+    val converters = part.prunedIdx.map(i => KvConvert.toCatalyst(data.schema(i).dataType))
+    new PartitionReader[InternalRow] {
+      private var pos = part.from
+      private var current: InternalRow = _
+      override def next(): Boolean = pos < part.until && {
+        val r = data.changes.get(pos.toInt)
+        pos += 1
+        current = InternalRow.fromSeq(part.prunedIdx.indices.map(j =>
+          converters(j)(r(part.prunedIdx(j)))))
+        KvStore.readUnits(r)
+        true
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** Serializable slice descriptor: segment `idx` of `n` by stable key hash
