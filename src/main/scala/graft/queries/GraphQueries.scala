@@ -307,8 +307,7 @@ object GraphQueries {
 
   def qSssp(s: SparkSession, d: String): DataFrame = {
     val e = weightedEdges(s, d)
-    val source = e.agg(least(min(col("src")), min(col("dst")))).head.getLong(0)
-    ssspDistances(e, source, SsspRounds)
+    ssspDistances(e, hubNode(e.select(col("src"), col("dst"))), SsspRounds)
   }
 
   private def ssspIter(prev: String): String =
@@ -328,17 +327,31 @@ object GraphQueries {
       s"GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= $MinSupport), " +
       "sym AS MATERIALIZED (SELECT src AS a, dst AS b, w FROM e " +
       "UNION ALL SELECT dst, src, w FROM e), " +
-      "s0 AS MATERIALIZED (SELECT node, CASE WHEN node = (SELECT min(a) FROM sym) " +
+      s"s0 AS MATERIALIZED (SELECT node, CASE WHEN node = $SqlHub " +
       "THEN CAST(0 AS BIGINT) ELSE NULL END AS dist FROM " +
       "(SELECT DISTINCT a AS node FROM sym) n), " +
       rounds + " " +
       s"SELECT node, dist FROM s$SsspRounds WHERE dist IS NOT NULL"
   }
 
+  /** Deterministic source that lands in a REAL component: the
+    * max-degree node (min id tiebreak). The min-id node sits in a 2-node
+    * component at sf0.1 — a frontier walk from it proves nothing. */
+  private def hubNode(e: DataFrame): Long =
+    e.select(col("src").as("a")).unionAll(e.select(col("dst").as("a")))
+      .groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("a").asc).limit(1)
+      .head.getLong(0)
+
+  // a def, not a val: qSsspSql initializes before this point in the
+  // object body and a val would interpolate as null
+  private def SqlHub: String =
+    "(SELECT a FROM (SELECT a, count(*) AS deg FROM sym GROUP BY 1) dg " +
+      "ORDER BY deg DESC, a LIMIT 1)"
+
   def qBfs(s: SparkSession, d: String): DataFrame = {
     val e = supportedEdges(s, d, MinSupport)
-    val source = e.agg(least(min(col("src")), min(col("dst")))).head.getLong(0)
-    bfsDistances(e, source, BfsRounds)
+    bfsDistances(e, hubNode(e), BfsRounds)
       .groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
   }
 
@@ -355,7 +368,7 @@ object GraphQueries {
       "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
       s"GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= $MinSupport), " +
       "sym AS MATERIALIZED (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e), " +
-      "b0 AS MATERIALIZED (SELECT node, CASE WHEN node = (SELECT min(a) FROM sym) " +
+      s"b0 AS MATERIALIZED (SELECT node, CASE WHEN node = $SqlHub " +
       "THEN CAST(0 AS BIGINT) ELSE NULL END AS dist FROM " +
       "(SELECT DISTINCT a AS node FROM sym) n), " +
       rounds + " " +
