@@ -395,6 +395,44 @@ object TextQueries {
       s"CAST(floor((length(text) - 1) / $ChunkStride) AS BIGINT)))) AS q " +
       "FROM documents) u) a"
 
+  // ── Weighted Bernoulli sampling (rate-proportional curation) ───────────
+  // The zero-shuffle sibling of q_sample_stratified: instead of exact
+  // per-stratum quotas (which need a per-stratum ranking shuffle), each
+  // doc keeps or drops INDEPENDENTLY with a language-dependent rate —
+  // keep iff md5-hash(salt+id) mod 10⁴ < bps(lang). A pure filter:
+  // no shuffle, no sort, no state, embarrassingly parallel at any scale,
+  // and deterministic — the same doc survives on every engine, run, and
+  // cluster size (the property "sample twice, get the same corpus"
+  // training reproducibility depends on). The query reports per-language
+  // achieved rates against the configured bps.
+  private val SampleBps: Map[String, Int] =
+    Map("en" -> 8000, "de" -> 5000, "fr" -> 5000) // others 2000
+  private val DefaultBps = 2000
+
+  def qSampleWeighted(s: SparkSession, d: String): DataFrame = {
+    val bps = SampleBps.foldLeft(lit(DefaultBps)) { case (acc, (l, b)) =>
+      when(col("lang") === l, lit(b)).otherwise(acc)
+    }
+    val kept = (graft.functions.Md5Bits.hash60(
+      concat(lit("ws:"), col("doc_id"))) % 10000 < bps)
+    Tables.documents(s, d)
+      .select(col("lang"), when(kept, 1L).otherwise(0L).as("k"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("k")).cast("long").as("n_kept"))
+      .withColumn("rate", round(col("n_kept").cast("double") / col("n_docs"), 6))
+  }
+
+  val qSampleWeightedSql: String = {
+    val h = graft.functions.Md5Bits.sqlHash60("'ws:' || CAST(doc_id AS VARCHAR)")
+    val bps = "CASE " + SampleBps.toSeq.sortBy(_._1).map { case (l, b) =>
+      s"WHEN lang = '$l' THEN $b" }.mkString(" ") + s" ELSE $DefaultBps END"
+    s"SELECT lang, count(*) AS n_docs, " +
+      s"CAST(sum(CASE WHEN $h % 10000 < $bps THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+      s"round(CAST(sum(CASE WHEN $h % 10000 < $bps THEN 1 ELSE 0 END) AS BIGINT) " +
+      "/ CAST(count(*) AS DOUBLE), 6) AS rate " +
+      "FROM documents GROUP BY 1"
+  }
+
   // ── Bigram LM scoring (model-based quality signal) ─────────────────────
   // KenLM-style corpus filtering in miniature: fit a bigram model on the
   // corpus itself (P(w2|w1) = c(w1 w2) / prefix-count(w1)), then score
@@ -537,6 +575,7 @@ object TextQueries {
     "q_vocab"          -> qVocab _,
     "q_pmi"            -> qPmi _,
     "q_lm_score"       -> qLmScore _,
+    "q_sample_weighted" -> qSampleWeighted _,
     "q_chunk"          -> qChunk _,
     "q_inverted_index" -> qInvertedIndex _,
     "q_sample_hash"   -> qSampleHash _,
@@ -556,6 +595,7 @@ object TextQueries {
     "q_vocab"          -> qVocabSql,
     "q_pmi"            -> qPmiSql,
     "q_lm_score"       -> qLmScoreSql,
+    "q_sample_weighted" -> qSampleWeightedSql,
     "q_chunk"          -> qChunkSql,
     "q_inverted_index" -> qInvertedIndexSql,
     "q_sample_hash"   -> qSampleHashSql,

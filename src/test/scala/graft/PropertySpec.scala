@@ -430,6 +430,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("weighted Bernoulli sampling matches the driver-side hash rule exactly") {
+    val got = graft.queries.TextQueries.qSampleWeighted(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept")))).toMap
+    assert(got.nonEmpty)
+    val bps = Map("en" -> 8000L, "de" -> 5000L, "fr" -> 5000L).withDefaultValue(2000L)
+    val docs = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    docs.groupBy(_._2).foreach { case (lang, rs) =>
+      val kept = rs.count { case (id, l) =>
+        graft.functions.Md5Bits.hash60(s"ws:$id") % 10000 < bps(l)
+      }
+      assert(got(lang) === ((rs.length.toLong, kept.toLong)), s"lang $lang")
+    }
+    // higher-rate strata keep proportionally more (the weighting is real)
+    val en = got.get("en"); val rest = (got - "en").values
+    en.foreach { case (n, k) =>
+      assert(rest.forall { case (n2, k2) =>
+        k.toDouble / n > k2.toDouble / n2 })
+    }
+  }
+
   test("PMI pairs match a driver-side co-occurrence recomputation") {
     val got = graft.queries.TextQueries.qPmi(spark, sf).collect()
     assert(got.nonEmpty)
