@@ -474,7 +474,29 @@ object DedupQueries {
       "FROM ranked WHERE rk = 1"
   }
 
+  // ── Canonical (near-exact) dedup ───────────────────────────────────────
+  // The stage between exact dedup and MinHash: normalize away the
+  // differences that never matter (case, punctuation, whitespace runs)
+  // and group by the canonical md5 — catches the reformatted-copy
+  // duplicates exact byte-hashing misses at zero candidate-generation
+  // cost. Survivor = min doc_id per canonical group, the same
+  // deterministic rule the exact and fuzzy stages use; only 16-byte
+  // digests shuffle.
+  def qDedupCanonical(s: SparkSession, d: String): DataFrame = {
+    val canon = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(canon).as("canon_md5"))
+      .groupBy(col("canon_md5"))
+      .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_members"))
+  }
+
+  val qDedupCanonicalSql: String =
+    "SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS canon_md5, " +
+      "min(doc_id) AS survivor_id, count(*) AS n_members " +
+      "FROM documents GROUP BY 1"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_canonical" -> qDedupCanonical _,
     "q_entity_resolution" -> qEntityResolution _,
     "q_fuzzy_match"   -> qFuzzyMatch _,
     "q_winnow_overlap" -> qWinnowOverlap _,
@@ -486,6 +508,7 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_canonical" -> qDedupCanonicalSql,
     "q_entity_resolution" -> qEntityResolutionSql,
     "q_fuzzy_match"    -> qFuzzyMatchSql,
     "q_dedup_exact"    -> qDedupExactSql,

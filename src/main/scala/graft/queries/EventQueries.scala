@@ -732,6 +732,64 @@ object EventQueries {
       "FROM daily WINDOW w AS (PARTITION BY dow)) " +
       "SELECT day, dow, rev, baseline, round(rev - baseline, 6) AS deviation FROM b"
 
+  // ── Bounded-heap top-k per group (partial-agg, no window sort) ─────────
+  // Top-3 events per type through the SAME TopKAggregator the knn path
+  // uses — proving the bounded heap is a general operator, not a vector
+  // special case. Against the window spelling (row_number ≤ k), the
+  // aggregator partial-aggregates: each map task ships at most k rows per
+  // group to the shuffle instead of sorting the whole partition — the
+  // difference between O(k·partitions) and O(corpus) through the
+  // exchange at scale. The oracle IS the window spelling, so the
+  // equivalence is hash-proven, not assumed.
+  def qTopkHeapGroups(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(3))
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(topk(col("event_id"), col("value")).as("top"))
+      .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "n")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rnk"),
+        col("n.id").as("event_id"), col("n.sim").as("value"))
+  }
+
+  val qTopkHeapGroupsSql: String =
+    "SELECT event_type, rnk, event_id, value FROM (" +
+      "SELECT event_type, event_id, value, " +
+      "CAST(row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) " +
+      "AS BIGINT) AS rnk FROM events) r WHERE rnk <= 3"
+
+  // ── RFM segmentation (recency / frequency / monetary quartiles) ────────
+  // The marketing-analytics standard: per-user recency (latest activity),
+  // frequency (event count), monetary (exact cents), each cut into
+  // quartiles, concatenated into the 111–444 segment code. The ntile
+  // windows run on the PER-USER aggregate (already reduced by the one key
+  // shuffle) — user-count rows, not event rows; at extreme user counts
+  // the same shape swaps ntile for precomputed approx-quantile breaks.
+  // Quartile 1 = best (most recent / most frequent / highest spend);
+  // user_id tiebreaks make every cut deterministic.
+  def qRfm(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("r"),
+        count(lit(1)).as("f"),
+        (sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))) * 100)
+          .cast("long").as("m"))
+    val rq = ntile(4).over(Window.orderBy(col("r").desc, col("user_id"))).cast("long")
+    val fq = ntile(4).over(Window.orderBy(col("f").desc, col("user_id"))).cast("long")
+    val mq = ntile(4).over(Window.orderBy(col("m").desc, col("user_id"))).cast("long")
+    per.select(col("user_id"), rq.as("r_q"), fq.as("f_q"), mq.as("m_q"))
+      .withColumn("rfm_code", col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+  }
+
+  val qRfmSql: String =
+    "WITH per AS (SELECT user_id, max(epoch_us(ts)) AS r, count(*) AS f, " +
+      "CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS m " +
+      "FROM events GROUP BY 1), " +
+      "q AS (SELECT user_id, " +
+      "CAST(ntile(4) OVER (ORDER BY r DESC, user_id) AS BIGINT) AS r_q, " +
+      "CAST(ntile(4) OVER (ORDER BY f DESC, user_id) AS BIGINT) AS f_q, " +
+      "CAST(ntile(4) OVER (ORDER BY m DESC, user_id) AS BIGINT) AS m_q FROM per) " +
+      "SELECT user_id, r_q, f_q, m_q, r_q * 100 + f_q * 10 + m_q AS rfm_code FROM q"
+
   // ── Multi-touch attribution with exact penny allocation ────────────────
   // Linear attribution: every click within the hour before a purchase
   // shares its revenue equally — except "equally" in floats leaks or
@@ -964,6 +1022,8 @@ object EventQueries {
     "q_concurrency"      -> qConcurrency _,
     "q_ab_test"          -> qAbTest _,
     "q_attribution"      -> qAttribution _,
+    "q_topk_heap_groups" -> qTopkHeapGroups _,
+    "q_rfm"              -> qRfm _,
     "q_ewma"             -> qEwma _,
     "q_transitions"      -> qTransitions _,
     "q_seasonal_dow"     -> qSeasonalDow _,
@@ -996,6 +1056,8 @@ object EventQueries {
     "q_concurrency"      -> qConcurrencySql,
     "q_ab_test"          -> qAbTestSql,
     "q_attribution"      -> qAttributionSql,
+    "q_topk_heap_groups" -> qTopkHeapGroupsSql,
+    "q_rfm"              -> qRfmSql,
     "q_ewma"             -> qEwmaSql,
     "q_transitions"      -> qTransitionsSql,
     "q_seasonal_dow"     -> qSeasonalDowSql,

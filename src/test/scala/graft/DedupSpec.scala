@@ -40,6 +40,28 @@ class DedupSpec extends AnyFunSuite {
       Tables.documents(spark, sf).count())
   }
 
+  test("canonical dedup unites case/punct/whitespace variants exact dedup misses") {
+    val variants = Seq(
+      (0L, "The quick brown fox."),
+      (1L, "the  QUICK   brown-fox"), // same canonical form
+      (2L, "a different document"))
+      .toDF("doc_id", "text")
+    val canon = trim(regexp_replace(lower($"text"), "[^a-z0-9]+", " "))
+    val grouped = variants
+      .groupBy(md5(canon).as("h"))
+      .agg(min($"doc_id").as("survivor"), count(lit(1)).as("n"))
+      .collect()
+    assert(grouped.length === 2)
+    val dup = grouped.find(_.getAs[Long]("n") === 2L).get
+    assert(dup.getAs[Long]("survivor") === 0L)
+    // exact byte-dedup would NOT unite them
+    assert(variants.select(md5($"text")).distinct().count() === 3)
+    // full coverage on the fixture
+    val real = DedupQueries.qDedupCanonical(spark, sf)
+    assert(real.agg(sum($"n_members")).head().getLong(0) ===
+      Tables.documents(spark, sf).count())
+  }
+
   test("LSH finds all high-Jaccard pairs the exact oracle finds") {
     val lsh = DedupQueries.lshPairs(docs, numHashes = 32, bands = 16, threshold = 0.5)
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet

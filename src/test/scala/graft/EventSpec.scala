@@ -263,6 +263,35 @@ class EventSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("heap top-k per group equals the window spelling") {
+    val got = EventQueries.qTopkHeapGroups(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("event_id"))).toSet
+    val rows = Tables.events(spark, sf)
+      .select($"event_type", $"event_id", $"value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (t, rs) =>
+      rs.sortBy(r => (-r._3, r._2)).take(3).zipWithIndex
+        .map { case (r, i) => (t, i + 1L, r._2) }
+    }.toSet
+    assert(got === want)
+  }
+
+  test("RFM quartiles are balanced and the code composes the three digits") {
+    val rows = EventQueries.qRfm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rq, fq, mq) = (r.getAs[Long]("r_q"), r.getAs[Long]("f_q"), r.getAs[Long]("m_q"))
+      assert(rq >= 1 && rq <= 4 && fq >= 1 && fq <= 4 && mq >= 1 && mq <= 4)
+      assert(r.getAs[Long]("rfm_code") === rq * 100 + fq * 10 + mq)
+    }
+    // ntile balance: quartile sizes differ by at most 1
+    Seq("r_q", "f_q", "m_q").foreach { c =>
+      val sizes = rows.groupBy(_.getAs[Long](c)).values.map(_.length)
+      assert(sizes.max - sizes.min <= 1, s"unbalanced $c")
+    }
+  }
+
   test("Benford digits cover all observations; shares sum to 1") {
     val rows = graft.queries.Relational.qBenford(spark, sf).collect()
     assert(rows.nonEmpty)
