@@ -118,6 +118,31 @@ object KvQueries {
       s"${Relational.sqlDsum("value")} AS sum_value, " +
       "max(epoch_us(ts)) AS last_ts_us FROM events GROUP BY 1"
 
+  // ── ORC sink → source round-trip ───────────────────────────────────────
+  // The columnar alternative to parquet, supported natively by Spark —
+  // warehouses migrating from Hive arrive with ORC layouts, so the
+  // engine proves it reads/writes them losslessly (typed columns,
+  // predicate-capable stripes) with the same aggregate oracle as the
+  // other format round-trips.
+  def qOrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = rtDir("orc", d)
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"))
+    li.write.mode("overwrite").orc(out)
+    s.read.schema(li.schema).orc(out)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        Relational.dsum(col("l_quantity")).as("sum_qty"),
+        Relational.dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  val qOrcRoundtripSql: String =
+    "SELECT l_returnflag, count(*) AS n_items, " +
+      s"${Relational.sqlDsum("l_quantity")} AS sum_qty, " +
+      s"${Relational.sqlDsum("l_extendedprice")} AS sum_price " +
+      "FROM lineitem GROUP BY 1"
+
   // ── Partitioned-parquet write → pruned read ────────────────────────────
   // The 100 TB table layout as a correctness row: write events
   // partitioned by event_type, read back filtering one partition — the
@@ -147,6 +172,7 @@ object KvQueries {
     "q_kv_roundtrip"   -> qKvRoundtrip _,
     "q_csv_roundtrip"  -> qCsvRoundtrip _,
     "q_json_roundtrip" -> qJsonRoundtrip _,
+    "q_orc_roundtrip"  -> qOrcRoundtrip _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -155,5 +181,6 @@ object KvQueries {
     "q_kv_roundtrip"   -> qKvRoundtripSql,
     "q_csv_roundtrip"  -> qCsvRoundtripSql,
     "q_json_roundtrip" -> qJsonRoundtripSql,
+    "q_orc_roundtrip"  -> qOrcRoundtripSql,
   )
 }
