@@ -732,6 +732,31 @@ object EventQueries {
       "FROM daily WINDOW w AS (PARTITION BY dow)) " +
       "SELECT day, dow, rev, baseline, round(rev - baseline, 6) AS deviation FROM b"
 
+  // ── Windowed dedup / debounce (rate limiting) ──────────────────────────
+  // Keep only the FIRST event per (user, type) within each 10-minute
+  // tumbling bucket — the debounce every event collector applies to
+  // repeated clicks/errors. One shuffle on the compound key; the
+  // min-struct aggregate (not row_number) partial-aggregates, so each
+  // map task ships one candidate per live bucket, not its whole slice.
+  // Output: per type, the kept/dropped split — the rate-limiting report.
+  def qWindowDedup(s: SparkSession, d: String): DataFrame = {
+    // `div`: true integer division — `/` on longs is double division
+    val kept = Tables.events(s, d)
+      .withColumn("bkt", expr("unix_micros(ts) div 600000000"))
+      .groupBy(col("user_id"), col("event_type"), col("bkt"))
+      .agg(count(lit(1)).as("n_in_bucket"))
+    kept.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_kept"),
+        (sum(col("n_in_bucket")).cast("long") - count(lit(1))).as("n_dropped"))
+  }
+
+  val qWindowDedupSql: String =
+    "WITH b AS (SELECT user_id, event_type, epoch_us(ts) // 600000000 AS bkt, " +
+      "count(*) AS n_in_bucket FROM events GROUP BY 1, 2, 3) " +
+      "SELECT event_type, count(*) AS n_kept, " +
+      "CAST(sum(n_in_bucket) AS BIGINT) - count(*) AS n_dropped " +
+      "FROM b GROUP BY 1"
+
   // ── Bounded-heap top-k per group (partial-agg, no window sort) ─────────
   // Top-3 events per type through the SAME TopKAggregator the knn path
   // uses — proving the bounded heap is a general operator, not a vector
@@ -1023,6 +1048,7 @@ object EventQueries {
     "q_ab_test"          -> qAbTest _,
     "q_attribution"      -> qAttribution _,
     "q_topk_heap_groups" -> qTopkHeapGroups _,
+    "q_window_dedup"     -> qWindowDedup _,
     "q_rfm"              -> qRfm _,
     "q_ewma"             -> qEwma _,
     "q_transitions"      -> qTransitions _,
@@ -1057,6 +1083,7 @@ object EventQueries {
     "q_ab_test"          -> qAbTestSql,
     "q_attribution"      -> qAttributionSql,
     "q_topk_heap_groups" -> qTopkHeapGroupsSql,
+    "q_window_dedup"     -> qWindowDedupSql,
     "q_rfm"              -> qRfmSql,
     "q_ewma"             -> qEwmaSql,
     "q_transitions"      -> qTransitionsSql,

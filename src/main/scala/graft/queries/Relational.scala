@@ -531,28 +531,34 @@ object Relational {
   // candidate is itself a candidate. Expected skyline of random data is
   // O(log n) rows — the only unpartitioned window here sees candidates,
   // not the fact table.
-  def qSkyline(s: SparkSession, d: String): DataFrame = {
-    val o = Tables.orders(s, d)
-      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
-    val bucketed = o.withColumn("bucket", floor(col("o_totalprice") / 5000).cast("long"))
-    val bucketMax = bucketed.groupBy(col("bucket"))
-      .agg(max(col("o_orderdate")).as("bmax"))
-    val wB = org.apache.spark.sql.expressions.Window.orderBy(col("bucket").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+  /** Reusable 2-D skyline core: rows of `df` not strictly dominated on
+    * (x, y) by any other row. `bucketWidth` sizes the lossless prefilter
+    * buckets on x. Factored out so the randomized spec can drive it over
+    * arbitrary frames (ties included), not just the orders shape. */
+  def skyline(df: DataFrame, x: String, y: String, bucketWidth: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val bucketed = df.withColumn("bucket", floor(col(x) / bucketWidth).cast("long"))
+    val bucketMax = bucketed.groupBy(col("bucket")).agg(max(col(y)).as("bmax"))
+    val wB = W.orderBy(col("bucket").desc).rowsBetween(W.unboundedPreceding, -1)
     val carry = bucketMax.withColumn("hi_b", max(col("bmax")).over(wB))
       .select(col("bucket"), col("hi_b"))
     val candidates = bucketed.join(broadcast(carry), Seq("bucket"))
-      .filter(col("hi_b").isNull || col("o_orderdate") >= col("hi_b"))
-    val byPrice = candidates.groupBy(col("o_totalprice").as("px"))
-      .agg(max(col("o_orderdate")).as("dmax"))
-    val wP = org.apache.spark.sql.expressions.Window.orderBy(col("px").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val hi = byPrice.withColumn("hi", max(col("dmax")).over(wP))
+      .filter(col("hi_b").isNull || col(y) >= col("hi_b"))
+    val byX = candidates.groupBy(col(x).as("px")).agg(max(col(y)).as("dmax"))
+    val wP = W.orderBy(col("px").desc).rowsBetween(W.unboundedPreceding, -1)
+    val hi = byX.withColumn("hi", max(col("dmax")).over(wP))
       .select(col("px"), col("hi"))
-    candidates.join(hi, col("o_totalprice") === col("px"))
-      .filter(col("hi").isNull || col("o_orderdate") >= col("hi"))
-      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+    candidates.join(hi, col(x) === col("px"))
+      .filter(col("hi").isNull || col(y) >= col("hi"))
+      .drop("bucket", "hi_b", "px", "hi")
   }
+
+  def qSkyline(s: SparkSession, d: String): DataFrame =
+    skyline(
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate")),
+      "o_totalprice", "o_orderdate", 5000.0)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
 
   val qSkylineSql: String =
     "SELECT o_orderkey, o_totalprice, o_orderdate FROM orders b " +

@@ -430,6 +430,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("skyline equals brute force on random point sets with ties (10 trials)") {
+    val r = new Random(41)
+    for (trial <- 1 to 10) {
+      val n = 5 + r.nextInt(60)
+      // small value domains force x-ties, y-ties, and exact duplicates —
+      // the cases the strict-domination definition must handle
+      val pts = (0 until n).map(i =>
+        (i.toLong, (r.nextInt(12) * 10).toDouble, r.nextInt(12).toLong))
+      val df = pts.toDF("id", "x", "y")
+      val got = graft.queries.Relational.skyline(df, "x", "y", 25.0)
+        .select($"id").as[Long].collect().toSet
+      val want = pts.filter { b =>
+        !pts.exists(a => a._2 > b._2 && a._3 > b._3)
+      }.map(_._1).toSet
+      assert(got === want, s"trial $trial points: $pts")
+    }
+  }
+
   test("weighted Bernoulli sampling matches the driver-side hash rule exactly") {
     val got = graft.queries.TextQueries.qSampleWeighted(spark, sf).collect()
       .map(r => r.getAs[String]("lang") ->
