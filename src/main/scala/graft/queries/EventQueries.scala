@@ -732,6 +732,35 @@ object EventQueries {
       "FROM daily WINDOW w AS (PARTITION BY dow)) " +
       "SELECT day, dow, rev, baseline, round(rev - baseline, 6) AS deviation FROM b"
 
+  // ── Out-of-order arrival audit (watermark tuning input) ────────────────
+  // How late does this stream actually run? Per user, an event is late
+  // if its event time is behind the running high-water mark of what
+  // already ARRIVED (arrival order = event_id); lateness = hwm − ts.
+  // This distribution is precisely what sizes every watermark delay in
+  // the streaming module — set it below the observed p-max and you drop
+  // real events. One user-partitioned window; integer micros throughout.
+  def qOutOfOrder(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("hwm", max(col("us")).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("hwm") > col("us"), 1L).otherwise(0L)).as("n_late"),
+        max(when(col("hwm") > col("us"), col("hwm") - col("us")).otherwise(0L))
+          .as("max_late_us"))
+  }
+
+  val qOutOfOrderSql: String =
+    "WITH h AS (SELECT event_type, epoch_us(ts) AS us, " +
+      "max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm FROM events) " +
+      "SELECT event_type, count(*) AS n_events, " +
+      "CAST(sum(CASE WHEN hwm > us THEN 1 ELSE 0 END) AS BIGINT) AS n_late, " +
+      "max(CASE WHEN hwm > us THEN hwm - us ELSE 0 END) AS max_late_us " +
+      "FROM h GROUP BY 1"
+
   // ── Windowed dedup / debounce (rate limiting) ──────────────────────────
   // Keep only the FIRST event per (user, type) within each 10-minute
   // tumbling bucket — the debounce every event collector applies to
@@ -1049,6 +1078,7 @@ object EventQueries {
     "q_attribution"      -> qAttribution _,
     "q_topk_heap_groups" -> qTopkHeapGroups _,
     "q_window_dedup"     -> qWindowDedup _,
+    "q_out_of_order"     -> qOutOfOrder _,
     "q_rfm"              -> qRfm _,
     "q_ewma"             -> qEwma _,
     "q_transitions"      -> qTransitions _,
@@ -1084,6 +1114,7 @@ object EventQueries {
     "q_attribution"      -> qAttributionSql,
     "q_topk_heap_groups" -> qTopkHeapGroupsSql,
     "q_window_dedup"     -> qWindowDedupSql,
+    "q_out_of_order"     -> qOutOfOrderSql,
     "q_rfm"              -> qRfmSql,
     "q_ewma"             -> qEwmaSql,
     "q_transitions"      -> qTransitionsSql,

@@ -86,6 +86,69 @@ object SketchQueries {
         GROUP BY tok HAVING min(cnt) >= $HeavyThreshold"""
   }
 
+  // ── CMS inner product: join-size estimation without joining ────────────
+  // |A ⋈ B| on a key = Σ_k a_k·b_k — and the inner product of two
+  // count-min sketches estimates it (min over depth rows of the row dot
+  // product, one-sided like every CMS bound: never under). The optimizer
+  // question "how big would this join be?" answered from two
+  // broadcast-sized summaries, no shuffle of either side. Estimated here:
+  // the returned-lots ⋈ accepted-lots self-match on part key, a genuinely
+  // many-to-many join; the exact size rides along (driver-tiny key-count
+  // join) so the one-sided bound is hash-checked, not asserted. Width is
+  // 4096 here (vs the heavy-hitter 256): inner-product error is
+  // ~N_a·N_b/w, so the width buys the estimate its precision — still a
+  // 16K-counter broadcast, nothing at scale.
+  private val JoinEstWidth = 4096
+
+  def qJoinSizeEst(s: SparkSession, d: String): DataFrame = {
+    def buckets(tok: org.apache.spark.sql.Column) = {
+      val h1 = Md5Bits.hash60(concat(lit("cms1:"), tok))
+      val h2 = Md5Bits.hash60(concat(lit("cms2:"), tok))
+      (0 until CmsDepth).map(i =>
+        ((h1 + lit(i.toLong) * h2) % JoinEstWidth).as(s"b$i"))
+    }
+    def cells(flag: String, tag: String) = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === flag)
+      .select(col("l_partkey").cast("string").as("tok"))
+      .select(posexplode(array(buckets(col("tok")): _*)).as(Seq("i", "bucket")))
+      .groupBy(col("i"), col("bucket")).agg(count(lit(1)).as(s"cnt_$tag"))
+    val dot = cells("R", "a").join(cells("A", "b"), Seq("i", "bucket"))
+      .groupBy(col("i"))
+      .agg(sum(col("cnt_a") * col("cnt_b")).cast("long").as("rowdot"))
+      .agg(min(col("rowdot")).as("est_join_size"))
+    val exactA = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("na"))
+    val exactB = Tables.lineitem(s, d).filter(col("l_returnflag") === "A")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("nb"))
+    val exact = exactA.join(exactB, Seq("l_partkey"))
+      .agg(sum(col("na") * col("nb")).cast("long").as("exact_join_size"))
+    dot.crossJoin(exact)
+      .select(col("est_join_size"), col("exact_join_size"),
+        round(col("est_join_size").cast("double") / col("exact_join_size"), 6)
+          .as("over_ratio"))
+  }
+
+  val qJoinSizeEstSql: String = {
+    val h1 = Md5Bits.sqlHash60("'cms1:' || tok")
+    val h2 = Md5Bits.sqlHash60("'cms2:' || tok")
+    def cellsSql(flag: String) =
+      s"(SELECT i, (h1 + i * h2) % $JoinEstWidth AS bucket, count(*) AS cnt " +
+        s"FROM (SELECT CAST(l_partkey AS VARCHAR) AS tok, $h1 AS h1, $h2 AS h2 " +
+        s"FROM lineitem WHERE l_returnflag = '$flag') t " +
+        "CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) d GROUP BY 1, 2)"
+    "WITH est AS (SELECT min(rowdot) AS est_join_size FROM (" +
+      "SELECT a.i, CAST(sum(a.cnt * b.cnt) AS BIGINT) AS rowdot " +
+      s"FROM ${cellsSql("R")} a JOIN ${cellsSql("A")} b " +
+      "ON a.i = b.i AND a.bucket = b.bucket GROUP BY 1) rd), " +
+      "ex AS (SELECT CAST(sum(na * nb) AS BIGINT) AS exact_join_size FROM " +
+      "(SELECT l_partkey, count(*) AS na FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1) a " +
+      "JOIN (SELECT l_partkey, count(*) AS nb FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1) b " +
+      "USING (l_partkey)) " +
+      "SELECT est_join_size, exact_join_size, " +
+      "round(CAST(est_join_size AS DOUBLE) / exact_join_size, 6) AS over_ratio " +
+      "FROM est, ex"
+  }
+
   // ── Bloom-filter join pruning ──────────────────────────────────────────
   // The 100 TB semi-join play: build a Bloom filter over the (small)
   // filtered dim-key set with Spark's native distributed sketch
@@ -306,6 +369,7 @@ object SketchQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hll_intersect"   -> qHllIntersect _,
+    "q_join_size_est"   -> qJoinSizeEst _,
     "q_hll_groups"      -> qHllGroups _,
     "q_quantile_sketch" -> qQuantileSketch _,
     "q_heavy_hitters" -> qHeavyHitters _,
@@ -314,6 +378,7 @@ object SketchQueries {
 
   val oracles: Map[String, String] = Map(
     "q_hll_intersect"   -> qHllIntersectSql,
+    "q_join_size_est"   -> qJoinSizeEstSql,
     "q_hll_groups"      -> qHllGroupsSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_heavy_hitters" -> qHeavyHittersSql,

@@ -111,6 +111,14 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("CMS join-size estimate is one-sided (never under) and usefully tight") {
+    val r = queries.SketchQueries.qJoinSizeEst(spark, sf).collect().head
+    val est = r.getAs[Long]("est_join_size")
+    val exact = r.getAs[Long]("exact_join_size")
+    assert(est >= exact) // the CMS guarantee: collisions only ADD
+    assert(est <= exact * 3, s"estimate $est too loose vs $exact") // width sized for ~tightness
+  }
+
   test("HLL set algebra: union/intersection estimates track the exact sets") {
     val r = queries.SketchQueries.qHllIntersect(spark, sf).collect().head
     val li = graft.Tables.lineitem(spark, sf)
