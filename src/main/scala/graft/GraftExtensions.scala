@@ -14,11 +14,13 @@ import graft.functions._
   *   - `SparkSession.builder().withExtensions(new GraftExtensions)`, or
   *   - `GraftFunctions.registerAll(spark)` on a live session.
   *
-  * This is the (c)-tier extension route of the build plan — custom
-  * Catalyst Expressions registered through `SparkSessionExtensions` —
-  * used here for scalar/array kernels (simhash, winnow, shingles, dot,
-  * fib); whole-operator semantics stayed expressible with built-in
-  * operators, so no custom Strategy/LogicalPlan was needed.
+  * Extension tiers in use: custom Catalyst Expressions (scalar/array
+  * kernels — simhash, winnow, shingles, dot, fib), an optimizer Rule
+  * (RewriteDotProduct kernel selection), and one planner Strategy
+  * (KvLookupJoinStrategy — key-equality joins against the graft-kv store
+  * plan as index point lookups instead of scans; the one place built-in
+  * operators could not express the physical plan the source's own index
+  * makes possible).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -29,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // kernel selection: declarative aggregate(zip_with(*)) dot products
     // run as the codegen DotProductExpression
     ext.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
+    // whole-operator route: key-equality joins against graft-kv become
+    // per-row point lookups (index nested-loop), not store scans
+    ext.injectPlannerStrategy(_ => graft.plans.KvLookupJoinStrategy)
   }
 }
 

@@ -42,6 +42,28 @@ object KvQueries {
     "SELECT n_regionkey, count(*) AS n_nations, max(n_name) AS max_name " +
       "FROM nation GROUP BY 1"
 
+  /** Index nested-loop enrichment through KvLookupJoinStrategy: the
+    * supplier fact probes the KV nation dim ON ITS KEY, so the injected
+    * planner strategy replaces the scan+join with per-row point lookups
+    * (PlanSpec pins `KvLookupJoin` / no `BatchScan` in this plan). The
+    * oracle is the plain parquet join — the lookup path must be
+    * result-identical to the relational spelling. */
+  def qKvLookupJoin(s: SparkSession, d: String): DataFrame = {
+    ensureNation(s, d)
+    val probe = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+    val dim = s.read.format("graft-kv").option("table", "kv_nation").load()
+    probe.join(dim, probe("s_nationkey") === dim("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_supp"),
+        Relational.dsum(col("s_acctbal")).as("sum_bal"))
+  }
+
+  val qKvLookupJoinSql: String =
+    "SELECT n_name, count(*) AS n_supp, " +
+      s"${Relational.sqlDsum("s_acctbal")} AS sum_bal " +
+      "FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY 1"
+
   /** Write path end-to-end: aggregate supplier per nation, WRITE the
     * result through the DSv2 sink (`mode("overwrite")` → truncate +
     * last-write-wins puts at commit — the reference's output-to-DynamoDB
@@ -169,6 +191,7 @@ object KvQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_partition_prune" -> qPartitionPrune _,
     "q_kv_scan"        -> qKvScan _,
+    "q_kv_lookup_join" -> qKvLookupJoin _,
     "q_kv_roundtrip"   -> qKvRoundtrip _,
     "q_csv_roundtrip"  -> qCsvRoundtrip _,
     "q_json_roundtrip" -> qJsonRoundtrip _,
@@ -178,6 +201,7 @@ object KvQueries {
   val oracles: Map[String, String] = Map(
     "q_partition_prune" -> qPartitionPruneSql,
     "q_kv_scan"        -> qKvScanSql,
+    "q_kv_lookup_join" -> qKvLookupJoinSql,
     "q_kv_roundtrip"   -> qKvRoundtripSql,
     "q_csv_roundtrip"  -> qCsvRoundtripSql,
     "q_json_roundtrip" -> qJsonRoundtripSql,

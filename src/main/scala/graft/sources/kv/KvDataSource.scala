@@ -112,7 +112,7 @@ object KvStore {
 
   /** Reads bill the FULL stored item (projection does not shrink a
     * DynamoDB read unit), 4KB per unit. */
-  private[kv] def readUnits(fullRow: Seq[Any]): Unit =
+  private[graft] def readUnits(fullRow: Seq[Any]): Unit =
     readCounter.add(units(itemBytes(fullRow), 4096))
 
   def truncate(name: String): Unit = {
@@ -129,6 +129,8 @@ object KvStore {
 
 class KvTable(table: String, schema0: StructType, partitions: Int)
     extends Table with SupportsRead with SupportsWrite {
+  /** Exposed for the KvLookupJoin strategy (plans package). */
+  private[graft] def tableName: String = table
   override def name(): String = s"graft-kv:$table"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
@@ -286,7 +288,7 @@ class KvReaderFactory(required: StructType) extends PartitionReaderFactory {
   }
 }
 
-private object KvConvert {
+private[graft] object KvConvert {
   /** External JVM value → catalyst value for the atomic types a KV item
     * carries (strings, numbers, booleans, timestamps). */
   def toCatalyst(dt: DataType): Any => Any = dt match {

@@ -114,6 +114,29 @@ class KvSourceSpec extends AnyFunSuite {
     assert(state === Set((1L, "a"), (2L, "b2"), (3L, "c")))
   }
 
+  test("key-equality join against the store plans as point lookups, no scan") {
+    KvStore.register("t_lkp", "id", schema)
+    KvStore.truncate("t_lkp")
+    Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0), (4L, "d", 4.0))
+      .toDF("id", "name", "bal")
+      .write.format("graft-kv").option("table", "t_lkp").mode("append").save()
+    val probe = Seq((2L, "x"), (3L, "y"), (9L, "z")).toDF("k", "tag")
+    val kv = spark.read.format("graft-kv").option("table", "t_lkp").load()
+    val joined = probe.join(kv, probe("k") === kv("id"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("KvLookupJoin"), s"strategy did not fire:\n$plan")
+    assert(!plan.contains("BatchScan"), s"store still scanned:\n$plan")
+    val got = joined.select($"k", $"tag", $"name", $"bal")
+      .as[(Long, String, String, Double)].collect().toSet
+    // inner semantics: 9 has no item and drops; matched rows carry the item
+    assert(got === Set((2L, "x", "b", 2.0), (3L, "y", "c", 3.0)))
+    // a non-key join must DECLINE to the built-in planner (scan route)
+    val byName = probe.join(kv, probe("tag") === kv("name"))
+    val p2 = byName.queryExecution.executedPlan.toString
+    assert(!p2.contains("KvLookupJoin"), s"strategy overreached:\n$p2")
+    assert(byName.count() === 0L)
+  }
+
   test("registered q_kv_scan groups the nation dim read through the connector") {
     val out = graft.queries.KvQueries.qKvScan(spark, sf)
       .orderBy($"n_regionkey").collect()

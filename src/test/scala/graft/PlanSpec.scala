@@ -257,6 +257,12 @@ class PlanSpec extends AnyFunSuite {
       s"expected a single user-ordered window:\n$p")
   }
 
+  test("KV lookup join plans as point lookups: no store scan, no build exchange") {
+    val p = plan("q_kv_lookup_join")
+    assert(p.contains("KvLookupJoin"), s"lookup strategy did not fire:\n$p")
+    assert(!p.contains("BatchScan graft-kv"), s"store still scanned:\n$p")
+  }
+
   test("CDC delete: base and feed merge through one per-key window exchange") {
     val p = plan("q_cdc_delete")
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
