@@ -65,4 +65,15 @@ class CostSpec extends AnyFunSuite {
     assert(kv.kvReads >= n, s"connector reads not metered: $kv")
     assert(kv.kvUsd > 0 && kv.totalUsd >= kv.kvUsd)
   }
+
+  test("lookup-join point reads are metered like any other store read") {
+    val (rows, rep) = CostAccounting.measure(spark) {
+      queries.KvQueries.qKvLookupJoin(spark, sf).collect().length
+    }
+    assert(rows > 0)
+    // one read unit minimum per matched probe row (suppliers all match)
+    val probeRows = Tables.supplier(spark, sf).count()
+    assert(rep.kvReads >= probeRows,
+      s"expected >= $probeRows metered point reads: $rep")
+  }
 }
