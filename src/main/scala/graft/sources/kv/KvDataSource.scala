@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter}
 import org.apache.spark.sql.types.{DataType, StringType, StructType, TimestampType}
@@ -146,9 +146,14 @@ class KvTable(table: String, schema0: StructType, partitions: Int)
 
 class KvScanBuilder(table: String, full: StructType, partitions: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = full
   private var keyLookup: Option[String] = None
+  private var limit: Option[Int] = None
+
+  // LIMIT pushdown: each scan partition stops after n items (a DynamoDB
+  // Scan `Limit`); Spark still applies the exact global limit above.
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -169,25 +174,40 @@ class KvScanBuilder(table: String, full: StructType, partitions: Int)
     keyLookup.map(v => EqualTo(KvStore.data(table).keyCol, v): Filter).toArray
 
   override def build(): Scan =
-    new KvScan(table, full, required, keyLookup, partitions)
+    new KvScan(table, full, required, keyLookup, partitions, limit)
 }
 
 class KvScan(table: String, full: StructType, required: StructType,
-    keyLookup: Option[String], partitions: Int) extends Scan with Batch {
+    keyLookup: Option[String], partitions: Int, limit: Option[Int] = None)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   // shows up in .explain so specs (and users) can see what was pushed
   override def description(): String =
     s"graft-kv table=$table pruned=[${required.fieldNames.mkString(",")}] " +
-      s"keyLookup=${keyLookup.getOrElse("none")}"
+      s"keyLookup=${keyLookup.getOrElse("none")}" +
+      limit.map(n => s" limit=$n").getOrElse("")
   override def toBatch: Batch = this
+
+  /** Real source statistics (row count + serialized bytes) so Catalyst
+    * sizes this relation from the STORE, not from the pessimistic
+    * defaultSizeInBytes — the difference between a dimension-sized KV
+    * table broadcasting and it forcing a shuffle join. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val data = KvStore.data(table)
+    private val bytes = data.items.values.foldLeft(0L)((a, r) => a + KvStore.itemBytes(r))
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(bytes, 1L))
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(data.items.size.toLong)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val prunedIdx = required.fieldNames.map(full.fieldIndex)
     keyLookup match {
       // point lookup: one partition, one key (DynamoDB Query/GetItem)
-      case Some(k) => Array(KvPartition(table, 0, 1, prunedIdx, Some(k)))
+      case Some(k) => Array(KvPartition(table, 0, 1, prunedIdx, Some(k), limit))
       case None => (0 until partitions).map(i =>
-        KvPartition(table, i, partitions, prunedIdx, None)).toArray[InputPartition]
+        KvPartition(table, i, partitions, prunedIdx, None, limit)).toArray[InputPartition]
     }
   }
 
@@ -258,19 +278,21 @@ class KvFeedReaderFactory extends PartitionReaderFactory {
 /** Serializable slice descriptor: segment `idx` of `n` by stable key hash
   * (murmur3 — NOT String.hashCode, which is JVM-implementation-defined). */
 case class KvPartition(table: String, idx: Int, n: Int,
-    prunedIdx: Array[Int], keyLookup: Option[String]) extends InputPartition
+    prunedIdx: Array[Int], keyLookup: Option[String],
+    limit: Option[Int] = None) extends InputPartition
 
 class KvReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[KvPartition]
     val data = KvStore.data(part.table)
-    val rows: Iterator[Seq[Any]] = part.keyLookup match {
+    val unlimited: Iterator[Seq[Any]] = part.keyLookup match {
       case Some(k) => data.items.get(k).iterator
       case None => data.items.iterator.collect {
         case (k, v) if math.floorMod(
           scala.util.hashing.MurmurHash3.stringHash(k), part.n) == part.idx => v
       }
     }
+    val rows = part.limit.map(unlimited.take).getOrElse(unlimited)
     val converters = part.prunedIdx.map(i => KvConvert.toCatalyst(data.schema(i).dataType))
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _

@@ -114,6 +114,32 @@ class KvSourceSpec extends AnyFunSuite {
     assert(state === Set((1L, "a"), (2L, "b2"), (3L, "c")))
   }
 
+  test("reported statistics make a small KV dim broadcast in non-key joins") {
+    KvStore.register("t_stats", "id", schema)
+    KvStore.truncate("t_stats")
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "bal")
+      .write.format("graft-kv").option("table", "t_stats").mode("append").save()
+    val kv = spark.read.format("graft-kv").option("table", "t_stats").load()
+    val fact = Tables.supplier(spark, sf)
+    // non-key condition → scan route; with honest v2 statistics the tiny
+    // store broadcasts instead of defaulting to a pessimistic-size SMJ
+    val j = fact.join(kv, fact("s_name") === kv("name"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"2-row store did not broadcast — statistics not reported:\n$plan")
+  }
+
+  test("limit pushdown reaches the scan and bounds what partitions emit") {
+    KvStore.register("t_lim", "id", schema)
+    KvStore.truncate("t_lim")
+    (1L to 50L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "bal")
+      .write.format("graft-kv").option("table", "t_lim").mode("append").save()
+    val df = spark.read.format("graft-kv").option("table", "t_lim").load().limit(3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("limit=3"), s"limit not pushed to the scan:\n$plan")
+    assert(df.collect().length === 3)
+  }
+
   test("key-equality join against the store plans as point lookups, no scan") {
     KvStore.register("t_lkp", "id", schema)
     KvStore.truncate("t_lkp")
