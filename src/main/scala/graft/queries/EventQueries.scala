@@ -732,6 +732,84 @@ object EventQueries {
       "FROM daily WINDOW w AS (PARTITION BY dow)) " +
       "SELECT day, dow, rev, baseline, round(rev - baseline, 6) AS deviation FROM b"
 
+  // ── Top session paths (navigation-flow analysis) ───────────────────────
+  // What do sessions LOOK like? Each session's ordered event-type
+  // sequence becomes a path string ("signup>click>purchase"), counted
+  // and ranked — the product-analytics flow report. Builds on the same
+  // session numbering as qSessionize (one user-partitioned window);
+  // the path concat is an ordered collect WITHIN a group that already
+  // lives on one partition, and long sessions cap at 8 steps (the
+  // analyst's horizon) so path strings stay bounded at any session
+  // length. Top-15 via TakeOrdered.
+  def qSessionPaths(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val numbered = Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > GapMinutes * 60L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_no", sum(col("new_session")).over(running))
+    val paths = numbered
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(array_join(slice(transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+        x => x.getField("event_type")), 1, 8), ">").as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(15)
+  }
+
+  val qSessionPathsSql: String =
+    "WITH flagged AS (SELECT user_id, event_id, ts, event_type, " +
+      "CASE WHEN lag(ts) OVER w IS NULL OR " +
+      s"epoch_us(ts) - epoch_us(lag(ts) OVER w) > ${GapMinutes * 60L * 1000000L} THEN 1 ELSE 0 END AS new_session " +
+      "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+      "numbered AS (SELECT user_id, ts, event_id, event_type, " +
+      "CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no FROM flagged), " +
+      "capped AS (SELECT *, row_number() OVER (PARTITION BY user_id, session_no " +
+      "ORDER BY ts, event_id) AS rn FROM numbered), " +
+      "paths AS (SELECT user_id, session_no, " +
+      "string_agg(event_type, '>' ORDER BY ts, event_id) AS path " +
+      "FROM capped WHERE rn <= 8 GROUP BY 1, 2) " +
+      "SELECT path, count(*) AS n_sessions FROM paths GROUP BY 1 " +
+      "ORDER BY n_sessions DESC, path LIMIT 15"
+
+  // ── Audience overlap matrix (shared users across event types) ──────────
+  // For every pair of event types: how many users do both? The audience
+  // cross-tab behind every "viewers who also purchase" question. The
+  // input reduces to DISTINCT (type, user) first (one shuffle, tiny
+  // output: |types|·|users| max), and the pair join runs on that reduced
+  // frame keyed by user — never on raw events. Jaccard rides along from
+  // the per-type totals (broadcast).
+  def qUserOverlap(s: SparkSession, d: String): DataFrame = {
+    val tu = Tables.events(s, d)
+      .select(col("event_type"), col("user_id")).distinct()
+    val totals = tu.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val a = tu.select(col("event_type").as("type_a"), col("user_id"))
+    val b = tu.select(col("event_type").as("type_b"), col("user_id"))
+    a.join(b, Seq("user_id")).filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(totals.select(col("event_type").as("type_a"), col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(totals.select(col("event_type").as("type_b"), col("n").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"), col("n_b"),
+        round(col("n_both").cast("double") / (col("n_a") + col("n_b") - col("n_both")), 6)
+          .as("jaccard"))
+  }
+
+  val qUserOverlapSql: String =
+    "WITH tu AS (SELECT DISTINCT event_type, user_id FROM events), " +
+      "t AS (SELECT event_type, count(*) AS n FROM tu GROUP BY 1), " +
+      "p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both " +
+      "FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type " +
+      "GROUP BY 1, 2) " +
+      "SELECT type_a, type_b, n_both, ta.n AS n_a, tb.n AS n_b, " +
+      "round(CAST(n_both AS DOUBLE) / (ta.n + tb.n - n_both), 6) AS jaccard " +
+      "FROM p JOIN t ta ON type_a = ta.event_type JOIN t tb ON type_b = tb.event_type"
+
   // ── Out-of-order arrival audit (watermark tuning input) ────────────────
   // How late does this stream actually run? Per user, an event is late
   // if its event time is behind the running high-water mark of what
@@ -1079,6 +1157,8 @@ object EventQueries {
     "q_topk_heap_groups" -> qTopkHeapGroups _,
     "q_window_dedup"     -> qWindowDedup _,
     "q_out_of_order"     -> qOutOfOrder _,
+    "q_session_paths"    -> qSessionPaths _,
+    "q_user_overlap"     -> qUserOverlap _,
     "q_rfm"              -> qRfm _,
     "q_ewma"             -> qEwma _,
     "q_transitions"      -> qTransitions _,
@@ -1115,6 +1195,8 @@ object EventQueries {
     "q_topk_heap_groups" -> qTopkHeapGroupsSql,
     "q_window_dedup"     -> qWindowDedupSql,
     "q_out_of_order"     -> qOutOfOrderSql,
+    "q_session_paths"    -> qSessionPathsSql,
+    "q_user_overlap"     -> qUserOverlapSql,
     "q_rfm"              -> qRfmSql,
     "q_ewma"             -> qEwmaSql,
     "q_transitions"      -> qTransitionsSql,

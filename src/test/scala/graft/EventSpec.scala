@@ -263,6 +263,44 @@ class EventSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("session paths are ranked, bounded at 8 steps, and built from real types") {
+    val rows = EventQueries.qSessionPaths(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 15)
+    val types = Tables.events(spark, sf)
+      .select($"event_type").distinct().as[String].collect().toSet
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        val (na, nb) = (a.getAs[Long]("n_sessions"), b.getAs[Long]("n_sessions"))
+        assert(na > nb || (na == nb &&
+          a.getAs[String]("path") < b.getAs[String]("path")))
+      case _ =>
+    }
+    rows.foreach { r =>
+      val steps = r.getAs[String]("path").split(">")
+      assert(steps.nonEmpty && steps.length <= 8)
+      steps.foreach(t => assert(types.contains(t)))
+    }
+  }
+
+  test("audience overlap counts match driver-side user sets") {
+    val got = EventQueries.qUserOverlap(spark, sf).collect()
+    assert(got.nonEmpty)
+    val tu = Tables.events(spark, sf)
+      .select($"event_type", $"user_id").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byType = tu.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    got.foreach { r =>
+      val (ta, tb) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      assert(ta < tb)
+      val (sa, sb) = (byType(ta), byType(tb))
+      assert(r.getAs[Long]("n_both") === (sa & sb).size.toLong)
+      assert(r.getAs[Long]("n_a") === sa.size.toLong)
+      assert(r.getAs[Long]("n_b") === sb.size.toLong)
+      assert(math.abs(r.getAs[Double]("jaccard") -
+        (sa & sb).size.toDouble / (sa ++ sb).size) < 1e-6)
+    }
+  }
+
   test("heap top-k per group equals the window spelling") {
     val got = EventQueries.qTopkHeapGroups(spark, sf).collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("rnk"),
