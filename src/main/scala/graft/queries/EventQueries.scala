@@ -613,6 +613,78 @@ object EventQueries {
       "CAST(bit_count(bit_or(CAST(1 AS BIGINT) << CAST(day_num - d0 AS INT))) AS BIGINT) " +
       "AS active_days FROM days, anchor GROUP BY 1"
 
+  // ── Revenue concentration: Gini coefficient + Lorenz points ────────────
+  // How concentrated is spend? The exact Gini over per-user revenue —
+  // G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n with xᵢ ascending — is pure integer
+  // algebra on cents and ranks until one final division, so both engines
+  // agree to the bit. Alongside: the classic Lorenz readouts (top-10%
+  // revenue share, minimum user count covering 80%). All windows run on
+  // the per-user aggregate (user-count rows, one key shuffle before).
+  def qGini(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg((sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))) * 100)
+        .cast("long").as("cents"))
+    val byAsc = Window.orderBy(col("cents").asc, col("user_id").asc)
+    val ranked = per
+      .withColumn("i", row_number().over(byAsc).cast("long"))
+      .withColumn("cum",
+        sum(col("cents")).over(byAsc.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("tot", sum(col("cents")).over(Window.partitionBy(lit(1))))
+    ranked.groupBy()
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("cents")).cast("long").as("total_cents"),
+        sum(col("i") * col("cents")).cast("long").as("weighted"),
+        // users from the TOP needed to cover 80%: n − |prefix below 20%|
+        sum(when(col("cum").cast("double") < col("tot") * 0.2, 1L)
+          .otherwise(0L)).as("n_below20"))
+      .select(col("n_users"), col("total_cents"),
+        round(lit(2.0) * col("weighted") /
+          (col("n_users") * col("total_cents")) -
+          (col("n_users") + 1.0) / col("n_users"), 6).as("gini"),
+        (col("n_users") - col("n_below20")).as("n_users_80pct"))
+  }
+
+  val qGiniSql: String =
+    "WITH per AS (SELECT user_id, " +
+      "CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents " +
+      "FROM events GROUP BY 1), " +
+      "ranked AS (SELECT cents, " +
+      "CAST(row_number() OVER (ORDER BY cents, user_id) AS BIGINT) AS i, " +
+      "CAST(sum(cents) OVER (ORDER BY cents, user_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum, " +
+      "CAST(sum(cents) OVER () AS BIGINT) AS tot FROM per) " +
+      "SELECT CAST(count(*) AS BIGINT) AS n_users, " +
+      "CAST(sum(cents) AS BIGINT) AS total_cents, " +
+      "round(2.0 * CAST(sum(i * cents) AS BIGINT) / (count(*) * CAST(sum(cents) AS BIGINT)) " +
+      "- (count(*) + 1.0) / count(*), 6) AS gini, " +
+      "CAST(count(*) AS BIGINT) - CAST(sum(CASE WHEN CAST(cum AS DOUBLE) < tot * 0.2 " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS n_users_80pct FROM ranked"
+
+  // ── Daily new vs returning actives ─────────────────────────────────────
+  // The DAU split every growth dashboard leads with: per day, actives
+  // partitioned into first-ever-day users and returners. First day per
+  // user is one key shuffle; the daily rollup joins it back on the user —
+  // no windows over event rows.
+  def qNewVsReturning(s: SparkSession, d: String): DataFrame = {
+    val firstDay = Tables.events(s, d)
+      .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("first_day"))
+    val actives = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    actives.join(firstDay, Seq("user_id"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L)).as("n_returning"))
+  }
+
+  val qNewVsReturningSql: String =
+    "WITH fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY 1), " +
+      "act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events) " +
+      "SELECT day, count(*) AS n_active, " +
+      "CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new, " +
+      "CAST(sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning " +
+      "FROM act JOIN fd USING (user_id) GROUP BY 1"
+
   // ── Cumulative distinct adoption (running COUNT DISTINCT) ──────────────
   // Daily new + cumulative distinct users — the adoption curve. Windowed
   // COUNT(DISTINCT) doesn't exist in either engine; the scalable spelling
@@ -1159,6 +1231,8 @@ object EventQueries {
     "q_out_of_order"     -> qOutOfOrder _,
     "q_session_paths"    -> qSessionPaths _,
     "q_user_overlap"     -> qUserOverlap _,
+    "q_gini"             -> qGini _,
+    "q_new_vs_returning" -> qNewVsReturning _,
     "q_rfm"              -> qRfm _,
     "q_ewma"             -> qEwma _,
     "q_transitions"      -> qTransitions _,
@@ -1197,6 +1271,8 @@ object EventQueries {
     "q_out_of_order"     -> qOutOfOrderSql,
     "q_session_paths"    -> qSessionPathsSql,
     "q_user_overlap"     -> qUserOverlapSql,
+    "q_gini"             -> qGiniSql,
+    "q_new_vs_returning" -> qNewVsReturningSql,
     "q_rfm"              -> qRfmSql,
     "q_ewma"             -> qEwmaSql,
     "q_transitions"      -> qTransitionsSql,

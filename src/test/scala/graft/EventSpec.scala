@@ -263,6 +263,39 @@ class EventSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("Gini matches a driver-side Lorenz computation exactly") {
+    val r = EventQueries.qGini(spark, sf).collect().head
+    val cents = Tables.events(spark, sf)
+      .select($"user_id", $"value").collect()
+      .map(x => (x.getLong(0), math.rint(x.getDouble(1) * 100).toLong))
+      .groupBy(_._1).map { case (u, rs) => (u, rs.map(_._2).sum) }.toSeq
+    val asc = cents.sortBy(x => (x._2, x._1)).map(_._2)
+    val n = asc.length.toLong
+    val tot = asc.sum
+    val weighted = asc.zipWithIndex.map { case (c, i) => (i + 1L) * c }.sum
+    val gini = 2.0 * weighted / (n * tot) - (n + 1.0) / n
+    assert(r.getAs[Long]("n_users") === n)
+    assert(r.getAs[Long]("total_cents") === tot)
+    assert(math.abs(r.getAs[Double]("gini") - gini) < 1e-6)
+    assert(r.getAs[Double]("gini") >= 0.0 && r.getAs[Double]("gini") < 1.0)
+    // n_users_80pct: fewest top users whose revenue reaches 80% of total
+    val cum = asc.scanLeft(0L)(_ + _).tail
+    val below20 = cum.count(_.toDouble < tot * 0.2)
+    assert(r.getAs[Long]("n_users_80pct") === n - below20)
+  }
+
+  test("new vs returning partitions every daily active exactly") {
+    val rows = EventQueries.qNewVsReturning(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_active") ===
+        r.getAs[Long]("n_new") + r.getAs[Long]("n_returning"))
+    }
+    // new users across all days == total distinct users
+    val totalUsers = Tables.events(spark, sf).select($"user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_new")).sum === totalUsers)
+  }
+
   test("session paths are ranked, bounded at 8 steps, and built from real types") {
     val rows = EventQueries.qSessionPaths(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 15)
