@@ -58,6 +58,9 @@ object GraftFunctions {
         WinnowExpression(es.head, litInt(es(1)), litInt(es(2)))),
     ("graft_fib", "graft_fib(n) - iterative fibonacci (CPU kernel)",
       (es: Seq[Expression]) => FibExpression(es.head)),
+    ("graft_jaro_winkler",
+      "graft_jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1]",
+      (es: Seq[Expression]) => JaroWinklerExpression(es(0), es(1))),
   )
 
   /** Imperative registration on a live session (idempotent) — equivalent

@@ -405,6 +405,46 @@ object DedupQueries {
       "FROM blocks a JOIN blocks b ON a.block = b.block AND a.name < b.name " +
       s"WHERE levenshtein(a.name, b.name) <= $MaxEdit"
 
+  // ── Jaro–Winkler fuzzy pairs (transposition-tolerant linkage) ──────────
+  // The same multi-pass blocking as qFuzzyMatch, scored with the codegen
+  // JaroWinklerExpression instead of edit distance: JW credits shared
+  // prefixes and tolerates transpositions — the standard choice for
+  // name-shaped keys (Winkler 1990), and a metric Spark lacks natively.
+  // DuckDB's jaro_winkler_similarity (same parameterization: 0.7 boost
+  // threshold, 0.1 prefix scale, prefix ≤ 4) is the independent oracle of
+  // the custom Expression. The threshold filter runs on the 6-dp ROUNDED
+  // score on BOTH engines so a borderline pair cannot diverge on ulps.
+  // Scale: identical to qFuzzyMatch — blocked candidate pairs over the
+  // deduplicated name dictionary, never the fact table.
+  private val JwThreshold = 0.85
+
+  def qJaroWinkler(s: SparkSession, d: String): DataFrame = {
+    graft.functions.JaroWinkler.register(s)
+    val names = Tables.part(s, d).select(col("p_name").as("name")).distinct()
+    val blocks = names.select(col("name"),
+      explode(array(
+        element_at(split(col("name"), " "), 1),
+        element_at(split(col("name"), " "), -1))).as("block"))
+    val a = blocks.select(col("block"), col("name").as("name_a"))
+    val b = blocks.select(col("block"), col("name").as("name_b"))
+    a.join(b, Seq("block"))
+      .filter(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"),
+        round(graft.functions.JaroWinkler.jw(col("name_a"), col("name_b")), 6)
+          .as("jw_r"))
+      .filter(col("jw_r") >= JwThreshold)
+      .distinct()
+  }
+
+  val qJaroWinklerSql: String =
+    "WITH names AS (SELECT DISTINCT p_name AS name FROM part), " +
+      "blocks AS (SELECT name, unnest([" +
+      "(str_split(name, ' '))[1], (str_split(name, ' '))[-1]]) AS block FROM names) " +
+      "SELECT DISTINCT a.name AS name_a, b.name AS name_b, " +
+      "round(jaro_winkler_similarity(a.name, b.name), 6) AS jw_r " +
+      "FROM blocks a JOIN blocks b ON a.block = b.block AND a.name < b.name " +
+      s"WHERE round(jaro_winkler_similarity(a.name, b.name), 6) >= $JwThreshold"
+
   // ── Entity resolution: fuzzy clusters → golden records ─────────────────
   // The full record-linkage pipeline the fuzzy matcher feeds: candidate
   // pairs (multi-pass blocked levenshtein, qFuzzyMatch) become edges of a
@@ -499,6 +539,7 @@ object DedupQueries {
     "q_dedup_canonical" -> qDedupCanonical _,
     "q_entity_resolution" -> qEntityResolution _,
     "q_fuzzy_match"   -> qFuzzyMatch _,
+    "q_jaro_winkler"  -> qJaroWinkler _,
     "q_winnow_overlap" -> qWinnowOverlap _,
     "q_dedup_exact"   -> qDedupExact _,
     "q_ngram_jaccard" -> qNgramJaccard _,
@@ -511,6 +552,7 @@ object DedupQueries {
     "q_dedup_canonical" -> qDedupCanonicalSql,
     "q_entity_resolution" -> qEntityResolutionSql,
     "q_fuzzy_match"    -> qFuzzyMatchSql,
+    "q_jaro_winkler"   -> qJaroWinklerSql,
     "q_dedup_exact"    -> qDedupExactSql,
     "q_ngram_jaccard"  -> qNgramJaccardSql,
     "q_minhash_lsh"    -> qMinhashLshSql,

@@ -1048,6 +1048,55 @@ object EventQueries {
       "CAST(sum(micros // n + CASE WHEN rn = 1 THEN micros % n ELSE 0 END) AS DOUBLE) " +
       "/ 1000000.0 AS attributed " +
       "FROM w GROUP BY 1"
+  // ── Chi-squared test of independence (event_type × day-of-week) ────────
+  // The categorical companion to the Welch/Mann–Whitney readouts: is
+  // event mix independent of weekday? One scan builds the contingency
+  // cells; row totals, column totals, and N are cell-table aggregates
+  // (≤ |types|×7 rows) broadcast back onto the cells, so the fact table
+  // shuffles once regardless of scale. Day-of-week is the epoch-day
+  // residue mod 7 (pure integer arithmetic — named-weekday functions
+  // diverge across engines). Expected counts and per-cell contributions
+  // ((O−E)²/E) are computed double-for-double in the same operation
+  // order on both engines and rounded at 6dp; the chi² statistic is the
+  // contribution sum, left to the caller/spec so the registered result
+  // keeps the full per-cell hash surface.
+  def qChiSquare(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.events(s, d)
+      .select(col("event_type"),
+        (datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) % 7)
+          .cast("long").as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("obs"))
+    val rowT = cells.groupBy(col("event_type")).agg(sum(col("obs")).as("rt"))
+    val colT = cells.groupBy(col("dow")).agg(sum(col("obs")).as("ct"))
+    val tot = cells.agg(sum(col("obs")).as("n"))
+    val expE = col("rt").cast("double") * col("ct").cast("double") /
+      col("n").cast("double")
+    cells.join(broadcast(rowT), Seq("event_type"))
+      .join(broadcast(colT), Seq("dow"))
+      .crossJoin(broadcast(tot))
+      .withColumn("exp", expE)
+      .select(col("event_type"), col("dow"), col("obs"),
+        round(col("exp"), 6).as("exp_r"),
+        round((col("obs").cast("double") - col("exp")) *
+          (col("obs").cast("double") - col("exp")) / col("exp"), 6)
+          .as("contrib_r"))
+  }
+
+  val qChiSquareSql: String =
+    "WITH cells AS (SELECT event_type, " +
+      "datediff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE)) % 7 AS dow, " +
+      "CAST(count(*) AS BIGINT) AS obs FROM events GROUP BY 1, 2), " +
+      "rt AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS rt FROM cells GROUP BY 1), " +
+      "ct AS (SELECT dow, CAST(sum(obs) AS BIGINT) AS ct FROM cells GROUP BY 1), " +
+      "n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells) " +
+      "SELECT cells.event_type, cells.dow, obs, " +
+      "round(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE), 6) AS exp_r, " +
+      "round((CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) " +
+      "* (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) " +
+      "/ (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS contrib_r " +
+      "FROM cells, rt x, ct y, n WHERE cells.event_type = x.event_type AND cells.dow = y.dow"
+
   // Experiment readout per event_type: users are deterministically
   // bucketed into two arms by the salted md5 assignment hash (the same
   // engine-portable Md5Bits used by the sampling family — assignment
@@ -1225,6 +1274,7 @@ object EventQueries {
     "q_activity_bitmap"  -> qActivityBitmap _,
     "q_concurrency"      -> qConcurrency _,
     "q_ab_test"          -> qAbTest _,
+    "q_chi_square"       -> qChiSquare _,
     "q_attribution"      -> qAttribution _,
     "q_topk_heap_groups" -> qTopkHeapGroups _,
     "q_window_dedup"     -> qWindowDedup _,
@@ -1265,6 +1315,7 @@ object EventQueries {
     "q_activity_bitmap"  -> qActivityBitmapSql,
     "q_concurrency"      -> qConcurrencySql,
     "q_ab_test"          -> qAbTestSql,
+    "q_chi_square"       -> qChiSquareSql,
     "q_attribution"      -> qAttributionSql,
     "q_topk_heap_groups" -> qTopkHeapGroupsSql,
     "q_window_dedup"     -> qWindowDedupSql,

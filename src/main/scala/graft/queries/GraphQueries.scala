@@ -157,6 +157,42 @@ object GraphQueries {
       "JOIN e e2 ON e2.src = e1.dst " +
       "JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst"
 
+  // ── K-core decomposition (peel to the density core) ────────────────────
+  // The 2-core of the support-≥2 co-purchase graph: iteratively strip
+  // nodes with fewer than 2 surviving neighbors (pendant trees) until the
+  // cycle-containing core remains — the density prefilter that runs ahead
+  // of community detection at scale (operators/KCore scaladoc for the
+  // 100 TB shape). Registered result is each core node with its in-core
+  // degree. The oracle unrolls the synchronous peel: each round keeps
+  // nodes with current degree ≥ k, then restricts edges to kept endpoints
+  // — the fixture graphs converge in ≤5 rounds at both verification SFs,
+  // and converged rounds are no-ops on both engines.
+  private val CoreK = 2
+  private val KcoreRounds = 12
+
+  def qKcore(s: SparkSession, d: String): DataFrame =
+    graft.operators.KCore
+      .coreEdges(supportedEdges(s, d, MinSupport), CoreK)
+      .groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("core_deg"))
+
+  private def kcoreIter(i: Int, prev: String): String =
+    s"k$i AS MATERIALIZED (SELECT a FROM $prev GROUP BY a HAVING count(*) >= $CoreK), " +
+      s"r$i AS MATERIALIZED (SELECT e.a, e.b FROM $prev e " +
+      s"JOIN k$i x ON e.a = x.a JOIN k$i y ON e.b = y.a)"
+
+  val qKcoreSql: String = {
+    val rounds = (1 to KcoreRounds).map(i => kcoreIter(i, s"r${i - 1}")).mkString(", ")
+    "WITH e AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst " +
+      "FROM lineitem a JOIN lineitem b " +
+      "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+      s"GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= $MinSupport), " +
+      "r0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM e " +
+      "UNION ALL SELECT dst, src FROM e), " +
+      rounds + " " +
+      s"SELECT a AS node, CAST(count(*) AS BIGINT) AS core_deg FROM r$KcoreRounds GROUP BY 1"
+  }
+
   // ── Frequent itemsets + association rules ──────────────────────────────
   // Market-basket mining over the same baskets: the top pairs by order
   // co-occurrence with confidence(src→dst) and lift. Counts are DISTINCT
@@ -381,6 +417,7 @@ object GraphQueries {
     "q_bfs"        -> qBfs _,
     "q_triangles"  -> qTriangles _,
     "q_components" -> qComponents _,
+    "q_kcore"      -> qKcore _,
     "q_itemsets"   -> qItemsets _,
   )
 
@@ -389,6 +426,7 @@ object GraphQueries {
     "q_bfs"        -> qBfsSql,
     "q_triangles"  -> qTrianglesSql,
     "q_components" -> qComponentsSql,
+    "q_kcore"      -> qKcoreSql,
     "q_itemsets"   -> qItemsetsSql,
   )
 }

@@ -515,4 +515,81 @@ class PropertySpec extends AnyFunSuite {
     assert(math.abs(lastShare - wantTop.map(_._2).sum / total) < 1e-5)
     assert(lastShare > 0.0 && lastShare <= 1.0)
   }
+
+  test("k-core equals driver-side peel on random graphs (10 trials)") {
+    val r = new Random(41)
+    for (trial <- 1 to 10) {
+      val nodes = 4 + r.nextInt(30)
+      val k = 2 + r.nextInt(2)
+      val edges = List.fill(r.nextInt(60))(
+        (r.nextInt(nodes).toLong, r.nextInt(nodes).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      if (edges.nonEmpty) {
+        // driver-side peel ground truth
+        val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+        edges.foreach { case (a, b) =>
+          adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+          adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+        }
+        var changed = true
+        while (changed) {
+          val bad = adj.collect { case (n, nb) if nb.size < k => n }.toList
+          changed = bad.nonEmpty
+          bad.foreach { n => adj(n).foreach(adj(_) -= n); adj -= n }
+        }
+        val want = adj.map { case (n, nb) => n -> nb.size.toLong }.toMap
+        val got = graft.operators.KCore
+          .coreEdges(edges.toDF("src", "dst"), k, maxIterations = nodes)
+          .groupBy("a").count().as[(Long, Long)].collect().toMap
+        assert(got === want, s"trial $trial k=$k edges: $edges")
+      }
+    }
+  }
+
+  test("jaro-winkler expression matches known values and a driver reference") {
+    graft.functions.JaroWinkler.register(spark)
+    // canonical published values (Winkler 1990 examples, DuckDB-verified)
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("CRATE", "TRACE", 0.7333333333333334),
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0),
+      ("abcdefgh", "abxxxxxx", 0.5)) // jaro ≤ 0.7: no prefix boost
+    cases.foreach { case (a, b, want) =>
+      assert(math.abs(graft.functions.JaroWinklerExpression.jw(a, b) - want) < 1e-12,
+        s"($a, $b)")
+    }
+    // the codegen path agrees with the static helper on table data
+    val rows = spark.sql(
+      "SELECT p_name, graft_jaro_winkler(p_name, 'small ring') AS jw " +
+        s"FROM parquet.`$sf/part.parquet`").collect()
+    rows.foreach { row =>
+      assert(row.getDouble(1) ===
+        graft.functions.JaroWinklerExpression.jw(row.getString(0), "small ring"))
+    }
+    // symmetry + range on random word pairs
+    val words = rows.map(_.getString(0)).distinct.take(20)
+    for (a <- words; b <- words) {
+      val v = graft.functions.JaroWinklerExpression.jw(a, b)
+      assert(v >= 0.0 && v <= 1.0)
+      assert(v === graft.functions.JaroWinklerExpression.jw(b, a))
+      if (a == b) assert(v === 1.0)
+    }
+  }
+
+  test("chi-square cells: contributions reconcile with marginals and dof") {
+    val rows = graft.queries.EventQueries.qChiSquare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val obsTotal = rows.map(_.getAs[Long]("obs")).sum
+    // expected counts sum back to N (within rounding of 6dp per cell)
+    val expTotal = rows.map(_.getAs[Double]("exp_r")).sum
+    assert(math.abs(expTotal - obsTotal) < 1e-3 * rows.length)
+    // every contribution is non-negative and finite; chi2 is their sum
+    val chi2 = rows.map(_.getAs[Double]("contrib_r")).sum
+    assert(chi2 >= 0.0 && java.lang.Double.isFinite(chi2))
+    // dow domain is the mod-7 residue
+    assert(rows.map(_.getAs[Long]("dow")).forall(d => d >= 0 && d <= 6))
+  }
 }
