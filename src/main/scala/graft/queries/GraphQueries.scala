@@ -157,6 +157,66 @@ object GraphQueries {
       "JOIN e e2 ON e2.src = e1.dst " +
       "JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst"
 
+  // ── Degree distribution + log-log power-law fit ────────────────────────
+  // The graph-shape diagnostic run before sizing any skew-sensitive graph
+  // job: the degree histogram of the co-purchase graph plus the OLS slope
+  // of ln(count) on ln(degree) — a straight log-log line is the
+  // scale-free signature, and the slope says how heavy the hub tail is
+  // (what decides salting/orientation strategy at 100 TB). Engine parity
+  // discipline: each ln is taken once on an exact integer, scaled to
+  // integer MICRO-NATS immediately (round(ln·1e6)), so the OLS moment
+  // sums are exact BIGINT arithmetic on both engines; doubles reappear
+  // only in the final slope/intercept division, computed in the same
+  // operation order and rounded at 6dp. The histogram is |distinct
+  // degrees| rows — the fit aggregate is driver-sized, broadcast back
+  // onto every histogram row so the full result keeps the per-row hash
+  // surface.
+  def qDegreeDist(s: SparkSession, d: String): DataFrame = {
+    val e = supportedEdges(s, d, MinSupport)
+    val deg = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val hist = deg.groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+    val withLn = hist.select(col("deg"), col("n_nodes"),
+      round(log(col("deg").cast("double")) * 1e6, 0).cast("long").as("x"),
+      round(log(col("n_nodes").cast("double")) * 1e6, 0).cast("long").as("y"))
+    val m = withLn.agg(
+      count(lit(1)).as("k"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val slope = (col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("k") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val intercept = (col("sy").cast("double") / col("k").cast("double") -
+      (col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("k") * col("sxx") - col("sx") * col("sx")).cast("double") *
+        (col("sx").cast("double") / col("k").cast("double"))) / 1e6
+    val fit = m.select(round(slope, 6).as("slope_r"),
+      round(intercept, 6).as("intercept_r"))
+    hist.crossJoin(broadcast(fit))
+      .select(col("deg"), col("n_nodes"), col("slope_r"), col("intercept_r"))
+  }
+
+  val qDegreeDistSql: String =
+    "WITH e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst " +
+      "FROM lineitem a JOIN lineitem b " +
+      "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+      s"GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= $MinSupport), " +
+      "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM " +
+      "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e) n GROUP BY 1), " +
+      "hist AS (SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1), " +
+      "ln AS (SELECT deg, n_nodes, " +
+      "CAST(round(ln(CAST(deg AS DOUBLE)) * 1e6, 0) AS BIGINT) AS x, " +
+      "CAST(round(ln(CAST(n_nodes AS DOUBLE)) * 1e6, 0) AS BIGINT) AS y FROM hist), " +
+      "m AS (SELECT CAST(count(*) AS BIGINT) AS k, " +
+      "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+      "CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx FROM ln), " +
+      "fit AS (SELECT " +
+      "round(CAST(k * sxy - sx * sy AS DOUBLE) / CAST(k * sxx - sx * sx AS DOUBLE), 6) AS slope_r, " +
+      "round((CAST(sy AS DOUBLE) / CAST(k AS DOUBLE) - " +
+      "CAST(k * sxy - sx * sy AS DOUBLE) / CAST(k * sxx - sx * sx AS DOUBLE) * " +
+      "(CAST(sx AS DOUBLE) / CAST(k AS DOUBLE))) / 1e6, 6) AS intercept_r FROM m) " +
+      "SELECT deg, n_nodes, slope_r, intercept_r FROM hist, fit"
+
   // ── K-core decomposition (peel to the density core) ────────────────────
   // The 2-core of the support-≥2 co-purchase graph: iteratively strip
   // nodes with fewer than 2 surviving neighbors (pendant trees) until the
@@ -418,6 +478,7 @@ object GraphQueries {
     "q_triangles"  -> qTriangles _,
     "q_components" -> qComponents _,
     "q_kcore"      -> qKcore _,
+    "q_degree_dist" -> qDegreeDist _,
     "q_itemsets"   -> qItemsets _,
   )
 
@@ -427,6 +488,7 @@ object GraphQueries {
     "q_triangles"  -> qTrianglesSql,
     "q_components" -> qComponentsSql,
     "q_kcore"      -> qKcoreSql,
+    "q_degree_dist" -> qDegreeDistSql,
     "q_itemsets"   -> qItemsetsSql,
   )
 }

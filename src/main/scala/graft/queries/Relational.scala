@@ -553,6 +553,35 @@ object Relational {
       .drop("bucket", "hi_b", "px", "hi")
   }
 
+  // ── Maximum drawdown (running-peak analytics) ──────────────────────────
+  // Daily revenue in exact integer cents → running peak → per-day
+  // drawdown (peak − revenue). The prefix-max window is unpartitioned BY
+  // DESIGN but runs on the calendar-grain AGGREGATE (~2.4k rows for the
+  // fixture's 7-year span, bounded by days-elapsed at any fact volume) —
+  // the same bounded-series discipline as q_running_distinct; the fact
+  // table itself shuffles once into the daily rollup. All columns stay
+  // BIGINT cents end-to-end, so both engines agree exactly.
+  def qDrawdown(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+        .as("cents"))
+    val w = W.orderBy(col("day")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    daily.withColumn("peak_cents", max(col("cents")).over(w))
+      .select(col("day"), col("cents"),
+        col("peak_cents"), (col("peak_cents") - col("cents")).as("dd_cents"))
+  }
+
+  val qDrawdownSql: String =
+    "WITH daily AS (SELECT o_orderdate AS day, " +
+      "CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents " +
+      "FROM orders GROUP BY 1) " +
+      "SELECT day, cents, " +
+      "CAST(max(cents) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS peak_cents, " +
+      "CAST(max(cents) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cents AS BIGINT) AS dd_cents " +
+      "FROM daily"
+
   def qSkyline(s: SparkSession, d: String): DataFrame =
     skyline(
       Tables.orders(s, d)
@@ -1167,6 +1196,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_table_checksum"  -> qTableChecksum _,
     "q_skyline"         -> qSkyline _,
+    "q_drawdown"        -> qDrawdown _,
     "q_snapshot_diff"   -> qSnapshotDiff _,
     "q_benford"         -> qBenford _,
     "q_rank_sum"        -> qRankSum _,
@@ -1219,6 +1249,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q_table_checksum"  -> qTableChecksumSql,
     "q_skyline"         -> qSkylineSql,
+    "q_drawdown"        -> qDrawdownSql,
     "q_snapshot_diff"   -> qSnapshotDiffSql,
     "q_benford"         -> qBenfordSql,
     "q_rank_sum"        -> qRankSumSql,

@@ -178,6 +178,44 @@ object StreamQueries {
       "SELECT click_id, purchase_id, user_id, purchase_value FROM j, wm " +
       "WHERE purchase_id IS NOT NULL OR click_ts + INTERVAL 60 MINUTE < w"
 
+  /** FULL OUTER stream-stream interval join backfill — the remaining
+    * join verb (inner: q_stream_join, left: q_stream_left_join). The
+    * oracle gates each null side on the final global watermark exactly
+    * as the streaming runtime does: unmatched clicks need the watermark
+    * past click_ts + 60 min, unmatched purchases past purchase_ts (the
+    * latest click time their window admits). */
+  def qStreamFullJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val joined = EventStreams.clickToPurchaseFull(
+      eventStream(s, d).filter(col("event_type") === "click"),
+      eventStream(s, d).filter(col("event_type") === "purchase"),
+      withinMinutes = 60, watermark = "1 minute")
+    runToMemory(s, joined, OutputMode.Append())
+      .select(col("click_id"), col("purchase_id"),
+        coalesce(col("c_user"), col("p_user")).as("user_id"),
+        col("purchase_value"))
+  }
+
+  val qStreamFullJoinSql: String =
+    "WITH c AS (SELECT * FROM events WHERE event_type = 'click'), " +
+      "p AS (SELECT * FROM events WHERE event_type = 'purchase'), " +
+      "wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p)) " +
+      "- INTERVAL 1 MINUTE AS w) " +
+      "SELECT c.event_id AS click_id, p.event_id AS purchase_id, " +
+      "c.user_id AS user_id, p.value AS purchase_value " +
+      "FROM c JOIN p ON c.user_id = p.user_id " +
+      "AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTE " +
+      "UNION ALL " +
+      "SELECT c.event_id, CAST(NULL AS BIGINT), c.user_id, CAST(NULL AS DOUBLE) " +
+      "FROM c, wm WHERE c.ts + INTERVAL 60 MINUTE < w AND NOT EXISTS (" +
+      "SELECT 1 FROM p WHERE p.user_id = c.user_id " +
+      "AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTE) " +
+      "UNION ALL " +
+      "SELECT CAST(NULL AS BIGINT), p.event_id, p.user_id, p.value " +
+      "FROM p, wm WHERE p.ts < w AND NOT EXISTS (" +
+      "SELECT 1 FROM c WHERE c.user_id = p.user_id " +
+      "AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTE)"
+
   val qStreamJoinSql: String =
     "SELECT c.event_id AS click_id, p.event_id AS purchase_id, " +
       "c.user_id AS user_id, p.value AS purchase_value " +
@@ -316,6 +354,7 @@ object StreamQueries {
     "q_stream_running"  -> qStreamRunning _,
     "q_stream_join"     -> qStreamJoin _,
     "q_stream_left_join" -> qStreamLeftJoin _,
+    "q_stream_full_join" -> qStreamFullJoin _,
     "q_kv_changefeed"   -> qKvChangefeed _,
   )
 
@@ -330,6 +369,7 @@ object StreamQueries {
     "q_stream_running"  -> qStreamRunningSql,
     "q_stream_join"     -> qStreamJoinSql,
     "q_stream_left_join" -> qStreamLeftJoinSql,
+    "q_stream_full_join" -> qStreamFullJoinSql,
     "q_kv_changefeed"   -> qKvChangefeedSql,
   )
 }

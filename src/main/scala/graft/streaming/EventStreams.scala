@@ -198,6 +198,30 @@ object EventStreams {
       "left_outer")
   }
 
+  /** FULL OUTER stream-stream join: completes the interval-join verb set
+    * ([[clickToPurchase]] inner, [[clickToPurchaseLeft]] left). Both null
+    * sides are watermark-gated: an unmatched click emits once the
+    * watermark passes the end of its join window (click_ts + within — no
+    * later purchase can match), an unmatched purchase once the watermark
+    * passes purchase_ts itself (its window's latest admissible click time
+    * — any click arriving later than that is below the condition's upper
+    * bound). State drops at the same moments, so full-outer state is
+    * bounded by watermark delay + window on both sides. */
+  def clickToPurchaseFull(clicks: DataFrame, purchases: DataFrame,
+      withinMinutes: Int = 60, watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $withinMinutes MINUTES"),
+      "full_outer")
+  }
+
   /** Start writing a streaming frame to parquet with checkpointing — the
     * durable-sink shape (exactly-once via checkpoint + file sink log).
     * Returns the running StreamingQuery (await/stop is the caller's). */

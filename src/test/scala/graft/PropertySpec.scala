@@ -516,6 +516,39 @@ class PropertySpec extends AnyFunSuite {
     assert(lastShare > 0.0 && lastShare <= 1.0)
   }
 
+  test("drawdown: peak is the running max, dd non-negative, zero at peaks") {
+    val rows = graft.queries.Relational.qDrawdown(spark, sf)
+      .orderBy("day").collect()
+    assert(rows.nonEmpty)
+    var peak = Long.MinValue
+    rows.foreach { r =>
+      val cents = r.getAs[Long]("cents")
+      peak = math.max(peak, cents)
+      assert(r.getAs[Long]("peak_cents") === peak)
+      assert(r.getAs[Long]("dd_cents") === peak - cents)
+      assert(r.getAs[Long]("dd_cents") >= 0L)
+    }
+    // the max-revenue day has zero drawdown by construction
+    assert(rows.exists(r => r.getAs[Long]("dd_cents") == 0L))
+  }
+
+  test("degree-dist: histogram covers all nodes and the fit reproduces OLS") {
+    val rows = graft.queries.GraphQueries.qDegreeDist(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // one slope/intercept broadcast onto every row
+    assert(rows.map(_.getAs[Double]("slope_r")).distinct.length === 1)
+    // driver-side OLS on the same micro-nat points reproduces the fit
+    val pts = rows.map { r =>
+      (math.round(math.log(r.getAs[Long]("deg").toDouble) * 1e6),
+        math.round(math.log(r.getAs[Long]("n_nodes").toDouble) * 1e6))
+    }
+    val k = pts.length.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum; val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (k * sxy - sx * sy).toDouble / (k * sxx - sx * sx).toDouble
+    assert(math.abs(rows.head.getAs[Double]("slope_r") - slope) < 1e-5)
+  }
+
   test("k-core equals driver-side peel on random graphs (10 trials)") {
     val r = new Random(41)
     for (trial <- 1 to 10) {

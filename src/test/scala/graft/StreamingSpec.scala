@@ -253,6 +253,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("full-outer stream join emits both watermark-gated null sides") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = EventStreams.clickToPurchaseFull(
+      clicks.toDF(), purchases.toDF(), withinMinutes = 60, watermark = "1 minute")
+    val q = joined.writeStream.format("memory").queryName("ss_full_join")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        Event(0L, t(0), 1L, "click", 0.0, "{}"),   // matched
+        Event(1L, t(10), 2L, "click", 0.0, "{}"),  // unmatched, closed → null
+        Event(2L, t(290), 3L, "click", 0.0, "{}")) // unmatched, still open
+      purchases.addData(
+        Event(10L, t(45), 1L, "purchase", 9.0, "{}"),  // matched
+        Event(11L, t(100), 4L, "purchase", 5.0, "{}"), // unmatched, closed → null
+        Event(12L, t(300), 9L, "purchase", 5.0, "{}")) // advances watermark; open
+      q.processAllAvailable()
+      // watermark ≈ min(t290, t300) − 1min = t289: click 1's window ended
+      // t70 → null; purchase 11's latest admissible click time is t100 →
+      // null; click 2 (window ends t350) and purchase 12 (t300 ≥ wm) open
+      def snapshot() = spark.table("ss_full_join")
+        .select($"click_id", $"purchase_id").collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      val round1 = snapshot()
+      assert(round1.contains((0L, 10L)))   // the real match
+      assert(round1.contains((1L, -1L)))   // closed unmatched click
+      assert(round1.contains((-1L, 11L)))  // closed unmatched purchase
+      assert(!round1.exists(p => p._1 == 2L || p._2 == 12L)) // open rows withheld
+      // advancing the watermark past both open windows flushes them
+      clicks.addData(Event(3L, t(500), 8L, "click", 0.0, "{}"))
+      purchases.addData(Event(13L, t(500), 9L, "purchase", 1.0, "{}"))
+      q.processAllAvailable()
+      val round2 = snapshot()
+      assert(round2.contains((2L, -1L)))
+      assert(round2.contains((-1L, 12L)))
+    } finally q.stop()
+  }
+
   test("checkpointed backfill resumes exactly-once: no replay, no loss") {
     // the operational contract of every AvailableNow backfill in the
     // suite: a second run against the SAME checkpoint must process only
