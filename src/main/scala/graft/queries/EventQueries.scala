@@ -1048,6 +1048,104 @@ object EventQueries {
       "CAST(sum(micros // n + CASE WHEN rn = 1 THEN micros % n ELSE 0 END) AS DOUBLE) " +
       "/ 1000000.0 AS attributed " +
       "FROM w GROUP BY 1"
+  // ── Inter-arrival gap histogram (traffic-shape diagnostic) ─────────────
+  // Distribution of per-user gaps between consecutive events, bucketed to
+  // whole minutes and capped — the arrival-process fingerprint that sizes
+  // session-gap thresholds and watermark delays. One user-partitioned
+  // window (the sessionize shuffle), integer micros end to end; the
+  // histogram is ≤ cap+1 rows at any fact volume.
+  private val GapCapMinutes = 240L
+
+  def qInterarrival(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("gap_us",
+        lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
+      .filter(col("gap_us").isNotNull)
+      .select(least(col("gap_us") / (60L * 1000000L), lit(GapCapMinutes))
+        .cast("long").as("gap_min"))
+      .groupBy(col("gap_min"))
+      .agg(count(lit(1)).as("n_gaps"))
+  }
+
+  val qInterarrivalSql: String =
+    "WITH g AS (SELECT lead(epoch_us(ts)) OVER " +
+      "(PARTITION BY user_id ORDER BY ts, event_id) - epoch_us(ts) AS gap_us " +
+      "FROM events) " +
+      s"SELECT CAST(least(gap_us // 60000000, $GapCapMinutes) AS BIGINT) AS gap_min, " +
+      "CAST(count(*) AS BIGINT) AS n_gaps " +
+      "FROM g WHERE gap_us IS NOT NULL GROUP BY 1"
+
+  // ── Population stability index (distribution drift) ────────────────────
+  // The drift gate a training pipeline runs before refreshing a model:
+  // value distributions of a baseline period vs the rest, PSI per fixed-
+  // width bucket. Fixed edges (floor(value/10), capped) — quantile edges
+  // would be float-boundary-fragile across engines; counts are integers,
+  // and the lone ln runs on a ratio of exact integers in the same
+  // operation order on both engines, rounded at 6dp. Cell counts are
+  // ≤ 10 rows; both period totals broadcast onto them.
+  private val PsiSplitDay = "2024-01-16"
+  private val PsiBuckets = 10
+
+  def qPsi(s: SparkSession, d: String): DataFrame = {
+    val bucket = least(floor(col("value") / 10.0), lit(PsiBuckets - 1).cast("double"))
+      .cast("long").as("bucket")
+    val base = col("ts") < lit(PsiSplitDay).cast("timestamp")
+    val cells = Tables.events(s, d)
+      .select(bucket, when(base, 1L).otherwise(0L).as("is_base"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("is_base")).as("n1"),
+        sum(lit(1L) - col("is_base")).as("n2"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+    val tot = cells.agg(sum(col("n1")).as("nn1"), sum(col("n2")).as("nn2"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n1"), col("n2"),
+        round((col("n2").cast("double") / col("nn2").cast("double") -
+          col("n1").cast("double") / col("nn1").cast("double")) *
+          log(col("n2").cast("double") * col("nn1").cast("double") /
+            (col("n1").cast("double") * col("nn2").cast("double"))), 6)
+          .as("psi_term_r"))
+  }
+
+  val qPsiSql: String =
+    "WITH cells AS (SELECT " +
+      s"CAST(least(floor(value / 10.0), ${PsiBuckets - 1}.0) AS BIGINT) AS bucket, " +
+      s"CAST(sum(CASE WHEN ts < TIMESTAMP '$PsiSplitDay' THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+      s"CAST(sum(CASE WHEN ts < TIMESTAMP '$PsiSplitDay' THEN 0 ELSE 1 END) AS BIGINT) AS n2 " +
+      "FROM events GROUP BY 1 HAVING n1 > 0 AND n2 > 0), " +
+      "tot AS (SELECT CAST(sum(n1) AS BIGINT) AS nn1, CAST(sum(n2) AS BIGINT) AS nn2 FROM cells) " +
+      "SELECT bucket, n1, n2, " +
+      "round((CAST(n2 AS DOUBLE) / CAST(nn2 AS DOUBLE) - CAST(n1 AS DOUBLE) / CAST(nn1 AS DOUBLE)) " +
+      "* ln(CAST(n2 AS DOUBLE) * CAST(nn1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(nn2 AS DOUBLE))), 6) AS psi_term_r " +
+      "FROM cells, tot"
+
+  // ── Rolling 7-day distinct users (exact WAU) ───────────────────────────
+  // Exact trailing-window distinct — the metric everyone first spells as
+  // a windowed COUNT(DISTINCT) that no engine supports. Scale spelling:
+  // each distinct (user, active-day) pair contributes to the 7 window-end
+  // days it falls inside, so the explode is a bounded 7× of the DAILY
+  // ACTIVE table (already deduplicated, calendar-bounded), never of the
+  // fact table; one distinct-aggregate shuffle on (window-day, user)
+  // finishes it. Windows truncated at the horizon are dropped via the
+  // broadcast max-day bound.
+  def qRollingDistinct(s: SparkSession, d: String): DataFrame = {
+    val du = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val bounds = du.agg(max(col("day")).as("d1"))
+    du.withColumn("wday", explode(expr("sequence(day, date_add(day, 6))")))
+      .crossJoin(broadcast(bounds))
+      .filter(col("wday") <= col("d1"))
+      .groupBy(col("wday").as("day"))
+      .agg(countDistinct(col("user_id")).as("wau7"))
+  }
+
+  val qRollingDistinctSql: String =
+    "WITH du AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events), " +
+      "b AS (SELECT max(day) AS d1 FROM du) " +
+      "SELECT du.day + CAST(x.i AS INTEGER) AS day, CAST(count(DISTINCT du.user_id) AS BIGINT) AS wau7 " +
+      "FROM du, generate_series(0, 6) AS x(i), b " +
+      "WHERE du.day + CAST(x.i AS INTEGER) <= b.d1 GROUP BY 1"
+
   // ── Chi-squared test of independence (event_type × day-of-week) ────────
   // The categorical companion to the Welch/Mann–Whitney readouts: is
   // event mix independent of weekday? One scan builds the contingency
@@ -1275,6 +1373,9 @@ object EventQueries {
     "q_concurrency"      -> qConcurrency _,
     "q_ab_test"          -> qAbTest _,
     "q_chi_square"       -> qChiSquare _,
+    "q_interarrival"     -> qInterarrival _,
+    "q_psi"              -> qPsi _,
+    "q_rolling_distinct" -> qRollingDistinct _,
     "q_attribution"      -> qAttribution _,
     "q_topk_heap_groups" -> qTopkHeapGroups _,
     "q_window_dedup"     -> qWindowDedup _,
@@ -1316,6 +1417,9 @@ object EventQueries {
     "q_concurrency"      -> qConcurrencySql,
     "q_ab_test"          -> qAbTestSql,
     "q_chi_square"       -> qChiSquareSql,
+    "q_interarrival"     -> qInterarrivalSql,
+    "q_psi"              -> qPsiSql,
+    "q_rolling_distinct" -> qRollingDistinctSql,
     "q_attribution"      -> qAttributionSql,
     "q_topk_heap_groups" -> qTopkHeapGroupsSql,
     "q_window_dedup"     -> qWindowDedupSql,

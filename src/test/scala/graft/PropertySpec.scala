@@ -549,6 +549,46 @@ class PropertySpec extends AnyFunSuite {
     assert(math.abs(rows.head.getAs[Double]("slope_r") - slope) < 1e-5)
   }
 
+  test("inter-arrival histogram: gap count is events minus active users") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.EventQueries.qInterarrival(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val g = r.getAs[Long]("gap_min"); g >= 0L && g <= 240L
+    })
+    // each user with n events contributes exactly n-1 gaps
+    val ev = Tables.events(spark, sf)
+    val total = ev.count()
+    val users = ev.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_gaps")).sum === total - users)
+  }
+
+  test("psi terms are individually non-negative and reconcile with counts") {
+    val rows = graft.queries.EventQueries.qPsi(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // (p2-p1) and ln(p2/p1) always share a sign, so every term is ≥ 0
+    rows.foreach { r =>
+      assert(r.getAs[Double]("psi_term_r") >= 0.0, r.toString)
+      assert(r.getAs[Long]("n1") > 0L && r.getAs[Long]("n2") > 0L)
+    }
+  }
+
+  test("rolling 7-day distinct equals a driver-side window recount") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.EventQueries.qRollingDistinct(spark, sf)
+      .collect().map(r => r.getAs[java.sql.Date]("day").toLocalDate ->
+        r.getAs[Long]("wau7")).toMap
+    val pairs = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date]("day").toLocalDate))
+    val d1 = pairs.map(_._2).max
+    val want = pairs.flatMap { case (u, day) =>
+      (0 to 6).map(i => day.plusDays(i.toLong)).filter(!_.isAfter(d1)).map(_ -> u)
+    }.groupBy(_._1).map { case (day, us) => day -> us.map(_._2).distinct.length.toLong }
+    assert(got === want)
+  }
+
   test("k-core equals driver-side peel on random graphs (10 trials)") {
     val r = new Random(41)
     for (trial <- 1 to 10) {
