@@ -582,6 +582,63 @@ object Relational {
       "CAST(max(cents) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cents AS BIGINT) AS dd_cents " +
       "FROM daily"
 
+  // ── Lag-k autocorrelation of the daily revenue series ──────────────────
+  // Seasonality detector: Pearson correlation of (revenue_t, revenue_t+k)
+  // for k ∈ {1, 7, 14}. The series is the calendar-bounded daily rollup
+  // (one fact shuffle, then everything operates on ~2.4k rows at any
+  // volume); each lag is one equi-join of the series against its shifted
+  // self. Moment sums follow the q_corr discipline: products of integer
+  // cents in BIGINT, summed in DECIMAL(38,0) (daily cents ~1e9 ⇒ squared
+  // products ~1e18 per row — a BIGINT sum would overflow within a few
+  // thousand days), doubles only in the final correlation, computed in
+  // the same operation order on both engines and rounded at 6dp.
+  private val AutocorrLags = Seq(1, 7, 14)
+
+  def qAutocorr(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+        .as("cents"))
+    val lags = {
+      import s.implicits._
+      AutocorrLags.toDF("lag")
+    }
+    def d38(c: Column) = sum(c.cast(DecimalType(38, 0)))
+    val joined = daily.crossJoin(broadcast(lags))
+      .withColumn("shifted", expr("date_add(day, lag)"))
+      .join(daily.select(col("day").as("day2"), col("cents").as("cents2")),
+        col("shifted") === col("day2"))
+    val m = joined.groupBy(col("lag")).agg(
+      count(lit(1)).as("n_pairs"),
+      d38(col("cents")).as("sx"), d38(col("cents2")).as("sy"),
+      d38(col("cents") * col("cents2")).as("sxy"),
+      d38(col("cents") * col("cents")).as("sxx"),
+      d38(col("cents2") * col("cents2")).as("syy"))
+    def dd(c: Column) = c.cast("double")
+    val num = dd(col("n_pairs")) * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))
+    val den = sqrt((dd(col("n_pairs")) * dd(col("sxx")) - dd(col("sx")) * dd(col("sx"))) *
+      (dd(col("n_pairs")) * dd(col("syy")) - dd(col("sy")) * dd(col("sy"))))
+    m.select(col("lag"), col("n_pairs"), round(num / den, 6).as("acf_r"))
+  }
+
+  val qAutocorrSql: String =
+    "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, " +
+      "CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents " +
+      "FROM orders GROUP BY 1), " +
+      s"lags AS (SELECT unnest([${AutocorrLags.mkString(", ")}]) AS lag), " +
+      "j AS (SELECT l.lag, a.cents AS x, b.cents AS y FROM daily a CROSS JOIN lags l " +
+      "JOIN daily b ON a.day + CAST(l.lag AS INTEGER) = b.day), " +
+      "m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs, " +
+      "sum(CAST(x AS DECIMAL(38,0))) AS sx, sum(CAST(y AS DECIMAL(38,0))) AS sy, " +
+      "sum(CAST(x * y AS DECIMAL(38,0))) AS sxy, " +
+      "sum(CAST(x * x AS DECIMAL(38,0))) AS sxx, " +
+      "sum(CAST(y * y AS DECIMAL(38,0))) AS syy FROM j GROUP BY 1) " +
+      "SELECT lag, n_pairs, round(" +
+      "(CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+      "(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf_r " +
+      "FROM m"
+
   def qSkyline(s: SparkSession, d: String): DataFrame =
     skyline(
       Tables.orders(s, d)
@@ -1197,6 +1254,7 @@ object Relational {
     "q_table_checksum"  -> qTableChecksum _,
     "q_skyline"         -> qSkyline _,
     "q_drawdown"        -> qDrawdown _,
+    "q_autocorr"        -> qAutocorr _,
     "q_snapshot_diff"   -> qSnapshotDiff _,
     "q_benford"         -> qBenford _,
     "q_rank_sum"        -> qRankSum _,
@@ -1250,6 +1308,7 @@ object Relational {
     "q_table_checksum"  -> qTableChecksumSql,
     "q_skyline"         -> qSkylineSql,
     "q_drawdown"        -> qDrawdownSql,
+    "q_autocorr"        -> qAutocorrSql,
     "q_snapshot_diff"   -> qSnapshotDiffSql,
     "q_benford"         -> qBenfordSql,
     "q_rank_sum"        -> qRankSumSql,

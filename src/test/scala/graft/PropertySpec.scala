@@ -589,6 +589,34 @@ class PropertySpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("autocorrelation equals a driver-side Pearson recomputation per lag") {
+    import org.apache.spark.sql.functions._
+    val daily = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((col("o_totalprice")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long")).as("cents"))
+      .collect().map(r => r.getAs[java.sql.Date]("day").toLocalDate ->
+        r.getAs[Long]("cents")).toMap
+    val got = graft.queries.Relational.qAutocorr(spark, sf).collect()
+      .map(r => r.getAs[Int]("lag") -> r.getAs[Double]("acf_r")).toMap
+    assert(got.keySet === Set(1, 7, 14))
+    got.foreach { case (lag, acf) =>
+      val pairs = daily.toSeq.flatMap { case (day, x) =>
+        daily.get(day.plusDays(lag.toLong)).map(y => (x.toDouble, y.toDouble))
+      }
+      val n = pairs.length.toDouble
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val want = (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      assert(math.abs(acf - want) < 1e-5, s"lag $lag")
+      assert(acf >= -1.0 && acf <= 1.0)
+    }
+  }
+
   test("k-core equals driver-side peel on random graphs (10 trials)") {
     val r = new Random(41)
     for (trial <- 1 to 10) {
