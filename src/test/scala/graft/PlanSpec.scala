@@ -268,4 +268,41 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
       s"the MERGE shape is one shuffle on the key:\n$p")
   }
+
+  test("drawdown: fact shuffles once into the rollup; window sees the series") {
+    val p = plan("q_drawdown")
+    // one hash exchange (the daily rollup) + the single-partition window
+    // over the bounded calendar series
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"daily rollup must be the only hash shuffle:\n$p")
+    assert(p.contains("partial_"), s"rollup lost map-side combine:\n$p")
+  }
+
+  test("chi-square and psi broadcast their marginals onto the cell table") {
+    val chi = plan("q_chi_square")
+    assert("BroadcastExchange".r.findAllIn(chi).size >= 2,
+      s"row/col totals must broadcast:\n$chi")
+    val psi = plan("q_psi")
+    assert(psi.contains("BroadcastExchange"),
+      s"period totals must broadcast:\n$psi")
+    assert(psi.contains("partial_"), s"bucket counts lost map-side combine:\n$psi")
+  }
+
+  test("jaro-winkler pairs: blocked join, no cartesian, codegen kernel") {
+    val p = plan("q_jaro_winkler")
+    assert(!p.contains("CartesianProduct"),
+      s"blocking must prevent an all-pairs product:\n$p")
+    assert(p.toLowerCase.contains("jarowinklerexpression"),
+      s"custom kernel not in plan:\n$p")
+  }
+
+  test("rolling distinct: explode runs on the deduplicated daily table") {
+    val p = plan("q_rolling_distinct")
+    // Generate (explode) must sit above the distinct aggregation of
+    // (user, day) — never against the raw fact scan
+    val gen = p.indexOf("Generate explode")
+    assert(gen >= 0, s"expected an explode:\n$p")
+    assert(p.substring(gen).contains("HashAggregate"),
+      s"explode must consume the aggregated daily-active table:\n$p")
+  }
 }
