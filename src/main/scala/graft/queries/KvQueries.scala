@@ -188,7 +188,28 @@ object KvQueries {
       s"${Relational.sqlDsum("value")} AS sum_value FROM events " +
       "WHERE event_type = 'purchase' GROUP BY 1"
 
+  /** Ungrouped COUNT/MIN/MAX pushed COMPLETELY into the connector
+    * (SupportsPushDownAggregates): the scan returns one pre-aggregated
+    * row — the table never leaves the provider (KvSourceSpec pins the
+    * `aggPushed=` scan and the fallback for unsupported shapes). Oracle
+    * recomputes the same aggregates from the nation parquet. */
+  def qKvAggPushdown(s: SparkSession, d: String): DataFrame = {
+    ensureNation(s, d)
+    s.read.format("graft-kv").option("table", "kv_nation").load()
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("n_nationkey")).as("min_key"),
+        max(col("n_nationkey")).as("max_key"),
+        max(col("n_name")).as("max_name"),
+        count(col("n_regionkey")).as("n_regions"))
+  }
+
+  val qKvAggPushdownSql: String =
+    "SELECT count(*) AS n_rows, CAST(min(n_nationkey) AS BIGINT) AS min_key, " +
+      "CAST(max(n_nationkey) AS BIGINT) AS max_key, max(n_name) AS max_name, " +
+      "count(n_regionkey) AS n_regions FROM nation"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kv_agg_pushdown" -> qKvAggPushdown _,
     "q_partition_prune" -> qPartitionPrune _,
     "q_kv_scan"        -> qKvScan _,
     "q_kv_lookup_join" -> qKvLookupJoin _,
@@ -199,6 +220,7 @@ object KvQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_kv_agg_pushdown" -> qKvAggPushdownSql,
     "q_partition_prune" -> qPartitionPruneSql,
     "q_kv_scan"        -> qKvScanSql,
     "q_kv_lookup_join" -> qKvLookupJoinSql,

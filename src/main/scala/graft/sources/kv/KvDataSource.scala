@@ -8,10 +8,12 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter}
-import org.apache.spark.sql.types.{DataType, StringType, StructType, TimestampType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -146,10 +148,51 @@ class KvTable(table: String, schema0: StructType, partitions: Int)
 
 class KvScanBuilder(table: String, full: StructType, partitions: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownLimit {
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
   private var required: StructType = full
   private var keyLookup: Option[String] = None
   private var limit: Option[Int] = None
+  private var aggs: Option[Seq[KvAgg]] = None
+
+  // ── Aggregate pushdown (SupportsPushDownAggregates) ────────────────────
+  // Ungrouped COUNT(*) / COUNT(col) / MIN(col) / MAX(col) run INSIDE the
+  // provider: the scan returns one pre-aggregated row instead of the
+  // table (complete pushdown — the store is the single source of truth,
+  // so no partial/final re-aggregation is needed). The DSv2 analog of a
+  // service-side Select COUNT — at scale the difference between moving
+  // the table and moving one row. Grouped aggregates and anything beyond
+  // the four verbs stay in Spark (pushAggregation returns false and the
+  // normal scan path applies).
+  private def fieldOf(
+      e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
+      case _ => None
+    }
+
+  private def translate(agg: Aggregation): Option[Seq[KvAgg]] =
+    if (agg.groupByExpressions.nonEmpty || keyLookup.isDefined || limit.isDefined) None
+    else {
+      val out: Seq[Option[KvAgg]] = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some(KvAgg("count_star", None))
+        case c: Count if !c.isDistinct => fieldOf(c.column).map(f => KvAgg("count", Some(f)))
+        case m: Min => fieldOf(m.column).map(f => KvAgg("min", Some(f)))
+        case m: Max => fieldOf(m.column).map(f => KvAgg("max", Some(f)))
+        case _ => None
+      }
+      if (out.forall(_.isDefined)) Some(out.flatten) else None
+    }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translate(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    translate(agg) match {
+      case Some(specs) => aggs = Some(specs); true
+      case None => false
+    }
+  }
 
   // LIMIT pushdown: each scan partition stops after n items (a DynamoDB
   // Scan `Limit`); Spark still applies the exact global limit above.
@@ -173,8 +216,87 @@ class KvScanBuilder(table: String, full: StructType, partitions: Int)
   override def pushedFilters(): Array[Filter] =
     keyLookup.map(v => EqualTo(KvStore.data(table).keyCol, v): Filter).toArray
 
-  override def build(): Scan =
-    new KvScan(table, full, required, keyLookup, partitions, limit)
+  override def build(): Scan = aggs match {
+    case Some(specs) => new KvAggScan(table, full, specs)
+    case None => new KvScan(table, full, required, keyLookup, partitions, limit)
+  }
+}
+
+/** One pushed aggregate verb: op ∈ count_star | count | min | max. */
+case class KvAgg(op: String, col: Option[String]) {
+  def name: String = op match {
+    case "count_star" => "count(*)"
+    case other => s"$other(${col.get})"
+  }
+}
+
+/** Scan for a completely-pushed ungrouped aggregation: ONE partition,
+  * ONE output row, computed inside the provider (executor-side over the
+  * store snapshot). Read metering still bills per item examined — the
+  * aggregate scans the table server-side, it does not ship it. */
+class KvAggScan(table: String, full: StructType, specs: Seq[KvAgg])
+    extends Scan with Batch {
+  override def readSchema(): StructType = StructType(specs.map { a =>
+    a.op match {
+      case "count_star" | "count" => StructField(a.name, LongType, nullable = false)
+      case _ => StructField(a.name, full(full.fieldIndex(a.col.get)).dataType)
+    }
+  })
+  override def description(): String =
+    s"graft-kv table=$table aggPushed=[${specs.map(_.name).mkString(",")}]"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(KvAggPartition(table, specs))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KvAggReaderFactory
+}
+
+case class KvAggPartition(table: String, specs: Seq[KvAgg]) extends InputPartition
+
+class KvAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[KvAggPartition]
+    val data = KvStore.data(part.table)
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow = {
+        val idx = part.specs.map(_.col.map(data.schema.fieldIndex))
+        val counts = new Array[Long](part.specs.length)
+        val extremes = new Array[Any](part.specs.length)
+        data.items.values.foreach { r =>
+          KvStore.readUnits(r)
+          var j = 0
+          while (j < part.specs.length) {
+            val spec = part.specs(j)
+            spec.op match {
+              case "count_star" => counts(j) += 1
+              case "count" => if (r(idx(j).get) != null) counts(j) += 1
+              case "min" | "max" =>
+                val v = r(idx(j).get)
+                if (v != null) {
+                  val cur = extremes(j)
+                  val cmp = if (cur == null) 0
+                    else v.asInstanceOf[Comparable[Any]].compareTo(cur)
+                  if (cur == null || (spec.op == "min" && cmp < 0) ||
+                      (spec.op == "max" && cmp > 0)) extremes(j) = v
+                }
+            }
+            j += 1
+          }
+        }
+        InternalRow.fromSeq(part.specs.zipWithIndex.map { case (spec, j) =>
+          spec.op match {
+            case "count_star" | "count" => counts(j)
+            case _ =>
+              val dt = data.schema(data.schema.fieldIndex(spec.col.get)).dataType
+              KvConvert.toCatalyst(dt)(extremes(j))
+          }
+        })
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class KvScan(table: String, full: StructType, required: StructType,

@@ -40,6 +40,31 @@ class KvSourceSpec extends AnyFunSuite {
     assert(df.select($"id").as[Long].collect().sorted.toSeq === (1L to 20L))
   }
 
+  test("ungrouped count/min/max push completely into the provider") {
+    fixture("t_agg")
+    val df = read("t_agg").agg(
+      count(lit(1)).as("n"), min($"id").as("min_id"),
+      max($"bal").as("max_bal"), count($"name").as("n_names"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("aggPushed=[count(*),min(id),max(bal),count(name)]"),
+      s"aggregation not pushed:\n$plan")
+    val r = df.collect().head
+    assert(r.getLong(0) === 20L)
+    assert(r.getLong(1) === 1L)
+    assert(r.getDouble(2) === 30.0)
+    assert(r.getLong(3) === 20L)
+  }
+
+  test("grouped or unsupported aggregates fall back to the normal scan") {
+    fixture("t_agg_fb")
+    val grouped = read("t_agg_fb").groupBy($"name").agg(count(lit(1)))
+    assert(!grouped.queryExecution.executedPlan.toString.contains("aggPushed"))
+    assert(grouped.count() === 20)
+    val summed = read("t_agg_fb").agg(sum($"bal").as("s"))
+    assert(!summed.queryExecution.executedPlan.toString.contains("aggPushed"))
+    assert(math.abs(summed.collect().head.getDouble(0) - (1 to 20).map(_ * 1.5).sum) < 1e-9)
+  }
+
   test("projection pushdown reaches the provider (pruned attrs in the scan)") {
     fixture("t_prune")
     val df = read("t_prune").select($"name")
