@@ -178,6 +178,27 @@ object StreamQueries {
       "SELECT click_id, purchase_id, user_id, purchase_value FROM j, wm " +
       "WHERE purchase_id IS NOT NULL OR click_ts + INTERVAL 60 MINUTE < w"
 
+  /** Chained stateful aggregation backfill: hourly → daily rollup in one
+    * streaming query (two window aggregates, append mode). A day emits
+    * once the final watermark passes its end — the oracle applies the
+    * same closure rule, and closed days contain only closed hours, so
+    * their totals equal the batch rollup exactly. */
+  def qStreamChain(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    runToMemory(s,
+      EventStreams.hourlyThenDaily(eventStream(s, d), watermark = "1 minute"),
+      OutputMode.Append())
+  }
+
+  val qStreamChainSql: String =
+    "WITH wm AS (SELECT max(ts) - INTERVAL 1 MINUTE AS w FROM events) " +
+      "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start, " +
+      "CAST(count(*) AS BIGINT) AS n_events, " +
+      "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+      "FROM events, wm " +
+      "WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wm.w " +
+      "GROUP BY 1"
+
   /** FULL OUTER stream-stream interval join backfill — the remaining
     * join verb (inner: q_stream_join, left: q_stream_left_join). The
     * oracle gates each null side on the final global watermark exactly
@@ -355,6 +376,7 @@ object StreamQueries {
     "q_stream_join"     -> qStreamJoin _,
     "q_stream_left_join" -> qStreamLeftJoin _,
     "q_stream_full_join" -> qStreamFullJoin _,
+    "q_stream_chain"    -> qStreamChain _,
     "q_kv_changefeed"   -> qKvChangefeed _,
   )
 
@@ -370,6 +392,7 @@ object StreamQueries {
     "q_stream_join"     -> qStreamJoinSql,
     "q_stream_left_join" -> qStreamLeftJoinSql,
     "q_stream_full_join" -> qStreamFullJoinSql,
+    "q_stream_chain"    -> qStreamChainSql,
     "q_kv_changefeed"   -> qKvChangefeedSql,
   )
 }

@@ -67,6 +67,26 @@ object EventStreams {
       .select(col("w.start").as("bucket"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** CHAINED stateful aggregation — two time-window aggregates in ONE
+    * streaming query (hourly rollup feeding a daily rollup via
+    * `window(window_col, ...)`), the multi-stateful-operator capability
+    * Structured Streaming gained in 3.4: the daily aggregate consumes
+    * hourly FINALS as the hourly windows close under the watermark, so
+    * per-day state is 24 partial rows, not the day's events. Decimal
+    * sums keep both stages exact and order-independent. Append mode —
+    * a day emits once the watermark passes its end, by which point every
+    * hour inside it has closed. */
+  def hourlyThenDaily(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w1"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("dsum"))
+      .groupBy(window(col("w1"), "1 day").as("w2"))
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("dsum")).cast("double").as("sum_value"))
+      .select(col("w2.start").as("day_start"), col("n_events"), col("sum_value"))
+
   /** Native session windows: a session spans events < gap apart and ends
     * gap after the last one. Works on batch frames too (the oracle-checked
     * q_session_window query runs exactly this plan in batch mode). */

@@ -293,6 +293,21 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("chained hourly->daily aggregation equals the batch rollup for closed days") {
+    val got = graft.queries.StreamQueries.qStreamChain(spark, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+    val wm = Tables.events(spark, sf)
+      .agg(max(col("ts"))).collect().head.getTimestamp(0).getTime - 60000L
+    val want = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day_start"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .filter(unix_millis(col("day_start")) + 86400000L <= wm)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("checkpointed backfill resumes exactly-once: no replay, no loss") {
     // the operational contract of every AvailableNow backfill in the
     // suite: a second run against the SAME checkpoint must process only
