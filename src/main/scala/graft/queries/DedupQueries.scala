@@ -405,6 +405,82 @@ object DedupQueries {
       "FROM blocks a JOIN blocks b ON a.block = b.block AND a.name < b.name " +
       s"WHERE levenshtein(a.name, b.name) <= $MaxEdit"
 
+  // ── Train/eval decontamination (n-gram collision audit) ────────────────
+  // The contamination check run before any evaluation: which eval-split
+  // documents share an 8-gram with ANY training document (the standard
+  // n-gram-collision decontamination method). The corpus splits by a
+  // salted md5 of doc_id (engine-portable, reproducible); the train side
+  // collapses to its DISTINCT shingle set — at 100 TB only 8-byte-ish
+  // shingle strings shuffle, never documents, and the eval⋈train join is
+  // an inverted-index probe, not a doc×doc product. Output: each
+  // contaminated eval doc with its collision count and contamination
+  // fraction (integer counts, one rounded division).
+  def qDecontaminate(s: SparkSession, d: String): DataFrame = {
+    Shingles.register(s)
+    val side = Md5Bits.hash60(concat(lit("dc:"), col("doc_id").cast("string"))) % 2
+    val sh = Tables.documents(s, d)
+      .withColumn("side", side)
+      .select(col("doc_id"), col("side"),
+        explode(Shingles.shingles(col("text"), 8)).as("sh"))
+    val trainSh = sh.filter(col("side") === 0).select(col("sh")).distinct()
+    val evalSh = sh.filter(col("side") === 1)
+    val sizes = evalSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val hits = evalSh.join(trainSh, Seq("sh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_collisions"))
+    sizes.join(hits, Seq("doc_id"))
+      .select(col("doc_id"), col("n_shingles"), col("n_collisions"),
+        round(col("n_collisions").cast("double") /
+          col("n_shingles").cast("double"), 6).as("contam_r"))
+  }
+
+  private val sqlShingles8 =
+    "list_distinct(list_transform(generate_series(1, greatest(len(t) - 7, 0)), " +
+      "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || " +
+      "t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]))"
+
+  val qDecontaminateSql: String = {
+    val side = Md5Bits.sqlHash60("'dc:' || CAST(doc_id AS VARCHAR)") + " % 2"
+    s"WITH toks AS (SELECT doc_id, $side AS side, " +
+      s"${graft.functions.TextFunctions.sqlTokens} AS t FROM documents), " +
+      s"sh AS (SELECT doc_id, side, unnest($sqlShingles8) AS sh FROM toks), " +
+      "train AS (SELECT DISTINCT sh FROM sh WHERE side = 0), " +
+      "ev AS (SELECT doc_id, sh FROM sh WHERE side = 1), " +
+      "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM ev GROUP BY 1), " +
+      "hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_collisions " +
+      "FROM ev JOIN train USING (sh) GROUP BY 1) " +
+      "SELECT doc_id, n_shingles, n_collisions, " +
+      "round(CAST(n_collisions AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS contam_r " +
+      "FROM sizes JOIN hits USING (doc_id)"
+  }
+
+  // ── Incremental dedup (new batch vs historical corpus) ─────────────────
+  // The steady-state production shape: dedup an INCOMING batch against
+  // the already-ingested corpus without rescanning it pairwise — accept
+  // an incoming doc iff its content digest is unseen historically AND it
+  // is the smallest-id holder of that digest within the batch. Both
+  // checks shuffle 16-byte digests only; the historical side would be a
+  // bucketed digest table at scale, making the anti-join co-located.
+  def qDedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val side = Md5Bits.hash60(concat(lit("inc:"), col("doc_id").cast("string"))) % 2
+    val docs = Tables.documents(s, d)
+      .withColumn("side", side)
+      .select(col("doc_id"), col("side"), md5(col("text")).as("digest"))
+    val hist = docs.filter(col("side") === 0).select(col("digest")).distinct()
+    val incoming = docs.filter(col("side") === 1)
+    incoming.join(hist, Seq("digest"), "left_anti")
+      .groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("accept_id"), count(lit(1)).as("n_batch_copies"))
+  }
+
+  val qDedupIncrementalSql: String = {
+    val side = Md5Bits.sqlHash60("'inc:' || CAST(doc_id AS VARCHAR)") + " % 2"
+    s"WITH docs AS (SELECT doc_id, $side AS side, md5(text) AS digest FROM documents), " +
+      "hist AS (SELECT DISTINCT digest FROM docs WHERE side = 0) " +
+      "SELECT digest, min(doc_id) AS accept_id, count(*) AS n_batch_copies " +
+      "FROM docs WHERE side = 1 AND digest NOT IN (SELECT digest FROM hist) " +
+      "GROUP BY 1"
+  }
+
   // ── Jaro–Winkler fuzzy pairs (transposition-tolerant linkage) ──────────
   // The same multi-pass blocking as qFuzzyMatch, scored with the codegen
   // JaroWinklerExpression instead of edit distance: JW credits shared
@@ -540,6 +616,8 @@ object DedupQueries {
     "q_entity_resolution" -> qEntityResolution _,
     "q_fuzzy_match"   -> qFuzzyMatch _,
     "q_jaro_winkler"  -> qJaroWinkler _,
+    "q_decontaminate" -> qDecontaminate _,
+    "q_dedup_incremental" -> qDedupIncremental _,
     "q_winnow_overlap" -> qWinnowOverlap _,
     "q_dedup_exact"   -> qDedupExact _,
     "q_ngram_jaccard" -> qNgramJaccard _,
@@ -553,6 +631,8 @@ object DedupQueries {
     "q_entity_resolution" -> qEntityResolutionSql,
     "q_fuzzy_match"    -> qFuzzyMatchSql,
     "q_jaro_winkler"   -> qJaroWinklerSql,
+    "q_decontaminate"  -> qDecontaminateSql,
+    "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_dedup_exact"    -> qDedupExactSql,
     "q_ngram_jaccard"  -> qNgramJaccardSql,
     "q_minhash_lsh"    -> qMinhashLshSql,

@@ -617,6 +617,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("decontamination flags only eval-side docs with bounded fractions") {
+    val rows = graft.queries.DedupQueries.qDecontaminate(spark, sf).collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      // the flagged doc really is on the eval side of the salted split
+      assert(graft.functions.Md5Bits.hash60(s"dc:$id") % 2 === 1L, s"doc $id")
+      val n = r.getAs[Long]("n_shingles"); val c = r.getAs[Long]("n_collisions")
+      assert(c >= 1L && c <= n)
+      val f = r.getAs[Double]("contam_r")
+      assert(f > 0.0 && f <= 1.0)
+    }
+  }
+
+  test("incremental dedup equals a driver-side digest recount") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def md5hex(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val (hist, incoming) = docs.partition { case (id, _) =>
+      graft.functions.Md5Bits.hash60(s"inc:$id") % 2 == 0L
+    }
+    val histDigests = hist.map(p => md5hex(p._2)).toSet
+    val want = incoming.map { case (id, t) => (md5hex(t), id) }
+      .groupBy(_._1).removedAll(histDigests)
+      .map { case (dg, xs) => dg -> ((xs.map(_._2).min, xs.length.toLong)) }
+    val got = graft.queries.DedupQueries.qDedupIncremental(spark, sf)
+      .collect().map(r => r.getAs[String]("digest") ->
+        ((r.getAs[Long]("accept_id"), r.getAs[Long]("n_batch_copies")))).toMap
+    assert(got === want)
+  }
+
   test("k-core equals driver-side peel on random graphs (10 trials)") {
     val r = new Random(41)
     for (trial <- 1 to 10) {
