@@ -33,8 +33,10 @@ object KCore {
     val e = edges.toDF("src", "dst")
     var sym = e.union(e.select(col("dst"), col("src")))
       .toDF("a", "b").localCheckpoint(true)
-    var prevCount = sym.count()
-    var converged = prevCount == 0L
+    // -1 sentinel: convergence is judged from the per-round Observation
+    // alone (first round never matches), so no upfront count() pass
+    var prevCount = -1L
+    var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
       val keep = sym.groupBy(col("a")).agg(count(lit(1)).as("deg"))

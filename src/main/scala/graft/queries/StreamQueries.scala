@@ -35,12 +35,31 @@ object StreamQueries {
       mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val name = s"graft_stream_sink_${sinkCounter.incrementAndGet()}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt.toString)
-      .start()
-    q.awaitTermination()
+    // State-partition knob: a stateful op's partition count is fixed from
+    // spark.sql.shuffle.partitions at FIRST start and pays a per-batch
+    // per-partition state-store commit. A bounded backfill of one input
+    // file doesn't need the full cluster width — graft.stream
+    // .statePartitions (or SPARK_GRAFT_STREAM_SHUFFLE) sizes it to the
+    // STATE, and a live deployment sizes it up. Scoped set/restore: the
+    // fixed count rides the checkpoint, not the session.
+    // Default 8: measured 2.6× faster than 32 on the sf0.1 backfills
+    // (stream-stream joins 6.9 s → 2.4 s) — commit overhead, not data,
+    // bounds these runs. A live deployment overrides via the conf.
+    val stateParts = sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE")
+      .orElse(try { Option(s.conf.get("graft.stream.statePartitions")) }
+        catch { case _: Exception => None })
+      .orElse(Some("8"))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    stateParts.foreach(n => s.conf.set("spark.sql.shuffle.partitions", n))
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      q.awaitTermination()
+    } finally stateParts.foreach(_ =>
+      s.conf.set("spark.sql.shuffle.partitions", prevParts))
     val out = s.table(name) // resolves to the sink's rows — keep the plan,
     s.catalog.dropTempView(name) // drop the name (repeated runs must not
     deleteRecursively(ckpt) //     accumulate views/checkpoints in one JVM)
