@@ -361,7 +361,97 @@ object SimilarityQueries {
       "list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS m " +
       "FROM embeddings) a) b) c"
 
+  // ── MMR diverse top-k (two-stage retrieval with a rerank window) ───────
+  // Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98): after a
+  // DISTRIBUTED recall stage (top-`MmrPool` by cosine to the query, the
+  // q_knn plan shape), greedily pick k results maximizing
+  // λ·sim(q,d) − (1−λ)·max sim(d, selected) — relevance minus redundancy.
+  // The greedy reranks the POOL, which is small BY CONSTRUCTION (50 rows
+  // at any corpus size), so it runs driver-side like every production
+  // reranker; the recall scan is the part that sees the corpus. Engine
+  // parity: every similarity is rounded to 6dp before the greedy, the
+  // score is one multiply each + one subtract in the same order, ties
+  // break on vec_id — the oracle unrolls the same greedy as k CTE rounds.
+  private val MmrK = 5
+  private val MmrPool = 50
+  private val MmrQueryId = 0L
+
+  def qMmr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = vecs(s, d).filter(col("vec_id") === MmrQueryId)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val pool = vecs(s, d).filter(col("vec_id") =!= MmrQueryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("v"),
+        round(cosOrNull(DotProduct.dot(col("qv"), col("v")),
+          col("qn") * col("nrm")), 6).as("sim_r"))
+      .filter(col("sim_r").isNotNull)
+      .orderBy(col("sim_r").desc, col("vec_id").asc)
+      .limit(MmrPool)
+      .collect() // the bounded rerank window — 50 rows at any corpus size
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    // driver-side fold matches list_dot_product's left-to-right order
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def cosR(a: (Long, Array[Double], Double), b: (Long, Array[Double], Double)): Double = {
+      val den = math.sqrt(dot(a._2, a._2)) * math.sqrt(dot(b._2, b._2))
+      // HALF_UP at 6dp — the same rounding Spark's round() and DuckDB's
+      // round() apply (rint would be half-even)
+      new java.math.BigDecimal(dot(a._2, b._2) / den)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
+    while (selected.length < MmrK && remaining.nonEmpty) {
+      val scored = remaining.map { c =>
+        val redundancy =
+          if (selected.isEmpty) 0.0
+          else selected.map(sel => cosR(c, pool.find(_._1 == sel._1).get)).max
+        val score = if (selected.isEmpty) c._3 else 0.7 * c._3 - 0.3 * redundancy
+        (c, score)
+      }
+      val best = scored.minBy { case (c, sc) => (-sc, c._1) }._1
+      selected += ((best._1, best._3))
+      remaining -= best
+    }
+    selected.zipWithIndex
+      .map { case ((id, sim), i) => (i + 1L, id, sim) }.toSeq
+      .toDF("rank", "vec_id", "sim_r")
+  }
+
+  private def mmrCos(a: String, b: String): String =
+    s"round(list_dot_product($a, $b) / " +
+      s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+
+  val qMmrSql: String = {
+    val rounds = (2 to MmrK).map { i =>
+      val selUnion = (1 until i).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")
+      s"s$i AS MATERIALIZED (SELECT c.vec_id, c.sim_r FROM cand c " +
+        s"WHERE c.vec_id NOT IN ($selUnion) " +
+        s"ORDER BY 0.7 * c.sim_r - 0.3 * (SELECT max(p.ps) FROM p " +
+        s"WHERE p.ia = c.vec_id AND p.ib IN ($selUnion)) DESC, c.vec_id ASC " +
+        "LIMIT 1)"
+    }.mkString(", ")
+    val out = (1 to MmrK).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, vec_id, sim_r FROM s$i").mkString(" UNION ALL ")
+    s"WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings " +
+      s"WHERE vec_id = $MmrQueryId), " +
+      "cand AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
+      s"${mmrCos("qv", "CAST(embedding AS DOUBLE[])")} AS sim_r " +
+      s"FROM embeddings, q WHERE vec_id <> $MmrQueryId " +
+      "AND sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 0 " +
+      s"ORDER BY sim_r DESC, vec_id ASC LIMIT $MmrPool), " +
+      "p AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib, " +
+      s"${mmrCos("a.v", "b.v")} AS ps FROM cand a, cand b WHERE a.vec_id <> b.vec_id), " +
+      "s1 AS MATERIALIZED (SELECT vec_id, sim_r FROM cand ORDER BY sim_r DESC, vec_id ASC LIMIT 1), " +
+      rounds + " " + out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mmr"           -> qMmr _,
     "q_quantize"    -> qQuantize _,
     "q_ann_ivf"     -> qAnnIvf _,
     "q_centroids"   -> qCentroids _,
@@ -372,6 +462,7 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_mmr"            -> qMmrSql,
     "q_quantize"    -> qQuantizeSql,
     "q_centroids"   -> qCentroidsSql,
     "q_knn_brute"   -> qKnnBruteSql,

@@ -617,6 +617,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("mmr: first pick is the top neighbor, rest trade relevance for diversity") {
+    import org.apache.spark.sql.functions.col
+    val mmr = graft.queries.SimilarityQueries.qMmr(spark, sf)
+      .orderBy("rank").collect()
+    assert(mmr.length === 5)
+    val ids = mmr.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length === 5)
+    assert(!ids.contains(0L)) // the query itself is never a result
+    // rank 1 is pure relevance — must equal query 0's top-1 from knn
+    val knn1 = graft.queries.SimilarityQueries.qKnnBrute(spark, sf)
+      .filter(col("qid") === 0 && col("rnk") === 1).collect().head
+    assert(mmr.head.getAs[Long]("vec_id") === knn1.getAs[Long]("nid"))
+    assert(mmr.head.getAs[Double]("sim_r") === knn1.getAs[Double]("sim_r"))
+    // relevance of later picks never exceeds the first (greedy invariant)
+    assert(mmr.forall(_.getAs[Double]("sim_r") <= mmr.head.getAs[Double]("sim_r")))
+  }
+
   test("decontamination flags only eval-side docs with bounded fractions") {
     val rows = graft.queries.DedupQueries.qDecontaminate(spark, sf).collect()
     rows.foreach { r =>
