@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Semi-supervised label propagation (label spreading with clamping):
+  * seeded nodes keep their label; unlabeled nodes take, each synchronous
+  * round, the majority label among their LABELED neighbors (ties broken
+  * count-desc then label-asc — fully deterministic). Runs a FIXED number
+  * of rounds rather than to convergence so an external oracle can replay
+  * the identical intermediate states round for round.
+  *
+  * Scale shape: each round is one message join (edges ⋈ labeled nodes),
+  * one vote aggregation, and one per-node window — all shuffling on the
+  * node key; the label frame is localCheckpoint-ed per round (the same
+  * iterative-plan discipline as PageRank / ConnectedComponents).
+  */
+object LabelPropagation {
+
+  /** @param edges two-column (src, dst) undirected pair frame
+    * @param seeds (node, lab) for the clamped seed nodes
+    * @param rounds fixed synchronous round count
+    * @return (node, lab) for every node of `edges`; lab null if no
+    *         labeled node is within `rounds` hops. */
+  def spread(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.toDF("src", "dst")
+    val sym = e.union(e.select(col("dst"), col("src"))).toDF("a", "b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sd = seeds.toDF("node", "lab")
+    var labels = sym.select(col("a").as("node")).distinct()
+      .join(sd, Seq("node"), "left")
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val votes = sym
+        .join(labels.filter(col("lab").isNotNull)
+          .select(col("node").as("b"), col("lab")), Seq("b"))
+        .groupBy(col("a"), col("lab")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("a")).orderBy(col("c").desc, col("lab").asc)
+      val winner = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("a").as("node"), col("lab").as("wlab"))
+      labels = labels.join(winner, Seq("node"), "left")
+        .select(col("node"), coalesce(col("lab"), col("wlab")).as("lab"))
+        .localCheckpoint(true)
+    }
+    sym.unpersist(false)
+    labels
+  }
+}

@@ -253,6 +253,52 @@ object GraphQueries {
       s"SELECT a AS node, CAST(count(*) AS BIGINT) AS core_deg FROM r$KcoreRounds GROUP BY 1"
   }
 
+  // ── Semi-supervised label propagation (label spreading, clamped) ───────
+  // A quarter of the nodes are SEEDED with their part's brand (salted-md5
+  // selection — reproducible); labels then spread over the co-purchase
+  // graph for a FIXED number of synchronous rounds: an unlabeled node
+  // takes the majority label among its labeled neighbors (ties → count
+  // desc, label asc), and once labeled a node is clamped. Fixed rounds —
+  // not run-to-convergence — so both engines compute the identical
+  // intermediate states and the oracle unrolls the same R rounds. Each
+  // round is one message join + one vote aggregation + one per-node
+  // window, all shuffling on the node key; labels localCheckpoint per
+  // round (the same iterative-plan discipline as PageRank/CC).
+  private val LpRounds = 5
+
+  def qLabelProp(s: SparkSession, d: String): DataFrame = {
+    val seedPick = graft.functions.Md5Bits.hash60(
+      concat(lit("lp:"), col("p_partkey").cast("string"))) % 4 === 0
+    val seeds = Tables.part(s, d).filter(seedPick)
+      .select(col("p_partkey").as("node"), col("p_brand").as("lab"))
+    graft.operators.LabelPropagation
+      .spread(supportedEdges(s, d, MinSupport), seeds, LpRounds)
+  }
+
+  private def lpIter(prev: String): String =
+    s"SELECT l.node, coalesce(l.lab, w.wlab) AS lab FROM $prev l LEFT JOIN (" +
+      "SELECT a AS node, lab AS wlab FROM (" +
+      "SELECT s.a, x.lab, count(*) AS c, " +
+      "row_number() OVER (PARTITION BY s.a ORDER BY count(*) DESC, x.lab ASC) AS rn " +
+      s"FROM sym s JOIN $prev x ON s.b = x.node WHERE x.lab IS NOT NULL " +
+      "GROUP BY s.a, x.lab) v WHERE rn = 1) w USING (node)"
+
+  val qLabelPropSql: String = {
+    val seed = graft.functions.Md5Bits.sqlHash60("'lp:' || CAST(p_partkey AS VARCHAR)") + " % 4 = 0"
+    val rounds = (1 to LpRounds)
+      .map(i => s"l$i AS MATERIALIZED (${lpIter(s"l${i - 1}")})").mkString(", ")
+    "WITH e AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst " +
+      "FROM lineitem a JOIN lineitem b " +
+      "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+      s"GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= $MinSupport), " +
+      "sym AS MATERIALIZED (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e), " +
+      "l0 AS MATERIALIZED (SELECT n.node, p.p_brand AS lab FROM " +
+      "(SELECT DISTINCT a AS node FROM sym) n LEFT JOIN " +
+      s"(SELECT p_partkey, p_brand FROM part WHERE $seed) p ON n.node = p.p_partkey), " +
+      rounds + " " +
+      s"SELECT node, lab FROM l$LpRounds"
+  }
+
   // ── Frequent itemsets + association rules ──────────────────────────────
   // Market-basket mining over the same baskets: the top pairs by order
   // co-occurrence with confidence(src→dst) and lift. Counts are DISTINCT
@@ -479,6 +525,7 @@ object GraphQueries {
     "q_components" -> qComponents _,
     "q_kcore"      -> qKcore _,
     "q_degree_dist" -> qDegreeDist _,
+    "q_label_prop" -> qLabelProp _,
     "q_itemsets"   -> qItemsets _,
   )
 
@@ -489,6 +536,7 @@ object GraphQueries {
     "q_components" -> qComponentsSql,
     "q_kcore"      -> qKcoreSql,
     "q_degree_dist" -> qDegreeDistSql,
+    "q_label_prop" -> qLabelPropSql,
     "q_itemsets"   -> qItemsetsSql,
   )
 }

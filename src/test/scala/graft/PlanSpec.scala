@@ -296,6 +296,19 @@ class PlanSpec extends AnyFunSuite {
       s"custom kernel not in plan:\n$p")
   }
 
+  test("decontamination: inverted-index probe, never a doc-pair product") {
+    val p = plan("q_decontaminate")
+    assert(!p.contains("CartesianProduct"), s"doc-pair product leaked:\n$p")
+    // the train side is deduplicated before the probe join
+    assert(p.contains("HashAggregate"), s"distinct train shingles missing:\n$p")
+  }
+
+  test("autocorr: lag table broadcasts; series joins stay off the fact table") {
+    val p = plan("q_autocorr")
+    assert(p.contains("BroadcastExchange"), s"lags must broadcast:\n$p")
+    assert(p.contains("partial_"), s"daily rollup lost map-side combine:\n$p")
+  }
+
   test("rolling distinct: explode runs on the deduplicated daily table") {
     val p = plan("q_rolling_distinct")
     // Generate (explode) must sit above the distinct aggregation of

@@ -667,6 +667,46 @@ class PropertySpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("label propagation equals driver-side synchronous spreading (8 trials)") {
+    val r = new Random(23)
+    for (trial <- 1 to 8) {
+      val nodes = 4 + r.nextInt(25)
+      val edges = List.fill(5 + r.nextInt(50)) {
+        val a = r.nextInt(nodes); val b = r.nextInt(nodes)
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.filter { case (a, b) => a != b }.distinct
+      if (edges.nonEmpty) {
+        val present = edges.flatMap(e => List(e._1, e._2)).distinct
+        val seeds = present.filter(_ => r.nextBoolean() && r.nextBoolean())
+          .map(n => n -> s"L${r.nextInt(3)}")
+        val rounds = 1 + r.nextInt(4)
+        // driver-side synchronous clamped spreading
+        val adj = edges.flatMap(e => List(e, e.swap))
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        var lab: Map[Long, String] = seeds.toMap
+        for (_ <- 1 to rounds) {
+          val next = present.filterNot(lab.contains).flatMap { n =>
+            val vs = adj.getOrElse(n, Nil).flatMap(lab.get)
+            if (vs.isEmpty) None
+            else {
+              val best = vs.groupBy(identity).view.mapValues(_.size).toSeq
+                .minBy { case (l, c) => (-c, l) }._1
+              Some(n -> best)
+            }
+          }
+          lab = lab ++ next
+        }
+        val want = present.map(n => n -> lab.get(n)).toMap
+        val got = graft.operators.LabelPropagation
+          .spread(edges.toDF("src", "dst"),
+            seeds.toDF("node", "lab"), rounds)
+          .collect().map(row => row.getLong(0) ->
+            Option(row.getString(1))).toMap
+        assert(got === want, s"trial $trial rounds=$rounds edges=$edges seeds=$seeds")
+      }
+    }
+  }
+
   test("k-core equals driver-side peel on random graphs (10 trials)") {
     val r = new Random(41)
     for (trial <- 1 to 10) {
