@@ -299,6 +299,43 @@ object GraphQueries {
       s"SELECT node, lab FROM l$LpRounds"
   }
 
+  // ── K-truss (triangle-density core) ────────────────────────────────────
+  // The 3-truss of the supported co-purchase graph: every surviving edge
+  // closes at least one triangle within the truss — a stricter community
+  // core than the 2-core (operators/KTruss scaladoc). The oracle unrolls
+  // the synchronous edge peel: each round keeps edges whose endpoints
+  // share ≥ k−2 common neighbors in the current graph (correlated
+  // count over the symmetric form — affordable at verification scale;
+  // the fixture converges in ≤2 rounds at both SFs, and converged
+  // rounds are no-ops on both engines).
+  private val TrussK = 3
+  private val TrussRounds = 6
+
+  def qKtruss(s: SparkSession, d: String): DataFrame =
+    graft.operators.KTruss.trussEdges(
+      supportedEdges(s, d, MinSupport), TrussK)
+
+  private def ktIter(i: Int, prev: String): String =
+    s"r$i AS MATERIALIZED (SELECT e.a, e.b FROM $prev e WHERE (" +
+      s"SELECT count(*) FROM s${i - 1} x, s${i - 1} y " +
+      s"WHERE x.n = e.a AND y.n = e.b AND x.m = y.m) >= ${TrussK - 2}), " +
+      s"s$i AS MATERIALIZED (SELECT a AS n, b AS m FROM r$i " +
+      s"UNION ALL SELECT b, a FROM r$i)"
+
+  val qKtrussSql: String = {
+    val rounds = (1 to TrussRounds).map(i => ktIter(i, s"r${i - 1}")).mkString(", ")
+    "WITH e AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst " +
+      "FROM lineitem a JOIN lineitem b " +
+      "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+      s"GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= $MinSupport), " +
+      "r0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM e), " +
+      "s0 AS MATERIALIZED (SELECT a AS n, b AS m FROM r0 UNION ALL SELECT b, a FROM r0), " +
+      rounds + " " +
+      s"SELECT e.a, e.b, CAST((SELECT count(*) FROM s$TrussRounds x, s$TrussRounds y " +
+      s"WHERE x.n = e.a AND y.n = e.b AND x.m = y.m) AS BIGINT) AS support " +
+      s"FROM r$TrussRounds e"
+  }
+
   // ── Frequent itemsets + association rules ──────────────────────────────
   // Market-basket mining over the same baskets: the top pairs by order
   // co-occurrence with confidence(src→dst) and lift. Counts are DISTINCT
@@ -526,6 +563,7 @@ object GraphQueries {
     "q_kcore"      -> qKcore _,
     "q_degree_dist" -> qDegreeDist _,
     "q_label_prop" -> qLabelProp _,
+    "q_ktruss"     -> qKtruss _,
     "q_itemsets"   -> qItemsets _,
   )
 
@@ -537,6 +575,7 @@ object GraphQueries {
     "q_kcore"      -> qKcoreSql,
     "q_degree_dist" -> qDegreeDistSql,
     "q_label_prop" -> qLabelPropSql,
+    "q_ktruss"     -> qKtrussSql,
     "q_itemsets"   -> qItemsetsSql,
   )
 }

@@ -667,6 +667,40 @@ class PropertySpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("k-truss equals driver-side edge peel on random graphs (8 trials)") {
+    val r = new Random(61)
+    for (trial <- 1 to 8) {
+      val nodes = 4 + r.nextInt(20)
+      val k = 3 + r.nextInt(2)
+      val edges = List.fill(8 + r.nextInt(60)) {
+        val a = r.nextInt(nodes); val b = r.nextInt(nodes)
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.filter { case (a, b) => a != b }.distinct
+      if (edges.nonEmpty) {
+        // driver-side peel ground truth
+        var cur = edges.toSet
+        var changed = true
+        while (changed) {
+          val adj = cur.toList.flatMap(e => List(e, e.swap))
+            .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+          val bad = cur.filter { case (a, b) =>
+            (adj(a) & adj(b)).size < k - 2 }
+          changed = bad.nonEmpty
+          cur --= bad
+        }
+        val adjF = cur.toList.flatMap(e => List(e, e.swap))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val want = cur.map { case (a, b) =>
+          (a, b) -> (adjF(a) & adjF(b)).size.toLong }.toMap
+        val got = graft.operators.KTruss
+          .trussEdges(edges.toDF("src", "dst"), k, maxIterations = edges.length)
+          .collect().map(row =>
+            (row.getLong(0), row.getLong(1)) -> row.getLong(2)).toMap
+        assert(got === want, s"trial $trial k=$k edges=$edges")
+      }
+    }
+  }
+
   test("label propagation equals driver-side synchronous spreading (8 trials)") {
     val r = new Random(23)
     for (trial <- 1 to 8) {
