@@ -115,15 +115,52 @@ object MRQueries {
       "WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
       "GROUP BY o_custkey ORDER BY total_rev DESC, o_custkey ASC LIMIT 1"
 
+  /** A8 end-to-end under the gate: the CONFIG surface builds the input
+    * stage — `input.format=kv` routes through the `graft-kv` DSv2
+    * connector exactly as the reference's `config({"inputSourceType":
+    * "dynamodb"})` routes to its DynamoDB input handler
+    * (`driver/driver.py:240-251`). The nation dim rides as (key, JSON
+    * item) pairs — a 3-attribute item is serialized whole, never
+    * truncated — and the map stage extracts the region from the item,
+    * reduce counts per region. Oracle recomputes from the nation
+    * parquet. */
+  def qMrConfig(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val table = "kv_mr_nation"
+    MRQueries.synchronized {
+      if (!graft.sources.kv.KvStore.exists(table)) {
+        val df = Tables.nation(s, d)
+        graft.sources.kv.KvStore.register(table, "n_nationkey", df.schema)
+        graft.sources.kv.KvStore.put(table, df.collect().map(_.toSeq).toSeq)
+      }
+    }
+    val sum = (k: String, vs: Seq[Long]) => Iterator.single((k, vs.sum))
+    val rkPattern = """"n_regionkey":(-?\d+)""".r
+    MRPipeline.fromConfig(s,
+        Map("input.format" -> "kv", "input.table" -> table))
+      .map { (_, item) =>
+        val rk = rkPattern.findFirstMatchIn(item).map(_.group(1)).getOrElse("?")
+        Iterator.single((rk, 1L))
+      }
+      .reduceWithCombine(sum, numReducers = 4)
+      .toDS.toDF("region", "n_nations")
+  }
+
+  val qMrConfigSql: String =
+    "SELECT CAST(n_regionkey AS VARCHAR) AS region, count(*) AS n_nations " +
+      "FROM nation GROUP BY 1"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mr_wordcount"  -> qMrWordCount _,
     "q_mr_substr_agg" -> qMrSubstrAgg _,
+    "q_mr_config"     -> qMrConfig _,
     "q_mr_q3"         -> qMrQ3 _,
   )
 
   val oracles: Map[String, String] = Map(
     "q_mr_wordcount"  -> qMrWordCountSql,
     "q_mr_substr_agg" -> qMrSubstrAggSql,
+    "q_mr_config"     -> qMrConfigSql,
     "q_mr_q3"         -> qMrQ3Sql,
   )
 }
