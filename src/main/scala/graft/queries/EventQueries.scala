@@ -1048,6 +1048,65 @@ object EventQueries {
       "CAST(sum(micros // n + CASE WHEN rn = 1 THEN micros % n ELSE 0 END) AS DOUBLE) " +
       "/ 1000000.0 AS attributed " +
       "FROM w GROUP BY 1"
+  // ── Kaplan–Meier survival curve over session durations ─────────────────
+  // The survival-analysis staple: S(t) = Π_{u≤t} (n_u − d_u)/n_u over
+  // whole-minute session durations, with RIGHT CENSORING for sessions
+  // still open at the horizon (ending within the session gap of the
+  // corpus max — they might have continued). Engine parity: risk sets
+  // and death counts are exact integers; each factor's ln goes to
+  // integer MICRO-NATS immediately (the lm_score discipline), the
+  // cumulative sum is exact, and exp/round fire once per output row on
+  // identically-reconstructed doubles. The two unpartitioned windows run
+  // on the bounded duration GRID (≤ max-session-minutes rows at any
+  // fact volume), never on sessions.
+  def qKaplanMeier(s: SparkSession, d: String): DataFrame = {
+    val horizon = Tables.events(s, d).agg(max(col("ts")).as("hz"))
+    val durs = qSessionize(s, d).crossJoin(broadcast(horizon))
+      .select(
+        expr("(unix_micros(session_end) - unix_micros(session_start)) div 60000000")
+          .cast("long").as("t"),
+        when(unix_micros(col("session_end")) >
+          unix_micros(col("hz")) - GapMinutes * 60L * 1000000L, 1L)
+          .otherwise(0L).as("cens"))
+    val grid = durs.groupBy(col("t")).agg(
+      count(lit(1)).as("m"), sum(lit(1L) - col("cens")).as("dd"))
+    val tot = durs.agg(count(lit(1)).as("tot"))
+    val wAsc = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val f = grid.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("tot") - sum(col("m")).over(wAsc) + col("m"))
+      .filter(col("dd") > 0)
+      .withColumn("nats", when(col("n_risk") > col("dd"),
+        round(log((col("n_risk") - col("dd")).cast("double") /
+          col("n_risk").cast("double")) * 1e6, 0).cast("long"))
+        .otherwise(0L))
+    f.withColumn("cum", sum(col("nats")).over(wAsc))
+      .select(col("t"), col("n_risk"), col("dd").as("d"),
+        when(col("n_risk") === col("dd"), lit(0.0))
+          .otherwise(round(exp(col("cum").cast("double") / 1e6), 6))
+          .as("surv_r"))
+  }
+
+  val qKaplanMeierSql: String =
+    s"WITH sess AS ($qSessionizeSql), " +
+      "hz AS (SELECT max(ts) AS hz FROM events), " +
+      "durs AS (SELECT (epoch_us(session_end) - epoch_us(session_start)) // 60000000 AS t, " +
+      s"CASE WHEN epoch_us(session_end) > epoch_us(hz) - ${GapMinutes * 60L * 1000000L} " +
+      "THEN 1 ELSE 0 END AS cens FROM sess, hz), " +
+      "grid AS (SELECT t, CAST(count(*) AS BIGINT) AS m, " +
+      "CAST(sum(1 - cens) AS BIGINT) AS dd FROM durs GROUP BY 1), " +
+      "tot AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM durs), " +
+      "wn AS (SELECT t, dd, tot - CAST(sum(m) OVER " +
+      "(ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) + m AS n_risk FROM grid, tot), " +
+      "f AS (SELECT t, n_risk, dd, CASE WHEN n_risk > dd THEN " +
+      "CAST(round(ln(CAST(n_risk - dd AS DOUBLE) / CAST(n_risk AS DOUBLE)) * 1e6, 0) AS BIGINT) " +
+      "ELSE 0 END AS nats FROM wn WHERE dd > 0) " +
+      "SELECT t, CAST(n_risk AS BIGINT) AS n_risk, dd AS d, " +
+      "CASE WHEN n_risk = dd THEN 0.0 ELSE " +
+      "round(exp(CAST(sum(nats) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1e6), 6) " +
+      "END AS surv_r FROM f"
+
   // ── Inter-arrival gap histogram (traffic-shape diagnostic) ─────────────
   // Distribution of per-user gaps between consecutive events, bucketed to
   // whole minutes and capped — the arrival-process fingerprint that sizes
@@ -1374,6 +1433,7 @@ object EventQueries {
     "q_ab_test"          -> qAbTest _,
     "q_chi_square"       -> qChiSquare _,
     "q_interarrival"     -> qInterarrival _,
+    "q_kaplan_meier"     -> qKaplanMeier _,
     "q_psi"              -> qPsi _,
     "q_rolling_distinct" -> qRollingDistinct _,
     "q_attribution"      -> qAttribution _,
@@ -1418,6 +1478,7 @@ object EventQueries {
     "q_ab_test"          -> qAbTestSql,
     "q_chi_square"       -> qChiSquareSql,
     "q_interarrival"     -> qInterarrivalSql,
+    "q_kaplan_meier"     -> qKaplanMeierSql,
     "q_psi"              -> qPsiSql,
     "q_rolling_distinct" -> qRollingDistinctSql,
     "q_attribution"      -> qAttributionSql,

@@ -667,6 +667,51 @@ class PropertySpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("kaplan-meier equals a driver-side product-limit recomputation") {
+    import org.apache.spark.sql.functions._
+    val hz = Tables.events(spark, sf).agg(max(col("ts")))
+      .collect().head.getTimestamp(0).getTime * 1000L
+    val durs = graft.queries.EventQueries.qSessionize(spark, sf)
+      .select(col("session_start"), col("session_end")).collect()
+      .map { r =>
+        val st = r.getTimestamp(0).getTime * 1000L
+        val en = r.getTimestamp(1).getTime * 1000L
+        ((en - st) / 60000000L, en > hz - 30L * 60L * 1000000L)
+      }
+    val total = durs.length.toLong
+    val byT = durs.groupBy(_._1).toSeq.sortBy(_._1)
+    var seen = 0L
+    var surv = 1.0
+    val want = scala.collection.mutable.Map.empty[Long, (Long, Long, Double)]
+    byT.foreach { case (t, xs) =>
+      val m = xs.length.toLong
+      val d = xs.count(!_._2).toLong
+      val nRisk = total - seen
+      seen += m
+      if (d > 0) {
+        surv *= (nRisk - d).toDouble / nRisk
+        want(t) = (nRisk, d, surv)
+      }
+    }
+    val got = graft.queries.EventQueries.qKaplanMeier(spark, sf).collect()
+      .map(r => r.getAs[Long]("t") ->
+        ((r.getAs[Long]("n_risk"), r.getAs[Long]("d"), r.getAs[Double]("surv_r"))))
+      .toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (t, (n, d, s)) =>
+      val (wn, wd, ws) = want(t)
+      assert(n === wn && d === wd, s"t=$t")
+      assert(math.abs(s - ws) < 1e-4, s"t=$t got $s want $ws")
+    }
+    // survival is monotone non-increasing in t and within [0, 1]
+    val ordered = got.toSeq.sortBy(_._1).map(_._2._3)
+    assert(ordered.forall(v => v >= 0.0 && v <= 1.0))
+    ordered.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a + 1e-9)
+      case _ =>
+    }
+  }
+
   test("k-truss equals driver-side edge peel on random graphs (8 trials)") {
     val r = new Random(61)
     for (trial <- 1 to 8) {
