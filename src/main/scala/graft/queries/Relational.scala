@@ -582,6 +582,46 @@ object Relational {
       "CAST(max(cents) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cents AS BIGINT) AS dd_cents " +
       "FROM daily"
 
+  // ── CUSUM change-point detection on the daily revenue series ───────────
+  // Where did the level shift? The classic CUSUM statistic, kept EXACT:
+  // instead of Σ(x_i − mean) (a rational mean poisons float parity), use
+  // the integer-scaled S_t = n·prefix_t − t·total — the same argmax, all
+  // BIGINT in cents (n·prefix ≈ 5.8e15 at the fixture's 7-year span,
+  // comfortable). The change point is the day maximizing |S_t| (ties →
+  // earliest day). One fact shuffle into the daily rollup; prefix sums
+  // and the argmax run on the bounded calendar series.
+  def qChangepoint(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+        .as("cents"))
+    val w = W.orderBy(col("day")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    val tot = daily.agg(sum(col("cents")).as("total"), count(lit(1)).as("n"))
+    val scored = daily.crossJoin(broadcast(tot))
+      .withColumn("prefix", sum(col("cents")).over(w))
+      .withColumn("t", row_number().over(W.orderBy(col("day"))).cast("long"))
+      .withColumn("s_scaled", col("n") * col("prefix") - col("t") * col("total"))
+    val peak = scored
+      .select(col("day").as("peak_day"), col("s_scaled").as("peak_s"))
+      .orderBy(abs(col("peak_s")).desc, col("peak_day").asc).limit(1)
+    scored.crossJoin(broadcast(peak))
+      .select(col("day"), col("cents"), col("s_scaled"),
+        (col("day") === col("peak_day")).as("is_changepoint"))
+  }
+
+  val qChangepointSql: String =
+    "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, " +
+      "CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents " +
+      "FROM orders GROUP BY 1), " +
+      "tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n FROM daily), " +
+      "scored AS (SELECT day, cents, " +
+      "n * CAST(sum(cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) " +
+      "- CAST(row_number() OVER (ORDER BY day) AS BIGINT) * total AS s_scaled " +
+      "FROM daily, tot), " +
+      "peak AS (SELECT day AS peak_day FROM scored ORDER BY abs(s_scaled) DESC, day ASC LIMIT 1) " +
+      "SELECT day, cents, s_scaled, day = peak_day AS is_changepoint FROM scored, peak"
+
   // ── Lag-k autocorrelation of the daily revenue series ──────────────────
   // Seasonality detector: Pearson correlation of (revenue_t, revenue_t+k)
   // for k ∈ {1, 7, 14}. The series is the calendar-bounded daily rollup
@@ -1255,6 +1295,7 @@ object Relational {
     "q_skyline"         -> qSkyline _,
     "q_drawdown"        -> qDrawdown _,
     "q_autocorr"        -> qAutocorr _,
+    "q_changepoint"     -> qChangepoint _,
     "q_snapshot_diff"   -> qSnapshotDiff _,
     "q_benford"         -> qBenford _,
     "q_rank_sum"        -> qRankSum _,
@@ -1309,6 +1350,7 @@ object Relational {
     "q_skyline"         -> qSkylineSql,
     "q_drawdown"        -> qDrawdownSql,
     "q_autocorr"        -> qAutocorrSql,
+    "q_changepoint"     -> qChangepointSql,
     "q_snapshot_diff"   -> qSnapshotDiffSql,
     "q_benford"         -> qBenfordSql,
     "q_rank_sum"        -> qRankSumSql,

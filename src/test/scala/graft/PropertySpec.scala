@@ -667,6 +667,23 @@ class PropertySpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("changepoint: scaled CUSUM telescopes to zero and flags the argmax") {
+    val rows = graft.queries.Relational.qChangepoint(spark, sf)
+      .orderBy("day").collect()
+    assert(rows.nonEmpty)
+    // S_n = n*total - n*total = 0 exactly at the last day
+    assert(rows.last.getAs[Long]("s_scaled") === 0L)
+    // the flagged day holds the max |S_t|, earliest on ties
+    val flagged = rows.filter(_.getAs[Boolean]("is_changepoint"))
+    assert(flagged.length === 1)
+    val maxAbs = rows.map(r => math.abs(r.getAs[Long]("s_scaled"))).max
+    assert(math.abs(flagged.head.getAs[Long]("s_scaled")) === maxAbs)
+    val firstAtMax = rows.find(r =>
+      math.abs(r.getAs[Long]("s_scaled")) == maxAbs).get
+    assert(firstAtMax.getAs[java.sql.Date]("day") ===
+      flagged.head.getAs[java.sql.Date]("day"))
+  }
+
   test("kaplan-meier equals a driver-side product-limit recomputation") {
     import org.apache.spark.sql.functions._
     val hz = Tables.events(spark, sf).agg(max(col("ts")))
