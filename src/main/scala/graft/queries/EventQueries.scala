@@ -1107,6 +1107,44 @@ object EventQueries {
       "round(exp(CAST(sum(nats) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1e6), 6) " +
       "END AS surv_r FROM f"
 
+  // ── Shannon entropy of the weekday mix per event type ──────────────────
+  // The diversity companion to q_chi_square: how spread is each event
+  // type over the week? H = −Σ p·ln p, kept exact until the last step:
+  // per-cell ln(c/n) goes to integer micro-nats, the entropy numerator
+  // is the INTEGER sum Σ c·nats (weighting by the integer count keeps
+  // the aggregation order-independent), and one division + rounding
+  // yields nats at 6dp. Cells are ≤ |types|×7 rows.
+  def qEntropy(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.events(s, d)
+      .select(col("event_type"),
+        (datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) % 7)
+          .cast("long").as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("c"))
+    val totals = cells.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+    cells.join(broadcast(totals), Seq("event_type"))
+      .withColumn("nats",
+        round(log(col("c").cast("double") / col("n").cast("double")) * 1e6, 0)
+          .cast("long"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"),
+        count(lit(1)).as("n_cells"),
+        round(-sum(col("c") * col("nats")).cast("double") /
+          (max(col("n")) * lit(1000000L)).cast("double"), 6).as("entropy_r"))
+  }
+
+  val qEntropySql: String =
+    "WITH cells AS (SELECT event_type, " +
+      "datediff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE)) % 7 AS dow, " +
+      "CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), " +
+      "t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY 1), " +
+      "w AS (SELECT cells.event_type, c, n, " +
+      "CAST(round(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6, 0) AS BIGINT) AS nats " +
+      "FROM cells JOIN t ON cells.event_type = t.event_type) " +
+      "SELECT event_type, max(n) AS n_events, CAST(count(*) AS BIGINT) AS n_cells, " +
+      "round(-CAST(sum(c * nats) AS DOUBLE) / CAST(max(n) * 1000000 AS DOUBLE), 6) AS entropy_r " +
+      "FROM w GROUP BY 1"
+
   // ── Inter-arrival gap histogram (traffic-shape diagnostic) ─────────────
   // Distribution of per-user gaps between consecutive events, bucketed to
   // whole minutes and capped — the arrival-process fingerprint that sizes
@@ -1434,6 +1472,7 @@ object EventQueries {
     "q_chi_square"       -> qChiSquare _,
     "q_interarrival"     -> qInterarrival _,
     "q_kaplan_meier"     -> qKaplanMeier _,
+    "q_entropy"          -> qEntropy _,
     "q_psi"              -> qPsi _,
     "q_rolling_distinct" -> qRollingDistinct _,
     "q_attribution"      -> qAttribution _,
@@ -1479,6 +1518,7 @@ object EventQueries {
     "q_chi_square"       -> qChiSquareSql,
     "q_interarrival"     -> qInterarrivalSql,
     "q_kaplan_meier"     -> qKaplanMeierSql,
+    "q_entropy"          -> qEntropySql,
     "q_psi"              -> qPsiSql,
     "q_rolling_distinct" -> qRollingDistinctSql,
     "q_attribution"      -> qAttributionSql,

@@ -571,7 +571,59 @@ object TextQueries {
       "round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, word ROWS UNBOUNDED PRECEDING) AS DOUBLE) / tot, 6) AS cum_share " +
       "FROM top, tot WINDOW o AS (ORDER BY cnt DESC, word)"
 
+  // ── Zipf's-law fit over word frequencies ───────────────────────────────
+  // Does the vocabulary follow the power law every natural corpus does?
+  // OLS slope of ln(count) on ln(rank) over the top-200 words — the
+  // q_degree_dist discipline applied to text: ranks via TakeOrdered
+  // (deterministic (cnt desc, word) tiebreak, no global vocabulary
+  // sort), each ln scaled to integer MICRO-NATS immediately so the
+  // moment sums are exact BIGINT on both engines, doubles only in the
+  // final slope/intercept. A healthy corpus fits near slope −1;
+  // template-heavy or deduplication-starved corpora bend away.
+  private val ZipfTop = 200
+
+  def qZipf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val counts = Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(ZipfTop)
+    val ranked = counts
+      .withColumn("rank",
+        row_number().over(W.orderBy(col("cnt").desc, col("word").asc)).cast("long"))
+      .withColumn("x", round(log(col("rank").cast("double")) * 1e6, 0).cast("long"))
+      .withColumn("y", round(log(col("cnt").cast("double")) * 1e6, 0).cast("long"))
+    val m = ranked.agg(
+      count(lit(1)).as("k"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val slope = (col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("k") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val fit = m.select(round(slope, 6).as("slope_r"))
+    ranked.select(col("rank"), col("word"), col("cnt")).crossJoin(broadcast(fit))
+  }
+
+  val qZipfSql: String =
+    "WITH counts AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (" +
+      "SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word FROM documents" +
+      s") t WHERE length(word) > 0 GROUP BY word ORDER BY cnt DESC, word ASC LIMIT $ZipfTop), " +
+      "ranked AS (SELECT word, cnt, " +
+      "CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) AS BIGINT) AS rank FROM counts), " +
+      "ln AS (SELECT rank, word, cnt, " +
+      "CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6, 0) AS BIGINT) AS x, " +
+      "CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e6, 0) AS BIGINT) AS y FROM ranked), " +
+      "m AS (SELECT CAST(count(*) AS BIGINT) AS k, " +
+      "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+      "CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx FROM ln), " +
+      "fit AS (SELECT round(CAST(k * sxy - sx * sy AS DOUBLE) / " +
+      "CAST(k * sxx - sx * sx AS DOUBLE), 6) AS slope_r FROM m) " +
+      "SELECT rank, word, cnt, slope_r FROM ranked, fit"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zipf"           -> qZipf _,
     "q_vocab"          -> qVocab _,
     "q_pmi"            -> qPmi _,
     "q_lm_score"       -> qLmScore _,
@@ -592,6 +644,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_zipf"            -> qZipfSql,
     "q_vocab"          -> qVocabSql,
     "q_pmi"            -> qPmiSql,
     "q_lm_score"       -> qLmScoreSql,

@@ -667,6 +667,38 @@ class PropertySpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("entropy per event type is bounded by ln of the cell count") {
+    val rows = graft.queries.EventQueries.qEntropy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy_r")
+      val cells = r.getAs[Long]("n_cells")
+      assert(h >= 0.0 && h <= math.log(cells.toDouble) + 1e-6, r.toString)
+    }
+  }
+
+  test("zipf fit reproduces a driver-side OLS on the ranked counts") {
+    val rows = graft.queries.TextQueries.qZipf(spark, sf)
+      .orderBy("rank").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq === (1L to rows.length.toLong))
+    // counts non-increasing down the ranking
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Long]("cnt") >= b.getAs[Long]("cnt"))
+      case _ =>
+    }
+    val pts = rows.map { r =>
+      (math.round(math.log(r.getAs[Long]("rank").toDouble) * 1e6),
+        math.round(math.log(r.getAs[Long]("cnt").toDouble) * 1e6))
+    }
+    val k = pts.length.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum; val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (k * sxy - sx * sy).toDouble / (k * sxx - sx * sx).toDouble
+    assert(math.abs(rows.head.getAs[Double]("slope_r") - slope) < 1e-5)
+    assert(slope < 0.0) // frequencies decay with rank
+  }
+
   test("changepoint: scaled CUSUM telescopes to zero and flags the argmax") {
     val rows = graft.queries.Relational.qChangepoint(spark, sf)
       .orderBy("day").collect()
