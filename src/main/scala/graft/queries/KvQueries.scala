@@ -101,6 +101,25 @@ object KvQueries {
     rtDirs.computeIfAbsent(s"$tag|$d", _ =>
       java.nio.file.Files.createTempDirectory(s"graft_${tag}_rt").toString)
 
+  /** Plain-text sink → source round-trip — the A13 text-object path
+    * under the gate (reference S3 line-oriented reads,
+    * `input_handler_s3.py:66-70`): one newline-free line per document
+    * (its md5 fingerprint), written with the text sink, read back with
+    * the line source, re-aggregated. The oracle recomputes the digest
+    * histogram from the parquet table, so loss, duplication, or
+    * corruption anywhere in the text path breaks the hash. */
+  def qTextRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = rtDir("text", d)
+    Tables.documents(s, d).select(md5(col("text")).as("value"))
+      .write.mode("overwrite").text(out)
+    s.read.text(out)
+      .groupBy(col("value").as("fp"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  val qTextRoundtripSql: String =
+    "SELECT md5(text) AS fp, count(*) AS n_docs FROM documents GROUP BY 1"
+
   def qCsvRoundtrip(s: SparkSession, d: String): DataFrame = {
     val out = rtDir("csv", d)
     val supp = Tables.supplier(s, d)
@@ -215,6 +234,7 @@ object KvQueries {
     "q_kv_lookup_join" -> qKvLookupJoin _,
     "q_kv_roundtrip"   -> qKvRoundtrip _,
     "q_csv_roundtrip"  -> qCsvRoundtrip _,
+    "q_text_roundtrip" -> qTextRoundtrip _,
     "q_json_roundtrip" -> qJsonRoundtrip _,
     "q_orc_roundtrip"  -> qOrcRoundtrip _,
   )
@@ -226,6 +246,7 @@ object KvQueries {
     "q_kv_lookup_join" -> qKvLookupJoinSql,
     "q_kv_roundtrip"   -> qKvRoundtripSql,
     "q_csv_roundtrip"  -> qCsvRoundtripSql,
+    "q_text_roundtrip" -> qTextRoundtripSql,
     "q_json_roundtrip" -> qJsonRoundtripSql,
     "q_orc_roundtrip"  -> qOrcRoundtripSql,
   )
