@@ -622,7 +622,92 @@ object TextQueries {
       "CAST(k * sxx - sx * sx AS DOUBLE), 6) AS slope_r FROM m) " +
       "SELECT rank, word, cnt, slope_r FROM ranked, fit"
 
+  // ── Okapi BM25 retrieval scoring ───────────────────────────────────────
+  // Rank the corpus against a fixed keyword query — the lexical half of
+  // every retrieval pipeline. Kept EXACT with the q_tfidf discipline
+  // extended to BM25's shape: both factors are ratios of integers, so no
+  // transcendental ever enters.
+  //  - idf: the exponentiated Robertson idf, (N − df + ½)/(df + ½) =
+  //    (2N − 2df + 1)/(2df + 1) — same per-term monotone ordering as the
+  //    usual ln of it, as one exact integer ratio.
+  //  - tf-norm: with k1 = 6/5 and b = 3/4, multiply through by 10·S
+  //    (S = corpus token count): tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) =
+  //    22·S·tf / (10·S·tf + 3·S + 9·dl·N). All BIGINT (≈1e16 at 100 TB,
+  //    inside the 9.2e18 ceiling).
+  // Per-term scores are quantized to integer micro-units BEFORE the
+  // cross-term sum, so addition order can't diverge. Plan: ONE groupBy
+  // doc_id computes dl and the per-query-term tfs together (the query
+  // term list is a fixed literal — no (doc,term) shuffle at all); corpus
+  // stats reduce to a 1-row broadcast. Top-k is a TakeOrdered.
+  private val Bm25Terms = Seq("join", "scan", "window")
+  private val Bm25TopK = 10
+
+  def qBm25(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val perDoc = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"),
+        Bm25Terms.map(t =>
+          sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*)
+    val stats = perDoc.agg(
+      sum(col("dl")).as("s_tok"),
+      count(lit(1)).as("n_docs") +:
+        Bm25Terms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
+    val scored = perDoc.crossJoin(broadcast(stats))
+    val termMicro = Bm25Terms.map { t =>
+      val tf = col(s"tf_$t"); val df = col(s"df_$t")
+      val idf = (lit(2L) * col("n_docs") - lit(2L) * df + lit(1L)).cast("double") /
+        (lit(2L) * df + lit(1L))
+      val tfn = (lit(22L) * col("s_tok") * tf).cast("double") /
+        (lit(10L) * col("s_tok") * tf + lit(3L) * col("s_tok") +
+          lit(9L) * col("dl") * col("n_docs"))
+      when(tf > 0, round(idf * tfn * lit(1e6), 0).cast("long")).otherwise(lit(0L))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    scored
+      .withColumn("score_micro", termMicro.reduce(_ + _))
+      .withColumn("n_terms_hit",
+        Bm25Terms.map(t => when(col(s"tf_$t") > 0, 1L).otherwise(0L)).reduce(_ + _))
+      .filter(col("score_micro") > 0)
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(Bm25TopK)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("n_terms_hit"), col("score_micro"), col("rnk"))
+  }
+
+  val qBm25Sql: String = {
+    val tfCols = Bm25Terms.map(t =>
+      s"CAST(sum(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS tf_$t").mkString(", ")
+    val dfCols = Bm25Terms.map(t =>
+      s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(", ")
+    val micro = Bm25Terms.map { t =>
+      s"CASE WHEN tf_$t > 0 THEN CAST(round(" +
+        s"(CAST(2 * n_docs - 2 * df_$t + 1 AS DOUBLE) / (2 * df_$t + 1)) * " +
+        s"(CAST(22 * s_tok * tf_$t AS DOUBLE) / " +
+        s"(10 * s_tok * tf_$t + 3 * s_tok + 9 * dl * n_docs)) * 1e6, 0) AS BIGINT) " +
+        "ELSE 0 END"
+    }.mkString(" + ")
+    val hits = Bm25Terms.map(t => s"CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
+        perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl, $tfCols
+                   FROM t GROUP BY 1),
+        stats AS (SELECT CAST(sum(dl) AS BIGINT) AS s_tok,
+                         CAST(count(*) AS BIGINT) AS n_docs, $dfCols
+                  FROM perdoc),
+        scored AS (SELECT doc_id, CAST($hits AS BIGINT) AS n_terms_hit,
+                          CAST($micro AS BIGINT) AS score_micro
+                   FROM perdoc, stats)
+        SELECT doc_id, n_terms_hit, score_micro,
+               CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rnk
+        FROM scored WHERE score_micro > 0
+        ORDER BY score_micro DESC, doc_id ASC LIMIT $Bm25TopK"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25"           -> qBm25 _,
     "q_zipf"           -> qZipf _,
     "q_vocab"          -> qVocab _,
     "q_pmi"            -> qPmi _,
@@ -644,6 +729,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_bm25"            -> qBm25Sql,
     "q_zipf"            -> qZipfSql,
     "q_vocab"          -> qVocabSql,
     "q_pmi"            -> qPmiSql,

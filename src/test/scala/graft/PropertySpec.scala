@@ -911,4 +911,35 @@ class PropertySpec extends AnyFunSuite {
     // dow domain is the mod-7 residue
     assert(rows.map(_.getAs[Long]("dow")).forall(d => d >= 0 && d <= 6))
   }
+
+  test("bm25 matches a driver-side recomputation of the rational formula") {
+    val got = graft.queries.TextQueries.qBm25(spark, sf)
+      .orderBy("rnk").collect()
+    assert(got.nonEmpty)
+    val terms = Seq("join", "scan", "window")
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), "[^a-z0-9]+".r.split(r.getString(1).toLowerCase)
+        .filter(_.nonEmpty).toSeq))
+      .filter(_._2.nonEmpty)
+    val n = docs.length.toLong
+    val sTok = docs.map(_._2.length.toLong).sum
+    val df = terms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    val scored = docs.map { case (id, toks) =>
+      val dl = toks.length.toLong
+      val micro = terms.map { t =>
+        val tf = toks.count(_ == t).toLong
+        if (tf == 0) 0L
+        else math.round(
+          ((2 * n - 2 * df(t) + 1).toDouble / (2 * df(t) + 1)) *
+            ((22 * sTok * tf).toDouble /
+              (10 * sTok * tf + 3 * sTok + 9 * dl * n)) * 1e6)
+      }.sum
+      (id, micro)
+    }.filter(_._2 > 0).sortBy { case (id, m) => (-m, id) }.take(10)
+    assert(got.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro")))
+      .toSeq === scored.toSeq)
+    // ranking is 1..k and scores are non-increasing
+    assert(got.map(_.getAs[Long]("rnk")).toSeq === (1L to got.length.toLong))
+  }
 }
