@@ -450,7 +450,58 @@ object SimilarityQueries {
       rounds + " " + out
   }
 
+  // ── Grid-bucketed spatial distance join ────────────────────────────────
+  // All point pairs within ε in the plane (first two embedding dims as
+  // coordinates) — the ε-neighborhood join every spatial/geo pipeline
+  // needs. The scalable spelling: bucket each point into an ε-sized grid
+  // cell, replicate the LEFT side onto its 3×3 neighborhood, equi-join on
+  // the cell key (the right side keeps its own single cell, so every
+  // close pair meets in exactly one cell — no post-join dedup), then
+  // apply the EXACT distance predicate. Shuffle is ≤9 rows per point on
+  // the cell key — linear, vs the O(n²) cross join this replaces; a
+  // hot cell is an AQE-skew-join split, not a plan failure.
+  // Parity: coordinates widen float→double; cell = floor(x·100) (an
+  // exact double multiply — never a division by the decimal literal
+  // 0.01, which DuckDB would type as DECIMAL); dist² spelled
+  // (Δx·Δx + Δy·Δy) term-for-term; the ε² threshold is the double
+  // literal 1e-4 on both engines; sqrt is IEEE-correctly-rounded so
+  // the reported distance rounds identically.
+  private val SpatialScale = 100.0 // 1/ε
+  private val SpatialEps2 = 1e-4   // ε²
+
+  def qSpatialJoin(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.embeddings(s, d).select(
+      col("vec_id").cast("long").as("pid"),
+      element_at(col("embedding"), 1).cast("double").as("x"),
+      element_at(col("embedding"), 2).cast("double").as("y"))
+    val a = pts
+      .withColumn("dcx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dcy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("pid").as("pid_a"), col("x").as("xa"), col("y").as("ya"),
+        (floor(col("x") * SpatialScale) + col("dcx")).as("cx"),
+        (floor(col("y") * SpatialScale) + col("dcy")).as("cy"))
+    val b = pts.select(col("pid").as("pid_b"), col("x").as("xb"), col("y").as("yb"),
+      floor(col("x") * SpatialScale).as("cx"),
+      floor(col("y") * SpatialScale).as("cy"))
+    val d2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+      (col("ya") - col("yb")) * (col("ya") - col("yb"))
+    a.join(b, Seq("cx", "cy"))
+      .filter(col("pid_a") < col("pid_b"))
+      .filter(d2 <= SpatialEps2)
+      .select(col("pid_a"), col("pid_b"), round(sqrt(d2), 6).as("dist_r"))
+  }
+
+  val qSpatialJoinSql: String =
+    "WITH p AS (SELECT CAST(vec_id AS BIGINT) AS pid, " +
+      "CAST(embedding[1] AS DOUBLE) AS x, CAST(embedding[2] AS DOUBLE) AS y " +
+      "FROM embeddings) " +
+      "SELECT a.pid AS pid_a, b.pid AS pid_b, " +
+      "round(sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)), 6) AS dist_r " +
+      "FROM p a JOIN p b ON a.pid < b.pid " +
+      "WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 1e-4"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_spatial_join"  -> qSpatialJoin _,
     "q_mmr"           -> qMmr _,
     "q_quantize"    -> qQuantize _,
     "q_ann_ivf"     -> qAnnIvf _,
@@ -462,6 +513,7 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_spatial_join"   -> qSpatialJoinSql,
     "q_mmr"            -> qMmrSql,
     "q_quantize"    -> qQuantizeSql,
     "q_centroids"   -> qCentroidsSql,

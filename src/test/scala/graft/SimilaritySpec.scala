@@ -150,4 +150,28 @@ class SimilaritySpec extends AnyFunSuite {
       assert(df(s) >= 0L, "hash60 must be non-negative")
     }
   }
+
+  test("spatial grid join equals the naive all-pairs epsilon join") {
+    val got = graft.queries.SimilarityQueries.qSpatialJoin(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("pid_a"), r.getAs[Long]("pid_b"),
+        r.getAs[Double]("dist_r"))).toSet
+    // naive quadratic reference on the driver, same double arithmetic
+    val pts = Tables.embeddings(spark, sf)
+      .select($"vec_id".cast("long"), $"embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1)(0).toDouble, r.getSeq[Float](1)(1).toDouble))
+    val want = (for {
+      (ia, xa, ya) <- pts; (ib, xb, yb) <- pts if ia < ib
+      d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) if d2 <= 1e-4
+    } yield (ia, ib,
+      new java.math.BigDecimal(math.sqrt(d2))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    // every pair found in exactly ONE cell (no dedup artifacts): set
+    // cardinality equals the raw row count
+    assert(got.size ===
+      graft.queries.SimilarityQueries.qSpatialJoin(spark, sf).count())
+  }
 }
