@@ -500,7 +500,84 @@ object SimilarityQueries {
       "FROM p a JOIN p b ON a.pid < b.pid " +
       "WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 1e-4"
 
+  // ── Reciprocal-rank fusion (hybrid retrieval) ──────────────────────────
+  // The standard way to combine a lexical ranking with a vector ranking
+  // (RRF, Cormack et al. SIGIR'09): score(d) = Σ 1/(k + rank_i(d)) over
+  // the rankings that retrieved d, k = 60. Here ranking A is term
+  // frequency of a keyword (docs ranked by tf desc), ranking B is cosine
+  // similarity to a query embedding — doc_id and vec_id share the id
+  // space. Each ranking is a TakeOrdered top-50 (never a global sort);
+  // the fusion is a full-outer join of two 50-row lists — driver-scale
+  // regardless of corpus size, because list depth, not corpus, bounds it.
+  // Parity: each reciprocal contribution is quantized to integer
+  // micro-units BEFORE the cross-list sum (no double-addition-order
+  // hazard); ranks themselves are deterministic (sim is the identical
+  // double expression on both engines; ties break on id).
+  private val RrfTerm = "join"
+  private val RrfQueryVec = 0L
+  private val RrfPool = 50
+  private val RrfTopK = 20
+
+  def qRrf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val lexr = Tables.documents(s, d)
+      .select(col("doc_id").as("id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      .filter(col("term") === RrfTerm)
+      .groupBy(col("id")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("id").asc).limit(RrfPool)
+      .withColumn("rnk_lex",
+        row_number().over(W.orderBy(col("tf").desc, col("id").asc)).cast("long"))
+      .select(col("id"), col("rnk_lex"))
+    val q = vecs(s, d).filter(col("vec_id") === RrfQueryVec)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val vecr = vecs(s, d).filter(col("vec_id") =!= RrfQueryVec)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("id"),
+        cosOrNull(DotProduct.dot(col("qv"), col("v")),
+          col("qn") * col("nrm")).as("sim"))
+      .filter(col("sim").isNotNull)
+      .orderBy(col("sim").desc, col("id").asc).limit(RrfPool)
+      .withColumn("rnk_vec",
+        row_number().over(W.orderBy(col("sim").desc, col("id").asc)).cast("long"))
+      .select(col("id"), col("rnk_vec"))
+    def contrib(rk: Column) =
+      coalesce(round(lit(1e6) / (lit(60L) + rk), 0).cast("long"), lit(0L))
+    lexr.join(vecr, Seq("id"), "full_outer")
+      .select(col("id"),
+        (contrib(col("rnk_lex")) + contrib(col("rnk_vec"))).as("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("id").asc).limit(RrfTopK)
+      .withColumn("rnk",
+        row_number().over(W.orderBy(col("rrf_micro").desc, col("id").asc)).cast("long"))
+  }
+
+  val qRrfSql: String =
+    "WITH t AS (SELECT doc_id, unnest(" +
+      graft.functions.TextFunctions.sqlTokens +
+      ") AS term FROM documents), " +
+      s"lex AS (SELECT doc_id AS id, count(*) AS tf FROM t WHERE term = '$RrfTerm' GROUP BY 1), " +
+      "lexr AS (SELECT id, CAST(row_number() OVER (ORDER BY tf DESC, id ASC) AS BIGINT) AS rnk_lex " +
+      s"FROM (SELECT id, tf FROM lex ORDER BY tf DESC, id ASC LIMIT $RrfPool) x), " +
+      s"q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = $RrfQueryVec), " +
+      "vec AS (SELECT CAST(vec_id AS BIGINT) AS id, " +
+      "list_dot_product(qv, CAST(embedding AS DOUBLE[])) / " +
+      "(sqrt(list_dot_product(qv, qv)) * " +
+      "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS sim " +
+      s"FROM embeddings, q WHERE vec_id <> $RrfQueryVec " +
+      "AND sqrt(list_dot_product(qv, qv)) * " +
+      "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 0), " +
+      "vecr AS (SELECT id, CAST(row_number() OVER (ORDER BY sim DESC, id ASC) AS BIGINT) AS rnk_vec " +
+      s"FROM (SELECT id, sim FROM vec ORDER BY sim DESC, id ASC LIMIT $RrfPool) y), " +
+      "fused AS (SELECT COALESCE(l.id, v.id) AS id, " +
+      "COALESCE(CAST(round(1e6 / (60 + l.rnk_lex), 0) AS BIGINT), 0) + " +
+      "COALESCE(CAST(round(1e6 / (60 + v.rnk_vec), 0) AS BIGINT), 0) AS rrf_micro " +
+      "FROM lexr l FULL OUTER JOIN vecr v ON l.id = v.id) " +
+      "SELECT id, CAST(rrf_micro AS BIGINT) AS rrf_micro, " +
+      "CAST(row_number() OVER (ORDER BY rrf_micro DESC, id ASC) AS BIGINT) AS rnk " +
+      s"FROM fused ORDER BY rrf_micro DESC, id ASC LIMIT $RrfTopK"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rrf"           -> qRrf _,
     "q_spatial_join"  -> qSpatialJoin _,
     "q_mmr"           -> qMmr _,
     "q_quantize"    -> qQuantize _,
@@ -513,6 +590,7 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_rrf"            -> qRrfSql,
     "q_spatial_join"   -> qSpatialJoinSql,
     "q_mmr"            -> qMmrSql,
     "q_quantize"    -> qQuantizeSql,

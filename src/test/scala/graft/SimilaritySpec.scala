@@ -174,4 +174,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.size ===
       graft.queries.SimilarityQueries.qSpatialJoin(spark, sf).count())
   }
+
+  test("rrf fusion equals a driver-side recomputation of both rankings") {
+    val got = graft.queries.SimilarityQueries.qRrf(spark, sf)
+      .orderBy("rnk").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("rrf_micro")))
+    assert(got.length === 20)
+    // lexical ranking: tf of the keyword, desc, id asc, top 50
+    val lexRank = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0),
+        graft.functions.TextFunctions.tokenize(r.getString(1)).count(_ == "join").toLong))
+      .filter(_._2 > 0).sortBy { case (id, tf) => (-tf, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    // vector ranking: cosine to vec 0 (left-to-right fold), desc, id asc
+    val es = Tables.embeddings(spark, sf)
+      .select($"vec_id".cast("long"), $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val qv = es.find(_._1 === 0L).get._2
+    val qn = math.sqrt(dot(qv, qv))
+    val vecRank = es.filter(_._1 != 0L)
+      .map { case (id, v) => (id, dot(qv, v) / (qn * math.sqrt(dot(v, v)))) }
+      .filter(p => !p._2.isNaN)
+      .sortBy { case (id, sim) => (-sim, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    def contrib(r: Option[Long]): Long =
+      r.map(rk => math.round(1e6 / (60 + rk))).getOrElse(0L)
+    val want = (lexRank.keySet ++ vecRank.keySet).toSeq
+      .map(id => (id, contrib(lexRank.get(id)) + contrib(vecRank.get(id))))
+      .sortBy { case (id, m) => (-m, id) }.take(20)
+    assert(got.toSeq === want)
+  }
 }
