@@ -184,6 +184,54 @@ object KvQueries {
       s"${Relational.sqlDsum("l_extendedprice")} AS sum_price " +
       "FROM lineitem GROUP BY 1"
 
+  // ── Small-file compaction (the streaming-ingest hygiene pass) ──────────
+  // Continuous ingest leaves thousands of KB-scale files; at 100 TB the
+  // resulting task storm and NameNode/listing pressure dominate scan cost,
+  // so periodic compaction into scan-sized files is a first-class
+  // maintenance operator. Here: deliberately fragment a table into 64
+  // splinter files, compact with coalesce(4) — a NARROW rewrite, no
+  // shuffle: each output task concatenates 16 inputs; at scale the target
+  // count comes from bytes/maxPartitionBytes — then prove from the
+  // COMPACTED layout that (a) the file count actually dropped to the
+  // target and (b) content survived bit-exactly (row-hash XOR checksum
+  // recomputed by the oracle from the source table).
+  private val CompactFrom = 64
+  private val CompactTo = 4
+
+  def qCompact(s: SparkSession, d: String): DataFrame = {
+    val small = rtDir("compact_small", d)
+    val packed = rtDir("compact_packed", d)
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"))
+    li.repartition(CompactFrom).write.mode("overwrite").parquet(small)
+    s.read.parquet(small).coalesce(CompactTo)
+      .write.mode("overwrite").parquet(packed)
+    def nParts(dir: String): Long =
+      new java.io.File(dir).listFiles()
+        .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .toLong
+    val rowStr = concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey"), col("l_quantity").cast(
+        org.apache.spark.sql.types.DecimalType(18, 2)))
+    s.read.parquet(packed)
+      .select(graft.functions.Md5Bits.hash60(rowStr).as("h"))
+      .agg(expr("bit_xor(h)").as("checksum"), count(lit(1)).as("n_rows"))
+      .select(lit(nParts(small)).as("n_files_small"),
+        lit(nParts(packed)).as("n_files_packed"),
+        col("n_rows"), col("checksum"))
+  }
+
+  val qCompactSql: String = {
+    val rowStr = "concat_ws('|', l_orderkey, l_linenumber, l_partkey, " +
+      "CAST(l_quantity AS DECIMAL(18,2)))"
+    val h = graft.functions.Md5Bits.sqlHash60(rowStr)
+    s"SELECT CAST($CompactFrom AS BIGINT) AS n_files_small, " +
+      s"CAST($CompactTo AS BIGINT) AS n_files_packed, " +
+      "count(*) AS n_rows, bit_xor(h) AS checksum " +
+      s"FROM (SELECT $h AS h FROM lineitem) t"
+  }
+
   // ── Partitioned-parquet write → pruned read ────────────────────────────
   // The 100 TB table layout as a correctness row: write events
   // partitioned by event_type, read back filtering one partition — the
@@ -237,6 +285,7 @@ object KvQueries {
     "q_text_roundtrip" -> qTextRoundtrip _,
     "q_json_roundtrip" -> qJsonRoundtrip _,
     "q_orc_roundtrip"  -> qOrcRoundtrip _,
+    "q_compact"        -> qCompact _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -249,5 +298,6 @@ object KvQueries {
     "q_text_roundtrip" -> qTextRoundtripSql,
     "q_json_roundtrip" -> qJsonRoundtripSql,
     "q_orc_roundtrip"  -> qOrcRoundtripSql,
+    "q_compact"        -> qCompactSql,
   )
 }

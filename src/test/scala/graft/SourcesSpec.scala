@@ -156,4 +156,14 @@ class SourcesSpec extends AnyFunSuite {
     assert(written.map(_.split('=').head.toLong).sorted ===
       sample.select($"c_custkey").as[Long].collect().sorted.toSeq)
   }
+
+  test("compaction reduces file count without changing content") {
+    val row = graft.queries.KvQueries.qCompact(spark, sf).collect().head
+    assert(row.getAs[Long]("n_files_small") === 64L)
+    assert(row.getAs[Long]("n_files_packed") === 4L)
+    assert(row.getAs[Long]("n_rows") === Tables.lineitem(spark, sf).count())
+    // idempotent: a second compaction pass reports the identical checksum
+    val again = graft.queries.KvQueries.qCompact(spark, sf).collect().head
+    assert(again.getAs[Long]("checksum") === row.getAs[Long]("checksum"))
+  }
 }
