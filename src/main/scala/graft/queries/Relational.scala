@@ -679,6 +679,55 @@ object Relational {
       "(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf_r " +
       "FROM m"
 
+  // ── Seasonal-naive forecast backtest ───────────────────────────────────
+  // The forecasting sanity loop every pipeline needs BEFORE reaching for
+  // a model: predict day t's revenue as day t−7's (same weekday last
+  // week), then score the prediction over the whole history. One fact
+  // shuffle into the daily rollup; the backtest is a self-join of the
+  // bounded calendar series on eday = eday − 7 (epoch-day integers, no
+  // named-weekday functions). Errors stay BIGINT cents; the per-day
+  // percentage error is micro-quantized BEFORE the sum (the distributed-
+  // sum discipline), so MAE / bias / MAPE are exact integer ratios with
+  // doubles only at the final rounded division.
+  def qForecastEval(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+        .cast("long").as("eday"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+        .as("cents"))
+    val fc = daily.select((col("eday") + 7L).as("eday"), col("cents").as("fc"))
+    val scored = daily.join(fc, Seq("eday"))
+      .select(col("eday"), col("cents"), col("fc"),
+        abs(col("cents") - col("fc")).as("abs_err"),
+        (col("cents") - col("fc")).as("err"))
+      .withColumn("ape_micro",
+        round(col("abs_err") * lit(1e6) / col("cents"), 0).cast("long"))
+    scored.agg(
+      count(lit(1)).as("n_days"),
+      sum(col("abs_err")).as("sum_abs"),
+      sum(col("err")).as("sum_err"),
+      sum(col("ape_micro")).as("sum_ape"))
+      .select(col("n_days"),
+        round(col("sum_abs").cast("double") / col("n_days"), 6).as("mae_cents_r"),
+        round(col("sum_err").cast("double") / col("n_days"), 6).as("bias_cents_r"),
+        round(col("sum_ape").cast("double") / col("n_days") / lit(1e6), 6).as("mape_r"))
+  }
+
+  val qForecastEvalSql: String =
+    "WITH daily AS (SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS eday, " +
+      "CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents " +
+      "FROM orders GROUP BY 1), " +
+      "j AS (SELECT a.eday, a.cents, f.cents AS fc FROM daily a " +
+      "JOIN daily f ON f.eday = a.eday - 7), " +
+      "e AS (SELECT eday, abs(cents - fc) AS abs_err, cents - fc AS err, " +
+      "CAST(round(abs(cents - fc) * 1e6 / cents, 0) AS BIGINT) AS ape_micro FROM j), " +
+      "m AS (SELECT CAST(count(*) AS BIGINT) AS n_days, " +
+      "CAST(sum(abs_err) AS BIGINT) AS sum_abs, CAST(sum(err) AS BIGINT) AS sum_err, " +
+      "CAST(sum(ape_micro) AS BIGINT) AS sum_ape FROM e) " +
+      "SELECT n_days, round(CAST(sum_abs AS DOUBLE) / n_days, 6) AS mae_cents_r, " +
+      "round(CAST(sum_err AS DOUBLE) / n_days, 6) AS bias_cents_r, " +
+      "round(CAST(sum_ape AS DOUBLE) / n_days / 1e6, 6) AS mape_r FROM m"
+
   def qSkyline(s: SparkSession, d: String): DataFrame =
     skyline(
       Tables.orders(s, d)
@@ -1295,6 +1344,7 @@ object Relational {
     "q_skyline"         -> qSkyline _,
     "q_drawdown"        -> qDrawdown _,
     "q_autocorr"        -> qAutocorr _,
+    "q_forecast_eval"   -> qForecastEval _,
     "q_changepoint"     -> qChangepoint _,
     "q_snapshot_diff"   -> qSnapshotDiff _,
     "q_benford"         -> qBenford _,
@@ -1350,6 +1400,7 @@ object Relational {
     "q_skyline"         -> qSkylineSql,
     "q_drawdown"        -> qDrawdownSql,
     "q_autocorr"        -> qAutocorrSql,
+    "q_forecast_eval"   -> qForecastEvalSql,
     "q_changepoint"     -> qChangepointSql,
     "q_snapshot_diff"   -> qSnapshotDiffSql,
     "q_benford"         -> qBenfordSql,

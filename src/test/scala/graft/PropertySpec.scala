@@ -942,4 +942,32 @@ class PropertySpec extends AnyFunSuite {
     // ranking is 1..k and scores are non-increasing
     assert(got.map(_.getAs[Long]("rnk")).toSeq === (1L to got.length.toLong))
   }
+
+  test("forecast backtest reproduces a driver-side seasonal-naive scoring") {
+    val row = graft.queries.Relational.qForecastEval(spark, sf).collect().head
+    val daily = Tables.orders(spark, sf)
+      .select(org.apache.spark.sql.functions.datediff($"o_orderdate",
+        org.apache.spark.sql.functions.lit("1970-01-01").cast("date"))
+        .cast("long"), $"o_totalprice")
+      .collect()
+      .groupBy(r => r.getLong(0))
+      .map { case (day, rs) =>
+        day -> rs.map(r => new java.math.BigDecimal(r.getDouble(1))
+          .setScale(2, java.math.RoundingMode.HALF_UP)
+          .movePointRight(2).longValueExact()).sum
+      }
+    val pairs = daily.toSeq.flatMap { case (day, cents) =>
+      daily.get(day - 7).map(fc => (cents, fc))
+    }
+    assert(row.getAs[Long]("n_days") === pairs.length.toLong)
+    val sumAbs = pairs.map { case (c, f) => math.abs(c - f) }.sum
+    val sumErr = pairs.map { case (c, f) => c - f }.sum
+    val sumApe = pairs.map { case (c, f) =>
+      math.round(math.abs(c - f) * 1e6 / c) }.sum
+    def r6(x: Double) = new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(row.getAs[Double]("mae_cents_r") === r6(sumAbs.toDouble / pairs.length))
+    assert(row.getAs[Double]("bias_cents_r") === r6(sumErr.toDouble / pairs.length))
+    assert(row.getAs[Double]("mape_r") === r6(sumApe.toDouble / pairs.length / 1e6))
+  }
 }
