@@ -232,6 +232,40 @@ object KvQueries {
       s"FROM (SELECT $h AS h FROM lineitem) t"
   }
 
+  // ── Parquet schema evolution (mergeSchema read over mixed layouts) ─────
+  // Long-lived tables gain columns; the files written before the change
+  // never get rewritten. Write the same table in two generations — v1
+  // (key, custkey) for even order keys, v2 adding o_totalprice for odd —
+  // into one directory, then read with mergeSchema: the unified schema
+  // must surface the new column and null-fill the legacy files. The
+  // oracle recomputes the aggregate from the source table with the same
+  // even/odd rule, so a dropped column, a wrong null-fill, or a file
+  // lost in the merge breaks the hash. At scale this is the no-rewrite
+  // evolution path: only footers are read to merge schemas.
+  def qSchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val out = rtDir("evolve", d)
+    val orders = Tables.orders(s, d)
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .write.mode("overwrite").parquet(s"$out/gen=1")
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$out/gen=2")
+    s.read.option("mergeSchema", "true").parquet(out)
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_totalprice")).as("n_with_price"),
+        sum(col("o_custkey")).cast("bigint").as("sum_cust"),
+        Relational.dsum(col("o_totalprice")).as("sum_price"))
+  }
+
+  val qSchemaEvolutionSql: String =
+    "SELECT count(*) AS n_rows, " +
+      "CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_price, " +
+      "CAST(sum(o_custkey) AS BIGINT) AS sum_cust, " +
+      "CAST(sum(CASE WHEN o_orderkey % 2 = 1 " +
+      "THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_price " +
+      "FROM orders"
+
   // ── Partitioned-parquet write → pruned read ────────────────────────────
   // The 100 TB table layout as a correctness row: write events
   // partitioned by event_type, read back filtering one partition — the
@@ -286,6 +320,7 @@ object KvQueries {
     "q_json_roundtrip" -> qJsonRoundtrip _,
     "q_orc_roundtrip"  -> qOrcRoundtrip _,
     "q_compact"        -> qCompact _,
+    "q_schema_evolution" -> qSchemaEvolution _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -299,5 +334,6 @@ object KvQueries {
     "q_json_roundtrip" -> qJsonRoundtripSql,
     "q_orc_roundtrip"  -> qOrcRoundtripSql,
     "q_compact"        -> qCompactSql,
+    "q_schema_evolution" -> qSchemaEvolutionSql,
   )
 }

@@ -679,6 +679,99 @@ object Relational {
       "(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf_r " +
       "FROM m"
 
+  // ── TPC-H Q1: pricing summary report ───────────────────────────────────
+  // The canonical scan-heavy aggregation benchmark, exact end to end:
+  // quantities/prices in integer cents, discount/tax in integer percent
+  // (the TPC-H domain is hundredths by spec), so disc_price = cents·(100−d)
+  // (10⁻⁴ dollars) and charge = cents·(100−d)·(100+t) (10⁻⁶ dollars) are
+  // INTEGER products, summed in DECIMAL(38,0) (a 100 TB lineitem would
+  // overflow a BIGINT charge sum). One partial-agg shuffle over the 6-ish
+  // (flag, status) groups; doubles only at the final rounded divisions.
+  def qTpchQ1(s: SparkSession, d: String): DataFrame = {
+    def d38(c: Column) = sum(c.cast(DecimalType(38, 0)))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("date"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        (col("l_quantity").cast(DecimalType(18, 2)) * 100).cast("long").as("qty_c"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("price_c"),
+        (col("l_discount").cast(DecimalType(4, 2)) * 100).cast("long").as("disc_p"),
+        (col("l_tax").cast(DecimalType(4, 2)) * 100).cast("long").as("tax_p"))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("qty_c")).as("sum_qty_c"),
+        d38(col("price_c")).as("sum_base"),
+        d38(col("price_c") * (lit(100L) - col("disc_p"))).as("sum_disc"),
+        d38(col("price_c") * (lit(100L) - col("disc_p")) * (lit(100L) + col("tax_p")))
+          .as("sum_charge"),
+        sum(col("disc_p")).as("sum_disc_p"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n_rows"),
+        col("sum_qty_c"),
+        round(col("sum_base").cast("double") / 100.0, 6).as("sum_base_r"),
+        round(col("sum_disc").cast("double") / 1e4, 6).as("sum_disc_price_r"),
+        round(col("sum_charge").cast("double") / 1e6, 6).as("sum_charge_r"),
+        round(col("sum_qty_c").cast("double") / 100.0 / col("n_rows"), 6).as("avg_qty_r"),
+        round(col("sum_base").cast("double") / 100.0 / col("n_rows"), 6).as("avg_price_r"),
+        round(col("sum_disc_p").cast("double") / 100.0 / col("n_rows"), 6).as("avg_disc_r"))
+  }
+
+  val qTpchQ1Sql: String =
+    "WITH li AS (SELECT l_returnflag, l_linestatus, " +
+      "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_c, " +
+      "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c, " +
+      "CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS disc_p, " +
+      "CAST(CAST(l_tax AS DECIMAL(4,2)) * 100 AS BIGINT) AS tax_p " +
+      "FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'), " +
+      "m AS (SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows, " +
+      "CAST(sum(qty_c) AS BIGINT) AS sum_qty_c, " +
+      "sum(CAST(price_c AS DECIMAL(38,0))) AS sum_base, " +
+      "sum(CAST(price_c * (100 - disc_p) AS DECIMAL(38,0))) AS sum_disc, " +
+      "sum(CAST(price_c * (100 - disc_p) * (100 + tax_p) AS DECIMAL(38,0))) AS sum_charge, " +
+      "CAST(sum(disc_p) AS BIGINT) AS sum_disc_p " +
+      "FROM li GROUP BY 1, 2) " +
+      "SELECT l_returnflag, l_linestatus, n_rows, sum_qty_c, " +
+      "round(CAST(sum_base AS DOUBLE) / 100.0, 6) AS sum_base_r, " +
+      "round(CAST(sum_disc AS DOUBLE) / 1e4, 6) AS sum_disc_price_r, " +
+      "round(CAST(sum_charge AS DOUBLE) / 1e6, 6) AS sum_charge_r, " +
+      "round(CAST(sum_qty_c AS DOUBLE) / 100.0 / n_rows, 6) AS avg_qty_r, " +
+      "round(CAST(sum_base AS DOUBLE) / 100.0 / n_rows, 6) AS avg_price_r, " +
+      "round(CAST(sum_disc_p AS DOUBLE) / 100.0 / n_rows, 6) AS avg_disc_r " +
+      "FROM m"
+
+  // ── Key-skew diagnostic (pre-join health check) ────────────────────────
+  // The operational report run before any big join: per-key frequencies,
+  // the heaviest keys' share of the table, and a global skew ratio
+  // (max key count ÷ mean key count — 1.0 means uniform). One partial-agg
+  // shuffle for the counts; the report rows are a TakeOrdered top-20; the
+  // scalar stats ride in on a broadcast. Exact integer ratios, rounded
+  // once.
+  private val SkewTopK = 20
+
+  def qKeySkew(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("key")).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_keys"), max(col("cnt")).as("max_cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("key").asc)
+    counts.orderBy(col("cnt").desc, col("key").asc).limit(SkewTopK)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(stats))
+      .select(col("rnk"), col("key"), col("cnt"),
+        round(col("cnt").cast("double") / col("total"), 6).as("share_r"),
+        round((col("max_cnt") * col("n_keys")).cast("double") / col("total"), 6)
+          .as("skew_r"))
+  }
+
+  val qKeySkewSql: String =
+    "WITH counts AS (SELECT l_partkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1), " +
+      "stats AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_keys, " +
+      "CAST(max(cnt) AS BIGINT) AS max_cnt FROM counts), " +
+      s"top AS (SELECT key, cnt FROM counts ORDER BY cnt DESC, key ASC LIMIT $SkewTopK) " +
+      "SELECT CAST(row_number() OVER (ORDER BY cnt DESC, key ASC) AS BIGINT) AS rnk, " +
+      "key, cnt, round(CAST(cnt AS DOUBLE) / total, 6) AS share_r, " +
+      "round(CAST(max_cnt * n_keys AS DOUBLE) / total, 6) AS skew_r " +
+      "FROM top, stats"
+
   // ── Seasonal-naive forecast backtest ───────────────────────────────────
   // The forecasting sanity loop every pipeline needs BEFORE reaching for
   // a model: predict day t's revenue as day t−7's (same weekday last
@@ -1345,6 +1438,8 @@ object Relational {
     "q_drawdown"        -> qDrawdown _,
     "q_autocorr"        -> qAutocorr _,
     "q_forecast_eval"   -> qForecastEval _,
+    "q_tpch_q1"         -> qTpchQ1 _,
+    "q_key_skew"        -> qKeySkew _,
     "q_changepoint"     -> qChangepoint _,
     "q_snapshot_diff"   -> qSnapshotDiff _,
     "q_benford"         -> qBenford _,
@@ -1401,6 +1496,8 @@ object Relational {
     "q_drawdown"        -> qDrawdownSql,
     "q_autocorr"        -> qAutocorrSql,
     "q_forecast_eval"   -> qForecastEvalSql,
+    "q_tpch_q1"         -> qTpchQ1Sql,
+    "q_key_skew"        -> qKeySkewSql,
     "q_changepoint"     -> qChangepointSql,
     "q_snapshot_diff"   -> qSnapshotDiffSql,
     "q_benford"         -> qBenfordSql,

@@ -706,7 +706,42 @@ object TextQueries {
         ORDER BY score_micro DESC, doc_id ASC LIMIT $Bm25TopK"""
   }
 
+  // ── Deterministic train/val/test split manifest ────────────────────────
+  // The assignment every training pipeline makes exactly once: salted
+  // md5 of the document id → 10 buckets → 80/10/10 split. Hash-based (not
+  // random) so the split is reproducible across runs, engines, and
+  // repartitioning, and any doc's membership is recomputable from its id
+  // alone. The manifest reports per-(lang, split) counts and the share
+  // within each language — the balance check that catches a skewed split
+  // before training does. Zero-shuffle assignment; one grouped rollup.
+  def qSplit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val bucket = graft.functions.Md5Bits.hash60(
+      concat(lit("split:"), col("doc_id").cast("string"))) % 10
+    val assigned = Tables.documents(s, d)
+      .select(col("lang"),
+        when(bucket <= 7, "train").when(bucket === 8, "val").otherwise("test")
+          .as("split"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+    assigned
+      .withColumn("lang_total", sum(col("n_docs")).over(W.partitionBy(col("lang"))))
+      .select(col("lang"), col("split"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("lang_total"), 6).as("share_r"))
+  }
+
+  val qSplitSql: String = {
+    val b = graft.functions.Md5Bits.sqlHash60("'split:' || CAST(doc_id AS VARCHAR)") + " % 10"
+    s"WITH a AS (SELECT lang, CASE WHEN $b <= 7 THEN 'train' " +
+      s"WHEN $b = 8 THEN 'val' ELSE 'test' END AS split FROM documents), " +
+      "g AS (SELECT lang, split, count(*) AS n_docs FROM a GROUP BY 1, 2) " +
+      "SELECT lang, split, n_docs, " +
+      "round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY lang), 6) AS share_r " +
+      "FROM g"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split"          -> qSplit _,
     "q_bm25"           -> qBm25 _,
     "q_zipf"           -> qZipf _,
     "q_vocab"          -> qVocab _,
@@ -729,6 +764,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_split"           -> qSplitSql,
     "q_bm25"            -> qBm25Sql,
     "q_zipf"            -> qZipfSql,
     "q_vocab"          -> qVocabSql,

@@ -970,4 +970,71 @@ class PropertySpec extends AnyFunSuite {
     assert(row.getAs[Double]("bias_cents_r") === r6(sumErr.toDouble / pairs.length))
     assert(row.getAs[Double]("mape_r") === r6(sumApe.toDouble / pairs.length / 1e6))
   }
+
+  test("tpch q1: groups partition the filtered fact and ratios reconcile") {
+    val rows = graft.queries.Relational.qTpchQ1(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 6) // 3 flags × 2 statuses
+    val filtered = Tables.lineitem(spark, sf)
+      .filter($"l_shipdate" <= org.apache.spark.sql.functions.lit("1998-09-02").cast("date"))
+      .count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum === filtered)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_rows")
+      assert(r.getAs[Double]("avg_qty_r") >= 1.0 && r.getAs[Double]("avg_qty_r") <= 50.0)
+      // discounted price can't exceed base; charge adds tax on top of it
+      assert(r.getAs[Double]("sum_disc_price_r") <= r.getAs[Double]("sum_base_r"))
+      assert(r.getAs[Double]("sum_charge_r") >= r.getAs[Double]("sum_disc_price_r"))
+      assert(math.abs(r.getAs[Double]("avg_price_r") -
+        r.getAs[Double]("sum_base_r") / n) < 1e-5)
+    }
+  }
+
+  test("key-skew report: shares reconcile and the ratio is >= 1") {
+    val rows = graft.queries.Relational.qKeySkew(spark, sf)
+      .orderBy("rnk").collect()
+    assert(rows.length === 20)
+    val counts = Tables.lineitem(spark, sf)
+      .groupBy($"l_partkey").count().as[(Long, Long)].collect()
+    val total = counts.map(_._2).sum
+    // reported heavy keys are exactly the true top-20 under (cnt, key) order
+    val want = counts.sortBy { case (k, c) => (-c, k) }.take(20)
+    assert(rows.map(r => (r.getAs[Long]("key"), r.getAs[Long]("cnt"))).toSeq
+      === want.toSeq)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("share_r") -
+        r.getAs[Long]("cnt").toDouble / total) < 1e-5)
+      assert(r.getAs[Double]("skew_r") >= 1.0)
+    }
+  }
+
+  test("split manifest: hash-deterministic assignment, shares sum to one") {
+    val rows = graft.queries.TextQueries.qSplit(spark, sf).collect()
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    // recompute the whole manifest from ids on the driver
+    val want = Tables.documents(spark, sf).select($"doc_id", $"lang").collect()
+      .map { r =>
+        val b = graft.functions.Md5Bits.hash60(s"split:${r.getLong(0)}") % 10
+        (r.getString(1), if (b <= 7) "train" else if (b == 8) "val" else "test")
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(r => (r.getAs[String]("lang"), r.getAs[String]("split")) ->
+      r.getAs[Long]("n_docs")).toMap === want)
+    // within every language the shares sum to 1 (up to 6dp rounding)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_.getAs[Double]("share_r")).sum - 1.0) < 1e-4)
+    }
+  }
+
+  test("schema evolution: merged read null-fills the legacy generation") {
+    val row = graft.queries.KvQueries.qSchemaEvolution(spark, sf).collect().head
+    val orders = Tables.orders(spark, sf)
+    assert(row.getAs[Long]("n_rows") === orders.count())
+    assert(row.getAs[Long]("n_with_price") ===
+      orders.filter($"o_orderkey" % 2 === 1).count())
+    // the price sum comes only from the evolved generation
+    val wantPrice = orders.filter($"o_orderkey" % 2 === 1)
+      .agg(graft.queries.Relational.dsum($"o_totalprice")).as[Double].collect().head
+    assert(row.getAs[Double]("sum_price") === wantPrice)
+  }
 }
