@@ -679,6 +679,54 @@ object Relational {
       "(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf_r " +
       "FROM m"
 
+  // ── Winsorization (outlier clipping before aggregation/training) ───────
+  // Clamp each group's values into its [P1, P99] band and report the
+  // winsorized mean — the standard robustification before a feature
+  // feeds a model. Two passes, both scale-safe: (1) per-group exact
+  // percentile bounds (same interpolated-percentile parity as
+  // q_percentiles, computed on integer cents); (2) broadcast the tiny
+  // bounds table back onto the fact and clamp. Clamped values quantize
+  // to integer MILLI-CENTS before the distributed sum (the bound itself
+  // can be fractional), so the mean is an exact integer ratio.
+  def qWinsorize(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("prio"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+    val bounds = c.groupBy(col("prio"))
+      .agg(expr("percentile(cents, 0.01)").as("lo"),
+        expr("percentile(cents, 0.99)").as("hi"))
+    val clamped = least(greatest(col("cents").cast("double"), col("lo")), col("hi"))
+    c.join(broadcast(bounds), Seq("prio"))
+      .select(col("prio"), col("lo"), col("hi"),
+        round(clamped * lit(1e3), 0).cast("long").as("cl_u"),
+        when(col("cents").cast("double") < col("lo"), 1L).otherwise(0L).as("clo"),
+        when(col("cents").cast("double") > col("hi"), 1L).otherwise(0L).as("chi"))
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("clo")).as("n_clip_lo"), sum(col("chi")).as("n_clip_hi"),
+        round(first(col("lo")), 6).as("lo_r"), round(first(col("hi")), 6).as("hi_r"),
+        sum(col("cl_u")).as("sum_u"))
+      .select(col("prio"), col("n"), col("n_clip_lo"), col("n_clip_hi"),
+        col("lo_r"), col("hi_r"),
+        round(col("sum_u").cast("double") / 1e3 / col("n"), 6).as("wmean_cents_r"))
+  }
+
+  val qWinsorizeSql: String =
+    "WITH c AS (SELECT o_orderpriority AS prio, " +
+      "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders), " +
+      "b AS (SELECT prio, quantile_cont(cents, 0.01) AS lo, " +
+      "quantile_cont(cents, 0.99) AS hi FROM c GROUP BY 1), " +
+      "j AS (SELECT c.prio, lo, hi, " +
+      "CAST(round(least(greatest(CAST(cents AS DOUBLE), lo), hi) * 1e3, 0) AS BIGINT) AS cl_u, " +
+      "CASE WHEN CAST(cents AS DOUBLE) < lo THEN 1 ELSE 0 END AS clo, " +
+      "CASE WHEN CAST(cents AS DOUBLE) > hi THEN 1 ELSE 0 END AS chi " +
+      "FROM c JOIN b ON c.prio = b.prio) " +
+      "SELECT prio, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(clo) AS BIGINT) AS n_clip_lo, CAST(sum(chi) AS BIGINT) AS n_clip_hi, " +
+      "round(any_value(lo), 6) AS lo_r, round(any_value(hi), 6) AS hi_r, " +
+      "round(CAST(sum(cl_u) AS DOUBLE) / 1e3 / count(*), 6) AS wmean_cents_r " +
+      "FROM j GROUP BY 1"
+
   // ── TPC-H Q1: pricing summary report ───────────────────────────────────
   // The canonical scan-heavy aggregation benchmark, exact end to end:
   // quantities/prices in integer cents, discount/tax in integer percent
@@ -1439,6 +1487,7 @@ object Relational {
     "q_autocorr"        -> qAutocorr _,
     "q_forecast_eval"   -> qForecastEval _,
     "q_tpch_q1"         -> qTpchQ1 _,
+    "q_winsorize"       -> qWinsorize _,
     "q_key_skew"        -> qKeySkew _,
     "q_changepoint"     -> qChangepoint _,
     "q_snapshot_diff"   -> qSnapshotDiff _,
@@ -1497,6 +1546,7 @@ object Relational {
     "q_autocorr"        -> qAutocorrSql,
     "q_forecast_eval"   -> qForecastEvalSql,
     "q_tpch_q1"         -> qTpchQ1Sql,
+    "q_winsorize"       -> qWinsorizeSql,
     "q_key_skew"        -> qKeySkewSql,
     "q_changepoint"     -> qChangepointSql,
     "q_snapshot_diff"   -> qSnapshotDiffSql,

@@ -1026,6 +1026,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("winsorize: clip counts and mean match a driver-side recomputation") {
+    val rows = graft.queries.Relational.qWinsorize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byPrio = Tables.orders(spark, sf)
+      .select($"o_orderpriority", $"o_totalprice").collect()
+      .map(r => (r.getString(0), new java.math.BigDecimal(r.getDouble(1))
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .movePointRight(2).longValueExact()))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // Spark's exact percentile: linear interpolation at p*(n-1)
+    def pct(v: IndexedSeq[Long], p: Double): Double = {
+      val pos = p * (v.length - 1)
+      val i = pos.toInt
+      if (i >= v.length - 1) v.last.toDouble
+      else v(i) + (pos - i) * (v(i + 1) - v(i))
+    }
+    rows.foreach { r =>
+      val v = byPrio(r.getAs[String]("prio")).toIndexedSeq
+      val (lo, hi) = (pct(v, 0.01), pct(v, 0.99))
+      assert(r.getAs[Long]("n") === v.length.toLong)
+      assert(r.getAs[Long]("n_clip_lo") === v.count(_.toDouble < lo).toLong)
+      assert(r.getAs[Long]("n_clip_hi") === v.count(_.toDouble > hi).toLong)
+      val sumU = v.map(c => math.round(math.min(math.max(c.toDouble, lo), hi) * 1e3)).sum
+      def r6(x: Double) = new java.math.BigDecimal(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(r.getAs[Double]("wmean_cents_r") === r6(sumU.toDouble / 1e3 / v.length))
+      // clipping is inside the observed range and ordered
+      assert(lo <= hi)
+    }
+  }
+
   test("schema evolution: merged read null-fills the legacy generation") {
     val row = graft.queries.KvQueries.qSchemaEvolution(spark, sf).collect().head
     val orders = Tables.orders(spark, sf)
