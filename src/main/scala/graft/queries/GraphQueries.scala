@@ -415,12 +415,18 @@ object GraphQueries {
         .join(dist.filter(col("dist").isNotNull)
           .select(col("node").as("a"), col("dist")), Seq("a"))
         .groupBy(col("b").as("node")).agg(min(col("dist")).as("mn"))
+      // the reached-count probe rides the checkpoint job as an observed
+      // metric (the CC discipline) — no separate action per round
+      val obs = new org.apache.spark.sql.Observation(
+        s"bfs_conv_${round}_${System.nanoTime()}")
       val next = dist.join(frontierMin, Seq("node"), "left")
         .select(col("node"),
           when(col("dist").isNotNull, col("dist"))
             .otherwise(col("mn") + 1L).as("dist"))
+        .observe(obs,
+          sum(when(col("dist").isNotNull, 1L).otherwise(0L)).as("reached"))
         .localCheckpoint()
-      val nowReached = next.filter(col("dist").isNotNull).count()
+      val nowReached = obs.get("reached").asInstanceOf[Long]
       growing = nowReached > reached
       reached = nowReached
       dist = next
@@ -459,15 +465,21 @@ object GraphQueries {
         .join(dist.filter(col("dist").isNotNull)
           .select(col("node").as("a"), col("dist")), Seq("a"))
         .groupBy(col("b").as("node")).agg(min(col("dist") + col("w")).as("mn"))
+      // convergence probe (reached count, total distance) observed on the
+      // checkpoint job itself — no separate action per round
+      val obs = new org.apache.spark.sql.Observation(
+        s"sssp_conv_${round}_${System.nanoTime()}")
       val next = dist.join(relax, Seq("node"), "left")
         .select(col("node"),
           when(col("dist").isNull, col("mn"))
             .when(col("mn").isNull, col("dist"))
             .otherwise(least(col("dist"), col("mn"))).as("dist"))
+        .observe(obs,
+          sum(when(col("dist").isNotNull, 1L).otherwise(0L)).as("reached"),
+          sum(coalesce(col("dist"), lit(0L))).as("total"))
         .localCheckpoint()
-      val st = next.filter(col("dist").isNotNull)
-        .agg(count(lit(1)), sum(col("dist"))).head
-      val now = (st.getLong(0), st.getLong(1))
+      val st = obs.get
+      val now = (st("reached").asInstanceOf[Long], st("total").asInstanceOf[Long])
       changing = now != fixed
       fixed = now
       dist = next
