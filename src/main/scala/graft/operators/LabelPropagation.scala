@@ -37,10 +37,16 @@ object LabelPropagation {
         .join(labels.filter(col("lab").isNotNull)
           .select(col("node").as("b"), col("lab")), Seq("b"))
         .groupBy(col("a"), col("lab")).agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy(col("a")).orderBy(col("c").desc, col("lab").asc)
-      val winner = votes.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("a").as("node"), col("lab").as("wlab"))
+      // majority with (count desc, label asc) tiebreak as a partial-
+      // aggregated argmin over struct(−count, label) — same winner as a
+      // row_number window, without the per-round partition sort (and the
+      // min combines map-side, so only one candidate per label survives
+      // each partition)
+      val winner = votes
+        .select(col("a"),
+          struct((-col("c")).as("nc"), col("lab").as("l")).as("k"))
+        .groupBy(col("a")).agg(min(col("k")).as("k"))
+        .select(col("a").as("node"), col("k.l").as("wlab"))
       labels = labels.join(winner, Seq("node"), "left")
         .select(col("node"), coalesce(col("lab"), col("wlab")).as("lab"))
         .localCheckpoint(true)
