@@ -576,7 +576,47 @@ object SimilarityQueries {
       "CAST(row_number() OVER (ORDER BY rrf_micro DESC, id ASC) AS BIGINT) AS rnk " +
       s"FROM fused ORDER BY rrf_micro DESC, id ASC LIMIT $RrfTopK"
 
+  // ── Feature-scaling fit (per-dimension standardization parameters) ─────
+  // The StandardScaler fit every embedding pipeline runs before
+  // quantization/indexing: per-dimension mean, population std, min, max.
+  // Values quantize to integer micro-units at the scan (float32 widened
+  // to double, one deterministic multiply+round), so the moment sums are
+  // exact integers; the n·Σx² − (Σx)² variance numerator is computed in
+  // DECIMAL(38,0) (HUGEINT on the oracle side) — BIGINT would overflow
+  // within ~50k vectors. One partial-aggregated shuffle on the 64 dims;
+  // doubles only at the final rounded divisions and one IEEE sqrt.
+  def qFeatureScale(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val u = Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        round(col("x").cast("double") * 1e6, 0).cast("long").as("u"))
+    u.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("u")).as("su"),
+        sum(col("u").cast(dec) * col("u").cast(dec)).as("squ"),
+        min(col("u")).as("min_u"), max(col("u")).as("max_u"))
+      .select(col("dim"), col("n"),
+        round(col("su").cast("double") / 1e6 / col("n"), 6).as("mean_r"),
+        round(sqrt((col("n").cast(dec) * col("squ") -
+            col("su").cast(dec) * col("su").cast(dec)).cast("double") /
+          (col("n") * col("n")).cast("double")) / 1e6, 6).as("std_r"),
+        col("min_u"), col("max_u"))
+  }
+
+  val qFeatureScaleSql: String =
+    "WITH u AS (SELECT CAST(i - 1 AS BIGINT) AS dim, " +
+      "CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6, 0) AS BIGINT) AS u " +
+      "FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)), " +
+      "m AS (SELECT dim, CAST(count(*) AS BIGINT) AS n, CAST(sum(u) AS BIGINT) AS su, " +
+      "sum(CAST(u AS HUGEINT) * u) AS squ, " +
+      "CAST(min(u) AS BIGINT) AS min_u, CAST(max(u) AS BIGINT) AS max_u " +
+      "FROM u GROUP BY 1) " +
+      "SELECT dim, n, round(CAST(su AS DOUBLE) / 1e6 / n, 6) AS mean_r, " +
+      "round(sqrt(CAST(CAST(n AS HUGEINT) * squ - CAST(su AS HUGEINT) * su AS DOUBLE) / " +
+      "CAST(n * n AS DOUBLE)) / 1e6, 6) AS std_r, min_u, max_u FROM m"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_feature_scale" -> qFeatureScale _,
     "q_rrf"           -> qRrf _,
     "q_spatial_join"  -> qSpatialJoin _,
     "q_mmr"           -> qMmr _,
@@ -590,6 +630,7 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_feature_scale"  -> qFeatureScaleSql,
     "q_rrf"            -> qRrfSql,
     "q_spatial_join"   -> qSpatialJoinSql,
     "q_mmr"            -> qMmrSql,

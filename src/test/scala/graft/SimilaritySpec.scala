@@ -210,4 +210,27 @@ class SimilaritySpec extends AnyFunSuite {
       .sortBy { case (id, m) => (-m, id) }.take(20)
     assert(got.toSeq === want)
   }
+
+  test("feature-scale fit matches a driver-side recomputation per dim") {
+    val got = graft.queries.SimilarityQueries.qFeatureScale(spark, sf)
+      .orderBy("dim").collect()
+    val es = Tables.embeddings(spark, sf).select($"embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    assert(got.length === es.head.length)
+    def r6(x: Double) = new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    got.foreach { r =>
+      val dim = r.getAs[Long]("dim").toInt
+      val us = es.map(v => math.round(v(dim).toDouble * 1e6))
+      val n = us.length.toLong
+      val su = us.sum
+      val squ = us.map(u => BigInt(u) * BigInt(u)).sum
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[Long]("min_u") === us.min)
+      assert(r.getAs[Long]("max_u") === us.max)
+      assert(r.getAs[Double]("mean_r") === r6(su.toDouble / 1e6 / n))
+      val varNum = (BigInt(n) * squ - BigInt(su) * BigInt(su)).toDouble
+      assert(r.getAs[Double]("std_r") === r6(math.sqrt(varNum / (n.toDouble * n)) / 1e6))
+    }
+  }
 }
