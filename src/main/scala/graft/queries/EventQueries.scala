@@ -370,13 +370,18 @@ object EventQueries {
   // summary (winsorization bounds, drift monitoring) over a skewed
   // measure. ntile's bucket rule is SQL-standard (larger buckets first on
   // non-divisible counts) so both engines bucket identically; ordering
-  // ties break on event_id so the assignment is total. One shuffle on
-  // event_type; the groupBy reuses the window's partitioning.
+  // ties break on event_id so the assignment is total. event_type has a
+  // handful of values, so an ntile WINDOW partitioned by it would rank
+  // the whole fact table through ~|types| tasks — instead the exact rank
+  // comes from the range-partitioned two-pass kernel and the decile is
+  // ntile-from-rank arithmetic on (rank, per-type count).
   def qDeciles(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("value"), col("event_id"))
-    Tables.events(s, d)
-      .withColumn("decile", ntile(10).over(w))
+    import graft.operators.DistributedRank.{ntileFromRank, withRowNumber}
+    val slim = Tables.events(s, d)
+      .select(col("event_type"), col("value"), col("event_id"))
+    withRowNumber(slim, Seq("event_type"),
+      Seq(col("value").asc, col("event_id").asc), "rk", nGroupCol = Some("n_g"))
+      .withColumn("decile", ntileFromRank("rk", "n_g", 10))
       .groupBy(col("event_type"), col("decile"))
       .agg(count(lit(1)).as("n"),
         min(col("value")).as("lo"), max(col("value")).as("hi"),
@@ -618,19 +623,19 @@ object EventQueries {
   // G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n with xᵢ ascending — is pure integer
   // algebra on cents and ranks until one final division, so both engines
   // agree to the bit. Alongside: the classic Lorenz readouts (top-10%
-  // revenue share, minimum user count covering 80%). All windows run on
-  // the per-user aggregate (user-count rows, one key shuffle before).
+  // revenue share, minimum user count covering 80%). Rank, prefix sum
+  // and total all come from the two-pass distributed rank kernel
+  // (range-partition + per-partition rank + driver prefix offsets) — no
+  // global single-task Window.orderBy even at 100× the user count.
   def qGini(s: SparkSession, d: String): DataFrame = {
     val per = Tables.events(s, d)
       .groupBy(col("user_id"))
       .agg((sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))) * 100)
         .cast("long").as("cents"))
-    val byAsc = Window.orderBy(col("cents").asc, col("user_id").asc)
-    val ranked = per
-      .withColumn("i", row_number().over(byAsc).cast("long"))
-      .withColumn("cum",
-        sum(col("cents")).over(byAsc.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("tot", sum(col("cents")).over(Window.partitionBy(lit(1))))
+    val ranked = graft.operators.DistributedRank.withRowNumber(
+      per, Nil, Seq(col("cents").asc, col("user_id").asc),
+      rankCol = "i", sumCol = Some("cents"),
+      cumCol = Some("cum"), sumGroupCol = Some("tot"))
     ranked.groupBy()
       .agg(count(lit(1)).as("n_users"),
         sum(col("cents")).cast("long").as("total_cents"),
@@ -964,23 +969,32 @@ object EventQueries {
   // ── RFM segmentation (recency / frequency / monetary quartiles) ────────
   // The marketing-analytics standard: per-user recency (latest activity),
   // frequency (event count), monetary (exact cents), each cut into
-  // quartiles, concatenated into the 111–444 segment code. The ntile
-  // windows run on the PER-USER aggregate (already reduced by the one key
-  // shuffle) — user-count rows, not event rows; at extreme user counts
-  // the same shape swaps ntile for precomputed approx-quantile breaks.
+  // quartiles, concatenated into the 111–444 segment code. Each quartile
+  // cut is an EXACT distributed rank (two-pass range-partitioned kernel)
+  // plus the SQL-standard ntile-from-rank arithmetic — identical buckets
+  // to an ntile window, but no single task ever holds the user table.
   // Quartile 1 = best (most recent / most frequent / highest spend);
   // user_id tiebreaks make every cut deterministic.
   def qRfm(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.DistributedRank.{ntileFromRank, withRowNumber}
     val per = Tables.events(s, d)
       .groupBy(col("user_id"))
       .agg(max(unix_micros(col("ts"))).as("r"),
         count(lit(1)).as("f"),
         (sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))) * 100)
           .cast("long").as("m"))
-    val rq = ntile(4).over(Window.orderBy(col("r").desc, col("user_id"))).cast("long")
-    val fq = ntile(4).over(Window.orderBy(col("f").desc, col("user_id"))).cast("long")
-    val mq = ntile(4).over(Window.orderBy(col("m").desc, col("user_id"))).cast("long")
-    per.select(col("user_id"), rq.as("r_q"), fq.as("f_q"), mq.as("m_q"))
+    val cut1 = withRowNumber(per, Nil,
+      Seq(col("r").desc, col("user_id").asc), "rk_r", nGroupCol = Some("n_u"))
+      .withColumn("r_q", ntileFromRank("rk_r", "n_u", 4))
+      .drop("rk_r", "n_u")
+    val cut2 = withRowNumber(cut1, Nil,
+      Seq(col("f").desc, col("user_id").asc), "rk_f", nGroupCol = Some("n_u"))
+      .withColumn("f_q", ntileFromRank("rk_f", "n_u", 4))
+      .drop("rk_f", "n_u")
+    val cut3 = withRowNumber(cut2, Nil,
+      Seq(col("m").desc, col("user_id").asc), "rk_m", nGroupCol = Some("n_u"))
+      .withColumn("m_q", ntileFromRank("rk_m", "n_u", 4))
+    cut3.select(col("user_id"), col("r_q"), col("f_q"), col("m_q"))
       .withColumn("rfm_code", col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
   }
 
@@ -1447,14 +1461,22 @@ object EventQueries {
   // Where each event's value sits within its type's distribution — the
   // normalized-score building block (feature scaling, percentile
   // flagging). The ordering carries event_id as a tiebreak so every row
-  // has a unique rank and both engines agree bit-for-bit; one shuffle on
-  // event_type, both window functions share the single sort.
+  // has a unique rank — which also means percent_rank ≡ (rn−1)/(n−1)
+  // and cume_dist ≡ rn/n, pure arithmetic on the distributed rank. A
+  // window PARTITION BY event_type would funnel the fact table through
+  // ~|types| tasks; the two-pass kernel spreads the same total order
+  // over all range partitions. Same IEEE double division as the window
+  // functions, so the rounded values match bit-for-bit.
   def qValueRanks(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
-    Tables.events(s, d)
+    import graft.operators.DistributedRank.withRowNumber
+    val slim = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    withRowNumber(slim, Seq("event_type"),
+      Seq(col("value").asc, col("event_id").asc), "rk", nGroupCol = Some("n_g"))
       .select(col("event_id"), col("event_type"), col("value"),
-        round(percent_rank().over(w), 6).as("pr"),
-        round(cume_dist().over(w), 6).as("cd"))
+        round(when(col("n_g") === 1L, lit(0.0))
+          .otherwise((col("rk") - 1L).cast("double") / (col("n_g") - 1L)), 6).as("pr"),
+        round(col("rk").cast("double") / col("n_g"), 6).as("cd"))
   }
 
   val qValueRanksSql: String =

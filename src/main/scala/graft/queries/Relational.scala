@@ -991,11 +991,14 @@ object Relational {
   def qRankSum(s: SparkSession, d: String): DataFrame = {
     val arm = graft.functions.Md5Bits.hash60(
       concat(lit("ab:"), col("user_id"))) % 2
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
-    Tables.events(s, d)
-      .withColumn("arm", arm)
-      .withColumn("rk", row_number().over(w).cast("long"))
+    // Ranks within event_type (a handful of values) — a window would
+    // push the whole fact table through ~|types| tasks, so the exact
+    // rank comes from the range-partitioned two-pass kernel instead.
+    val slim = Tables.events(s, d)
+      .select(col("event_type"), col("value"), col("event_id"),
+        arm.as("arm"))
+    graft.operators.DistributedRank.withRowNumber(slim, Seq("event_type"),
+        Seq(col("value").asc, col("event_id").asc), "rk")
       .groupBy(col("event_type"))
       .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
         sum(when(col("arm") =!= 0, 1L).otherwise(0L)).as("n1"),

@@ -293,7 +293,7 @@ object TextQueries {
 
   val qPackBinsSql: String =
     "SELECT lang, CAST(floor((cum - n_tok) / " + PackBudget + ") AS BIGINT) AS bin, " +
-      "count(*) AS n_docs, sum(n_tok) AS bin_tokens " +
+      "count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens " +
       "FROM (SELECT lang, n_tok, sum(n_tok) OVER (PARTITION BY lang " +
       s"ORDER BY ${graft.functions.Md5Bits.sqlHash60("CAST(doc_id AS VARCHAR)")}, doc_id " +
       "ROWS UNBOUNDED PRECEDING) AS cum " +

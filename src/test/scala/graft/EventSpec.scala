@@ -183,11 +183,11 @@ class EventSpec extends AnyFunSuite {
     val total = Tables.events(spark, sf).count()
     assert(rows.map(_.getAs[Long]("n")).sum === total)
     rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
-      assert(rs.map(_.getAs[Int]("decile")).toSet === (1 to 10).toSet, t)
+      assert(rs.map(_.getAs[Long]("decile")).toSet === (1L to 10L).toSet, t)
       val sizes = rs.map(_.getAs[Long]("n"))
       assert(sizes.max - sizes.min <= 1, s"$t bucket sizes: ${sizes.toList}")
       // decile value ranges are non-overlapping and ordered
-      val ordered = rs.sortBy(_.getAs[Int]("decile"))
+      val ordered = rs.sortBy(_.getAs[Long]("decile"))
       ordered.sliding(2).foreach {
         case Array(a, b) =>
           assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo") + 1e-9, t)

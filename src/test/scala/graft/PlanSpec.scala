@@ -288,6 +288,20 @@ class PlanSpec extends AnyFunSuite {
     assert(psi.contains("partial_"), s"bucket counts lost map-side combine:\n$psi")
   }
 
+  test("rank-statistics queries carry no Window at all (two-pass kernel)") {
+    // q_gini/q_rfm ranked the per-user table through ONE task and
+    // q_rank_sum/q_deciles/q_value_ranks ranked the fact table through
+    // ~|event_type| tasks before the DistributedRank rewrite. The kernel
+    // replaces every one of those windows with a range shuffle + local
+    // rank + driver offsets, so the executed plans must contain no
+    // Window node (and therefore no single-partition window Exchange).
+    for (q <- Seq("q_gini", "q_rfm", "q_rank_sum", "q_deciles", "q_value_ranks")) {
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q regressed to a window-based rank:\n$p")
+    }
+  }
+
   test("jaro-winkler pairs: blocked join, no cartesian, codegen kernel") {
     val p = plan("q_jaro_winkler")
     assert(!p.contains("CartesianProduct"),
