@@ -40,9 +40,18 @@ object KvLookupJoinStrategy extends SparkStrategy {
   }
 
   /** Unwrap attribute-only Project / IsNotNull Filter down to the KV scan
-    * relation; returns the store table name. */
+    * relation; returns the store table name. Fires ONLY on a PRISTINE
+    * KvScan: a scan that already carries a pushed key lookup (or limit)
+    * consumed a user predicate during pushdown — no residual Filter node
+    * remains in the plan, so replacing that scan with per-probe-row point
+    * lookups would silently DROP the pushed predicate. (Today the
+    * optimizer usually mirrors the predicate onto the probe side via
+    * constraint propagation, but that rule is configurable — correctness
+    * must not depend on it.) Aggregate-pushdown scans are a different
+    * Scan class and decline via the type match. */
   private def unwrapKv(p: LogicalPlan): Option[String] = p match {
-    case DataSourceV2ScanRelation(rel, _, _, _, _) =>
+    case DataSourceV2ScanRelation(rel, scan: graft.sources.kv.KvScan, _, _, _)
+        if scan.keyLookup.isEmpty && scan.limit.isEmpty =>
       rel.table match {
         case t: KvTable => Some(t.tableName)
         case _ => None
@@ -52,6 +61,19 @@ object KvLookupJoinStrategy extends SparkStrategy {
     case Filter(cond, child) if nullGuardOnly(cond) => unwrapKv(child)
     case _ => None
   }
+
+  /** Key types whose Catalyst-internal `String.valueOf` matches the
+    * external `String.valueOf` the store indexes by. Timestamp (micros
+    * Long vs java.sql.Timestamp.toString) and Date (epoch-day Int vs
+    * yyyy-MM-dd) would stringify DIFFERENTLY internal-vs-external — every
+    * lookup would miss — so those decline to the scan route. */
+  private def lookupSafe(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.StringType => true
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: Join if j.joinType == Inner && j.condition.isDefined =>
@@ -63,7 +85,8 @@ object KvLookupJoinStrategy extends SparkStrategy {
           // accept (probe = key) in either written order
           val matched = Seq((a, b), (b, a)).collectFirst {
             case (p, k) if leftIds.contains(p) &&
-              rightIds.contains(k) && k.name == keyCol => p
+              rightIds.contains(k) && k.name == keyCol &&
+              lookupSafe(p.dataType) => p
           }
           matched match {
             case Some(probeAttr) =>
@@ -104,6 +127,11 @@ case class KvLookupJoinExec(probe: SparkPlan, table: String,
       val proj = UnsafeProjection.create(out, out)
       val joined = new JoinedRow
       rows.flatMap { row =>
+        // A null probe key matches nothing in an inner equi-join; don't
+        // let it stringify to "null" and spuriously hit a "null"-keyed
+        // item when the optimizer's IsNotNull guard is absent.
+        if (row.isNullAt(ko)) Iterator.empty
+        else {
         val k = String.valueOf(row.get(ko, keyDt))
         data.items.get(k) match {
           case Some(item) =>
@@ -112,6 +140,7 @@ case class KvLookupJoinExec(probe: SparkPlan, table: String,
               idx.indices.map(j => conv(j)(item(idx(j)))))
             Iterator.single(proj(joined(row, right)).copy())
           case None => Iterator.empty
+        }
         }
       }
     }

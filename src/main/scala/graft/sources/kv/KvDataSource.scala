@@ -276,8 +276,19 @@ class KvAggReaderFactory extends PartitionReaderFactory {
                 val v = r(idx(j).get)
                 if (v != null) {
                   val cur = extremes(j)
-                  val cmp = if (cur == null) 0
-                    else v.asInstanceOf[Comparable[Any]].compareTo(cur)
+                  // Strings must compare in UTF-8 BINARY order (what
+                  // Spark's min/max on UTF8String uses), not java
+                  // String's UTF-16 code-unit order — they diverge on
+                  // supplementary characters, and the pushed aggregate
+                  // must agree with the un-pushed scan path.
+                  val cmp = (v, cur) match {
+                    case (_, null) => 0
+                    case (a: String, b: String) =>
+                      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+                        .compareTo(
+                          org.apache.spark.unsafe.types.UTF8String.fromString(b))
+                    case _ => v.asInstanceOf[Comparable[Any]].compareTo(cur)
+                  }
                   if (cur == null || (spec.op == "min" && cmp < 0) ||
                       (spec.op == "max" && cmp > 0)) extremes(j) = v
                 }
@@ -300,7 +311,8 @@ class KvAggReaderFactory extends PartitionReaderFactory {
 }
 
 class KvScan(table: String, full: StructType, required: StructType,
-    keyLookup: Option[String], partitions: Int, limit: Option[Int] = None)
+    val keyLookup: Option[String], partitions: Int,
+    val limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   // shows up in .explain so specs (and users) can see what was pushed
@@ -363,8 +375,13 @@ class KvMicroBatchStream(table: String, full: StructType, required: StructType)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val prunedIdx = required.fieldNames.map(full.fieldIndex)
+    val until = end.asInstanceOf[KvOffset].n
+    // The change log is indexed by Int; fail loudly at PLANNING time
+    // rather than wrapping to a negative index mid-read past 2^31.
+    require(until <= Int.MaxValue,
+      s"kv change feed for '$table' exceeds Int.MaxValue entries ($until)")
     Array(KvFeedPartition(table,
-      start.asInstanceOf[KvOffset].n, end.asInstanceOf[KvOffset].n, prunedIdx))
+      start.asInstanceOf[KvOffset].n, until, prunedIdx))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -384,7 +401,7 @@ class KvFeedReaderFactory extends PartitionReaderFactory {
       private var pos = part.from
       private var current: InternalRow = _
       override def next(): Boolean = pos < part.until && {
-        val r = data.changes.get(pos.toInt)
+        val r = data.changes.get(Math.toIntExact(pos))
         pos += 1
         current = InternalRow.fromSeq(part.prunedIdx.indices.map(j =>
           converters(j)(r(part.prunedIdx(j)))))

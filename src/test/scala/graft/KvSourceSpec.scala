@@ -188,6 +188,43 @@ class KvSourceSpec extends AnyFunSuite {
     assert(byName.count() === 0L)
   }
 
+  test("lookup join declines when the scan already consumed a pushed key filter") {
+    KvStore.register("t_lkp2", "id", schema)
+    KvStore.truncate("t_lkp2")
+    Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("id", "name", "bal")
+      .write.format("graft-kv").option("table", "t_lkp2").mode("append").save()
+    val probe = Seq((2L, "x"), (3L, "y")).toDF("k", "tag")
+    val kv = spark.read.format("graft-kv").option("table", "t_lkp2").load()
+    // The kv-side filter is fully consumed by KvScanBuilder.pushFilters
+    // (no residual Filter node) — the strategy must NOT replace that scan
+    // with whole-table point lookups, or the pushed predicate is dropped.
+    // Correctness here must not depend on constraint propagation
+    // mirroring the predicate onto the probe side.
+    val joined = probe.join(kv.filter($"id" === 2L), probe("k") === kv("id"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("KvLookupJoin"),
+      s"strategy fired on a scan with a pushed key lookup:\n$plan")
+    val got = joined.select($"k", $"tag", $"name")
+      .as[(Long, String, String)].collect().toSet
+    assert(got === Set((2L, "x", "b")))
+  }
+
+  test("lookup join skips null probe keys instead of stringifying them") {
+    KvStore.register("t_lkp3", "id", schema)
+    KvStore.truncate("t_lkp3")
+    Seq((1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("id", "name", "bal")
+      .write.format("graft-kv").option("table", "t_lkp3").mode("append").save()
+    val probe = Seq[(java.lang.Long, String)]((1L, "x"), (null, "n"), (2L, "y"))
+      .toDF("k", "tag")
+    val kv = spark.read.format("graft-kv").option("table", "t_lkp3").load()
+    val joined = probe.join(kv, probe("k") === kv("id"))
+    val got = joined.select($"k", $"tag", $"name")
+      .as[(Long, String, String)].collect().toSet
+    assert(got === Set((1L, "x", "a"), (2L, "y", "b")))
+  }
+
   test("registered q_kv_scan groups the nation dim read through the connector") {
     val out = graft.queries.KvQueries.qKvScan(spark, sf)
       .orderBy($"n_regionkey").collect()
