@@ -34,15 +34,26 @@ object KMeans {
     * asc, tie-break cluster asc. */
   private def centroidScores(centroids: DataFrame,
       v: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
-    centroids.select(col("cluster"), col("c")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .sortBy(_._1).toSeq
+    centroidScoresOf(
+      centroids.select(col("cluster"), col("c")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq, v)
+
+  private def centroidScoresOf(cents: Seq[(Long, Seq[Double])],
+      v: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+    cents.sortBy(_._1)
       .map { case (cl, cv) =>
         // same left-to-right fold as DotProduct.dot → bit-identical c·c
         val c2 = cv.foldLeft(0.0)((a, x) => a + x * x)
         struct((lit(c2) - lit(2.0) * DotProduct.dot(v, typedlit(cv))).as("d"),
           lit(cl).as("cluster"))
       }
+
+  private def argminOf(cents: Seq[(Long, Seq[Double])],
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val scored = centroidScoresOf(cents, v)
+    (if (scored.size == 1) scored.head else least(scored: _*))
+      .getField("cluster")
+  }
 
   /** @param vecs (id, v: array<double>) frame
     * @return (cluster, centroid: array<double>) — k rows */
@@ -126,6 +137,102 @@ object KMeans {
     centroids
   }
 
+  /** Product-quantization training: `m` independent k-means codebooks,
+    * one per contiguous `subDim`-dim slice of `v`, trained TOGETHER —
+    * per Lloyd round ONE corpus scan computes every subspace's argmin in
+    * a single literal projection and one grouped aggregation recomputes
+    * all (subspace, cluster, dim) means. Running `fit` per slice would
+    * scan the corpus m times per round; at 100 TB this is the difference
+    * between m Lloyd passes and one.
+    *
+    * Bit-identical per subspace to `fit` on that slice: the oversample
+    * is the same md5-ordered id set (ids don't depend on the slice), the
+    * greedy farthest-point init runs on the sliced sample with the same
+    * d² spelling and tie rule, assignment uses the same literal argmin,
+    * and means use the same decimal-sum/round(6) spelling — so a DuckDB
+    * oracle may replay each codebook independently. Codebook means live
+    * on the driver between rounds (m·k·subDim doubles — the codebook is
+    * driver-sized by definition), so no per-round checkpoint is needed:
+    * every round's plan is fresh literals over the raw corpus.
+    *
+    * @return one (cluster, c) frame per subspace, k rows each */
+  def fitProduct(vecs: DataFrame, m: Int, subDim: Int, k: Int,
+      iterations: Int = 5): Seq[DataFrame] = {
+    val s = vecs.sparkSession
+    DotProduct.register(s)
+    import s.implicits._
+    val over = 4 * k
+    val sample = vecs
+      .select(Md5Bits.hash60(col("id")).as("h"), col("id"), col("v"))
+      .orderBy(col("h"), col("id")).limit(over)
+      .as[(Long, Long, Seq[Double])].collect()
+      .sortBy(t => (t._1, t._2))
+      .map(t => (t._2, t._3.toArray))
+    require(sample.nonEmpty, "kmeans needs a non-empty corpus")
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var aa = 0.0; var ab = 0.0; var bb = 0.0
+      var i = 0
+      while (i < a.length) { aa += a(i) * a(i); i += 1 }
+      i = 0
+      while (i < a.length) { ab += a(i) * b(i); i += 1 }
+      i = 0
+      while (i < b.length) { bb += b(i) * b(i); i += 1 }
+      aa - 2 * ab + bb
+    }
+    // greedy farthest-point per subspace over the SLICED shared sample —
+    // the identical selection loop as fit (start at min-hash row, argmax
+    // of min-distance, tie on id)
+    def greedy(sub: Array[(Long, Array[Double])]): Seq[(Long, Seq[Double])] = {
+      val kEff = math.min(k, sub.length)
+      val chosen = scala.collection.mutable.ArrayBuffer(sub.head)
+      val minD = Array.fill(sub.length)(Double.MaxValue)
+      while (chosen.length < kEff) {
+        val last = chosen.last._2
+        var bi = -1
+        for (i <- sub.indices) {
+          val d = d2(sub(i)._2, last)
+          if (d < minD(i)) minD(i) = d
+          if (bi < 0 || minD(i) > minD(bi) ||
+            (minD(i) == minD(bi) && sub(i)._1 < sub(bi)._1)) bi = i
+        }
+        chosen += sub(bi)
+      }
+      chosen.toSeq.zipWithIndex.map { case ((_, v), c) => (c.toLong, v.toSeq) }
+    }
+    var books: Seq[Seq[(Long, Seq[Double])]] = (0 until m).map { j =>
+      greedy(sample.map { case (id, v) =>
+        (id, v.slice(j * subDim, (j + 1) * subDim)) })
+    }
+    for (_ <- 1 to iterations) {
+      // one scan: all m subspace assignments as literal argmins, explode
+      // to (sub, cluster, dim, x), one decimal-mean aggregation
+      val entries = (0 until m).map { j =>
+        val sv = slice(col("v"), j * subDim + 1, subDim)
+        struct(lit(j).as("sub"), argminOf(books(j), sv).as("cluster"),
+          sv.as("sv"))
+      }
+      val means = vecs
+        .select(explode(array(entries: _*)).as("e"))
+        .select(col("e.sub").as("sub"), col("e.cluster").as("cluster"),
+          posexplode(col("e.sv")).as(Seq("dim", "x")))
+        .groupBy(col("sub"), col("cluster"), col("dim"))
+        .agg(round(sum(col("x").cast("decimal(28,12)")).cast("double") /
+          count(col("x")), 6).as("mv"))
+        .collect() // m·k·subDim rows — the codebook itself, driver-sized
+        .groupBy(r => (r.getInt(0), r.getLong(1)))
+        .map { case ((sub, cl), rows) =>
+          ((sub, cl), rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq)
+        }
+      // empty cells keep their previous centroid, same as fit
+      books = (0 until m).map { j =>
+        books(j).map { case (cl, prev) =>
+          (cl, means.getOrElse((j, cl), prev))
+        }
+      }
+    }
+    books.map(_.toDF("cluster", "c"))
+  }
+
   /** Beyond this many centroids the literal-argmin plan stops being a
     * good idea (plan bloat, generated `least` past JVM method limits) —
     * fall back to the broadcast-join spelling, which handles any k. */
@@ -148,6 +255,22 @@ object KMeans {
         if (scored.size == 1) scored.head else least(scored: _*)
       vecs.select(col("id"), col("v"), best.getField("cluster").as("cluster"))
     }
+  }
+
+  /** Argmin cluster of an arbitrary vector EXPRESSION against a trained
+    * codebook, as one literal-codegen column — the product-quantization
+    * encode path: m subspace argmins ride a single projection (zero
+    * Exchange), each over its own `slice(v, …)`. Same argmin rule as
+    * [[assign]] (score asc, cluster asc) so the DuckDB replay of PQ
+    * encoding agrees bit-for-bit. */
+  def argminCluster(v: org.apache.spark.sql.Column,
+      centroids: DataFrame): org.apache.spark.sql.Column = {
+    val scored = centroidScores(centroids, v)
+    require(scored.size <= MaxLiteralCentroids,
+      s"argminCluster is the literal plan; ${scored.size} centroids exceed " +
+        s"$MaxLiteralCentroids — use assign's broadcast fallback instead")
+    (if (scored.size == 1) scored.head else least(scored: _*))
+      .getField("cluster")
   }
 
   /** Large-k fallback: broadcast the centroid table, score corpus×k pairs

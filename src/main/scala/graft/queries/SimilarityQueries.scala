@@ -328,6 +328,165 @@ object SimilarityQueries {
     sb.toString
   }
 
+  // ── PQ-ADC ANN: product quantization + asymmetric distance ─────────────
+  // The third standard ANN family (FAISS's IVF-PQ compression half): the
+  // 64-dim vector splits into PqM=4 subspaces of 16 dims; each subspace
+  // trains its own PqK=8-centroid codebook (the SAME deterministic
+  // KMeans.fit the IVF query proved — md5 oversample, farthest-point
+  // init, decimal-mean Lloyd rounds), and every corpus vector compresses
+  // to 4 code bytes. A query never touches raw corpus vectors again:
+  // it builds a (subspace, code) → partial-squared-distance lookup table
+  // against the codebooks and scores candidates by summing 4 table hits
+  // (asymmetric distance computation). At 100 TB this is THE scan-
+  // compression story: the corpus scan reads 4 bytes + id per vector
+  // (16× less than the raw floats), the LUTs broadcast (queries×32
+  // rows), encoding is ONE projection of literal argmins (zero
+  // Exchange), and the per-query cost is 4 broadcast-hash probes + a
+  // partial-aggregated top-k. Fold orders and the argmin tie rule are
+  // the oracle-proven ones, so DuckDB replays training, encoding, and
+  // ADC bit-for-bit.
+  private val PqM = 4     // subspaces
+  private val PqK = 16    // codes per subspace codebook
+  private val PqIters = 2 // Lloyd rounds per codebook
+  private val PqSub = Dims / PqM
+  private val PqC = 50    // ADC candidates re-ranked exactly per query
+
+  def qAnnPq(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d).select(col("vec_id").as("id"), col("v"))
+    // all four codebooks train together: one corpus scan per Lloyd round
+    // (fitProduct), not one per (round, subspace)
+    val books = graft.operators.KMeans.fitProduct(
+      v, m = PqM, subDim = PqSub, k = PqK, iterations = PqIters)
+    // Encode: all four subspace argmins in ONE literal projection.
+    val codes = v.select(
+      col("id") +: (0 until PqM).map(j =>
+        graft.operators.KMeans.argminCluster(
+          slice(col("v"), j * PqSub + 1, PqSub), books(j)).as(s"c$j")): _*)
+    // Per-subspace LUT: (qid, code) → cc − 2·q·c + q·q, the full partial
+    // squared distance (the q·q term is rank-neutral but keeps the
+    // reported ADC value a true squared-distance estimate).
+    val q = v.filter(col("id") < NumQueries)
+    def lut(j: Int): DataFrame = {
+      val qs = slice(col("v"), j * PqSub + 1, PqSub)
+      q.select(col("id").as("qid"), qs.as("qs"))
+        .crossJoin(broadcast(books(j)
+          .select(col("cluster").as(s"c$j"), col("c"))))
+        .select(col("qid"), col(s"c$j"),
+          (DotProduct.dot(col("c"), col("c")) -
+            lit(2.0) * DotProduct.dot(col("qs"), col("c")) +
+            DotProduct.dot(col("qs"), col("qs"))).as(s"pd$j"))
+    }
+    // First LUT join fans each corpus code row out per query; the next
+    // three join on (qid, code) 1:1. All four broadcast — the corpus
+    // side never shuffles before the bounded top-k.
+    var cur = codes.join(broadcast(lut(0)), Seq("c0"))
+    for (j <- 1 until PqM)
+      cur = cur.join(broadcast(lut(j)), Seq("qid", s"c$j"))
+    // Fixed left-to-right association ((pd0+pd1)+pd2)+pd3 — the exact
+    // IEEE sequence the oracle's left-assoc `+` chain produces.
+    val adist = (0 until PqM).map(j => col(s"pd$j")).reduce(_ + _)
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("nid").asc)
+    val shortlist = cur.filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("nid"), adist.as("adist"))
+      .withColumn("crk", row_number().over(wAdc))
+      .filter(col("crk") <= PqC)
+      .select(col("qid"), col("nid"))
+    // Refine: exact distances for the PqC shortlisted ids only — the
+    // FAISS refine step. The shortlist (queries × PqC rows) broadcasts
+    // into the corpus scan, so raw vectors are touched for ~PqC/N of the
+    // corpus; structureless data (this synthetic table: same-label and
+    // cross-label distances are both ≈2.0) makes the ADC ordering noisy,
+    // and the exact re-rank is what turns it into a usable top-k.
+    val exact = v.join(broadcast(shortlist), col("id") === col("nid"))
+      .join(broadcast(q.select(col("id").as("qid"), col("v").as("qv"))), Seq("qid"))
+      .select(col("qid"), col("nid"),
+        (DotProduct.dot(col("qv"), col("qv")) -
+          lit(2.0) * DotProduct.dot(col("qv"), col("v")) +
+          DotProduct.dot(col("v"), col("v"))).as("d2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("nid").asc)
+    exact.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("qid"), col("nid"), col("rnk"), round(col("d2"), 6).as("dist_r"))
+  }
+
+  /** DuckDB oracle for qAnnPq — four independent codebook trainings
+    * (each the qAnnIvfSql machinery over a 16-dim slice: shared md5
+    * oversample, greedy farthest-point init, decimal-mean Lloyd rounds,
+    * empty-cell coalesce), then encode + LUT joins + the left-assoc ADC
+    * sum. Slices are 1-based inclusive on both engines
+    * (Spark `slice(v, lo, len)` ↔ DuckDB `v[lo:hi]`). */
+  val qAnnPqSql: String = {
+    val m = 4 * PqK
+    def dot(a: String, b: String) = s"list_dot_product($a, $b)"
+    def d2(a: String, b: String) = s"${dot(a, a)} - 2*${dot(a, b)} + ${dot(b, b)}"
+    def score(v: String, c: String) = s"${dot(c, c)} - 2*${dot(v, c)}"
+    def sliced(e: String, j: Int) = s"$e[${j * PqSub + 1}:${(j + 1) * PqSub}]"
+    val sb = new StringBuilder
+    sb ++= "WITH vs AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    // one shared oversample (ids are subspace-independent), sliced per codebook
+    sb ++= "smp AS MATERIALIZED (SELECT id, v, " +
+      graft.functions.Md5Bits.sqlHash60("CAST(id AS VARCHAR)") +
+      s" AS h FROM vs ORDER BY h, id LIMIT $m), "
+    for (j <- 0 until PqM) {
+      sb ++= s"s$j AS MATERIALIZED (SELECT id, ${sliced("v", j)} AS v, h FROM smp), "
+      sb ++= s"vs$j AS MATERIALIZED (SELECT id, ${sliced("v", j)} AS v FROM vs), "
+      sb ++= s"ch${j}_0 AS MATERIALIZED (SELECT id, v FROM s$j ORDER BY h, id LIMIT 1), "
+      sb ++= s"md${j}_0 AS MATERIALIZED (SELECT s.id, s.v, ${d2("s.v", "c.v")} AS mind FROM s$j s, ch${j}_0 c), "
+      for (i <- 1 until PqK) {
+        sb ++= s"ch${j}_$i AS MATERIALIZED (SELECT id, v FROM md${j}_${i - 1} ORDER BY mind DESC, id ASC LIMIT 1), "
+        if (i < PqK - 1)
+          sb ++= s"md${j}_$i AS MATERIALIZED (SELECT m.id, m.v, least(m.mind, ${d2("m.v", "c.v")}) AS mind " +
+            s"FROM md${j}_${i - 1} m, ch${j}_$i c), "
+      }
+      sb ++= (0 until PqK)
+        .map(i => s"SELECT $i AS cluster, v FROM ch${j}_$i")
+        .mkString(s"cent${j}_0 AS MATERIALIZED (", " UNION ALL ", "), ")
+      for (t <- 1 to PqIters) {
+        sb ++= s"a${j}_$t AS MATERIALIZED (SELECT id, v, cluster FROM (" +
+          s"SELECT e.id, e.v, c.cluster, row_number() OVER (PARTITION BY e.id " +
+          s"ORDER BY ${score("e.v", "c.v")} ASC, c.cluster ASC) AS rn " +
+          s"FROM vs$j e, cent${j}_${t - 1} c) WHERE rn = 1), "
+        sb ++= s"m${j}_$t AS (SELECT cluster, pos - 1 AS dim, " +
+          "round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(x), 6) AS mval " +
+          s"FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM a${j}_$t) " +
+          "GROUP BY 1, 2), "
+        sb ++= s"n${j}_$t AS (SELECT cluster, list(mval ORDER BY dim) AS v FROM m${j}_$t GROUP BY cluster), "
+        sb ++= s"cent${j}_$t AS MATERIALIZED (SELECT p.cluster, coalesce(n.v, p.v) AS v " +
+          s"FROM cent${j}_${t - 1} p LEFT JOIN n${j}_$t n USING (cluster)), "
+      }
+      // encode this subspace (same argmin rule as the assign CTEs)
+      sb ++= s"e$j AS MATERIALIZED (SELECT id, cluster AS c$j FROM (" +
+        s"SELECT e.id, c.cluster, row_number() OVER (PARTITION BY e.id " +
+        s"ORDER BY ${score("e.v", "c.v")} ASC, c.cluster ASC) AS rn " +
+        s"FROM vs$j e, cent${j}_$PqIters c) WHERE rn = 1), "
+      // per-subspace LUT over query slices
+      sb ++= s"lut$j AS MATERIALIZED (SELECT q.id AS qid, c.cluster AS c$j, " +
+        s"${dot("c.v", "c.v")} - 2*${dot("q.v", "c.v")} + ${dot("q.v", "q.v")} AS pd$j " +
+        s"FROM vs$j q, cent${j}_$PqIters c WHERE q.id < $NumQueries), "
+    }
+    sb ++= "codes AS (SELECT e0.id, c0, c1, c2, c3 FROM e0 " +
+      "JOIN e1 USING (id) JOIN e2 USING (id) JOIN e3 USING (id)), "
+    sb ++= "cand AS (SELECT l0.qid, e.id AS nid, pd0 + pd1 + pd2 + pd3 AS adist " +
+      "FROM codes e " +
+      "JOIN lut0 l0 ON l0.c0 = e.c0 " +
+      "JOIN lut1 l1 ON l1.qid = l0.qid AND l1.c1 = e.c1 " +
+      "JOIN lut2 l2 ON l2.qid = l0.qid AND l2.c2 = e.c2 " +
+      "JOIN lut3 l3 ON l3.qid = l0.qid AND l3.c3 = e.c3 " +
+      "WHERE e.id <> l0.qid), "
+    sb ++= "short AS (SELECT qid, nid FROM (" +
+      "SELECT qid, nid, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY adist ASC, nid ASC) AS crk FROM cand) " +
+      s"WHERE crk <= $PqC), "
+    sb ++= s"exact AS (SELECT s.qid, s.nid, " +
+      s"${dot("q.v", "q.v")} - 2*${dot("q.v", "n.v")} + ${dot("n.v", "n.v")} AS d2 " +
+      "FROM short s JOIN vs q ON q.id = s.qid JOIN vs n ON n.id = s.nid) "
+    sb ++= "SELECT qid, nid, rnk, round(d2, 6) AS dist_r FROM (" +
+      "SELECT qid, nid, d2, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY d2 ASC, nid ASC) AS rnk FROM exact) " +
+      s"WHERE rnk <= $K"
+    sb.toString
+  }
+
   // ── int8 scalar quantization under the oracle gate ─────────────────────
   // The 4× storage/scan compression for a 100 TB embedding corpus
   // (VectorFunctions.i8Scale/quantizeI8), reported per vector as
@@ -622,6 +781,7 @@ object SimilarityQueries {
     "q_mmr"           -> qMmr _,
     "q_quantize"    -> qQuantize _,
     "q_ann_ivf"     -> qAnnIvf _,
+    "q_ann_pq"      -> qAnnPq _,
     "q_centroids"   -> qCentroids _,
     "q_knn_brute"   -> qKnnBrute _,
     "q_knn_heap"    -> qKnnHeap _,
@@ -641,5 +801,6 @@ object SimilarityQueries {
     "q_cos_neardup" -> qCosNearDupSql,
     "q_ann_lsh"     -> qAnnLshSql,
     "q_ann_ivf"     -> qAnnIvfSql,
+    "q_ann_pq"      -> qAnnPqSql,
   )
 }

@@ -302,6 +302,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ ANN: codes join LUTs via broadcast hash, top-k is group-limited") {
+    val p = plan("q_ann_pq")
+    // the corpus codes stream through 4 broadcast LUT probes — a sort-
+    // merge join would mean the corpus shuffled on a code column
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for a LUT join:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"expected 4 broadcast LUT probes + refine joins:\n$p")
+    // both rank stages (ADC shortlist, exact refine) must group-limit
+    // BEFORE the qid exchange so the shuffle carries ≤ queries×C rows
+    assert("WindowGroupLimit .*Partial".r.findAllIn(p).nonEmpty,
+      s"top-k not partial-group-limited before the exchange:\n$p")
+  }
+
   test("jaro-winkler pairs: blocked join, no cartesian, codegen kernel") {
     val p = plan("q_jaro_winkler")
     assert(!p.contains("CartesianProduct"),

@@ -60,6 +60,51 @@ class SimilaritySpec extends AnyFunSuite {
       s"cluster recall ${sameCluster.toDouble / ann.length}")
   }
 
+  test("PQ-ADC ANN: exact reranked distances, recall well above chance") {
+    // exact L2 top-5 per query, driver-recomputed from the raw parquet
+    val raw = Tables.embeddings(spark, sf)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def d2(a: Seq[Double], b: Seq[Double]): Double = {
+      var aa = 0.0; var ab = 0.0; var bb = 0.0
+      for (i <- a.indices) aa += a(i) * a(i)
+      for (i <- a.indices) ab += a(i) * b(i)
+      for (i <- b.indices) bb += b(i) * b(i)
+      aa - 2 * ab + bb
+    }
+    val queries = raw.keys.filter(_ < 20L).toSeq.sorted
+    val exactTop = queries.flatMap { qid =>
+      raw.toSeq.filter(_._1 != qid)
+        .map { case (nid, v) => (nid, d2(raw(qid), v)) }
+        .sortBy { case (nid, d) => (d, nid) }.take(5)
+        .map { case (nid, _) => (qid, nid) }
+    }.toSet
+
+    val got = SimilarityQueries.qAnnPq(spark, sf)
+      .select($"qid", $"nid", $"rnk", $"dist_r")
+      .as[(Long, Long, Int, Double)].collect()
+    // structure: every query gets exactly K ranked rows
+    assert(got.length === queries.length * 5)
+    queries.foreach { qid =>
+      assert(got.filter(_._1 == qid).map(_._3).sorted.toSeq === (1 to 5))
+    }
+    // the refine stage reports TRUE distances: each dist_r must equal the
+    // driver-recomputed exact d2 of that pair at the 6dp contract
+    got.foreach { case (qid, nid, _, dr) =>
+      val e = BigDecimal(d2(raw(qid), raw(nid)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(e - dr) <= 1e-6, s"($qid,$nid): $dr vs exact $e")
+    }
+    // recall@5 vs exact: the corpus is structureless (same-label and
+    // cross-label distances both ≈2.0 — the quantizer's worst case), so
+    // the bar is "far above the C/N ≈ 0.1 chance line", not LSH-on-
+    // clusters territory. Deterministic (md5-seeded training): measured
+    // 0.51 at this sf, floor pinned at 0.4.
+    val hits = got.map(r => (r._1, r._2)).toSet.intersect(exactTop).size
+    val recall = hits.toDouble / exactTop.size
+    assert(recall >= 0.4, s"PQ rerank recall@5 $recall < 0.4")
+  }
+
   test("codegen dot product equals interpreted fold bit-for-bit") {
     graft.functions.DotProduct.register(spark)
     val df = Tables.embeddings(spark, sf).limit(100)
