@@ -31,9 +31,13 @@ object LabelPropagation {
     var labels = sym.select(col("a").as("node")).distinct()
       .join(sd, Seq("node"), "left")
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    // One synchronous round as a pure plan transform; TWO rounds ride
+    // each localCheckpoint job (the BFS/SSSP double-step) — the round
+    // COUNT is exactly `rounds` either way, so the fixed-round oracle
+    // parity is untouched; only the materialization cadence changes.
+    def step(l: DataFrame): DataFrame = {
       val votes = sym
-        .join(labels.filter(col("lab").isNotNull)
+        .join(l.filter(col("lab").isNotNull)
           .select(col("node").as("b"), col("lab")), Seq("b"))
         .groupBy(col("a"), col("lab")).agg(count(lit(1)).as("c"))
       // majority with (count desc, label asc) tiebreak as a partial-
@@ -46,9 +50,15 @@ object LabelPropagation {
           struct((-col("c")).as("nc"), col("lab").as("l")).as("k"))
         .groupBy(col("a")).agg(min(col("k")).as("k"))
         .select(col("a").as("node"), col("k.l").as("wlab"))
-      labels = labels.join(winner, Seq("node"), "left")
+      l.join(winner, Seq("node"), "left")
         .select(col("node"), coalesce(col("lab"), col("wlab")).as("lab"))
+    }
+    var done = 0
+    while (done < rounds) {
+      val steps = math.min(2, rounds - done)
+      labels = (1 to steps).foldLeft(labels)((l, _) => step(l))
         .localCheckpoint(true)
+      done += steps
     }
     sym.unpersist(false)
     labels

@@ -300,6 +300,67 @@ object TextQueries {
       s"FROM (SELECT lang, doc_id, len($sqlToks) AS n_tok FROM documents) a) b " +
       "GROUP BY 1, 2"
 
+  // ── Mixture sampling (training-data source mixing) ─────────────────────
+  // Hit a TARGET token-share per source (here: language) — the data-
+  // mixing step every training run performs before packing. Exact
+  // integer algebra end to end: per-source token totals (one aggregate,
+  // broadcast back), the corpus-wide budget T = min_j(toks_j·100 div
+  // pct_j) — the binding source caps the mixture — per-source token
+  // quotas keep_j = pct_j·T div 100, and a deterministic doc-level
+  // Bernoulli via the shared md5 hash60: keep a doc iff
+  // h·toks_j < keep_j·2^60, cross-multiplied in DECIMAL(38,0) so no
+  // division ever rounds (DuckDB replays it in HUGEINT — different
+  // spelling, identical exact comparison). Scale shape: one stats scan
+  // + one filter scan, rates broadcast, nothing but the per-source
+  // report ever shuffles. The achieved counts land within one doc of
+  // the quota in expectation — the report puts target and achieved side
+  // by side, which IS the operator's product.
+  private val MixTargets =
+    Seq(("en", 40L), ("zh", 15L), ("es", 15L), ("de", 15L), ("fr", 15L))
+  private val Pow60 = "1152921504606846976" // 2^60, hash60's range
+
+  def qMixture(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      col("lang"), col("doc_id"), tokenCount(col("text")).as("n_tok"),
+      graft.functions.Md5Bits.hash60(col("doc_id")).as("h"))
+    val tot = docs.groupBy(col("lang")).agg(sum(col("n_tok")).as("toks"))
+    import s.implicits._
+    val tgt = MixTargets.toDF("lang", "pct")
+    val b = tot.join(broadcast(tgt), Seq("lang"))
+    val budget = b.agg(min(expr("toks * 100 div pct")).as("t"))
+    val rates = b.crossJoin(broadcast(budget))
+      .select(col("lang"), col("pct"), col("toks"),
+        expr("(pct * t) div 100").as("keep_toks"))
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(expr("CAST(h AS DECIMAL(38,0)) * CAST(toks AS DECIMAL(38,0)) < " +
+        s"CAST(keep_toks AS DECIMAL(38,0)) * CAST($Pow60 AS DECIMAL(38,0))"))
+      .groupBy(col("lang"), col("pct"), col("toks"), col("keep_toks"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("toks_kept"))
+      .select(col("lang"), col("pct").as("target_pct"),
+        expr("(keep_toks * 1000000) div toks").as("rate_ppm"),
+        col("n_kept"), col("toks_kept"))
+  }
+
+  val qMixtureSql: String = {
+    val h = graft.functions.Md5Bits.sqlHash60("CAST(doc_id AS VARCHAR)")
+    val values = MixTargets
+      .map { case (l, p) => s"('$l', CAST($p AS BIGINT))" }.mkString(", ")
+    s"WITH docs AS (SELECT lang, doc_id, len($sqlToks) AS n_tok, $h AS h " +
+      "FROM documents), " +
+      s"tgt(lang, pct) AS (VALUES $values), " +
+      "tot AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS toks FROM docs GROUP BY 1), " +
+      "b AS (SELECT t.lang, pct, toks FROM tot t JOIN tgt USING (lang)), " +
+      "budget AS (SELECT min(toks * 100 // pct) AS t FROM b), " +
+      "rates AS (SELECT lang, pct, toks, (pct * t) // 100 AS keep_toks FROM b, budget), " +
+      "kept AS (SELECT d.lang, d.n_tok, r.pct, r.toks, r.keep_toks " +
+      "FROM docs d JOIN rates r USING (lang) " +
+      s"WHERE CAST(d.h AS HUGEINT) * r.toks < CAST(r.keep_toks AS HUGEINT) * $Pow60) " +
+      "SELECT lang, pct AS target_pct, " +
+      "CAST((keep_toks * 1000000) // toks AS BIGINT) AS rate_ppm, " +
+      "CAST(count(*) AS BIGINT) AS n_kept, CAST(sum(n_tok) AS BIGINT) AS toks_kept " +
+      "FROM kept GROUP BY 1, 2, 3"
+  }
+
   // ── Pattern redaction (the PII-masking shape) ──────────────────────────
   // Global regexp masking + hit counting + masked-content fingerprint —
   // the exact machinery of a PII scrubber (emails/phones/SSNs), pure
@@ -755,6 +816,7 @@ object TextQueries {
     "q_tfidf"         -> qTfIdf _,
     "q_redact"        -> qRedact _,
     "q_pack_bins"     -> qPackBins _,
+    "q_mixture"       -> qMixture _,
     "q_token_bpe"     -> qTokenBpe _,
     "q_token_count"   -> qTokenCount _,
     "q_quality_score" -> qQualityScore _,
@@ -778,6 +840,7 @@ object TextQueries {
     "q_tfidf"         -> qTfIdfSql,
     "q_redact"        -> qRedactSql,
     "q_pack_bins"     -> qPackBinsSql,
+    "q_mixture"       -> qMixtureSql,
     "q_token_bpe"     -> qTokenBpeSql,
     "q_token_count"   -> qTokenCountSql,
     "q_quality_score" -> qQualityScoreSql,

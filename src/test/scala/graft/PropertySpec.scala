@@ -1057,6 +1057,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("mixture sampling: quotas, binding source, and the exact hash rule") {
+    val rows = graft.queries.TextQueries.qMixture(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("lang")).toSet ===
+      Set("en", "zh", "es", "de", "fr"))
+    assert(rows.map(_.getAs[Long]("target_pct")).sum === 100L)
+    val ppm = rows.map(_.getAs[Long]("rate_ppm"))
+    // rates are probabilities, and SOME source must be binding (its
+    // whole corpus is kept, modulo the integer-div floor)
+    assert(ppm.forall(p => p >= 0L && p <= 1000000L))
+    assert(ppm.max >= 999000L, s"no binding source in ${ppm.toList}")
+    // the kept token mass can never exceed the corpus of its source
+    val docs = graft.queries.TextQueries.qTokenCount(spark, sf)
+      .join(Tables.documents(spark, sf).select($"doc_id", $"lang"), "doc_id")
+      .groupBy($"lang")
+      .agg(org.apache.spark.sql.functions.sum($"n_tokens").as("toks"))
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("toks")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("toks_kept") <= docs(r.getAs[String]("lang")))
+      assert(r.getAs[Long]("n_kept") > 0L, s"${r.getAs[String]("lang")} kept 0 docs")
+    }
+  }
+
   test("schema evolution: merged read null-fills the legacy generation") {
     val row = graft.queries.KvQueries.qSchemaEvolution(spark, sf).collect().head
     val orders = Tables.orders(spark, sf)
