@@ -785,6 +785,63 @@ object Relational {
       "round(CAST(sum_disc_p AS DOUBLE) / 100.0 / n_rows, 6) AS avg_disc_r " +
       "FROM m"
 
+  // ── TPC-H Q5: local-supplier revenue by nation ─────────────────────────
+  // The canonical multi-join benchmark: 6 tables, one fact-fact join
+  // (orders⋈lineitem on orderkey), dimension chain region→nation
+  // broadcast into both the customer and supplier sides, and the
+  // same-nation constraint (c_nationkey = s_nationkey) applied inside
+  // the supplier join. Revenue follows the Q1 discipline — integer cents
+  // × integer percent summed in DECIMAL(38,0), doubles only at the final
+  // rounded division — so a 100 TB lineitem can't overflow and both
+  // engines agree to the bit. Plan shape at scale: the date filter
+  // pushes into the orders scan, region/nation broadcast everywhere,
+  // and only the two fact tables shuffle (on orderkey, then custkey).
+  def qTpchQ5(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("price_c"),
+      (col("l_discount").cast(DecimalType(4, 2)) * 100).cast("long").as("disc_p"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate") < lit("1997-01-01").cast("date"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    val asiaNations = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)
+        .filter(col("r_name") === "ASIA").select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    ord.join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("price_c") * (lit(100L) - col("disc_p")))
+          .cast(DecimalType(38, 0))).as("rev"),
+        count(lit(1)).as("n_items"))
+      .select(col("n_name"),
+        round(col("rev").cast("double") / 1e4, 6).as("revenue_r"),
+        col("n_items"))
+  }
+
+  val qTpchQ5Sql: String =
+    "WITH li AS (SELECT l_orderkey, l_suppkey, " +
+      "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c, " +
+      "CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS disc_p FROM lineitem), " +
+      "o AS (SELECT o_orderkey, o_custkey FROM orders " +
+      "WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01' " +
+      "AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'), " +
+      "an AS (SELECT n_nationkey, n_name FROM nation " +
+      "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA') " +
+      "SELECT n_name, " +
+      "round(CAST(sum(CAST(price_c * (100 - disc_p) AS DECIMAL(38,0))) AS DOUBLE) / 1e4, 6) " +
+      "AS revenue_r, CAST(count(*) AS BIGINT) AS n_items " +
+      "FROM o JOIN li ON o_orderkey = l_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey " +
+      "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+      "JOIN an ON s_nationkey = n_nationkey GROUP BY 1"
+
   // ── Key-skew diagnostic (pre-join health check) ────────────────────────
   // The operational report run before any big join: per-key frequencies,
   // the heaviest keys' share of the table, and a global skew ratio
@@ -1490,6 +1547,7 @@ object Relational {
     "q_autocorr"        -> qAutocorr _,
     "q_forecast_eval"   -> qForecastEval _,
     "q_tpch_q1"         -> qTpchQ1 _,
+    "q_tpch_q5"         -> qTpchQ5 _,
     "q_winsorize"       -> qWinsorize _,
     "q_key_skew"        -> qKeySkew _,
     "q_changepoint"     -> qChangepoint _,
@@ -1549,6 +1607,7 @@ object Relational {
     "q_autocorr"        -> qAutocorrSql,
     "q_forecast_eval"   -> qForecastEvalSql,
     "q_tpch_q1"         -> qTpchQ1Sql,
+    "q_tpch_q5"         -> qTpchQ5Sql,
     "q_winsorize"       -> qWinsorizeSql,
     "q_key_skew"        -> qKeySkewSql,
     "q_changepoint"     -> qChangepointSql,

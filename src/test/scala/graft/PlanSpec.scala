@@ -288,6 +288,15 @@ class PlanSpec extends AnyFunSuite {
     assert(psi.contains("partial_"), s"bucket counts lost map-side combine:\n$psi")
   }
 
+  test("TPC-H Q5: date filter pushed to the orders scan, dims broadcast") {
+    val p = plan("q_tpch_q5")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), " +
+      "GreaterThanOrEqual(o_orderdate"), s"date filter not pushed:\n$p")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      s"nation/region (and small dims at this sf) must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked:\n$p")
+  }
+
   test("rank-statistics queries carry no Window at all (two-pass kernel)") {
     // q_gini/q_rfm ranked the per-user table through ONE task and
     // q_rank_sum/q_deciles/q_value_ranks ranked the fact table through
