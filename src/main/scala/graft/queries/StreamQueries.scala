@@ -256,6 +256,37 @@ object StreamQueries {
       "SELECT 1 FROM c WHERE c.user_id = p.user_id " +
       "AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTE)"
 
+  /** RIGHT OUTER stream-stream interval join backfill — with inner,
+    * left, and full above this completes the verb set. Unmatched
+    * purchases are watermark-gated on purchase_ts itself (the latest
+    * admissible click time for their window); matched rows emit
+    * immediately. The oracle applies the identical closure rule. */
+  def qStreamRightJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val joined = EventStreams.clickToPurchaseRight(
+      eventStream(s, d).filter(col("event_type") === "click"),
+      eventStream(s, d).filter(col("event_type") === "purchase"),
+      withinMinutes = 60, watermark = "1 minute")
+    runToMemory(s, joined, OutputMode.Append())
+      .select(col("click_id"), col("purchase_id"),
+        col("p_user").as("user_id"), col("purchase_value"))
+  }
+
+  val qStreamRightJoinSql: String =
+    "WITH c AS (SELECT * FROM events WHERE event_type = 'click'), " +
+      "p AS (SELECT * FROM events WHERE event_type = 'purchase'), " +
+      "wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p)) " +
+      "- INTERVAL 1 MINUTE AS w) " +
+      "SELECT c.event_id AS click_id, p.event_id AS purchase_id, " +
+      "p.user_id AS user_id, p.value AS purchase_value " +
+      "FROM c JOIN p ON c.user_id = p.user_id " +
+      "AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTE " +
+      "UNION ALL " +
+      "SELECT CAST(NULL AS BIGINT), p.event_id, p.user_id, p.value " +
+      "FROM p, wm WHERE p.ts < w AND NOT EXISTS (" +
+      "SELECT 1 FROM c WHERE c.user_id = p.user_id " +
+      "AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTE)"
+
   val qStreamJoinSql: String =
     "SELECT c.event_id AS click_id, p.event_id AS purchase_id, " +
       "c.user_id AS user_id, p.value AS purchase_value " +
@@ -395,6 +426,7 @@ object StreamQueries {
     "q_stream_join"     -> qStreamJoin _,
     "q_stream_left_join" -> qStreamLeftJoin _,
     "q_stream_full_join" -> qStreamFullJoin _,
+    "q_stream_right_join" -> qStreamRightJoin _,
     "q_stream_chain"    -> qStreamChain _,
     "q_kv_changefeed"   -> qKvChangefeed _,
   )
@@ -411,6 +443,7 @@ object StreamQueries {
     "q_stream_join"     -> qStreamJoinSql,
     "q_stream_left_join" -> qStreamLeftJoinSql,
     "q_stream_full_join" -> qStreamFullJoinSql,
+    "q_stream_right_join" -> qStreamRightJoinSql,
     "q_stream_chain"    -> qStreamChainSql,
     "q_kv_changefeed"   -> qKvChangefeedSql,
   )

@@ -242,6 +242,27 @@ object EventStreams {
       "full_outer")
   }
 
+  /** RIGHT OUTER stream-stream join — the last interval-join verb
+    * (inner / left / full are above). Every purchase emits: matched
+    * rows immediately, unmatched purchases with null click columns once
+    * the watermark passes purchase_ts (the latest click time the
+    * interval condition admits — any later click is out of window).
+    * State bounds mirror the left join's, sides swapped. */
+  def clickToPurchaseRight(clicks: DataFrame, purchases: DataFrame,
+      withinMinutes: Int = 60, watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $withinMinutes MINUTES"),
+      "right_outer")
+  }
+
   /** Start writing a streaming frame to parquet with checkpointing — the
     * durable-sink shape (exactly-once via checkpoint + file sink log).
     * Returns the running StreamingQuery (await/stop is the caller's). */

@@ -293,6 +293,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("right-outer stream join emits nulls only for watermark-closed purchases") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = EventStreams.clickToPurchaseRight(
+      clicks.toDF(), purchases.toDF(), withinMinutes = 60, watermark = "1 minute")
+    val q = joined.writeStream.format("memory").queryName("ss_right_join")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        Event(0L, t(0), 1L, "click", 0.0, "{}"),   // matched
+        Event(1L, t(10), 2L, "click", 0.0, "{}"),  // unmatched click: NEVER emits
+        Event(2L, t(290), 3L, "click", 0.0, "{}")) // advances click watermark
+      purchases.addData(
+        Event(10L, t(45), 1L, "purchase", 9.0, "{}"),  // matched
+        Event(11L, t(100), 4L, "purchase", 5.0, "{}"), // unmatched, closed → null
+        Event(12L, t(290), 9L, "purchase", 5.0, "{}")) // unmatched, still open
+      // watermark ≈ min(t290, t290) − 1min = t289: purchase 11 (latest
+      // admissible click t100) closes → null; purchase 12 (t290) stays open
+      q.processAllAvailable()
+      def snapshot() = spark.table("ss_right_join")
+        .select($"click_id", $"purchase_id").collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      val round1 = snapshot()
+      assert(round1.contains((0L, 10L)))  // the real match
+      assert(round1.contains((-1L, 11L))) // closed unmatched purchase
+      // right join: unmatched CLICKS never appear, open purchases withheld
+      assert(!round1.exists(p => p._1 == 1L || p._1 == 2L))
+      assert(!round1.exists(_._2 == 12L))
+      clicks.addData(Event(3L, t(500), 8L, "click", 0.0, "{}"))
+      purchases.addData(Event(13L, t(500), 9L, "purchase", 1.0, "{}"))
+      q.processAllAvailable()
+      val round2 = snapshot()
+      assert(round2.contains((-1L, 12L))) // flushed once its window closed
+      assert(!round2.exists(p => p._1 == 1L || p._1 == 2L)) // clicks still silent
+    } finally q.stop()
+  }
+
   test("chained hourly->daily aggregation equals the batch rollup for closed days") {
     val got = graft.queries.StreamQueries.qStreamChain(spark, sf)
       .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
