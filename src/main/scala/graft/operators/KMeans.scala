@@ -109,32 +109,32 @@ object KMeans {
       }
       chosen += sample(bi)
     }
-    var centroids = chosen.toSeq.zipWithIndex
+    var cents: Seq[(Long, Seq[Double])] = chosen.toSeq.zipWithIndex
       .map { case ((_, v), c) => (c.toLong, v.toSeq) }
-      .toDF("cluster", "c")
-      .localCheckpoint(true)
     for (_ <- 1 to iterations) {
-      val assigned = assign(vecs, centroids)
       // decimal-sum mean rounded to 6 decimals: exact and ORDER-
       // INDEPENDENT (a double avg would vary with partition order), and
       // the identical spelling as the oracle-proven q_centroids — so
-      // every Lloyd round is reproducible on both engines bit-for-bit
-      val recomputed = assigned
+      // every Lloyd round is reproducible on both engines bit-for-bit.
+      // Means land on the driver (k·dim doubles — the centroid table is
+      // driver-sized by definition, same regime as fitProduct), so each
+      // round's plan is fresh literals over the raw corpus: no per-round
+      // localCheckpoint, no empty-cell join.
+      val means = assign(vecs, cents.toDF("cluster", "c"))
         .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cluster"), col("dim"))
         .agg(round(sum(col("x").cast("decimal(28,12)")).cast("double") /
           count(col("x")), 6).as("m"))
-        .groupBy(col("cluster"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("p"))
-        .select(col("cluster"), transform(col("p"), e => e("m")).as("c"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cl, rows) =>
+          cl -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
       // a cluster that won zero points vanishes from the groupBy — keep
       // its previous centroid so k never silently shrinks
-      centroids = centroids.select(col("cluster"), col("c").as("prev"))
-        .join(recomputed, Seq("cluster"), "left")
-        .select(col("cluster"), coalesce(col("c"), col("prev")).as("c"))
-        .localCheckpoint(true)
+      cents = cents.map { case (cl, prev) => (cl, means.getOrElse(cl, prev)) }
     }
-    centroids
+    cents.toDF("cluster", "c")
   }
 
   /** Product-quantization training: `m` independent k-means codebooks,
