@@ -361,6 +361,38 @@ object TextQueries {
       "FROM kept GROUP BY 1, 2, 3"
   }
 
+  // ── Fixed-size per-group sample (eval-set carving) ─────────────────────
+  // "Exactly k documents per language, reproducible forever" — the eval/
+  // holdout carving step, complementing q_mixture's rate-based sampling
+  // with an exact per-group COUNT. Deterministic order = (md5 hash60 of
+  // doc_id, doc_id): a uniform pseudo-random draw both engines replay.
+  // Scale shape: row_number ≤ k over a low-cardinality partition would
+  // normally funnel the corpus through ~|langs| tasks, but the rank is
+  // CAPPED — Spark plans it as WindowGroupLimit (per-partition top-k
+  // heap BEFORE the exchange), so the shuffle carries ≤ k·|langs|·
+  // partitions rows, never the corpus. PlanSpec pins the Partial group
+  // limit; this is the one rank shape where a window IS the scale-safe
+  // plan.
+  private val SampleK = 30
+
+  def qSampleGroup(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(graft.functions.Md5Bits.hash60(col("doc_id")), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), tokenCount(col("text")).as("n_tok"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= SampleK)
+  }
+
+  val qSampleGroupSql: String = {
+    val h = graft.functions.Md5Bits.sqlHash60("CAST(doc_id AS VARCHAR)")
+    s"SELECT lang, doc_id, n_tok, rk FROM (SELECT lang, doc_id, n_tok, " +
+      s"CAST(row_number() OVER (PARTITION BY lang ORDER BY $h, doc_id) AS BIGINT) AS rk " +
+      s"FROM (SELECT lang, doc_id, len($sqlToks) AS n_tok FROM documents) a) b " +
+      s"WHERE rk <= $SampleK"
+  }
+
   // ── Pattern redaction (the PII-masking shape) ──────────────────────────
   // Global regexp masking + hit counting + masked-content fingerprint —
   // the exact machinery of a PII scrubber (emails/phones/SSNs), pure
@@ -817,6 +849,7 @@ object TextQueries {
     "q_redact"        -> qRedact _,
     "q_pack_bins"     -> qPackBins _,
     "q_mixture"       -> qMixture _,
+    "q_sample_group"  -> qSampleGroup _,
     "q_token_bpe"     -> qTokenBpe _,
     "q_token_count"   -> qTokenCount _,
     "q_quality_score" -> qQualityScore _,
@@ -841,6 +874,7 @@ object TextQueries {
     "q_redact"        -> qRedactSql,
     "q_pack_bins"     -> qPackBinsSql,
     "q_mixture"       -> qMixtureSql,
+    "q_sample_group"  -> qSampleGroupSql,
     "q_token_bpe"     -> qTokenBpeSql,
     "q_token_count"   -> qTokenCountSql,
     "q_quality_score" -> qQualityScoreSql,

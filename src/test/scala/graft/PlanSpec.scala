@@ -297,6 +297,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian leaked:\n$p")
   }
 
+  test("per-group sample: the capped rank group-limits before the exchange") {
+    // row_number <= k over a low-cardinality partition is only scale-safe
+    // because the limit lets Spark plan a per-partition top-k heap
+    // (WindowGroupLimit Partial) ahead of the shuffle — the exchange then
+    // carries <= k * |groups| * partitions rows, never the corpus
+    val p = plan("q_sample_group")
+    assert("WindowGroupLimit .*Partial".r.findAllIn(p).nonEmpty,
+      s"sample rank not partial-group-limited before the exchange:\n$p")
+  }
+
   test("rank-statistics queries carry no Window at all (two-pass kernel)") {
     // q_gini/q_rfm ranked the per-user table through ONE task and
     // q_rank_sum/q_deciles/q_value_ranks ranked the fact table through
