@@ -38,22 +38,30 @@ object KCore {
     var prevCount = -1L
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIterations) {
-      val keep = sym.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    // One peel as a pure plan transform; TWO peels ride each checkpoint
+    // job (the BFS/SSSP double-step). The surviving-edge count is
+    // MONOTONE non-increasing, so an unchanged count two peels apart
+    // pins the peel between as well — the fixed-point test stays sound.
+    def peel(g: DataFrame): DataFrame = {
+      val keep = g.groupBy(col("a")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("a"))
-      val obs = new org.apache.spark.sql.Observation(
-        s"kcore_${iter}_${System.nanoTime()}")
-      val next = sym
-        .join(keep, Seq("a"), "left_semi")
+      g.join(keep, Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("a", "b"), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
+    }
+    while (!converged && iter < maxIterations) {
+      val steps = if (iter + 1 < maxIterations) 2 else 1
+      val stepped = (1 to steps).foldLeft(sym)((g, _) => peel(g))
+      val obs = new org.apache.spark.sql.Observation(
+        s"kcore_${iter}_${System.nanoTime()}")
+      val next = stepped
         .observe(obs, count(lit(1)).as("m"))
         .localCheckpoint(true)
       val curCount = obs.get("m").asInstanceOf[Long]
       converged = curCount == prevCount || curCount == 0L
       prevCount = curCount
       sym = next
-      iter += 1
+      iter += steps
     }
     sym
   }
