@@ -86,6 +86,36 @@ class DistributedRankSpec extends AnyFunSuite {
     assert(got === Set(("x", 1L, 1L), ("x", 2L, 2L), ("y", 5L, 1L)))
   }
 
+  test("kernel equals windows on random tables (8 trials: sizes, groups, ties)") {
+    val r = new scala.util.Random(20260813)
+    for (trial <- 1 to 8) {
+      val n = 1 + r.nextInt(200)
+      val nGroups = 1 + r.nextInt(5)
+      val valRange = 1 + r.nextInt(12) // small range → heavy ties
+      val rows = (1 to n).map { i =>
+        (s"g${r.nextInt(nGroups)}", r.nextInt(valRange), i.toLong,
+          r.nextInt(1000).toLong)
+      }
+      val df = rows.toDF("g", "v", "id", "x")
+      val desc = r.nextBoolean()
+      val order = if (desc) Seq($"v".desc, $"id".asc) else Seq($"v".asc, $"id".asc)
+      val w = Window.partitionBy($"g")
+        .orderBy(order: _*)
+      val expected = df
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("cum", sum($"x").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .select($"id", $"rk", $"cum")
+        .collect().map(t => (t.getLong(0), t.getLong(1), t.getLong(2))).toSet
+      val got = DistributedRank.withRowNumber(
+          df, Seq("g"), order, "rk",
+          sumCol = Some("x"), cumCol = Some("cum"))
+        .select($"id", $"rk", $"cum")
+        .collect().map(t => (t.getLong(0), t.getLong(1), t.getLong(2))).toSet
+      assert(got === expected,
+        s"trial $trial (n=$n groups=$nGroups desc=$desc) diverged")
+    }
+  }
+
   test("rank output is one plan with no Window node") {
     val got = DistributedRank.withRowNumber(
       fixture, Seq("g"), Seq($"v".asc, $"id".asc), "rk")
