@@ -419,6 +419,43 @@ object Relational {
       "round(quantile_cont(o_totalprice, 0.95), 6) AS p95 " +
       "FROM orders GROUP BY o_orderpriority"
 
+  // ── Exact grouped percentile_disc via the distributed rank kernel ──────
+  // q_percentiles' `percentile()` aggregate is exact but buffers every
+  // group's values in one task's memory — the classic exact-quantile OOM
+  // at 100 TB. This is the scale-safe exact spelling: DistributedRank
+  // gives each row its (group, rank, group-size), and percentile_disc is
+  // then a pure filter rk == ceil(p·n/100) — SQL-standard semantics
+  // (smallest value with cume_dist ≥ p), integer arithmetic, no value
+  // buffering anywhere. Integer cents keep the comparison exact; the
+  // oracle replays the identical window formula rather than DuckDB's
+  // quantile_disc so tie/indexing rules can't diverge.
+  private val DiscPcts = Seq(50L, 90L, 99L)
+
+  def qPercentileDisc(s: SparkSession, d: String): DataFrame = {
+    val slim = Tables.events(s, d).select(col("event_type"),
+      expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"),
+      col("event_id"))
+    graft.operators.DistributedRank.withRowNumber(slim, Seq("event_type"),
+        Seq(col("cents").asc, col("event_id").asc), "rk",
+        nGroupCol = Some("n_g"))
+      .select(col("event_type"), col("cents"), col("rk"), col("n_g"),
+        explode(array(DiscPcts.map(lit): _*)).as("p"))
+      .filter(col("rk") === expr("(p * n_g + 99) div 100"))
+      .select(col("event_type"), col("p"),
+        (col("cents").cast("double") / 100.0).as("pct_value"))
+  }
+
+  val qPercentileDiscSql: String =
+    "WITH e AS (SELECT event_type, " +
+      "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents, event_id " +
+      "FROM events), " +
+      "r AS (SELECT event_type, cents, " +
+      "CAST(row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS BIGINT) AS rk, " +
+      "CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_g FROM e) " +
+      s"SELECT event_type, p, CAST(cents AS DOUBLE) / 100.0 AS pct_value " +
+      "FROM r, (VALUES " + DiscPcts.map(p => s"(CAST($p AS BIGINT))").mkString(", ") +
+      ") t(p) WHERE rk = (p * n_g + 99) // 100"
+
   // ── Fixed-width histogram ──────────────────────────────────────────────
   def qHistogram(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -1569,6 +1606,7 @@ object Relational {
     "q_mv_refresh"      -> qMvRefresh _,
     "q_histogram"       -> qHistogram _,
     "q_percentiles"     -> qPercentiles _,
+    "q_percentile_disc" -> qPercentileDisc _,
     "q_scalar_subq"     -> qScalarSubq _,
     "q_cpu_fib"         -> qCpuFib _,
     "q_pivot"           -> qPivot _,
@@ -1629,6 +1667,7 @@ object Relational {
     "q_mv_refresh"      -> qMvRefreshSql,
     "q_histogram"       -> qHistogramSql,
     "q_percentiles"     -> qPercentilesSql,
+    "q_percentile_disc" -> qPercentileDiscSql,
     "q_scalar_subq"     -> qScalarSubqSql,
     "q_cpu_fib"         -> qCpuFibSql,
     "q_pivot"           -> qPivotSql,

@@ -314,7 +314,8 @@ class PlanSpec extends AnyFunSuite {
     // replaces every one of those windows with a range shuffle + local
     // rank + driver offsets, so the executed plans must contain no
     // Window node (and therefore no single-partition window Exchange).
-    for (q <- Seq("q_gini", "q_rfm", "q_rank_sum", "q_deciles", "q_value_ranks")) {
+    for (q <- Seq("q_gini", "q_rfm", "q_rank_sum", "q_deciles", "q_value_ranks",
+        "q_percentile_disc")) {
       val p = plan(q)
       assert(!p.contains("Window"),
         s"$q regressed to a window-based rank:\n$p")
