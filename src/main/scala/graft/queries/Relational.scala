@@ -406,18 +406,54 @@ object Relational {
   // tame last-ulp interpolation arithmetic). The approximate analog at
   // 100 TB is percentile_approx (t-digest) — engine-specific, so the
   // exact form is the oracle-checked one.
+  // Exact, via the rank kernel — NOT the `percentile()` aggregate, which
+  // buffers every group's values inside one task (the exact-quantile OOM
+  // at 100 TB). Same interpolation formula, same answers.
   def qPercentiles(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d)
+    kernelPercentileCont(
+      Tables.orders(s, d).select(col("o_orderpriority"), col("o_totalprice")),
+      "o_orderpriority", "o_totalprice", Seq(0.5, 0.95))
       .groupBy(col("o_orderpriority"))
       .agg(
-        round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
-        round(expr("percentile(o_totalprice, 0.95)"), 6).as("p95"))
+        round(max(when(col("p") === 0.5, col("pv"))), 6).as("p50"),
+        round(max(when(col("p") === 0.95, col("pv"))), 6).as("p95"))
 
   val qPercentilesSql: String =
     "SELECT o_orderpriority, " +
       "round(quantile_cont(o_totalprice, 0.5), 6) AS p50, " +
       "round(quantile_cont(o_totalprice, 0.95), 6) AS p95 " +
       "FROM orders GROUP BY o_orderpriority"
+
+  // ── Exact grouped percentile_cont via the distributed rank kernel ──────
+  // The interpolating sibling of qPercentileDisc, as a reusable helper:
+  // rank each group once, keep only the two bracketing elements per
+  // (group, percent), interpolate with the SAME formula Spark's
+  // `percentile()` and DuckDB's `quantile_cont` use — pos = p·(n−1),
+  // v[k] + frac·(v[k+1] − v[k]) — so results match the aggregate
+  // spelling to the last ulp (and exactly when frac = 0), without ever
+  // buffering a group's values in one task. Tie order among equal
+  // values is irrelevant: the VALUE at any rank inside a tie run is the
+  // tied value itself.
+  private[queries] def kernelPercentileCont(df: DataFrame, group: String,
+      valueCol: String, ps: Seq[Double]): DataFrame = {
+    val ranked = graft.operators.DistributedRank.withRowNumber(
+      df.select(col(group), col(valueCol)),
+      Seq(group), Seq(col(valueCol).asc), "rk", nGroupCol = Some("n_g"))
+    val withP = ranked
+      .select(col(group), col(valueCol), col("rk"), col("n_g"),
+        explode(array(ps.map(lit): _*)).as("p"))
+      .withColumn("d", (col("n_g") - 1L).cast("double") * col("p"))
+      .withColumn("k", floor(col("d")).cast("long"))
+    val lo = withP.filter(col("rk") === col("k") + 1L)
+      .select(col(group), col("p"),
+        col(valueCol).cast("double").as("vlo"), col("d"), col("k"))
+    val hi = withP.filter(col("rk") === least(col("k") + 2L, col("n_g")))
+      .select(col(group).as("g2"), col("p").as("p2"),
+        col(valueCol).cast("double").as("vhi"))
+    lo.join(hi, col(group) === col("g2") && col("p") === col("p2"))
+      .select(col(group), col("p"),
+        (col("vlo") + (col("d") - col("k")) * (col("vhi") - col("vlo"))).as("pv"))
+  }
 
   // ── Exact grouped percentile_disc via the distributed rank kernel ──────
   // q_percentiles' `percentile()` aggregate is exact but buffers every
@@ -729,9 +765,14 @@ object Relational {
     val c = Tables.orders(s, d)
       .select(col("o_orderpriority").as("prio"),
         (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
-    val bounds = c.groupBy(col("prio"))
-      .agg(expr("percentile(cents, 0.01)").as("lo"),
-        expr("percentile(cents, 0.99)").as("hi"))
+    // bounds via the rank kernel, not percentile() — no per-group value
+    // buffering; identical interpolation, identical clamping decisions
+    // (integer cents never sit within an ulp of the bound unless the
+    // bound IS an element, where both spellings are exact)
+    val bounds = kernelPercentileCont(c, "prio", "cents", Seq(0.01, 0.99))
+      .groupBy(col("prio"))
+      .agg(max(when(col("p") === 0.01, col("pv"))).as("lo"),
+        max(when(col("p") === 0.99, col("pv"))).as("hi"))
     val clamped = least(greatest(col("cents").cast("double"), col("lo")), col("hi"))
     c.join(broadcast(bounds), Seq("prio"))
       .select(col("prio"), col("lo"), col("hi"),
