@@ -505,12 +505,19 @@ object EventQueries {
   def qMadOutliers(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("event_type"), col("value"))
-    val med = ev.groupBy(col("event_type"))
-      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+    // medians via the rank-kernel percentile_cont (Relational
+    // .kernelPercentileCont) — the percentile() aggregate buffers a whole
+    // event_type's values in one task, the exact-quantile OOM at 100 TB
+    val med = Relational.kernelPercentileCont(
+        ev.select(col("event_type"), col("value")),
+        "event_type", "value", Seq(0.5))
+      .select(col("event_type"), round(col("pv"), 6).as("med"))
     val dev = ev.join(broadcast(med), Seq("event_type"))
       .withColumn("adev", abs(col("value") - col("med")))
-    val mad = dev.groupBy(col("event_type"))
-      .agg(round(expr("percentile(adev, 0.5)"), 6).as("mad"))
+    val mad = Relational.kernelPercentileCont(
+        dev.select(col("event_type"), col("adev")),
+        "event_type", "adev", Seq(0.5))
+      .select(col("event_type"), round(col("pv"), 6).as("mad"))
     dev.join(broadcast(mad), Seq("event_type"))
       .filter(col("adev") > lit(MadK) * col("mad"))
       .select(col("event_id"), col("event_type"), col("value"),
