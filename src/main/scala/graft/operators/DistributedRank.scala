@@ -64,6 +64,11 @@ object DistributedRank {
       nGroupCol: Option[String] = None,
       sumGroupCol: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
+    val outNames = Seq(rankCol) ++ cumCol ++ nGroupCol ++ sumGroupCol
+    require(outNames.distinct.size == outNames.size &&
+      !outNames.exists(df.columns.contains),
+      s"output columns $outNames must be fresh and distinct " +
+        s"(input has ${df.columns.mkString(",")})")
     val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val sortKeys = groupCols.map(col) ++ order
 
