@@ -116,6 +116,23 @@ class DistributedRankSpec extends AnyFunSuite {
     }
   }
 
+  test("a single-value tie run spreads across partitions (skew safety)") {
+    // Every row has the SAME order value — the worst-case skew. Because
+    // the range key includes the unique tiebreak, the partitioner may
+    // cut inside the tie run, so no partition holds the whole corpus;
+    // ranks must still be the global 1..n.
+    val df = (1 to 4000).map(i => ("g", 1, i.toLong)).toDF("g", "v", "id")
+    val ranked = DistributedRank.withRowNumber(
+      df, Seq("g"), Seq($"v".asc, $"id".asc), "rk")
+    val byPart = ranked
+      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+      .groupBy($"pid").count().collect().map(_.getLong(1))
+    assert(byPart.length >= 2, s"tie run collapsed to one partition: ${byPart.toList}")
+    assert(byPart.max <= 3000, s"skewed partition: ${byPart.toList}")
+    val ranks = ranked.select($"rk").as[Long].collect().sorted
+    assert(ranks.toSeq === (1L to 4000L))
+  }
+
   test("rank output is one plan with no Window node") {
     val got = DistributedRank.withRowNumber(
       fixture, Seq("g"), Seq($"v".asc, $"id".asc), "rk")
