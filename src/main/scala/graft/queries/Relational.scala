@@ -920,6 +920,47 @@ object Relational {
       "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
       "JOIN an ON s_nationkey = n_nationkey GROUP BY 1"
 
+  // ── TPC-H Q18: large-volume customers (group-filter, join back) ────────
+  // The "HAVING on a fact aggregate drives the join" benchmark shape:
+  // aggregate lineitem per order, keep orders whose total quantity
+  // clears the threshold, then join those FEW keys back to orders,
+  // customer, and the fact for the report. Plan at scale: the heavy
+  // aggregation is partial→final on l_orderkey; the surviving key set
+  // (a sliver) semi-joins the fact; TakeOrderedAndProject caps the
+  // output without a global sort. Quantities in integer cents —
+  // threshold comparison and the reported sum are exact.
+  private val Q18QtyCentsFloor = 15000L // 150.00 units
+
+  def qTpchQ18(s: SparkSession, d: String): DataFrame = {
+    val qtyC = (col("l_quantity").cast(DecimalType(18, 2)) * 100)
+      .cast("long")
+    val big = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), qtyC.as("qc"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("qc")).as("qty_c"))
+      .filter(col("qty_c") > Q18QtyCentsFloor)
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+    big.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("qty_c"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  val qTpchQ18Sql: String =
+    "WITH big AS (SELECT l_orderkey, " +
+      "CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS qty_c " +
+      "FROM lineitem GROUP BY 1 " +
+      s"HAVING CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) > $Q18QtyCentsFloor) " +
+      "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, qty_c " +
+      "FROM big JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey " +
+      "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100"
+
   // ── Key-skew diagnostic (pre-join health check) ────────────────────────
   // The operational report run before any big join: per-key frequencies,
   // the heaviest keys' share of the table, and a global skew ratio
@@ -1626,6 +1667,7 @@ object Relational {
     "q_forecast_eval"   -> qForecastEval _,
     "q_tpch_q1"         -> qTpchQ1 _,
     "q_tpch_q5"         -> qTpchQ5 _,
+    "q_tpch_q18"        -> qTpchQ18 _,
     "q_winsorize"       -> qWinsorize _,
     "q_key_skew"        -> qKeySkew _,
     "q_changepoint"     -> qChangepoint _,
@@ -1687,6 +1729,7 @@ object Relational {
     "q_forecast_eval"   -> qForecastEvalSql,
     "q_tpch_q1"         -> qTpchQ1Sql,
     "q_tpch_q5"         -> qTpchQ5Sql,
+    "q_tpch_q18"        -> qTpchQ18Sql,
     "q_winsorize"       -> qWinsorizeSql,
     "q_key_skew"        -> qKeySkewSql,
     "q_changepoint"     -> qChangepointSql,

@@ -311,6 +311,14 @@ class PlanSpec extends AnyFunSuite {
       s"sample rank not partial-group-limited before the exchange:\n$p")
   }
 
+  test("TPC-H Q18: partial-agg HAVING drives the join; top-100 is TakeOrdered") {
+    val p = plan("q_tpch_q18")
+    assert(p.contains("partial_sum"), s"quantity rollup lost map-side combine:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must avoid a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked:\n$p")
+  }
+
   test("rank-statistics queries carry no Window at all (two-pass kernel)") {
     // q_gini/q_rfm ranked the per-user table through ONE task and
     // q_rank_sum/q_deciles/q_value_ranks ranked the fact table through
