@@ -133,6 +133,18 @@ class DistributedRankSpec extends AnyFunSuite {
     assert(ranks.toSeq === (1L to 4000L))
   }
 
+  test("execution-order-sensitive queries are run-to-run deterministic") {
+    // Two full evaluations must produce identical row sets — catches
+    // tie-order leakage in the kernel, double-summation order drift, and
+    // any nondeterminism in codebook training before the oracle would.
+    for (q <- Seq("q_gini", "q_rfm", "q_ann_pq", "q_mixture")) {
+      val fn = SparkEntry.queries(q)
+      val a = fn(spark, sf).collect().map(_.toString).sorted.toSeq
+      val b = fn(spark, sf).collect().map(_.toString).sorted.toSeq
+      assert(a === b, s"$q diverged between runs")
+    }
+  }
+
   test("rank output is one plan with no Window node") {
     val got = DistributedRank.withRowNumber(
       fixture, Seq("g"), Seq($"v".asc, $"id".asc), "rk")
