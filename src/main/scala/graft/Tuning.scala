@@ -32,6 +32,13 @@ object Tuning {
     "spark.sql.parquet.compression.codec" -> "zstd",
     "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString,
     "spark.sql.session.timeZone" -> "UTC",
+    // Parquet timestamps without the UTC-adjusted flag must read as
+    // instants (TIMESTAMP_LTZ in the UTC session above), not NTZ —
+    // `unix_micros`/`to_utc_timestamp` arithmetic requires instants, and
+    // the DuckDB oracle reads the same files as naive-in-UTC values.
+    // Spark 4's NTZ inference would otherwise flip the whole events
+    // table's type with the writer's metadata whims.
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
   )
 
   /** Apply the defaults to a session builder (caller config wins if set

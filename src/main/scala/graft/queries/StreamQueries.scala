@@ -86,7 +86,7 @@ object StreamQueries {
         java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
       t.toString
     })
-    EventStreams.readEventStream(s, dir, nanosTs = true)
+    EventStreams.readEventStream(s, dir)
   }
 
   /** Streaming hourly tumbling windows == batch q_tumbling_hourly. */

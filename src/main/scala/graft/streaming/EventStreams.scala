@@ -30,15 +30,14 @@ object EventStreams {
 
   /** Unbounded file-source read of an events directory (the production
     * entry point: new parquet files appear, Spark incrementally processes
-    * them). Schema must be declared — streaming reads cannot infer.
-    *
-    * @param nanosTs true when the directory stores parquet
-    *        TIMESTAMP(NANOS) (as the repo's own events.parquet does):
-    *        the column is then read as BIGINT under the session's
-    *        nanosAsLong setting and converted to a microsecond
-    *        timestamp, mirroring Tables.events. */
-  def readEventStream(spark: SparkSession, dir: String,
-      nanosTs: Boolean = false): DataFrame = {
+    * them). Schema must be declared — streaming reads cannot infer — so
+    * the ts storage form is probed with a footer-only batch read and the
+    * declared schema matches it, mirroring Tables.events: TIMESTAMP(NANOS)
+    * files surface ts as BIGINT (under `nanosAsLong`) and are converted
+    * to microsecond timestamps; TIMESTAMP(MICROS) files read directly. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val nanosTs = spark.read.parquet(dir).schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
     val df = spark.readStream
       .schema(if (nanosTs)
         "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
