@@ -590,6 +590,59 @@ object DedupQueries {
       "FROM ranked WHERE rk = 1"
   }
 
+  // ── Duplicated-span fraction (exact-substring dedup signal) ────────────
+  // Lee et al., "Deduplicating Training Data Makes Language Models
+  // Better" (ACL 2022): the per-document fraction of token positions
+  // whose SpanW-token span also occurs at any other position in the
+  // corpus (another doc, or elsewhere in the same doc). The reference has
+  // no notion of this; it is the signal a 100 TB curation run thresholds
+  // on before dropping boilerplate-heavy pages. Exactly two shuffles,
+  // both on high-cardinality keys (span text, then doc_id) — no pairwise
+  // stage anywhere, so the span-count table stays distributed however
+  // large the corpus grows.
+  private val SpanW = 5
+
+  def qDupSpans(s: SparkSession, d: String): DataFrame =
+    dupSpans(Tables.documents(s, d))
+
+  /** The same plan over any (doc_id, text) frame — spec entry point. */
+  def dupSpans(docs: DataFrame): DataFrame = {
+    val spans = docs.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.shingles(col("text"), SpanW)).as("sh"))
+    val global = spans.groupBy(col("sh")).agg(count(lit(1)).as("g"))
+    val perDoc = spans.join(global, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("g") > 1, 1L).otherwise(0L)).as("dup_spans"))
+    // left join back so span-less (shorter than SpanW tokens) docs keep a
+    // row — a curation gate must emit a verdict for every document
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        when(coalesce(col("n_spans"), lit(0L)) > 0,
+          round(col("dup_spans").cast("double") / col("n_spans"), 6))
+          .as("dup_frac"))
+  }
+
+  val qDupSpansSql: String = {
+    val cat = (0 until SpanW)
+      .map(j => if (j == 0) "t[i]" else s"t[i+$j]").mkString(" || ' ' || ")
+    s"WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents), " +
+      "sp AS (SELECT doc_id, unnest(list_transform(" +
+      s"generate_series(1, greatest(len(t) - ${SpanW - 1}, 0)), " +
+      s"i -> $cat)) AS sh FROM toks), " +
+      "g AS (SELECT sh, count(*) AS g FROM sp GROUP BY 1), " +
+      "pd AS (SELECT doc_id, count(*) AS n_spans, " +
+      "CAST(sum(CASE WHEN g.g > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans " +
+      "FROM sp JOIN g USING (sh) GROUP BY 1) " +
+      "SELECT d.doc_id, coalesce(pd.n_spans, 0) AS n_spans, " +
+      "coalesce(pd.dup_spans, 0) AS dup_spans, " +
+      "CASE WHEN coalesce(pd.n_spans, 0) > 0 THEN " +
+      "round(CAST(pd.dup_spans AS DOUBLE) / pd.n_spans, 6) END AS dup_frac " +
+      "FROM documents d LEFT JOIN pd USING (doc_id)"
+  }
+
   // ── Canonical (near-exact) dedup ───────────────────────────────────────
   // The stage between exact dedup and MinHash: normalize away the
   // differences that never matter (case, punctuation, whitespace runs)
@@ -613,6 +666,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_canonical" -> qDedupCanonical _,
+    "q_dup_spans"     -> qDupSpans _,
     "q_entity_resolution" -> qEntityResolution _,
     "q_fuzzy_match"   -> qFuzzyMatch _,
     "q_jaro_winkler"  -> qJaroWinkler _,
@@ -628,6 +682,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "q_dedup_canonical" -> qDedupCanonicalSql,
+    "q_dup_spans"      -> qDupSpansSql,
     "q_entity_resolution" -> qEntityResolutionSql,
     "q_fuzzy_match"    -> qFuzzyMatchSql,
     "q_jaro_winkler"   -> qJaroWinklerSql,

@@ -230,4 +230,37 @@ class DedupSpec extends AnyFunSuite {
       assert(blocksEqual >= 1)
     }
   }
+
+  test("dup-span fraction: planted duplicates score 1, unique text scores 0") {
+    val fixture = Seq(
+      (0L, base),                     // exact twin of 99 → every span dup
+      (99L, base),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three"),          // < SpanW tokens → 0 spans, null frac
+      // shares its last 5-token span with doc 1's head nowhere; but
+      // contains base's opening span verbatim → exactly one dup position
+      (3L, "the quick brown fox jumps completely elsewhere after that"),
+    ).toDF("doc_id", "text")
+    val out = DedupQueries.dupSpans(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("dup_spans"),
+          Option(r.getAs[java.lang.Double]("dup_frac")))).toMap
+    assert(out.size === 5) // a verdict row per document, span-less included
+    assert(out(0L)._3 === Some(1.0) && out(99L)._3 === Some(1.0))
+    assert(out(1L) === ((6L, 0L, Some(0.0))))
+    assert(out(2L) === ((0L, 0L, None)))
+    // doc 3: 9 tokens → 5 spans; only "the quick brown fox jumps" is dup
+    assert(out(3L)._1 === 5L && out(3L)._2 === 1L)
+
+    // registered query on real data: one verdict per document, and
+    // n_spans is exactly max(tokens - (SpanW-1), 0) for every doc
+    val real = DedupQueries.qDupSpans(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    assert(real.count() === docs.count())
+    val expected = docs.select($"doc_id",
+      greatest(graft.functions.TextFunctions.tokenCount($"text") - 4, lit(0L))
+        .as("want"))
+    assert(real.join(expected, "doc_id")
+      .filter($"n_spans" =!= $"want").count() === 0)
+  }
 }
