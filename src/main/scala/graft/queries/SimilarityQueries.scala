@@ -271,15 +271,25 @@ object SimilarityQueries {
     * same spelling/fold order as the engine (`list_dot_product`,
     * `c·c - 2·v·c` scores, round-6 means), so comparisons agree
     * bit-for-bit. */
-  val qAnnIvfSql: String = {
-    val m = 4 * IvfK
-    def dot(a: String, b: String) = s"list_dot_product($a, $b)"
+  private def sqlDot(a: String, b: String) = s"list_dot_product($a, $b)"
+  private def sqlScore(v: String, c: String) =
+    s"${sqlDot(c, c)} - 2*${sqlDot(v, c)}"
+
+  /** Shared SQL replay of `KMeans.fit(k, iters)` + the final assignment:
+    * a `WITH` prefix whose LAST CTE is
+    * `cells(id, v: DOUBLE[], cluster, nrm)` — the whole corpus labeled
+    * with its trained cluster and L2 norm. Callers append their own CTEs
+    * (`prefix + ", x AS (...) SELECT ..."`). Both the IVF search and the
+    * SemDeDup oracle build on this so the training replay cannot drift
+    * between them. */
+  private def kmeansCellsSql(k: Int, iters: Int): String = {
+    val m = 4 * k
+    def dot(a: String, b: String) = sqlDot(a, b)
     def d2(a: String, b: String) = s"${dot(a, a)} - 2*${dot(a, b)} + ${dot(b, b)}"
-    def score(v: String, c: String) = s"${dot(c, c)} - 2*${dot(v, c)}"
     def assignCte(name: String, src: String, cent: String) =
       s"$name AS MATERIALIZED (SELECT id, v, cluster FROM (" +
         s"SELECT e.id, e.v, c.cluster, row_number() OVER (PARTITION BY e.id " +
-        s"ORDER BY ${score("e.v", "c.v")} ASC, c.cluster ASC) AS rn " +
+        s"ORDER BY ${sqlScore("e.v", "c.v")} ASC, c.cluster ASC) AS rn " +
         s"FROM $src e, $cent c) WHERE rn = 1)"
     val sb = new StringBuilder
     // MATERIALIZED: the corpus CTE is referenced by every Lloyd round —
@@ -291,16 +301,16 @@ object SimilarityQueries {
       s" AS h FROM vs ORDER BY h, id LIMIT $m), "
     sb ++= "ch0 AS MATERIALIZED (SELECT id, v FROM smp ORDER BY h, id LIMIT 1), "
     sb ++= s"md0 AS MATERIALIZED (SELECT s.id, s.v, ${d2("s.v", "c.v")} AS mind FROM smp s, ch0 c), "
-    for (j <- 1 until IvfK) {
+    for (j <- 1 until k) {
       sb ++= s"ch$j AS MATERIALIZED (SELECT id, v FROM md${j - 1} ORDER BY mind DESC, id ASC LIMIT 1), "
-      if (j < IvfK - 1)
+      if (j < k - 1)
         sb ++= s"md$j AS MATERIALIZED (SELECT m.id, m.v, least(m.mind, ${d2("m.v", "c.v")}) AS mind " +
           s"FROM md${j - 1} m, ch$j c), "
     }
-    sb ++= (0 until IvfK)
+    sb ++= (0 until k)
       .map(j => s"SELECT $j AS cluster, v FROM ch$j")
       .mkString("cent0 AS MATERIALIZED (", " UNION ALL ", "), ")
-    for (t <- 1 to IvfIters) {
+    for (t <- 1 to iters) {
       sb ++= assignCte(s"a$t", "vs", s"cent${t - 1}") + ", "
       sb ++= s"m$t AS (SELECT cluster, pos - 1 AS dim, " +
         "round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(x), 6) AS mval " +
@@ -310,23 +320,69 @@ object SimilarityQueries {
       sb ++= s"cent$t AS MATERIALIZED (SELECT p.cluster, coalesce(n.v, p.v) AS v " +
         s"FROM cent${t - 1} p LEFT JOIN n$t n USING (cluster)), "
     }
-    sb ++= assignCte("cellsa", "vs", s"cent$IvfIters") + ", "
-    sb ++= s"cells AS (SELECT id, v, cluster, sqrt(${dot("v", "v")}) AS nrm FROM cellsa), "
-    sb ++= s"qs AS (SELECT id AS qid, v AS qv, sqrt(${dot("v", "v")}) AS qn " +
-      s"FROM vs WHERE id < $NumQueries), "
-    sb ++= "probes AS (SELECT qid, qv, qn, cluster FROM (" +
+    sb ++= assignCte("cellsa", "vs", s"cent$iters") + ", "
+    sb ++= s"cells AS (SELECT id, v, cluster, sqrt(${dot("v", "v")}) AS nrm FROM cellsa)"
+    sb.toString
+  }
+
+  val qAnnIvfSql: String =
+    kmeansCellsSql(IvfK, IvfIters) + ", " +
+      s"qs AS (SELECT id AS qid, v AS qv, sqrt(${sqlDot("v", "v")}) AS qn " +
+      s"FROM vs WHERE id < $NumQueries), " +
+      "probes AS (SELECT qid, qv, qn, cluster FROM (" +
       "SELECT q.qid, q.qv, q.qn, c.cluster, row_number() OVER (PARTITION BY q.qid " +
-      s"ORDER BY ${score("q.qv", "c.v")} ASC, c.cluster ASC) AS rn " +
-      s"FROM qs q, cent$IvfIters c) WHERE rn <= $IvfProbe), "
-    sb ++= s"cand AS (SELECT p.qid, l.id AS nid, " +
-      s"${dot("p.qv", "l.v")} / (p.qn * l.nrm) AS sim " +
-      "FROM probes p JOIN cells l USING (cluster) WHERE l.id <> p.qid) "
-    sb ++= "SELECT qid, nid, rnk, round(sim, 6) AS sim_r FROM (" +
+      s"ORDER BY ${sqlScore("q.qv", "c.v")} ASC, c.cluster ASC) AS rn " +
+      s"FROM qs q, cent$IvfIters c) WHERE rn <= $IvfProbe), " +
+      s"cand AS (SELECT p.qid, l.id AS nid, " +
+      s"${sqlDot("p.qv", "l.v")} / (p.qn * l.nrm) AS sim " +
+      "FROM probes p JOIN cells l USING (cluster) WHERE l.id <> p.qid) " +
+      "SELECT qid, nid, rnk, round(sim, 6) AS sim_r FROM (" +
       "SELECT qid, nid, sim, row_number() OVER (" +
       "PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rnk FROM cand) " +
       s"WHERE rnk <= $K"
-    sb.toString
+
+  // ── SemDeDup: embedding-cluster near-duplicate pruning ─────────────────
+  // Abbas et al., "SemDeDup" (2023): cluster the corpus embeddings with
+  // k-means, then drop, WITHIN each cluster only, every vector whose
+  // cosine to a lower-id cluster-mate exceeds τ — semantic dedup without
+  // an all-pairs stage. The pairwise step is bounded by cluster size (a
+  // 100 TB run raises k to keep cells bounded; the paper uses k≈11k for
+  // LAION), so the quadratic piece never sees the corpus. Training reuses
+  // the SAME deterministic KMeans.fit the IVF query proved, and the
+  // drop rule ("dominated by ANY earlier cluster-mate", not just kept
+  // ones) is order-independent — re-runs and the SQL replay agree
+  // exactly. τ is calibrated to the synthetic fixture's cosine range
+  // (max pair ≈ 0.51); a production text-embedding corpus runs ~0.9.
+  private val SemTau = 0.35
+
+  def qSemdedup(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d).select(col("vec_id").as("id"), col("v"))
+    val centroids = graft.operators.KMeans.fit(v, k = IvfK, iterations = IvfIters)
+    val a = graft.operators.KMeans.assign(v, centroids)
+      .withColumn("nrm", sqrt(DotProduct.dot(col("v"), col("v"))))
+    val right = a.select(col("cluster"), col("id").as("id2"),
+      col("v").as("v2"), col("nrm").as("nrm2"))
+    // the dominance join: same cluster, strictly earlier id, cosine > τ —
+    // shuffles on cluster only, pair volume bounded per cell
+    val dropped = a.join(right, Seq("cluster"))
+      .filter(col("id") < col("id2") && col("nrm") > 0 && col("nrm2") > 0)
+      .filter(DotProduct.dot(col("v"), col("v2")) / (col("nrm") * col("nrm2"))
+        > SemTau)
+      .select(col("id2").as("id")).distinct()
+    a.join(dropped.withColumn("is_dropped", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        when(col("is_dropped").isNull, 1L).otherwise(0L).as("kept"))
   }
+
+  val qSemdedupSql: String =
+    kmeansCellsSql(IvfK, IvfIters) + ", " +
+      "dom AS (SELECT DISTINCT b.id AS id FROM cells a JOIN cells b " +
+      "ON a.cluster = b.cluster AND a.id < b.id " +
+      "AND a.nrm > 0 AND b.nrm > 0 " +
+      s"AND ${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) > $SemTau) " +
+      "SELECT c.id, CAST(c.cluster AS BIGINT) AS cluster, " +
+      "CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept " +
+      "FROM cells c LEFT JOIN dom d USING (id)"
 
   // ── PQ-ADC ANN: product quantization + asymmetric distance ─────────────
   // The third standard ANN family (FAISS's IVF-PQ compression half): the
@@ -781,6 +837,7 @@ object SimilarityQueries {
     "q_mmr"           -> qMmr _,
     "q_quantize"    -> qQuantize _,
     "q_ann_ivf"     -> qAnnIvf _,
+    "q_semdedup"    -> qSemdedup _,
     "q_ann_pq"      -> qAnnPq _,
     "q_centroids"   -> qCentroids _,
     "q_knn_brute"   -> qKnnBrute _,
@@ -801,6 +858,7 @@ object SimilarityQueries {
     "q_cos_neardup" -> qCosNearDupSql,
     "q_ann_lsh"     -> qAnnLshSql,
     "q_ann_ivf"     -> qAnnIvfSql,
+    "q_semdedup"    -> qSemdedupSql,
     "q_ann_pq"      -> qAnnPqSql,
   )
 }

@@ -278,4 +278,40 @@ class SimilaritySpec extends AnyFunSuite {
       assert(r.getAs[Double]("std_r") === r6(math.sqrt(varNum / (n.toDouble * n)) / 1e6))
     }
   }
+
+  test("semdedup: drop rule equals a driver-side within-cluster sweep") {
+    val out = SimilarityQueries.qSemdedup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("cluster"),
+        r.getAs[Long]("kept")))
+    val corpus = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, e) => id -> e.map(_.toDouble).toArray }.toMap
+    assert(out.length === corpus.size) // one verdict per vector
+    assert(out.forall(r => r._3 == 0L || r._3 == 1L))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCluster = out.groupBy(_._2)
+    // dominance recomputed independently: dropped ⇔ some earlier
+    // cluster-mate is within τ (the engine's exact rule, re-derived)
+    byCluster.values.foreach { members =>
+      val ids = members.map(_._1).sorted
+      members.foreach { case (id, _, kept) =>
+        val dominated = ids.exists(o =>
+          o < id && cos(corpus(o), corpus(id)) > 0.35)
+        assert(kept === (if (dominated) 0L else 1L),
+          s"vector $id kept=$kept but dominated=$dominated")
+      }
+    }
+    // the lowest id of every cluster can never be dominated
+    byCluster.values.foreach { members =>
+      val minId = members.map(_._1).min
+      assert(members.find(_._1 == minId).get._3 === 1L)
+    }
+    // and the fixture actually exercises both branches
+    assert(out.exists(_._3 == 0L) && out.count(_._3 == 1L) > out.length / 2)
+  }
 }
