@@ -961,6 +961,86 @@ object Relational {
       "JOIN customer ON o_custkey = c_custkey " +
       "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100"
 
+  // ── TPC-H Q3: shipping-priority top-10 ─────────────────────────────────
+  // (TPC-H §2.4.3, adapted: o_orderpriority stands in for the schema's
+  // o_shippriority.) Segment-filtered customers broadcast into orders;
+  // both date filters push to the scans; revenue in integer cents; the
+  // top-10 is a TakeOrdered with a full deterministic tie-break
+  // (revenue DESC, orderdate ASC, orderkey ASC) so LIMIT selection
+  // cannot flap between engines or runs.
+  private val Q3Cutoff = "1998-06-01"
+
+  def qTpchQ3(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit(Q3Cutoff).cast("date"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit(Q3Cutoff).cast("date"))
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("price_c"),
+        (col("l_discount").cast(DecimalType(4, 2)) * 100).cast("long").as("disc_p"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum((col("price_c") * (lit(100L) - col("disc_p")))
+        .cast(DecimalType(38, 0))).as("rev"))
+      .select(col("l_orderkey"),
+        round(col("rev").cast("double") / 1e4, 6).as("revenue_r"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue_r").desc, col("o_orderdate").asc,
+        col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  val qTpchQ3Sql: String =
+    "WITH li AS (SELECT l_orderkey, " +
+      "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c, " +
+      "CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS disc_p " +
+      s"FROM lineitem WHERE CAST(l_shipdate AS DATE) > DATE '$Q3Cutoff'), " +
+      "o AS (SELECT o_orderkey, o_custkey, o_orderdate, o_orderpriority " +
+      s"FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '$Q3Cutoff'), " +
+      "c AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') " +
+      "SELECT l_orderkey, " +
+      "round(CAST(sum(CAST(price_c * (100 - disc_p) AS DECIMAL(38,0))) AS DOUBLE) / 1e4, 6) " +
+      "AS revenue_r, o_orderdate, o_orderpriority " +
+      "FROM li JOIN o ON l_orderkey = o_orderkey " +
+      "JOIN c ON o_custkey = c_custkey " +
+      "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
+      "ORDER BY revenue_r DESC, o_orderdate ASC, l_orderkey ASC LIMIT 10"
+
+  // ── TPC-H Q6: forecast revenue change ──────────────────────────────────
+  // The pure-scan query: every predicate (ship year, discount band,
+  // quantity cap) pushes to the parquet scan, the plan is one
+  // partial-aggregated scalar — at 100 TB this is the query whose entire
+  // cost is I/O, which is exactly what the pushdown discipline buys.
+  // Discounts compare as integer percent points (5..7), never as floats.
+  def qTpchQ6(s: SparkSession, d: String): DataFrame = {
+    val discP = (col("l_discount").cast(DecimalType(4, 2)) * 100).cast("long")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("date") &&
+        col("l_shipdate") < lit("1998-01-01").cast("date") &&
+        col("l_quantity") < 24)
+      .select((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("price_c"), discP.as("disc_p"))
+      .filter(col("disc_p") >= 5L && col("disc_p") <= 7L)
+      .agg(sum((col("price_c") * col("disc_p")).cast(DecimalType(38, 0)))
+        .as("rev"), count(lit(1)).as("n_items"))
+      .select(round(col("rev").cast("double") / 1e4, 6).as("revenue_r"),
+        col("n_items"))
+  }
+
+  val qTpchQ6Sql: String =
+    "SELECT round(CAST(sum(CAST(price_c * disc_p AS DECIMAL(38,0))) AS DOUBLE) / 1e4, 6) " +
+      "AS revenue_r, CAST(count(*) AS BIGINT) AS n_items FROM (" +
+      "SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c, " +
+      "CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS disc_p " +
+      "FROM lineitem WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01' " +
+      "AND CAST(l_shipdate AS DATE) < DATE '1998-01-01' AND l_quantity < 24) " +
+      "WHERE disc_p BETWEEN 5 AND 7"
+
   // ── Key-skew diagnostic (pre-join health check) ────────────────────────
   // The operational report run before any big join: per-key frequencies,
   // the heaviest keys' share of the table, and a global skew ratio
@@ -1666,7 +1746,9 @@ object Relational {
     "q_autocorr"        -> qAutocorr _,
     "q_forecast_eval"   -> qForecastEval _,
     "q_tpch_q1"         -> qTpchQ1 _,
+    "q_tpch_q3"         -> qTpchQ3 _,
     "q_tpch_q5"         -> qTpchQ5 _,
+    "q_tpch_q6"         -> qTpchQ6 _,
     "q_tpch_q18"        -> qTpchQ18 _,
     "q_winsorize"       -> qWinsorize _,
     "q_key_skew"        -> qKeySkew _,
@@ -1728,7 +1810,9 @@ object Relational {
     "q_autocorr"        -> qAutocorrSql,
     "q_forecast_eval"   -> qForecastEvalSql,
     "q_tpch_q1"         -> qTpchQ1Sql,
+    "q_tpch_q3"         -> qTpchQ3Sql,
     "q_tpch_q5"         -> qTpchQ5Sql,
+    "q_tpch_q6"         -> qTpchQ6Sql,
     "q_tpch_q18"        -> qTpchQ18Sql,
     "q_winsorize"       -> qWinsorizeSql,
     "q_key_skew"        -> qKeySkewSql,
