@@ -294,6 +294,29 @@ object StreamQueries {
       "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
       "AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTE"
 
+  /** Streaming LEFT SEMI interval join backfill: each converted click
+    * exactly once, left columns only — the streaming `WHERE EXISTS`.
+    * Matched emission needs no watermark gating (a semi row emits when
+    * its first matching purchase arrives), so the horizon-sized
+    * watermark only keeps cross-batch state alive, as in the inner
+    * join. */
+  def qStreamSemiJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val joined = EventStreams.clickToPurchaseSemi(
+      eventStream(s, d).filter(col("event_type") === "click"),
+      eventStream(s, d).filter(col("event_type") === "purchase"),
+      withinMinutes = 60, watermark = "40 days")
+    runToMemory(s, joined, OutputMode.Append())
+      .select(col("click_id"), col("c_user").as("user_id"))
+  }
+
+  val qStreamSemiJoinSql: String =
+    "SELECT c.event_id AS click_id, c.user_id AS user_id " +
+      "FROM events c WHERE c.event_type = 'click' AND EXISTS (" +
+      "SELECT 1 FROM events p WHERE p.event_type = 'purchase' " +
+      "AND p.user_id = c.user_id " +
+      "AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTE)"
+
   /** Streaming exact dedup (dropDuplicatesWithinWatermark) run as a
     * backfill: one row per distinct (user, event_type) key. Only the KEY
     * columns are emitted — which concrete row wins the first-seen race
@@ -424,6 +447,7 @@ object StreamQueries {
     "q_stream_sessions" -> qStreamSessions _,
     "q_stream_running"  -> qStreamRunning _,
     "q_stream_join"     -> qStreamJoin _,
+    "q_stream_semi_join" -> qStreamSemiJoin _,
     "q_stream_left_join" -> qStreamLeftJoin _,
     "q_stream_full_join" -> qStreamFullJoin _,
     "q_stream_right_join" -> qStreamRightJoin _,
@@ -441,6 +465,7 @@ object StreamQueries {
     "q_stream_sessions" -> EventQueries.qSessionWindowSql,
     "q_stream_running"  -> qStreamRunningSql,
     "q_stream_join"     -> qStreamJoinSql,
+    "q_stream_semi_join" -> qStreamSemiJoinSql,
     "q_stream_left_join" -> qStreamLeftJoinSql,
     "q_stream_full_join" -> qStreamFullJoinSql,
     "q_stream_right_join" -> qStreamRightJoinSql,

@@ -180,7 +180,14 @@ object EventStreams {
     * expire buffered state — the unbounded-state trap of naive
     * stream-stream joins is structurally avoided. */
   def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
-      withinMinutes: Int = 60, watermark: String = "2 hours"): DataFrame = {
+      withinMinutes: Int = 60, watermark: String = "2 hours"): DataFrame =
+    clickPurchaseJoin(clicks, purchases, withinMinutes, watermark, "inner")
+
+  /** The single interval-join core all five verbs share: same watermarks,
+    * same key + time-bound condition, only the join type varies — so the
+    * verb set cannot drift apart condition-by-condition. */
+  private def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      withinMinutes: Int, watermark: String, joinType: String): DataFrame = {
     val c = clicks.withWatermark("ts", watermark)
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
@@ -190,7 +197,8 @@ object EventStreams {
     c.join(p,
       col("c_user") === col("p_user") &&
         col("click_ts") <= col("purchase_ts") &&
-        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $withinMinutes MINUTES"))
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $withinMinutes MINUTES"),
+      joinType)
   }
 
   /** LEFT OUTER stream-stream join: same interval condition as
@@ -203,19 +211,8 @@ object EventStreams {
     * outer-join state is bounded by the watermark delay + window, not
     * the stream length. */
   def clickToPurchaseLeft(clicks: DataFrame, purchases: DataFrame,
-      withinMinutes: Int = 60, watermark: String = "2 hours"): DataFrame = {
-    val c = clicks.withWatermark("ts", watermark)
-      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
-        col("event_id").as("click_id"))
-    val p = purchases.withWatermark("ts", watermark)
-      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
-        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
-    c.join(p,
-      col("c_user") === col("p_user") &&
-        col("click_ts") <= col("purchase_ts") &&
-        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $withinMinutes MINUTES"),
-      "left_outer")
-  }
+      withinMinutes: Int = 60, watermark: String = "2 hours"): DataFrame =
+    clickPurchaseJoin(clicks, purchases, withinMinutes, watermark, "left_outer")
 
   /** FULL OUTER stream-stream join: completes the interval-join verb set
     * ([[clickToPurchase]] inner, [[clickToPurchaseLeft]] left). Both null
@@ -227,19 +224,8 @@ object EventStreams {
     * bound). State drops at the same moments, so full-outer state is
     * bounded by watermark delay + window on both sides. */
   def clickToPurchaseFull(clicks: DataFrame, purchases: DataFrame,
-      withinMinutes: Int = 60, watermark: String = "2 hours"): DataFrame = {
-    val c = clicks.withWatermark("ts", watermark)
-      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
-        col("event_id").as("click_id"))
-    val p = purchases.withWatermark("ts", watermark)
-      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
-        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
-    c.join(p,
-      col("c_user") === col("p_user") &&
-        col("click_ts") <= col("purchase_ts") &&
-        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $withinMinutes MINUTES"),
-      "full_outer")
-  }
+      withinMinutes: Int = 60, watermark: String = "2 hours"): DataFrame =
+    clickPurchaseJoin(clicks, purchases, withinMinutes, watermark, "full_outer")
 
   /** RIGHT OUTER stream-stream join — the last interval-join verb
     * (inner / left / full are above). Every purchase emits: matched
@@ -248,19 +234,18 @@ object EventStreams {
     * interval condition admits — any later click is out of window).
     * State bounds mirror the left join's, sides swapped. */
   def clickToPurchaseRight(clicks: DataFrame, purchases: DataFrame,
-      withinMinutes: Int = 60, watermark: String = "2 hours"): DataFrame = {
-    val c = clicks.withWatermark("ts", watermark)
-      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
-        col("event_id").as("click_id"))
-    val p = purchases.withWatermark("ts", watermark)
-      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
-        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
-    c.join(p,
-      col("c_user") === col("p_user") &&
-        col("click_ts") <= col("purchase_ts") &&
-        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $withinMinutes MINUTES"),
-      "right_outer")
-  }
+      withinMinutes: Int = 60, watermark: String = "2 hours"): DataFrame =
+    clickPurchaseJoin(clicks, purchases, withinMinutes, watermark, "right_outer")
+
+  /** LEFT SEMI stream-stream join — the existence-check verb: a click
+    * emits (left columns only, exactly once) as soon as SOME purchase in
+    * its window has arrived; unmatched clicks never emit and their state
+    * drops once the watermark passes the window end. The streaming form
+    * of `WHERE EXISTS` — conversion-flagging without duplicating a click
+    * per matching purchase the way the inner join does. */
+  def clickToPurchaseSemi(clicks: DataFrame, purchases: DataFrame,
+      withinMinutes: Int = 60, watermark: String = "2 hours"): DataFrame =
+    clickPurchaseJoin(clicks, purchases, withinMinutes, watermark, "left_semi")
 
   /** Start writing a streaming frame to parquet with checkpointing — the
     * durable-sink shape (exactly-once via checkpoint + file sink log).

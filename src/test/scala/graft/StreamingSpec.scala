@@ -386,4 +386,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(sw.agg(sum($"n_events")).head().getLong(0) ===
       Tables.events(spark, sf).count())
   }
+
+  test("left-semi stream join emits each converted click exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = EventStreams.clickToPurchaseSemi(
+      clicks.toDF(), purchases.toDF(), withinMinutes = 60)
+    val q = joined.writeStream.format("memory").queryName("ss_semi")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        Event(0L, t(0), 1L, "click", 0.0, "{}"),
+        Event(1L, t(30), 1L, "click", 0.0, "{}"),
+        Event(2L, t(0), 2L, "click", 0.0, "{}"))
+      purchases.addData(
+        Event(10L, t(45), 1L, "purchase", 9.0, "{}"),  // converts clicks 0,1
+        Event(11L, t(50), 1L, "purchase", 3.0, "{}"),  // same clicks — no dups
+        Event(12L, t(200), 2L, "purchase", 5.0, "{}")) // click 2 too old
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ss_semi").select($"click_id").as[Long].collect()
+    // one row per converted click despite TWO matching purchases each,
+    // and only the left side's columns exist at all
+    assert(rows.sorted.toSeq === Seq(0L, 1L))
+    assert(!spark.table("ss_semi").columns.contains("purchase_id"))
+
+    // registered backfill equals the batch EXISTS on the same data
+    val streamed = graft.queries.StreamQueries.qStreamSemiJoin(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    val c = Tables.events(spark, sf).filter($"event_type" === "click")
+    val p = Tables.events(spark, sf).filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"))
+    val batch = c.join(p, $"user_id" === $"p_user" &&
+        $"ts" <= $"p_ts" && $"ts" >= $"p_ts" - expr("INTERVAL 60 MINUTES"),
+        "left_semi")
+      .select($"event_id", $"user_id").as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
