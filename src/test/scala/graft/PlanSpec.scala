@@ -311,6 +311,45 @@ class PlanSpec extends AnyFunSuite {
       s"sample rank not partial-group-limited before the exchange:\n$p")
   }
 
+  test("TPC-H Q3: both date filters pushed, customers broadcast, top-10 TakeOrdered") {
+    val p = plan("q_tpch_q3")
+    assert(p.contains("GreaterThan(l_shipdate"), s"shipdate filter not pushed:\n$p")
+    assert(p.contains("LessThan(o_orderdate"), s"orderdate filter not pushed:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"segment-filtered customers must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must avoid a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked:\n$p")
+  }
+
+  test("TPC-H Q6: every predicate reaches the scan; one partial-agg scalar") {
+    // formatted mode: the compact plan toString elides long PushedFilters
+    val p = formatted("q_tpch_q6")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("LessThan(l_shipdate") && p.contains("LessThan(l_quantity,24"),
+      s"scan predicates not pushed:\n$p")
+    assert(p.contains("partial_sum"), s"revenue lost map-side combine:\n$p")
+    // the scan must read only the four columns the query touches
+    assert(!p.contains("l_partkey") && !p.contains("l_returnflag"),
+      s"column pruning lost:\n$p")
+  }
+
+  test("dup-spans: no pairwise stage — joins keyed on span text and doc id only") {
+    val p = plan("q_dup_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"dup-span counting must never pair documents:\n$p")
+  }
+
+  test("semdedup: centroid argmin is literal (no exchange before the cluster join)") {
+    val p = formatted("q_semdedup")
+    // KMeans.assign embeds the k centroids as literal score columns: the
+    // assignment itself must add NO Exchange — the only shuffles are the
+    // cluster-keyed dominance join and the verdict join-back
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked:\n$p")
+    assert(p.contains("graft_dot") || p.contains("least"),
+      s"literal-centroid argmin missing from the plan:\n$p")
+  }
+
   test("TPC-H Q18: partial-agg HAVING drives the join; top-100 is TakeOrdered") {
     val p = plan("q_tpch_q18")
     assert(p.contains("partial_sum"), s"quantity rollup lost map-side combine:\n$p")
