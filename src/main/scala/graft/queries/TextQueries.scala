@@ -664,6 +664,44 @@ object TextQueries {
       "round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, word ROWS UNBOUNDED PRECEDING) AS DOUBLE) / tot, 6) AS cum_share " +
       "FROM top, tot WINDOW o AS (ORDER BY cnt DESC, word)"
 
+  // ── BPE first-merge statistics (tokenizer training round) ──────────────
+  // The counting kernel of byte-pair-encoding training (Sennrich et al.
+  // 2016): weight every adjacent character pair inside each distinct
+  // word by the word's corpus frequency and rank the pairs — the top
+  // entry is the first merge a BPE tokenizer trained on this corpus
+  // would learn. Distributed exactly as a tokenizer trainer must be at
+  // 100 TB: one shuffle to the frequency-weighted vocabulary (its size,
+  // not the corpus's), pairs explode from the VOCABULARY, one shuffle on
+  // pair text, and a TakeOrdered top-20 — the corpus itself is read
+  // once, and no stage is corpus-sized after the first aggregate.
+  private val BpeTopPairs = 20
+
+  def qBpeMerges(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wf = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val pairs = wf.filter(length(col("w")) >= 2)
+      .select(col("f"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("p"))
+      .groupBy(col("p")).agg(sum(col("f")).as("n"))
+    val byCount = Window.orderBy(col("n").desc, col("p").asc)
+    pairs.orderBy(col("n").desc, col("p").asc).limit(BpeTopPairs)
+      .withColumn("rnk", row_number().over(byCount).cast("long"))
+      .select(col("rnk"), col("p"), col("n"))
+  }
+
+  val qBpeMergesSql: String =
+    s"WITH words AS (SELECT unnest($sqlTokens) AS w FROM documents), " +
+      "wf AS (SELECT w, count(*) AS f FROM words GROUP BY 1), " +
+      "pr AS (SELECT substr(w, CAST(i AS INT), 2) AS p, f FROM (" +
+      "SELECT w, f, unnest(generate_series(1, length(w) - 1)) AS i " +
+      "FROM wf WHERE length(w) >= 2)), " +
+      "pc AS (SELECT p, CAST(sum(f) AS BIGINT) AS n FROM pr GROUP BY 1) " +
+      "SELECT row_number() OVER (ORDER BY n DESC, p) AS rnk, p, n " +
+      s"FROM pc ORDER BY n DESC, p LIMIT $BpeTopPairs"
+
   // ── Zipf's-law fit over word frequencies ───────────────────────────────
   // Does the vocabulary follow the power law every natural corpus does?
   // OLS slope of ln(count) on ln(rank) over the top-200 words — the
@@ -851,6 +889,7 @@ object TextQueries {
     "q_mixture"       -> qMixture _,
     "q_sample_group"  -> qSampleGroup _,
     "q_token_bpe"     -> qTokenBpe _,
+    "q_bpe_merges"    -> qBpeMerges _,
     "q_token_count"   -> qTokenCount _,
     "q_quality_score" -> qQualityScore _,
     "q_lang_id"       -> qLangId _,
@@ -876,6 +915,7 @@ object TextQueries {
     "q_mixture"       -> qMixtureSql,
     "q_sample_group"  -> qSampleGroupSql,
     "q_token_bpe"     -> qTokenBpeSql,
+    "q_bpe_merges"    -> qBpeMergesSql,
     "q_token_count"   -> qTokenCountSql,
     "q_quality_score" -> qQualityScoreSql,
     "q_lang_id"       -> qLangIdSql,

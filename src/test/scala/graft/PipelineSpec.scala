@@ -64,4 +64,23 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getAs[Double]("quality") >= 0.5)
     }
   }
+
+  test("bpe merge ranking equals a driver-side pair count of the corpus") {
+    val rows = graft.queries.TextQueries.qBpeMerges(spark, sf).collect()
+      .map(r => (r.getAs[Long]("rnk"), r.getAs[String]("p"), r.getAs[Long]("n")))
+    assert(rows.length === 20 && rows.map(_._1).toSeq === (1L to 20L))
+    // recount from scratch: every adjacent char pair of every token
+    // occurrence in the raw text
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    Tables.documents(spark, sf).select("text").collect().foreach { r =>
+      graft.functions.TextFunctions.tokenize(r.getString(0)).foreach { w =>
+        (0 until w.length - 1).foreach { i =>
+          val p = w.substring(i, i + 2)
+          counts(p) = counts.getOrElse(p, 0L) + 1L
+        }
+      }
+    }
+    val want = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(rows.map(r => (r._2, r._3)).toSeq === want)
+  }
 }
