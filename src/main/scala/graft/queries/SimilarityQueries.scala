@@ -356,6 +356,15 @@ object SimilarityQueries {
   private val SemTau = 0.35
 
   def qSemdedup(s: SparkSession, d: String): DataFrame = {
+    // Same guard discipline as the exact all-pairs oracle: at the fixed
+    // demo k, cell size grows with the corpus and the within-cell join
+    // would go quadratic — a real corpus must raise k (paper: k ≈ n/10k)
+    // so cells stay bounded; the refusal names the dial.
+    val probe = guardCache.getOrElseUpdate((System.identityHashCode(s), d),
+      Tables.embeddings(s, d).limit(MaxExactRows.toInt + 1).count())
+    require(probe <= MaxExactRows,
+      s"q_semdedup runs the demo k=$IvfK (corpus > $MaxExactRows rows): raise k " +
+        "so cells stay bounded before pointing a real corpus at it")
     val v = vecs(s, d).select(col("vec_id").as("id"), col("v"))
     val centroids = graft.operators.KMeans.fit(v, k = IvfK, iterations = IvfIters)
     val a = graft.operators.KMeans.assign(v, centroids)
