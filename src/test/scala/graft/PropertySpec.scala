@@ -1090,4 +1090,39 @@ class PropertySpec extends AnyFunSuite {
       .agg(graft.queries.Relational.dsum($"o_totalprice")).as[Double].collect().head
     assert(row.getAs[Double]("sum_price") === wantPrice)
   }
+
+  test("dup-span fractions equal a driver-side recount on random corpora (8 trials)") {
+    val r = new Random(1234)
+    val vocab = Array("aa", "bb", "cc", "dd", "ee")
+    for (_ <- 1 to 8) {
+      val nDocs = 4 + r.nextInt(8)
+      val docs = (0L until nDocs.toLong).map { id =>
+        val len = r.nextInt(14) // includes < SpanW-token docs
+        (id, Array.fill(len)(vocab(r.nextInt(vocab.length))).mkString(" "))
+      }
+      val got = graft.queries.DedupQueries.dupSpans(docs.toDF("doc_id", "text"))
+        .collect()
+        .map(x => x.getAs[Long]("doc_id") ->
+          (x.getAs[Long]("n_spans"), x.getAs[Long]("dup_spans"),
+            Option(x.getAs[java.lang.Double]("dup_frac")))).toMap
+      // naive recount: every 5-token span of every doc, global multiset
+      val spansOf = docs.map { case (id, t) =>
+        val w = graft.functions.TextFunctions.tokenize(t)
+        id -> (0 to w.length - 5).map(i => w.slice(i, i + 5).mkString(" "))
+      }.toMap
+      val global = spansOf.values.flatten
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      assert(got.size === nDocs)
+      docs.foreach { case (id, _) =>
+        val sp = spansOf(id)
+        val dup = sp.count(global(_) > 1).toLong
+        assert(got(id)._1 === sp.length.toLong)
+        assert(got(id)._2 === dup)
+        val wantFrac = if (sp.isEmpty) None
+          else Some(BigDecimal(dup.toDouble / sp.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        assert(got(id)._3 === wantFrac)
+      }
+    }
+  }
 }
