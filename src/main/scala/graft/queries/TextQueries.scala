@@ -664,6 +664,47 @@ object TextQueries {
       "round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, word ROWS UNBOUNDED PRECEDING) AS DOUBLE) / tot, 6) AS cum_share " +
       "FROM top, tot WINDOW o AS (ORDER BY cnt DESC, word)"
 
+  // ── Per-source boilerplate detection ───────────────────────────────────
+  // The domain-level companion of the per-document q_dup_spans signal: for
+  // every source, the most-repeated 5-token span and its share of the
+  // source's span positions — the report a curation run reads to decide
+  // which domains need template stripping before dedup (headers, footers,
+  // cookie banners dominate exactly this statistic on real crawls). Two
+  // shuffles — (source, span) counts, then an argmax-struct rollup per
+  // source (partial-aggregating max, NO window) — so no stage is wider
+  // than the span-count table and nothing funnels through one task.
+  private val BoilerW = 5
+
+  def qBoilerplate(s: SparkSession, d: String): DataFrame = {
+    val spans = Tables.documents(s, d)
+      .select(col("source"), explode(shingles(col("text"), BoilerW)).as("sh"))
+    val counts = spans.groupBy(col("source"), col("sh"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("source"))
+      .agg(max(struct(col("cnt"), col("sh"))).as("top"),
+        sum(col("cnt")).as("n_spans"))
+      .select(col("source"), col("top.sh").as("top_span"),
+        col("top.cnt").as("n_top"), col("n_spans"),
+        round(col("top.cnt").cast("double") / col("n_spans"), 6).as("top_share"))
+  }
+
+  val qBoilerplateSql: String = {
+    val cat = (0 until BoilerW)
+      .map(j => if (j == 0) "t[i]" else s"t[i+$j]").mkString(" || ' ' || ")
+    s"WITH toks AS (SELECT source, $sqlTokens AS t FROM documents), " +
+      "sp AS (SELECT source, unnest(list_transform(" +
+      s"generate_series(1, greatest(len(t) - ${BoilerW - 1}, 0)), " +
+      s"i -> $cat)) AS sh FROM toks), " +
+      "c AS (SELECT source, sh, count(*) AS cnt FROM sp GROUP BY 1, 2), " +
+      "r AS (SELECT source, sh, cnt, " +
+      // (cnt DESC, sh DESC): the same total order max(struct(cnt, sh))
+      // induces on the engine side — ties on count go to the larger span
+      "row_number() OVER (PARTITION BY source ORDER BY cnt DESC, sh DESC) AS rn, " +
+      "CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_spans FROM c) " +
+      "SELECT source, sh AS top_span, cnt AS n_top, n_spans, " +
+      "round(CAST(cnt AS DOUBLE) / n_spans, 6) AS top_share FROM r WHERE rn = 1"
+  }
+
   // ── BPE first-merge statistics (tokenizer training round) ──────────────
   // The counting kernel of byte-pair-encoding training (Sennrich et al.
   // 2016): weight every adjacent character pair inside each distinct
@@ -890,6 +931,7 @@ object TextQueries {
     "q_sample_group"  -> qSampleGroup _,
     "q_token_bpe"     -> qTokenBpe _,
     "q_bpe_merges"    -> qBpeMerges _,
+    "q_boilerplate"   -> qBoilerplate _,
     "q_token_count"   -> qTokenCount _,
     "q_quality_score" -> qQualityScore _,
     "q_lang_id"       -> qLangId _,
@@ -916,6 +958,7 @@ object TextQueries {
     "q_sample_group"  -> qSampleGroupSql,
     "q_token_bpe"     -> qTokenBpeSql,
     "q_bpe_merges"    -> qBpeMergesSql,
+    "q_boilerplate"   -> qBoilerplateSql,
     "q_token_count"   -> qTokenCountSql,
     "q_quality_score" -> qQualityScoreSql,
     "q_lang_id"       -> qLangIdSql,

@@ -83,4 +83,29 @@ class PipelineSpec extends AnyFunSuite {
     val want = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
     assert(rows.map(r => (r._2, r._3)).toSeq === want)
   }
+
+  test("boilerplate report equals a driver-side per-source span census") {
+    val rows = graft.queries.TextQueries.qBoilerplate(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[String]("top_span"), r.getAs[Long]("n_top"),
+          r.getAs[Long]("n_spans"))).toMap
+    // recount: every 5-token span per source, argmax by (count, span)
+    val census = scala.collection.mutable
+      .Map.empty[String, scala.collection.mutable.Map[String, Long]]
+    Tables.documents(spark, sf).select("source", "text").collect().foreach { r =>
+      val m = census.getOrElseUpdate(r.getString(0),
+        scala.collection.mutable.Map.empty)
+      val w = graft.functions.TextFunctions.tokenize(r.getString(1))
+      (0 to w.length - 5).foreach { i =>
+        val p = w.slice(i, i + 5).mkString(" ")
+        m(p) = m.getOrElse(p, 0L) + 1L
+      }
+    }
+    val want = census.collect { case (src, m) if m.nonEmpty =>
+      val (span, n) = m.maxBy { case (p, c) => (c, p) }
+      src -> (span, n, m.values.sum)
+    }.toMap
+    assert(rows === want)
+    assert(rows.nonEmpty)
+  }
 }
