@@ -334,6 +334,14 @@ class PlanSpec extends AnyFunSuite {
       s"column pruning lost:\n$p")
   }
 
+  test("boilerplate: per-source argmax partial-aggregates, no window anywhere") {
+    val p = plan("q_boilerplate")
+    assert(p.contains("partial_max") || p.contains("partial_finalmerge_max") ||
+      "partial_.*max".r.findAllIn(p).nonEmpty,
+      s"argmax-struct lost map-side combine:\n$p")
+    assert(!p.contains("Window"), s"the argmax must not plan as a window:\n$p")
+  }
+
   test("dup-spans: no pairwise stage — joins keyed on span text and doc id only") {
     val p = plan("q_dup_spans")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
