@@ -27,7 +27,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * split): same token rule as TextFunctions.tokens, space-joined n-grams,
   * first-occurrence-distinct.
   */
-case class ShinglesExpression(child: Expression, n: Int) extends UnaryExpression {
+case class ShinglesExpression(child: Expression, n: Int,
+    distinct: Boolean = true) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -37,11 +38,11 @@ case class ShinglesExpression(child: Expression, n: Int) extends UnaryExpression
       s"graft_shingles requires STRING input and n >= 1, got ${child.dataType}, n=$n")
 
   override def nullSafeEval(input: Any): Any =
-    ShinglesExpression.compute(input.asInstanceOf[UTF8String].toString, n)
+    ShinglesExpression.compute(input.asInstanceOf[UTF8String].toString, n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.ShinglesExpression.compute($c.toString(), $n)")
+      s"graft.functions.ShinglesExpression.compute($c.toString(), $n, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): ShinglesExpression =
     copy(child = newChild)
@@ -49,11 +50,15 @@ case class ShinglesExpression(child: Expression, n: Int) extends UnaryExpression
 
 object ShinglesExpression {
   /** Called from generated code — static-reachable, single pass; token
-    * rule is the shared TextFunctions.tokenize (Locale.ROOT). */
-  def compute(text: String, n: Int): ArrayData = {
+    * rule is the shared TextFunctions.tokenize (Locale.ROOT). `distinct`
+    * false keeps every position (with multiplicity, in order) — the form
+    * the span-census queries (dup-spans, boilerplate) aggregate. */
+  def compute(text: String, n: Int, distinct: Boolean): ArrayData = {
     val toks = TextFunctions.tokenize(text)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
-    val seen = mutable.LinkedHashSet.empty[String]
+    val out: mutable.Growable[String] with Iterable[String] =
+      if (distinct) mutable.LinkedHashSet.empty[String]
+      else new mutable.ArrayBuffer[String](toks.length - n + 1)
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i <= toks.length - n) {
@@ -64,29 +69,40 @@ object ShinglesExpression {
         sb.append(toks(i + j))
         j += 1
       }
-      seen += sb.toString
+      out += sb.toString
       i += 1
     }
-    new GenericArrayData(seen.iterator.map(s =>
+    new GenericArrayData(out.iterator.map(s =>
       UTF8String.fromString(s): Any).toArray)
   }
 }
 
 object Shingles {
+  private def literalN(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+      v.toString.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn n must be a literal, got $other")
+  }
+
   /** Register in the session function registry (idempotent). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_shingles", exprs => {
-        val n = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
-            v.toString.toInt
-          case other => throw new IllegalArgumentException(
-            s"graft_shingles n must be a literal, got $other")
-        }
-        ShinglesExpression(exprs.head, n)
-      }, "built-in")
+      "graft_shingles", exprs =>
+        ShinglesExpression(exprs.head, literalN(exprs(1), "graft_shingles")),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles_all", exprs =>
+        ShinglesExpression(exprs.head,
+          literalN(exprs(1), "graft_shingles_all"), distinct = false),
+      "built-in")
+  }
 
   /** Column builder; requires `register(spark)` once per session. */
   def shingles(text: Column, n: Int): Column =
     call_function("graft_shingles", text, org.apache.spark.sql.functions.lit(n))
+
+  /** All positional shingles (with multiplicity) — the span-census form. */
+  def shinglesAll(text: Column, n: Int): Column =
+    call_function("graft_shingles_all", text, org.apache.spark.sql.functions.lit(n))
 }

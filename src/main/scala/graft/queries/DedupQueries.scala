@@ -607,8 +607,11 @@ object DedupQueries {
 
   /** The same plan over any (doc_id, text) frame — spec entry point. */
   def dupSpans(docs: DataFrame): DataFrame = {
+    // codegen positional shingles: the column-algebra spelling re-runs
+    // the tokenizer per span position (O(len²)/doc, interpreted HOFs)
+    Shingles.register(docs.sparkSession)
     val spans = docs.select(col("doc_id"),
-      explode(graft.functions.TextFunctions.shingles(col("text"), SpanW)).as("sh"))
+      explode(Shingles.shinglesAll(col("text"), SpanW)).as("sh"))
     val global = spans.groupBy(col("sh")).agg(count(lit(1)).as("g"))
     val perDoc = spans.join(global, "sh")
       .groupBy(col("doc_id"))

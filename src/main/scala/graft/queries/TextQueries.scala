@@ -676,8 +676,12 @@ object TextQueries {
   private val BoilerW = 5
 
   def qBoilerplate(s: SparkSession, d: String): DataFrame = {
+    // codegen positional shingles — the column-algebra spelling costs
+    // O(len²) interpreted work per doc (measured 17× on this query)
+    graft.functions.Shingles.register(s)
     val spans = Tables.documents(s, d)
-      .select(col("source"), explode(shingles(col("text"), BoilerW)).as("sh"))
+      .select(col("source"),
+        explode(graft.functions.Shingles.shinglesAll(col("text"), BoilerW)).as("sh"))
     val counts = spans.groupBy(col("source"), col("sh"))
       .agg(count(lit(1)).as("cnt"))
     counts.groupBy(col("source"))

@@ -108,6 +108,14 @@ class DedupSpec extends AnyFunSuite {
     val short = Seq((1L, "only two")).toDF("doc_id", "text")
       .select(graft.functions.Shingles.shingles($"text", 3)).head()
     assert(short.getSeq[String](0).isEmpty)
+    // the positional (non-distinct) form keeps every occurrence in order
+    val all = docs.select(
+      graft.functions.Shingles.shinglesAll($"text", 3).as("fast"),
+      graft.functions.TextFunctions.shingles($"text", 3).as("slow"))
+      .collect()
+    all.foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1))
+    }
   }
 
   test("winnowing: shared passage guarantees shared fingerprints") {
