@@ -413,7 +413,10 @@ object GraphQueries {
     // One frontier expansion as a pure plan transform — TWO of these ride
     // each checkpoint job (lazy composition), halving the per-round job
     // overhead that dominates at toy scale without touching the 100 TB
-    // design cost (the shuffled rounds themselves).
+    // design cost (the shuffled rounds themselves). TWO is the measured
+    // optimum: a 4-step batch ran ~1.5-1.9× SLOWER here and in SSSP
+    // (sf0.1 bench) — the 8-join-deep plan costs more in optimizer and
+    // post-convergence redundant rounds than it saves in submissions.
     def expand(d: DataFrame): DataFrame = {
       val frontierMin = sym
         .join(d.filter(col("dist").isNotNull)
