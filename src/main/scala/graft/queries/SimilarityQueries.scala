@@ -393,6 +393,61 @@ object SimilarityQueries {
       "CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept " +
       "FROM cells c LEFT JOIN dom d USING (id)"
 
+  // ── SemDeDup with the paper's keep policy ──────────────────────────────
+  // The variant above keeps the lowest id per near-dup group; the paper
+  // (Abbas et al. 2023 §3) keeps the example FARTHEST from its cluster
+  // centroid — the most atypical representative, so pruning sheds the
+  // redundant center mass of each semantic clump. Keep-priority is the
+  // total order (centroid distance DESC, id ASC); x drops iff some
+  // cosine-τ cluster-mate outranks it. Dominance by ANY mate (kept or
+  // not) keeps the rule order-independent AND leaves survivors pairwise
+  // below τ: of two similar rows one always outranks the other. The
+  // distance rides a 16-row broadcast join; every fold order matches the
+  // SQL replay exactly, so the cross-row score comparisons agree.
+  def qSemdedupKeep(s: SparkSession, d: String): DataFrame = {
+    val probe = guardCache.getOrElseUpdate((System.identityHashCode(s), d),
+      Tables.embeddings(s, d).limit(MaxExactRows.toInt + 1).count())
+    require(probe <= MaxExactRows,
+      s"q_semdedup_keep runs the demo k=$IvfK (corpus > $MaxExactRows rows): " +
+        "raise k so cells stay bounded before pointing a real corpus at it")
+    val v = vecs(s, d).select(col("vec_id").as("id"), col("v"))
+    val centroids = graft.operators.KMeans.fit(v, k = IvfK, iterations = IvfIters)
+    val a = graft.operators.KMeans.assign(v, centroids)
+      .join(broadcast(centroids.select(col("cluster"), col("c"))), Seq("cluster"))
+      .withColumn("nrm", sqrt(DotProduct.dot(col("v"), col("v"))))
+      // full squared distance — v·v does NOT cancel across different rows
+      .withColumn("score", DotProduct.dot(col("c"), col("c")) -
+        lit(2.0) * DotProduct.dot(col("v"), col("c")) +
+        DotProduct.dot(col("v"), col("v")))
+      .drop("c")
+    val right = a.select(col("cluster"), col("id").as("id2"),
+      col("v").as("v2"), col("nrm").as("nrm2"), col("score").as("score2"))
+    val dropped = a.join(right, Seq("cluster"))
+      .filter(col("id") =!= col("id2") && col("nrm") > 0 && col("nrm2") > 0)
+      .filter(DotProduct.dot(col("v"), col("v2")) / (col("nrm") * col("nrm2"))
+        > SemTau)
+      .filter(col("score2") > col("score") ||
+        (col("score2") === col("score") && col("id2") < col("id")))
+      .select(col("id")).distinct()
+    a.join(dropped.withColumn("is_dropped", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        when(col("is_dropped").isNull, 1L).otherwise(0L).as("kept"))
+  }
+
+  val qSemdedupKeepSql: String =
+    kmeansCellsSql(IvfK, IvfIters) + ", " +
+      s"sc AS (SELECT c.id, c.v, c.cluster, c.nrm, " +
+      s"${sqlDot("ct.v", "ct.v")} - 2*${sqlDot("c.v", "ct.v")} + ${sqlDot("c.v", "c.v")} AS score " +
+      s"FROM cells c JOIN cent$IvfIters ct USING (cluster)), " +
+      "dom AS (SELECT DISTINCT a.id FROM sc a JOIN sc b " +
+      "ON a.cluster = b.cluster AND a.id <> b.id " +
+      "AND a.nrm > 0 AND b.nrm > 0 " +
+      s"AND ${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) > $SemTau " +
+      "AND (b.score > a.score OR (b.score = a.score AND b.id < a.id))) " +
+      "SELECT s.id, CAST(s.cluster AS BIGINT) AS cluster, " +
+      "CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept " +
+      "FROM sc s LEFT JOIN dom d USING (id)"
+
   // ── PQ-ADC ANN: product quantization + asymmetric distance ─────────────
   // The third standard ANN family (FAISS's IVF-PQ compression half): the
   // 64-dim vector splits into PqM=4 subspaces of 16 dims; each subspace
@@ -847,6 +902,7 @@ object SimilarityQueries {
     "q_quantize"    -> qQuantize _,
     "q_ann_ivf"     -> qAnnIvf _,
     "q_semdedup"    -> qSemdedup _,
+    "q_semdedup_keep" -> qSemdedupKeep _,
     "q_ann_pq"      -> qAnnPq _,
     "q_centroids"   -> qCentroids _,
     "q_knn_brute"   -> qKnnBrute _,
@@ -868,6 +924,7 @@ object SimilarityQueries {
     "q_ann_lsh"     -> qAnnLshSql,
     "q_ann_ivf"     -> qAnnIvfSql,
     "q_semdedup"    -> qSemdedupSql,
+    "q_semdedup_keep" -> qSemdedupKeepSql,
     "q_ann_pq"      -> qAnnPqSql,
   )
 }

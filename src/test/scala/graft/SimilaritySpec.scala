@@ -314,4 +314,36 @@ class SimilaritySpec extends AnyFunSuite {
     // and the fixture actually exercises both branches
     assert(out.exists(_._3 == 0L) && out.count(_._3 == 1L) > out.length / 2)
   }
+
+  test("semdedup keep-farthest: survivors pairwise below tau, drops justified") {
+    val out = SimilarityQueries.qSemdedupKeep(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("cluster"),
+        r.getAs[Long]("kept")))
+    val corpus = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, e) => id -> e.map(_.toDouble).toArray }.toMap
+    assert(out.length === corpus.size)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    out.groupBy(_._2).values.foreach { members =>
+      val kept = members.filter(_._3 == 1L).map(_._1)
+      // of two cosine-τ cluster-mates one always outranks the other, so
+      // no similar pair can both survive — the policy's core guarantee
+      for (a <- kept; b <- kept if a < b)
+        assert(cos(corpus(a), corpus(b)) <= 0.35,
+          s"survivors $a,$b exceed tau in one cluster")
+      // every drop is justified by SOME cosine-τ cluster-mate
+      members.filter(_._3 == 0L).foreach { case (id, _, _) =>
+        assert(members.exists(m => m._1 != id &&
+          cos(corpus(m._1), corpus(id)) > 0.35), s"vector $id dropped unjustified")
+      }
+    }
+    // both policies agree on HOW MANY survive per cluster? Not in
+    // general — but both must exercise both branches on this fixture
+    assert(out.exists(_._3 == 0L) && out.count(_._3 == 1L) > out.length / 2)
+  }
 }
