@@ -107,6 +107,31 @@ object TextQueries {
       s"FROM (SELECT doc_id, lang, $sqlToks AS t FROM documents) a) b"
   }
 
+  // ── Language-gate confusion matrix (classifier evaluation) ─────────────
+  // The evaluation harness every heuristic gate needs before it filters a
+  // corpus: confusion counts of the n-gram-free language-ID guess against
+  // the labeled `lang` column, with each cell's share of its true class
+  // (the diagonal shares ARE per-class recall). Two tiny aggregations —
+  // the matrix is |langs|² rows whatever the corpus size — after one
+  // corpus scan; exact integer counts, one rounded division.
+  def qLangConfusion(s: SparkSession, d: String): DataFrame = {
+    val conf = qLangId(s, d)
+      .groupBy(col("lang_label"), col("lang_guess"))
+      .agg(count(lit(1)).as("n"))
+    val actual = conf.groupBy(col("lang_label")).agg(sum(col("n")).as("n_actual"))
+    conf.join(actual, "lang_label")
+      .select(col("lang_label"), col("lang_guess"), col("n"), col("n_actual"),
+        round(col("n").cast("double") / col("n_actual"), 6).as("frac_of_actual"))
+  }
+
+  val qLangConfusionSql: String =
+    s"WITH p AS ($qLangIdSql), " +
+      "conf AS (SELECT lang_label, lang_guess, count(*) AS n FROM p GROUP BY 1, 2), " +
+      "a AS (SELECT lang_label, CAST(sum(n) AS BIGINT) AS n_actual FROM conf GROUP BY 1) " +
+      "SELECT lang_label, lang_guess, n, n_actual, " +
+      "round(CAST(n AS DOUBLE) / n_actual, 6) AS frac_of_actual " +
+      "FROM conf JOIN a USING (lang_label)"
+
   // ── Exact content fingerprint (md5) ────────────────────────────────────
   // Deterministic per-document fingerprint; groundwork for exact dedup.
   def qFingerprint(s: SparkSession, d: String): DataFrame =
@@ -936,6 +961,7 @@ object TextQueries {
     "q_token_bpe"     -> qTokenBpe _,
     "q_bpe_merges"    -> qBpeMerges _,
     "q_boilerplate"   -> qBoilerplate _,
+    "q_lang_confusion" -> qLangConfusion _,
     "q_token_count"   -> qTokenCount _,
     "q_quality_score" -> qQualityScore _,
     "q_lang_id"       -> qLangId _,
@@ -963,6 +989,7 @@ object TextQueries {
     "q_token_bpe"     -> qTokenBpeSql,
     "q_bpe_merges"    -> qBpeMergesSql,
     "q_boilerplate"   -> qBoilerplateSql,
+    "q_lang_confusion" -> qLangConfusionSql,
     "q_token_count"   -> qTokenCountSql,
     "q_quality_score" -> qQualityScoreSql,
     "q_lang_id"       -> qLangIdSql,

@@ -108,4 +108,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows === want)
     assert(rows.nonEmpty)
   }
+
+  test("lang confusion matrix partitions the corpus and shares sum to 1 per class") {
+    val rows = graft.queries.TextQueries.qLangConfusion(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang_label"), r.getAs[String]("lang_guess"),
+        r.getAs[Long]("n"), r.getAs[Long]("n_actual"),
+        r.getAs[Double]("frac_of_actual")))
+    // cells partition the corpus exactly
+    assert(rows.map(_._3).sum === Tables.documents(spark, sf).count())
+    // per true class: cell counts sum to the class total, shares to ~1
+    rows.groupBy(_._1).values.foreach { cells =>
+      assert(cells.map(_._3).sum === cells.head._4)
+      assert(math.abs(cells.map(_._5).sum - 1.0) < 1e-4)
+    }
+    // the guess column only emits the four supported codes
+    assert(rows.map(_._2).toSet.subsetOf(Set("en", "de", "fr", "es")))
+  }
 }
