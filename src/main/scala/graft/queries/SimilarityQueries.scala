@@ -448,6 +448,41 @@ object SimilarityQueries {
       "CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept " +
       "FROM sc s LEFT JOIN dom d USING (id)"
 
+  // ── K-means cluster purity (clustering evaluation) ─────────────────────
+  // The eval harness for the similarity stack: per trained cell, the
+  // dominant ground-truth label's share of the cell (cell purity) — the
+  // standard external clustering metric. Counts only: one shuffle to
+  // (cluster, label) counts, then the same argmax-struct rollup the
+  // boilerplate report uses (partial-aggregating max, no window); the
+  // result is k rows whatever the corpus size. Label ties break to the
+  // larger label — replayed in SQL as (cnt DESC, label DESC).
+  def qClusterPurity(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d).select(col("vec_id").as("id"), col("v"))
+    val centroids = graft.operators.KMeans.fit(v, k = IvfK, iterations = IvfIters)
+    val labeled = graft.operators.KMeans.assign(v, centroids)
+      .join(Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("label").cast("long").as("label")), "id")
+    val counts = labeled.groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("cluster"))
+      .agg(max(struct(col("cnt"), col("label"))).as("top"),
+        sum(col("cnt")).as("n_members"))
+      .select(col("cluster"), col("n_members"),
+        col("top.label").as("top_label"), col("top.cnt").as("n_top"),
+        round(col("top.cnt").cast("double") / col("n_members"), 6).as("purity_r"))
+  }
+
+  val qClusterPuritySql: String =
+    kmeansCellsSql(IvfK, IvfIters) + ", " +
+      "lc AS (SELECT c.cluster, CAST(e.label AS BIGINT) AS label, count(*) AS cnt " +
+      "FROM cells c JOIN embeddings e ON c.id = e.vec_id GROUP BY 1, 2), " +
+      "r AS (SELECT cluster, label, cnt, " +
+      "row_number() OVER (PARTITION BY cluster ORDER BY cnt DESC, label DESC) AS rn, " +
+      "CAST(sum(cnt) OVER (PARTITION BY cluster) AS BIGINT) AS n_members FROM lc) " +
+      "SELECT CAST(cluster AS BIGINT) AS cluster, n_members, label AS top_label, " +
+      "cnt AS n_top, round(CAST(cnt AS DOUBLE) / n_members, 6) AS purity_r " +
+      "FROM r WHERE rn = 1"
+
   // ── PQ-ADC ANN: product quantization + asymmetric distance ─────────────
   // The third standard ANN family (FAISS's IVF-PQ compression half): the
   // 64-dim vector splits into PqM=4 subspaces of 16 dims; each subspace
@@ -903,6 +938,7 @@ object SimilarityQueries {
     "q_ann_ivf"     -> qAnnIvf _,
     "q_semdedup"    -> qSemdedup _,
     "q_semdedup_keep" -> qSemdedupKeep _,
+    "q_cluster_purity" -> qClusterPurity _,
     "q_ann_pq"      -> qAnnPq _,
     "q_centroids"   -> qCentroids _,
     "q_knn_brute"   -> qKnnBrute _,
@@ -925,6 +961,7 @@ object SimilarityQueries {
     "q_ann_ivf"     -> qAnnIvfSql,
     "q_semdedup"    -> qSemdedupSql,
     "q_semdedup_keep" -> qSemdedupKeepSql,
+    "q_cluster_purity" -> qClusterPuritySql,
     "q_ann_pq"      -> qAnnPqSql,
   )
 }

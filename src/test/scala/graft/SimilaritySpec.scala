@@ -346,4 +346,19 @@ class SimilaritySpec extends AnyFunSuite {
     // general — but both must exercise both branches on this fixture
     assert(out.exists(_._3 == 0L) && out.count(_._3 == 1L) > out.length / 2)
   }
+
+  test("cluster purity: members partition the corpus, purity bounded sane") {
+    val rows = SimilarityQueries.qClusterPurity(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("n_top"), r.getAs[Double]("purity_r")))
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_._2).sum === n)          // cells partition the corpus
+    assert(rows.map(_._1).distinct.length === rows.length)
+    rows.foreach { case (_, m, t, p) =>
+      assert(t >= 1L && t <= m)
+      assert(p > 0.0 && p <= 1.0)
+      // purity can never undercut the uniform-label floor of 1/m
+      assert(p >= 1.0 / m - 1e-9)
+    }
+  }
 }
