@@ -448,6 +448,40 @@ object SimilarityQueries {
       "CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept " +
       "FROM sc s LEFT JOIN dom d USING (id)"
 
+  // ── k-NN label classification (embedding-quality evaluation) ───────────
+  // The standard embedding probe: predict each query vector's label by
+  // majority vote of its 5 nearest neighbors (self excluded) and flag
+  // correctness against the stored label — embeddings whose neighborhoods
+  // vote their own class are retrieval-ready. Builds directly on the
+  // oracle-proven deterministic kNN (qKnnBrute); the vote is one tiny
+  // (qid, label) aggregation + the argmax-struct rollup. Vote ties break
+  // to the larger label — replayed as (cnt DESC, label DESC).
+  def qKnnClassify(s: SparkSession, d: String): DataFrame = {
+    val labels = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val votes = qKnnBrute(s, d)
+      .join(labels.select(col("vec_id").as("nid"), col("label").as("nl")), "nid")
+      .groupBy(col("qid"), col("nl")).agg(count(lit(1)).as("cnt"))
+    votes.groupBy(col("qid"))
+      .agg(max(struct(col("cnt"), col("nl"))).as("top"))
+      .join(labels.select(col("vec_id").as("qid"),
+        col("label").as("true_label")), "qid")
+      .select(col("qid"), col("true_label"),
+        col("top.nl").as("pred_label"), col("top.cnt").as("n_votes"),
+        when(col("true_label") === col("top.nl"), 1L).otherwise(0L).as("correct"))
+  }
+
+  val qKnnClassifySql: String =
+    s"WITH nn AS ($qKnnBruteSql), " +
+      "lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings), " +
+      "v AS (SELECT n.qid, l.label AS nl, count(*) AS cnt " +
+      "FROM nn n JOIN lb l ON n.nid = l.vec_id GROUP BY 1, 2), " +
+      "p AS (SELECT qid, nl, cnt, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY cnt DESC, nl DESC) AS rn FROM v) " +
+      "SELECT p.qid, t.label AS true_label, p.nl AS pred_label, p.cnt AS n_votes, " +
+      "CAST(CASE WHEN t.label = p.nl THEN 1 ELSE 0 END AS BIGINT) AS correct " +
+      "FROM p JOIN lb t ON p.qid = t.vec_id WHERE rn = 1"
+
   // ── K-means cluster purity (clustering evaluation) ─────────────────────
   // The eval harness for the similarity stack: per trained cell, the
   // dominant ground-truth label's share of the cell (cell purity) — the
@@ -939,6 +973,7 @@ object SimilarityQueries {
     "q_semdedup"    -> qSemdedup _,
     "q_semdedup_keep" -> qSemdedupKeep _,
     "q_cluster_purity" -> qClusterPurity _,
+    "q_knn_classify" -> qKnnClassify _,
     "q_ann_pq"      -> qAnnPq _,
     "q_centroids"   -> qCentroids _,
     "q_knn_brute"   -> qKnnBrute _,
@@ -962,6 +997,7 @@ object SimilarityQueries {
     "q_semdedup"    -> qSemdedupSql,
     "q_semdedup_keep" -> qSemdedupKeepSql,
     "q_cluster_purity" -> qClusterPuritySql,
+    "q_knn_classify" -> qKnnClassifySql,
     "q_ann_pq"      -> qAnnPqSql,
   )
 }

@@ -347,6 +347,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.exists(_._3 == 0L) && out.count(_._3 == 1L) > out.length / 2)
   }
 
+  test("knn classification equals a driver-side majority vote over the knn rows") {
+    val labels = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label".cast("long")).as[(Long, Long)].collect().toMap
+    val nn = SimilarityQueries.qKnnBrute(spark, sf)
+      .select($"qid", $"nid").as[(Long, Long)].collect()
+    val out = SimilarityQueries.qKnnClassify(spark, sf).collect()
+      .map(r => r.getAs[Long]("qid") ->
+        (r.getAs[Long]("true_label"), r.getAs[Long]("pred_label"),
+          r.getAs[Long]("n_votes"), r.getAs[Long]("correct"))).toMap
+    assert(out.size === nn.map(_._1).distinct.length)
+    nn.groupBy(_._1).foreach { case (qid, rows) =>
+      val votes = rows.map(r => labels(r._2)).groupBy(identity)
+        .map { case (l, v) => (l, v.size.toLong) }
+      val (predLabel, nVotes) = votes.maxBy { case (l, c) => (c, l) }
+      val (tl, pl, nv, c) = out(qid)
+      assert(tl === labels(qid) && pl === predLabel && nv === nVotes)
+      assert(c === (if (tl == pl) 1L else 0L))
+    }
+    // the probe isn't vacuous: some queries classify correctly
+    assert(out.values.exists(_._4 == 1L))
+  }
+
   test("cluster purity: members partition the corpus, purity bounded sane") {
     val rows = SimilarityQueries.qClusterPurity(spark, sf).collect()
       .map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("n_members"),
