@@ -26,7 +26,8 @@ object SparkEntry {
       TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ EventQueries.queries ++
       MediaQueries.queries ++ PipelineQueries.queries ++ KvQueries.queries ++
-      StreamQueries.queries ++ SketchQueries.queries ++ GraphQueries.queries
+      StreamQueries.queries ++ SketchQueries.queries ++
+      GraphQueries.queries ++ TpchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       TextQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ EventQueries.oracles ++
       MediaQueries.oracles ++ PipelineQueries.oracles ++ KvQueries.oracles ++
-      StreamQueries.oracles ++ SketchQueries.oracles ++ GraphQueries.oracles
+      StreamQueries.oracles ++ SketchQueries.oracles ++
+      GraphQueries.oracles ++ TpchQueries.oracles
 }

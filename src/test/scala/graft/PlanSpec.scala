@@ -424,4 +424,41 @@ class PlanSpec extends AnyFunSuite {
     assert(p.substring(gen).contains("HashAggregate"),
       s"explode must consume the aggregated daily-active table:\n$p")
   }
+
+  test("correlated subqueries decorrelate: no cartesian, no per-row re-run") {
+    // Catalyst must rewrite every correlated form into keyed joins —
+    // an InMemory/per-row subquery loop or a cartesian would be the
+    // plan that dies at 100 TB. (The only Subquery nodes allowed are
+    // q22's two UNCORRELATED scalars, which run once and broadcast.)
+    for (q <- Seq("q_tpch_q2", "q_tpch_q4", "q_tpch_q17", "q_tpch_q20",
+        "q_tpch_q21", "q_tpch_q22")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q joined without keys:\n$p")
+    }
+  }
+
+  test("EXISTS/NOT EXISTS plan as semi/anti hash joins") {
+    assert(plan("q_tpch_q4").contains("LeftSemi"),
+      "Q4's correlated EXISTS must become a left-semi join")
+    val q21 = plan("q_tpch_q21")
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"),
+      s"Q21 must carry both a semi (EXISTS) and an anti (NOT EXISTS) join:\n$q21")
+    assert(plan("q_tpch_q22").contains("LeftAnti"),
+      "Q22's NOT EXISTS must become a left-anti join")
+  }
+
+  test("correlated scalar aggs compute once: aggregate-then-join shape") {
+    // Q17's per-part count/sum and Q20's per-part 1997 volume must appear
+    // as partial→final hash aggregates keyed on l_partkey joined back into
+    // the outer plan — never re-executed per outer row.
+    for (q <- Seq("q_tpch_q17", "q_tpch_q20")) {
+      val p = plan(q)
+      assert(p.contains("partial_sum"),
+        s"$q's correlated agg lost map-side combine:\n$p")
+      assert("HashAggregate\\(keys=\\[l_partkey".r.findAllIn(p).nonEmpty,
+        s"$q's correlated agg is not a keyed aggregate-then-join:\n$p")
+    }
+  }
 }
