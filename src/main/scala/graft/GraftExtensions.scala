@@ -39,11 +39,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
 
-  private def litInt(e: Expression): Int = e match {
-    case Literal(v, _) => v.toString.toInt
-    case other => throw new IllegalArgumentException(
-      s"argument must be a literal, got $other")
-  }
+  // integral literals only: NULL or a fractional/string literal gets the
+  // same descriptive error as a non-literal, not an NPE/NumberFormat
+  private[graft] def litInt(e: Expression, fn: String = "graft function"): Int =
+    e match {
+      case Literal(v: Number, _) if v.longValue == v.intValue => v.intValue
+      case Literal(v, _) => throw new IllegalArgumentException(
+        s"$fn n must be a non-null integer literal, got ${if (v == null) "NULL" else v}")
+      case other => throw new IllegalArgumentException(
+        s"$fn n must be a literal, got $other")
+    }
 
   /** (name, usage, builder) for every native expression. */
   val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
@@ -52,10 +57,10 @@ object GraftFunctions {
     ("graft_dot", "graft_dot(a, b) - dot product of two array<double>",
       (es: Seq[Expression]) => DotProductExpression(es(0), es(1))),
     ("graft_shingles", "graft_shingles(text, n) - distinct word n-grams",
-      (es: Seq[Expression]) => ShinglesExpression(es.head, litInt(es(1)))),
+      (es: Seq[Expression]) => ShinglesExpression(es.head, litInt(es(1), "graft_shingles"))),
     ("graft_winnow", "graft_winnow(text, k, w) - winnowing fingerprints",
       (es: Seq[Expression]) =>
-        WinnowExpression(es.head, litInt(es(1)), litInt(es(2)))),
+        WinnowExpression(es.head, litInt(es(1), "graft_winnow"), litInt(es(2), "graft_winnow"))),
     ("graft_fib", "graft_fib(n) - iterative fibonacci (CPU kernel)",
       (es: Seq[Expression]) => FibExpression(es.head)),
     ("graft_jaro_winkler",

@@ -79,8 +79,14 @@ object ShinglesExpression {
 
 object Shingles {
   private def literalN(e: Expression, fn: String): Int = e match {
+    // integral literals only: NULL or a fractional/string literal gets the
+    // same descriptive error as a non-literal, not an NPE/NumberFormat
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _)
+        if v.longValue == v.intValue =>
+      v.intValue
     case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
-      v.toString.toInt
+      throw new IllegalArgumentException(
+        s"$fn n must be a non-null integer literal, got ${if (v == null) "NULL" else v}")
     case other => throw new IllegalArgumentException(
       s"$fn n must be a literal, got $other")
   }

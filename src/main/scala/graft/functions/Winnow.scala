@@ -111,15 +111,11 @@ object Winnow {
   /** Register in the session function registry (idempotent). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_winnow", exprs => {
-        def litInt(e: Expression): Int = e match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
-            v.toString.toInt
-          case other => throw new IllegalArgumentException(
-            s"graft_winnow k/w must be literals, got $other")
-        }
-        WinnowExpression(exprs.head, litInt(exprs(1)), litInt(exprs(2)))
-      }, "built-in")
+      "graft_winnow", exprs =>
+        WinnowExpression(exprs.head,
+          graft.GraftFunctions.litInt(exprs(1), "graft_winnow"),
+          graft.GraftFunctions.litInt(exprs(2), "graft_winnow")),
+      "built-in")
 
   /** Column builder; requires `register(spark)` once per session. */
   def winnow(text: Column, k: Int = 5, w: Int = 4): Column =

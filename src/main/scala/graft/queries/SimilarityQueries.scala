@@ -113,14 +113,26 @@ object SimilarityQueries {
   private val MaxExactRows = 100000L
 
   /** One guard verdict per (session, dataset dir): the probe job runs
-    * once, not on every (benchmarked) invocation. */
+    * once, not on every (benchmarked) invocation. Keyed by the session
+    * OBJECT via a WeakHashMap — identity hash codes are not unique, so
+    * an Int key could collide two live sessions; the weak keying also
+    * lets a closed session's entries be collected. */
   private val guardCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), Long]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Long]]()
+
+  private def guardProbe(s: SparkSession, d: String)(probe: => Long): Long = {
+    val perSession = guardCache.synchronized {
+      guardCache.computeIfAbsent(s, _ =>
+        scala.collection.concurrent.TrieMap.empty[String, Long])
+    }
+    perSession.getOrElseUpdate(d, probe)
+  }
 
   def qCosNearDup(s: SparkSession, d: String): DataFrame = {
     // limit-probe, not count(): the guard must not cost a full corpus
     // scan at the very scale it exists to refuse
-    val probe = guardCache.getOrElseUpdate((System.identityHashCode(s), d),
+    val probe = guardProbe(s, d)(
       Tables.embeddings(s, d).limit(MaxExactRows.toInt + 1).count())
     require(probe <= MaxExactRows,
       s"q_cos_neardup is the exact all-pairs oracle (corpus > $MaxExactRows rows); " +
@@ -360,7 +372,7 @@ object SimilarityQueries {
     // demo k, cell size grows with the corpus and the within-cell join
     // would go quadratic — a real corpus must raise k (paper: k ≈ n/10k)
     // so cells stay bounded; the refusal names the dial.
-    val probe = guardCache.getOrElseUpdate((System.identityHashCode(s), d),
+    val probe = guardProbe(s, d)(
       Tables.embeddings(s, d).limit(MaxExactRows.toInt + 1).count())
     require(probe <= MaxExactRows,
       s"q_semdedup runs the demo k=$IvfK (corpus > $MaxExactRows rows): raise k " +
@@ -405,7 +417,7 @@ object SimilarityQueries {
   // distance rides a 16-row broadcast join; every fold order matches the
   // SQL replay exactly, so the cross-row score comparisons agree.
   def qSemdedupKeep(s: SparkSession, d: String): DataFrame = {
-    val probe = guardCache.getOrElseUpdate((System.identityHashCode(s), d),
+    val probe = guardProbe(s, d)(
       Tables.embeddings(s, d).limit(MaxExactRows.toInt + 1).count())
     require(probe <= MaxExactRows,
       s"q_semdedup_keep runs the demo k=$IvfK (corpus > $MaxExactRows rows): " +

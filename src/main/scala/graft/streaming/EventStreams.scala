@@ -34,10 +34,17 @@ object EventStreams {
     * the ts storage form is probed with a footer-only batch read and the
     * declared schema matches it, mirroring Tables.events: TIMESTAMP(NANOS)
     * files surface ts as BIGINT (under `nanosAsLong`) and are converted
-    * to microsecond timestamps; TIMESTAMP(MICROS) files read directly. */
+    * to microsecond timestamps; TIMESTAMP(MICROS) files read directly.
+    * A directory with no files yet (the normal state when a stream is
+    * wired up before its producer) cannot be probed — the stream still
+    * constructs, declaring the TIMESTAMP(MICROS) form, which is what
+    * every current producer writes; a nanos backfill landing later would
+    * need the stream restarted after files exist. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    val nanosTs = spark.read.parquet(dir).schema("ts").dataType ==
-      org.apache.spark.sql.types.LongType
+    val nanosTs =
+      try spark.read.parquet(dir).schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
     val df = spark.readStream
       .schema(if (nanosTs)
         "event_id BIGINT, ts BIGINT, user_id BIGINT, " +

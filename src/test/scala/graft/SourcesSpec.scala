@@ -125,6 +125,19 @@ class SourcesSpec extends AnyFunSuite {
       .head().getLong(0) > 0)
   }
 
+  test("graft_shingles rejects NULL / fractional / non-literal n descriptively") {
+    for (bad <- Seq("NULL", "1.5", "'x'")) {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT graft_shingles('a b c', $bad)").collect()
+      }
+      // the IllegalArgumentException may arrive wrapped by the parser
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(msgs.contains("graft_shingles n must be"),
+        s"expected the descriptive literal error for n=$bad, got: $msgs")
+    }
+  }
+
   test("stratified sampleBy is seeded-deterministic with near-target fractions") {
     val fractions = Map("en" -> 0.5, "de" -> 0.1, "fr" -> 0.1, "es" -> 0.1, "zh" -> 0.1)
     val docs = Tables.documents(spark, sf)

@@ -387,6 +387,17 @@ class StreamingSpec extends AnyFunSuite {
       Tables.events(spark, sf).count())
   }
 
+  test("readEventStream constructs on a not-yet-populated directory") {
+    // production wiring order: the stream is declared BEFORE its producer
+    // writes the first file — the schema probe must fall back to the
+    // micros default instead of throwing at construction
+    val empty = java.nio.file.Files.createTempDirectory("graft_empty_stream")
+    val df = EventStreams.readEventStream(spark, empty.toString)
+    assert(df.isStreaming)
+    assert(df.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("left-semi stream join emits each converted click exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Event]
