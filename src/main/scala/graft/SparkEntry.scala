@@ -27,7 +27,7 @@ object SparkEntry {
       SimilarityQueries.queries ++ EventQueries.queries ++
       MediaQueries.queries ++ PipelineQueries.queries ++ KvQueries.queries ++
       StreamQueries.queries ++ SketchQueries.queries ++
-      GraphQueries.queries ++ TpchQueries.queries
+      GraphQueries.queries ++ TpchQueries.queries ++ TpchBulkQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +37,5 @@ object SparkEntry {
       SimilarityQueries.oracles ++ EventQueries.oracles ++
       MediaQueries.oracles ++ PipelineQueries.oracles ++ KvQueries.oracles ++
       StreamQueries.oracles ++ SketchQueries.oracles ++
-      GraphQueries.oracles ++ TpchQueries.oracles
+      GraphQueries.oracles ++ TpchQueries.oracles ++ TpchBulkQueries.oracles
 }

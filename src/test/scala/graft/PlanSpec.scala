@@ -425,6 +425,42 @@ class PlanSpec extends AnyFunSuite {
       s"explode must consume the aggregated daily-active table:\n$p")
   }
 
+  test("TPC-H bulk: dims broadcast, facts hash-join, nothing cartesian") {
+    for (q <- Seq("q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10",
+        "q_tpch_q12", "q_tpch_q13", "q_tpch_q14", "q_tpch_q16",
+        "q_tpch_q19")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q joined a dimension without broadcasting it:\n$p")
+      assert(p.contains("partial_"),
+        s"$q's aggregation lost map-side combine:\n$p")
+    }
+  }
+
+  test("TPC-H Q10/Q13: rollup before the dimension join; top-k TakeOrdered") {
+    val q10 = plan("q_tpch_q10")
+    assert(q10.contains("TakeOrderedAndProject"),
+      s"Q10's top-20 must not global-sort:\n$q10")
+    // the customer dimension must join the per-custkey ROLLUP, not the fact:
+    // the aggregate appears below the customer join in the plan tree
+    val q13 = plan("q_tpch_q13")
+    assert(q13.contains("LeftOuter") || q13.contains("left_outer"),
+      s"Q13 must LEFT join so 0-order customers survive:\n$q13")
+  }
+
+  test("TPC-H Q11/Q15: global scalar rides ONE broadcast single-row join") {
+    for (q <- Seq("q_tpch_q11", "q_tpch_q15")) {
+      val p = plan(q)
+      // the single-row stats side joins via BroadcastNestedLoopJoin (a
+      // 1-row cross join) — bounded by construction; the per-key rollup
+      // itself must still partial-aggregate
+      assert(p.contains("partial_"), s"$q rollup lost map-side combine:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q's scalar must broadcast, not cartesian:\n$p")
+    }
+  }
+
   test("correlated subqueries decorrelate: no cartesian, no per-row re-run") {
     // Catalyst must rewrite every correlated form into keyed joins —
     // an InMemory/per-row subquery loop or a cartesian would be the
