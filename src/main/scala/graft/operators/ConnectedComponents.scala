@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import graft.operators.IterCheckpoint.IterCheckpointOps
 
 /** Connected components by iterated min-label propagation — the step that
   * turns near-duplicate PAIRS (from MinHash-LSH / SimHash / winnowing)
@@ -37,7 +38,7 @@ object ConnectedComponents {
     var labels = sym.groupBy(col("a"))
       .agg(least(col("a"), min(col("b"))).as("comp"))
       .withColumnRenamed("a", "node")
-      .localCheckpoint(true)
+      .iterCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -51,7 +52,7 @@ object ConnectedComponents {
         .select(col("node"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
           col("comp").as("prev"))
-        .localCheckpoint(true)
+        .iterCheckpoint()
       // pointer jumping (shortcutting): follow the new label one hop
       // (comp := label(comp)). Labels only ever decrease toward the
       // component minimum, so the jump stays inside the component — and
@@ -68,7 +69,7 @@ object ConnectedComponents {
           col("prev"))
         .observe(obs,
           sum(when(col("comp") =!= col("prev"), 1L).otherwise(0L)).as("changed"))
-        .localCheckpoint(true)
+        .iterCheckpoint()
       converged = obs.get("changed").asInstanceOf[Long] == 0L
       labels = next.select(col("node"), col("comp"))
       iter += 1

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.IterCheckpoint.IterCheckpointOps
 
 /** K-core decomposition by iterative peeling — the density filter used on
   * similarity/co-occurrence graphs before community detection or dedup
@@ -32,7 +33,7 @@ object KCore {
   def coreEdges(edges: DataFrame, k: Int, maxIterations: Int = 20): DataFrame = {
     val e = edges.toDF("src", "dst")
     var sym = e.union(e.select(col("dst"), col("src")))
-      .toDF("a", "b").localCheckpoint(true)
+      .toDF("a", "b").iterCheckpoint()
     // -1 sentinel: convergence is judged from the per-round Observation
     // alone (first round never matches), so no upfront count() pass
     var prevCount = -1L
@@ -56,7 +57,7 @@ object KCore {
         s"kcore_${iter}_${System.nanoTime()}")
       val next = stepped
         .observe(obs, count(lit(1)).as("m"))
-        .localCheckpoint(true)
+        .iterCheckpoint()
       val curCount = obs.get("m").asInstanceOf[Long]
       converged = curCount == prevCount || curCount == 0L
       prevCount = curCount

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.IterCheckpoint.IterCheckpointOps
 
 /** K-truss decomposition — the triangle-density core: iteratively delete
   * every edge supported by fewer than k−2 triangles until none remains.
@@ -22,7 +23,7 @@ object KTruss {
   /** @param edges canonical undirected (src, dst) pairs, src < dst
     * @return surviving canonical edges with their in-truss support. */
   def trussEdges(edges: DataFrame, k: Int, maxIterations: Int = 12): DataFrame = {
-    var cur = edges.toDF("a", "b").localCheckpoint(true)
+    var cur = edges.toDF("a", "b").iterCheckpoint()
     var prevCount = -1L
     var converged = false
     var iter = 0
@@ -38,7 +39,7 @@ object KTruss {
         .filter(col("support") >= k - 2)
         .select(col("a"), col("b"), col("support"))
         .observe(obs, count(lit(1)).as("m"))
-        .localCheckpoint(true)
+        .iterCheckpoint()
       val curCount = obs.get("m").asInstanceOf[Long]
       converged = curCount == prevCount || curCount == 0L
       prevCount = curCount

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import graft.operators.IterCheckpoint.IterCheckpointOps
 
 /** Semi-supervised label propagation (label spreading with clamping):
   * seeded nodes keep their label; unlabeled nodes take, each synchronous
@@ -30,7 +31,7 @@ object LabelPropagation {
     val sd = seeds.toDF("node", "lab")
     var labels = sym.select(col("a").as("node")).distinct()
       .join(sd, Seq("node"), "left")
-      .localCheckpoint(true)
+      .iterCheckpoint()
     // One synchronous round as a pure plan transform; TWO rounds ride
     // each localCheckpoint job (the BFS/SSSP double-step) — the round
     // COUNT is exactly `rounds` either way, so the fixed-round oracle
@@ -57,7 +58,7 @@ object LabelPropagation {
     while (done < rounds) {
       val steps = math.min(2, rounds - done)
       labels = (1 to steps).foldLeft(labels)((l, _) => step(l))
-        .localCheckpoint(true)
+        .iterCheckpoint()
       done += steps
     }
     sym.unpersist(false)

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import graft.operators.IterCheckpoint.IterCheckpointOps
 
 /** Iterative PageRank over an edge DataFrame — the full version of the
   * reference's "simplified PageRank" (which only counts in-links,
@@ -38,7 +39,7 @@ object PageRank {
     // logical plan each round — persist only caches physical results, so
     // the analyzer/optimizer would still walk an ever-deeper join tree
     // (and eventually OOM the driver around ~20 iterations).
-    var ranks = nodes.withColumn("rank", lit(1.0)).localCheckpoint(true)
+    var ranks = nodes.withColumn("rank", lit(1.0)).iterCheckpoint()
     def step(r: DataFrame): DataFrame = {
       val contribs = weighted
         .join(r.withColumnRenamed("node", "src"), "src")
@@ -55,7 +56,7 @@ object PageRank {
     while (i < iterations) {
       val twoLeft = i + 1 < iterations
       ranks = (if (twoLeft) step(step(ranks)) else step(ranks))
-        .localCheckpoint(true)
+        .iterCheckpoint()
       i += (if (twoLeft) 2 else 1)
     }
     nodes.unpersist(false)

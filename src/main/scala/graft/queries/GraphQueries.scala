@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.IterCheckpoint.IterCheckpointOps
 
 /** Graph analytics beyond the reference's simplified PageRank
   * (`simplified_page_rank.py` counts in-links only — SURVEY.md §2B): exact
@@ -402,11 +403,11 @@ object GraphQueries {
   def bfsDistances(edges: DataFrame, source: Long, maxRounds: Int): DataFrame = {
     val sym = edges.select(col("src").as("a"), col("dst").as("b"))
       .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
-      .localCheckpoint() // reused every round — materialize once
+      .iterCheckpoint() // reused every round — materialize once
     val nodes = sym.select(col("a").as("node")).distinct()
     var dist = nodes.withColumn("dist",
       when(col("node") === source, lit(0L)).otherwise(lit(null).cast("long")))
-      .localCheckpoint()
+      .iterCheckpoint()
     var reached = 1L
     var round = 0
     var growing = true
@@ -440,7 +441,7 @@ object GraphQueries {
       val next = stepped
         .observe(obs,
           sum(when(col("dist").isNotNull, 1L).otherwise(0L)).as("reached"))
-        .localCheckpoint()
+        .iterCheckpoint()
       val nowReached = obs.get("reached").asInstanceOf[Long]
       growing = nowReached > reached
       reached = nowReached
@@ -467,11 +468,11 @@ object GraphQueries {
   def ssspDistances(edges: DataFrame, source: Long, maxRounds: Int): DataFrame = {
     val sym = edges.select(col("src").as("a"), col("dst").as("b"), col("w"))
       .unionAll(edges.select(col("dst").as("a"), col("src").as("b"), col("w")))
-      .localCheckpoint()
+      .iterCheckpoint()
     val nodes = sym.select(col("a").as("node")).distinct()
     var dist = nodes.withColumn("dist",
       when(col("node") === source, lit(0L)).otherwise(lit(null).cast("long")))
-      .localCheckpoint()
+      .iterCheckpoint()
     var fixed = (-1L, -1L)
     var round = 0
     var changing = true
@@ -502,7 +503,7 @@ object GraphQueries {
         .observe(obs,
           sum(when(col("dist").isNotNull, 1L).otherwise(0L)).as("reached"),
           sum(coalesce(col("dist"), lit(0L))).as("total"))
-        .localCheckpoint()
+        .iterCheckpoint()
       val st = obs.get
       val now = (st("reached").asInstanceOf[Long], st("total").asInstanceOf[Long])
       changing = now != fixed
