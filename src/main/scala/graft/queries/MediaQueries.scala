@@ -9,10 +9,14 @@ import graft.Tables
   * payloads with a typed metadata struct, plus decode / feature-extract /
   * frame-sample stages. Entirely beyond the reference (strings-only).
   *
-  * The DECODE STEP IS A STUB — this container has no image/audio codecs,
-  * so `decodeFeatures` computes deterministic per-byte statistics standing
-  * in for a real decoder (swap the marked function body for e.g. a JNI
-  * codec call). Everything around it — the binary column, the metadata
+  * The generic DECODE STEP IS A STUB — this container has no audio/video
+  * codecs, so `decodeFeatures` computes deterministic per-byte statistics
+  * standing in for a real decoder (swap the marked function body for e.g.
+  * a JNI codec call). IMAGES have a REAL path: `decodeImages` decodes
+  * PNG/JPEG/GIF/BMP payloads through `javax.imageio` (JRE built-in) after
+  * a magic-number sniff, stub-falling-back for everything else — the
+  * ASCII fixtures take the fallback, so the oracle rows are unchanged.
+  * Everything around it — the binary column, the metadata
   * struct, the typed Dataset batch shape, the partition-parallel execution
   * — is the real 100 TB design:
   *
@@ -75,6 +79,85 @@ object MediaQueries {
   def featurize(s: SparkSession, d: String): Dataset[MediaFeatures] = {
     import s.implicits._
     mediaTable(s, d).as[MediaRow].mapPartitions(decodeFeatures)
+  }
+
+  // ── Real image decode (javax.imageio) with stub fallback ───────────────
+
+  case class DecodedImage(media_id: Long, format: String, width: Int,
+      height: Int, mean_luma: Double, real_decode: Boolean)
+
+  /** Magic-number sniff: PNG / JPEG / GIF / BMP, else None. Runs before
+    * any decoder so arbitrary (or hostile) payload bytes never reach
+    * ImageIO unless they at least claim to be an image. */
+  def sniffImageFormat(bytes: Array[Byte]): Option[String] = {
+    def at(i: Int): Int = if (i < bytes.length) bytes(i) & 0xff else -1
+    if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G')
+      Some("png")
+    else if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) Some("jpeg")
+    else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8')
+      Some("gif")
+    else if (at(0) == 'B' && at(1) == 'M') Some("bmp")
+    else None
+  }
+
+  /** Per-partition image decode: payloads that sniff as a real image
+    * format decode through `javax.imageio` (present in every JRE — no
+    * external codec needed for PNG/JPEG/GIF/BMP) into true dimensions and
+    * mean luma (ITU-R BT.601); anything else — including the ASCII
+    * fixtures — falls back to the deterministic stub (metadata dims,
+    * byte-mean as the luma stand-in), so the oracle-checked q_media_*
+    * results are unchanged by this path existing. Luma is averaged at a
+    * pixel stride that caps the per-image work (~64k samples), keeping
+    * the partition's decode cost bounded by image COUNT, not area. */
+  def decodeImages(rows: Iterator[MediaRow]): Iterator[DecodedImage] = {
+    def stub(r: MediaRow): DecodedImage = {
+      val bytes = r.payload
+      var sum = 0L
+      var i = 0
+      while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+      DecodedImage(r.media_id, "stub:" + r.meta.kind, r.meta.width,
+        r.meta.height,
+        if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length,
+        real_decode = false)
+    }
+    rows.map { r =>
+      sniffImageFormat(r.payload) match {
+        case Some(fmt) =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.payload))
+            if (img == null) stub(r)
+            else {
+              val (w, h) = (img.getWidth, img.getHeight)
+              val stride = math.max(1,
+                math.ceil(math.sqrt(w.toLong * h / 65536.0)).toInt)
+              var sum = 0.0
+              var n = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sum += 0.299 * ((rgb >> 16) & 0xff) +
+                    0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                  n += 1
+                  x += stride
+                }
+                y += stride
+              }
+              DecodedImage(r.media_id, fmt, w, h,
+                if (n == 0) 0.0 else sum / n, real_decode = true)
+            }
+          } catch { case scala.util.control.NonFatal(_) => stub(r) }
+        case None => stub(r)
+      }
+    }
+  }
+
+  /** Typed decode entry point (narrow stage, payloads never shuffle). */
+  def decodeImageTable(media: Dataset[MediaRow]): Dataset[DecodedImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(decodeImages)
   }
 
   /** Frame-sampling for "video" payloads: every `stride`-th `frameBytes`
