@@ -250,6 +250,40 @@ object EventQueries {
       "ON c.user_id = e.user_id AND e.ts >= c.ts " +
       "AND e.ts <= c.ts + INTERVAL 900 SECONDS"
 
+  // ── Interval-overlap join: activity windows × incident windows ─────────
+  // Exercises graft.operators.IntervalJoin (grid-bucketed, exactly-once
+  // pair emission — no per-key cross product, no dedup pass): each click
+  // opens a 30-minute activity interval, each error a ±5-minute incident
+  // interval; pairs are same-user overlapping intervals with the exact
+  // overlap duration in whole seconds (integer-µs math end to end).
+  def qIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val act = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("act_id"),
+        col("ts").as("a_start"),
+        timestamp_micros(unix_micros(col("ts")) + 1800000000L).as("a_end"))
+    val inc = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("inc_id"),
+        timestamp_micros(unix_micros(col("ts")) - 300000000L).as("i_start"),
+        timestamp_micros(unix_micros(col("ts")) + 300000000L).as("i_end"))
+    graft.operators.IntervalJoin.overlapJoin(act, inc, Seq("user_id"),
+        "a_start", "a_end", "i_start", "i_end", bucketSec = 1800)
+      .select(col("user_id"), col("act_id"), col("inc_id"),
+        floor((least(unix_micros(col("a_end")), unix_micros(col("i_end"))) -
+          greatest(unix_micros(col("a_start")), unix_micros(col("i_start"))))
+          / 1000000L).cast("long").as("overlap_sec"))
+  }
+
+  val qIntervalJoinSql: String =
+    "SELECT a.user_id, a.act_id, i.inc_id, " +
+      "(least(epoch_us(a.a_end), epoch_us(i.i_end)) - " +
+      "greatest(epoch_us(a.a_start), epoch_us(i.i_start))) // 1000000 AS overlap_sec " +
+      "FROM (SELECT user_id, event_id AS act_id, ts AS a_start, " +
+      "ts + INTERVAL 30 MINUTE AS a_end FROM events WHERE event_type = 'click') a " +
+      "JOIN (SELECT user_id, event_id AS inc_id, ts - INTERVAL 5 MINUTE AS i_start, " +
+      "ts + INTERVAL 5 MINUTE AS i_end FROM events WHERE event_type = 'error') i " +
+      "ON a.user_id = i.user_id AND a.a_start <= i.i_end AND i.i_start <= a.a_end"
+
   // ── Hopping (sliding) windows: 1-hour windows every 15 minutes ─────────
   // Each event lands in 4 overlapping windows; Spark's window() generator
   // expands them inline. The oracle reproduces the window set with
@@ -1528,6 +1562,7 @@ object EventQueries {
     "q_outliers"         -> qOutliers _,
     "q_sliding_window"   -> qSlidingWindow _,
     "q_range_join"       -> qRangeJoin _,
+    "q_interval_join"    -> qIntervalJoin _,
     "q_asof_join"        -> qAsofJoin _,
     "q_session_window"   -> qSessionWindow _,
     "q_tumbling_hourly"  -> qTumblingHourly _,
@@ -1574,6 +1609,7 @@ object EventQueries {
     "q_outliers"         -> qOutliersSql,
     "q_sliding_window"   -> qSlidingWindowSql,
     "q_range_join"       -> qRangeJoinSql,
+    "q_interval_join"    -> qIntervalJoinSql,
     "q_asof_join"        -> qAsofJoinSql,
     "q_session_window"   -> qSessionWindowSql,
     "q_tumbling_hourly"  -> qTumblingHourlySql,
