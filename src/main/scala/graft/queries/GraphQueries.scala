@@ -566,6 +566,107 @@ object GraphQueries {
     "(SELECT a FROM (SELECT a, count(*) AS deg FROM sym GROUP BY 1) dg " +
       "ORDER BY deg DESC, a LIMIT 1)"
 
+  // ── SSSP with PATH RECONSTRUCTION ──────────────────────────────────────
+  // Distances alone answer "how far"; pipelines auditing a dedup/linkage
+  // graph need "through WHOM". Three declarative stages:
+  //  1. distances — the proven ssspDistances fixed point;
+  //  2. predecessor tree, derived POST-HOC in one join (no per-round
+  //     pred carry): pred(n) = min{ a : dist(a) + w(a,n) = dist(n) } —
+  //     the min-id tie-break makes the tree (and so every path) unique,
+  //     so both engines agree string-for-string;
+  //  3. path assembly by POINTER DOUBLING on (anc, seg): each round every
+  //     chain splices its ancestor's known segment in front of its own,
+  //     halving remaining depth — O(log depth) self-join rounds instead
+  //     of the O(depth) linear backtrack (with integer weights ≥ 1 depth
+  //     is ≤ max dist, and a 100 TB graph's path tree assembles in ~6
+  //     rounds). Convergence is observed on the not-yet-rooted count
+  //     riding the checkpoint job.
+  private val PathDoubleRounds = 8 // 2^8 = depth 256 safety cap
+
+  def ssspPaths(edges: DataFrame, source: Long, maxRounds: Int): DataFrame = {
+    val dist = ssspDistances(edges, source, maxRounds).iterCheckpoint()
+    val sym = edges.select(col("src").as("a"), col("dst").as("b"), col("w"))
+      .unionAll(edges.select(col("dst").as("a"), col("src").as("b"), col("w")))
+    val distA = dist.select(col("node").as("a"), col("dist").as("dist_a"))
+    val pred = dist.filter(col("node") =!= source)
+      .join(sym.select(col("a"), col("b").as("node"), col("w")), Seq("node"))
+      .join(distA, Seq("a"))
+      .filter(col("dist_a") + col("w") === col("dist"))
+      .groupBy(col("node")).agg(min(col("a")).as("pred"))
+    // state: seg = path over (anc, node] as "id->id->…"; rooted ⟺ anc=src
+    var st = dist.join(pred, Seq("node"), "left")
+      .select(col("node"), col("dist"),
+        coalesce(col("pred"), col("node")).as("anc"),
+        col("node").cast("string").as("seg"))
+      .iterCheckpoint()
+    var pending = -1L
+    var round = 0
+    while (pending != 0L && round < PathDoubleRounds) {
+      val byNode = st.select(col("node").as("anc"), col("anc").as("aanc"),
+        col("seg").as("aseg"))
+      val obs = new org.apache.spark.sql.Observation(
+        s"sssp_path_${round}_${System.nanoTime()}")
+      val next = st.join(byNode, Seq("anc"), "left")
+        .select(col("node"), col("dist"),
+          when(col("anc") === source, col("anc"))
+            .otherwise(col("aanc")).as("anc"),
+          when(col("anc") === source, col("seg"))
+            .otherwise(concat(col("aseg"), lit("->"), col("seg"))).as("seg"))
+        .observe(obs, sum(when(col("anc") === source, 0L).otherwise(1L))
+          .as("pending"))
+        .iterCheckpoint()
+      pending = obs.get("pending").asInstanceOf[Long]
+      st = next
+      round += 1
+    }
+    st.filter(col("anc") === source)
+      .select(col("node"), col("dist"),
+        when(col("node") === source, col("seg"))
+          .otherwise(concat(lit(s"$source->"), col("seg"))).as("path"))
+  }
+
+  def qSsspPath(s: SparkSession, d: String): DataFrame = {
+    val e = weightedEdges(s, d)
+    ssspPaths(e, hubNode(e.select(col("src"), col("dst"))), SsspRounds)
+  }
+
+  /** Backtrack depth for the SQL oracle's unrolled path walk: every step
+    * strictly decreases dist (integer weights ≥ 1), and the observed max
+    * tree depth across fixtures is 9 — 14 leaves margin. */
+  private val SqlBacktrackSteps = 14
+
+  val qSsspPathSql: String = {
+    val relax = (1 to SsspRounds)
+      .map(i => s"s$i AS MATERIALIZED (${ssspIter(s"s${i - 1}")})").mkString(", ")
+    val walk = (1 to SqlBacktrackSteps).map { i =>
+      s"p$i AS (SELECT p.node, p.dist, " +
+        s"CASE WHEN p.cur = $SqlHub THEN p.cur ELSE pr.pred END AS cur, " +
+        s"CASE WHEN p.cur = $SqlHub THEN p.path " +
+        "ELSE CAST(pr.pred AS VARCHAR) || '->' || p.path END AS path " +
+        s"FROM p${i - 1} p LEFT JOIN pred pr ON pr.node = p.cur)"
+    }.mkString(", ")
+    "WITH e AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst, " +
+      "CAST(GREATEST(1, 6 - count(DISTINCT a.l_orderkey)) AS BIGINT) AS w " +
+      "FROM lineitem a JOIN lineitem b " +
+      "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+      s"GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= $MinSupport), " +
+      "sym AS MATERIALIZED (SELECT src AS a, dst AS b, w FROM e " +
+      "UNION ALL SELECT dst, src, w FROM e), " +
+      s"s0 AS MATERIALIZED (SELECT node, CASE WHEN node = $SqlHub " +
+      "THEN CAST(0 AS BIGINT) ELSE NULL END AS dist FROM " +
+      "(SELECT DISTINCT a AS node FROM sym) n), " +
+      relax + ", " +
+      s"fin AS MATERIALIZED (SELECT node, dist FROM s$SsspRounds " +
+      "WHERE dist IS NOT NULL), " +
+      "pred AS MATERIALIZED (SELECT s.b AS node, min(s.a) AS pred " +
+      "FROM sym s JOIN fin x ON x.node = s.a JOIN fin n ON n.node = s.b " +
+      s"WHERE x.dist + s.w = n.dist AND s.b <> $SqlHub GROUP BY s.b), " +
+      "p0 AS (SELECT node, dist, node AS cur, CAST(node AS VARCHAR) AS path " +
+      "FROM fin), " +
+      walk + " " +
+      s"SELECT node, dist, path FROM p$SqlBacktrackSteps WHERE cur = $SqlHub"
+  }
+
   def qBfs(s: SparkSession, d: String): DataFrame = {
     val e = supportedEdges(s, d, MinSupport)
     bfsDistances(e, hubNode(e), BfsRounds)
@@ -595,6 +696,7 @@ object GraphQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sssp"       -> qSssp _,
+    "q_sssp_path"  -> qSsspPath _,
     "q_bfs"        -> qBfs _,
     "q_triangles"  -> qTriangles _,
     "q_components" -> qComponents _,
@@ -607,6 +709,7 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "q_sssp"       -> qSsspSql,
+    "q_sssp_path"  -> qSsspPathSql,
     "q_bfs"        -> qBfsSql,
     "q_triangles"  -> qTrianglesSql,
     "q_components" -> qComponentsSql,
