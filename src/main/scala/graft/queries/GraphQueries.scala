@@ -150,6 +150,66 @@ object GraphQueries {
       "GROUP BY 1"
   }
 
+  // ── Modularity of the component partition ──────────────────────────────
+  // Newman–Girvan modularity Q = Σ_c [e_c/m − (d_c/2m)²] of the CC
+  // labeling over the support-thresholded co-purchase graph — the
+  // standard "is this clustering better than random" score a dedup/
+  // community pipeline reports before trusting its clusters. All terms
+  // are exact integers until ONE final division: Q = Σ(4·m·e_c − d_c²)
+  // / (4m²), summed in DECIMAL(38,0) so a billion-edge graph cannot
+  // overflow. The global m rides a single-row broadcast (Q11/Q15
+  // discipline); labels come from the same proven CC fixed point the
+  // oracle unrolls, so both engines score the identical partition.
+  def qModularity(s: SparkSession, d: String): DataFrame = {
+    val e = supportedEdges(s, d, MinSupport)
+    val labels = graft.operators.ConnectedComponents
+      .components(e, maxIterations = CcRounds)
+    // every edge is intra-component by construction; label via src
+    val ec = e.join(labels.select(col("node").as("src"), col("comp")), Seq("src"))
+      .groupBy(col("comp")).agg(count(lit(1)).as("e_c"))
+    val deg = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val dc = deg.join(labels, Seq("node"))
+      .groupBy(col("comp")).agg(sum(col("deg")).as("d_c"))
+    val tot = e.agg(count(lit(1)).as("m"))
+    ec.join(dc, Seq("comp"))
+      .crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("n_communities"),
+        first(col("m")).as("m_edges"),
+        sum((col("m") * col("e_c") * 4 - col("d_c") * col("d_c"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("numer"))
+      .select(col("n_communities"), col("m_edges"),
+        round(col("numer").cast("double") /
+          (col("m_edges").cast("double") * col("m_edges") * 4.0), 9)
+          .as("modularity_r"))
+  }
+
+  val qModularitySql: String = {
+    val rounds = (1 to CcRounds)
+      .map(i => s"l$i AS MATERIALIZED (${ccIter(s"l${i - 1}")})").mkString(", ")
+    "WITH e AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst " +
+      "FROM lineitem a JOIN lineitem b " +
+      "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+      s"GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= $MinSupport), " +
+      "sym AS MATERIALIZED (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e), " +
+      "l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS comp FROM sym), " +
+      rounds + ", " +
+      s"fin AS MATERIALIZED (SELECT node, comp FROM l$CcRounds), " +
+      "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM " +
+      "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e) GROUP BY 1), " +
+      "ec AS (SELECT f.comp, CAST(count(*) AS BIGINT) AS e_c FROM e " +
+      "JOIN fin f ON f.node = e.src GROUP BY 1), " +
+      "dc AS (SELECT f.comp, CAST(sum(deg) AS BIGINT) AS d_c FROM deg " +
+      "JOIN fin f USING (node) GROUP BY 1), " +
+      "mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e) " +
+      "SELECT CAST(count(*) AS BIGINT) AS n_communities, " +
+      "any_value(mm.m) AS m_edges, " +
+      "round(CAST(sum(CAST(mm.m * e_c * 4 - d_c * d_c AS DECIMAL(38,0))) AS DOUBLE) " +
+      "/ (CAST(any_value(mm.m) AS DOUBLE) * any_value(mm.m) * 4.0), 9) AS modularity_r " +
+      "FROM ec JOIN dc USING (comp), mm"
+  }
+
   val qTrianglesSql: String =
     "WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst " +
       "FROM lineitem a JOIN lineitem b " +
@@ -697,6 +757,7 @@ object GraphQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sssp"       -> qSssp _,
     "q_sssp_path"  -> qSsspPath _,
+    "q_modularity" -> qModularity _,
     "q_bfs"        -> qBfs _,
     "q_triangles"  -> qTriangles _,
     "q_components" -> qComponents _,
@@ -710,6 +771,7 @@ object GraphQueries {
   val oracles: Map[String, String] = Map(
     "q_sssp"       -> qSsspSql,
     "q_sssp_path"  -> qSsspPathSql,
+    "q_modularity" -> qModularitySql,
     "q_bfs"        -> qBfsSql,
     "q_triangles"  -> qTrianglesSql,
     "q_components" -> qComponentsSql,

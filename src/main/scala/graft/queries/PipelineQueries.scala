@@ -115,12 +115,48 @@ object PipelineQueries {
       "SELECT count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens, " +
       "round(avg(quality), 6) AS avg_quality FROM surv"
 
+  // ── k-anonymity audit (privacy gate before a data release) ─────────────
+  // For a quasi-identifier tuple — segment, nation, coarse balance band —
+  // every row must hide in a group of ≥ k lookalikes, or the release
+  // re-identifies the outliers. One partial-agg shuffle builds the group
+  // sizes; the report is (k_min, group count, violating groups, rows at
+  // risk) — the numbers a governance gate thresholds on. Bands are exact
+  // integer floors (cents // 100000), so both engines bucket identically.
+  private val AnonK = 5
+
+  def qKAnonymity(s: SparkSession, d: String): DataFrame = {
+    val bal = (col("c_acctbal").cast(
+      org.apache.spark.sql.types.DecimalType(18, 2)) * 100).cast("long")
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        floor(bal / 100000L).cast("long").as("bal_band"))
+      .groupBy(col("c_mktsegment"), col("c_nationkey"), col("bal_band"))
+      .agg(count(lit(1)).as("g"))
+      .agg(min(col("g")).as("k_min"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("g") < AnonK, 1L).otherwise(0L)).as("n_violating"),
+        sum(when(col("g") < AnonK, col("g")).otherwise(0L)).as("rows_at_risk"))
+  }
+
+  val qKAnonymitySql: String =
+    "WITH g AS (SELECT c_mktsegment, c_nationkey, " +
+      "CAST(FLOOR(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+      "/ 100000.0) AS BIGINT) AS bal_band, " +
+      "CAST(count(*) AS BIGINT) AS g " +
+      "FROM customer GROUP BY 1, 2, 3) " +
+      "SELECT min(g) AS k_min, CAST(count(*) AS BIGINT) AS n_groups, " +
+      s"CAST(sum(CASE WHEN g < $AnonK THEN 1 ELSE 0 END) AS BIGINT) AS n_violating, " +
+      s"CAST(sum(CASE WHEN g < $AnonK THEN g ELSE 0 END) AS BIGINT) AS rows_at_risk " +
+      "FROM g"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_k_anonymity"   -> qKAnonymity _,
     "q_pipeline_exact" -> qPipelineExact _,
     "q_pipeline_full"  -> qPipelineFull _,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_k_anonymity"   -> qKAnonymitySql,
     "q_pipeline_exact" -> qPipelineExactSql,
     "q_pipeline_full"  -> qPipelineFullSql,
   )
