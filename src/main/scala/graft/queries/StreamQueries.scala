@@ -202,6 +202,31 @@ object StreamQueries {
     * once the final watermark passes its end — the oracle applies the
     * same closure rule, and closed days contain only closed hours, so
     * their totals equal the batch rollup exactly. */
+  /** Streaming per-window top-3 leaderboard (EventStreams.hourlyTopK,
+    * custom keyed ranking state). Update-mode snapshots log every time a
+    * window's counts change; the FINAL snapshot per bucket is the one
+    * whose `w_total` marker is highest (strictly increasing), exactly the
+    * qStreamRunning last-write-wins discipline. The batch hourly rank is
+    * the oracle. */
+  def qStreamTopk(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ranked = EventStreams.hourlyTopK(eventStream(s, d), k = 3)
+    val sink = runToMemory(s, ranked.toDF(), OutputMode.Update())
+    // fresh aliases on the max side: the memory-sink view self-join would
+    // otherwise carry identical attribute ids on both inputs
+    val last = sink.select(col("bucket").as("b2"), col("w_total").as("t2"))
+      .groupBy(col("b2")).agg(max(col("t2")).as("t2"))
+    sink.join(last, col("bucket") === col("b2") && col("w_total") === col("t2"))
+      .select(col("bucket"), col("event_type"), col("n"))
+  }
+
+  val qStreamTopkSql: String =
+    "WITH c AS (SELECT date_trunc('hour', ts) AS bucket, event_type, " +
+      "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
+      "r AS (SELECT bucket, event_type, n, row_number() OVER " +
+      "(PARTITION BY bucket ORDER BY n DESC, event_type) AS rk FROM c) " +
+      "SELECT bucket, event_type, n FROM r WHERE rk <= 3"
+
   def qStreamChain(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     runToMemory(s,
@@ -452,6 +477,7 @@ object StreamQueries {
     "q_stream_full_join" -> qStreamFullJoin _,
     "q_stream_right_join" -> qStreamRightJoin _,
     "q_stream_chain"    -> qStreamChain _,
+    "q_stream_topk"     -> qStreamTopk _,
     "q_kv_changefeed"   -> qKvChangefeed _,
   )
 
@@ -464,6 +490,7 @@ object StreamQueries {
     "q_stream_tumbling" -> EventQueries.qTumblingHourlySql,
     "q_stream_sessions" -> EventQueries.qSessionWindowSql,
     "q_stream_running"  -> qStreamRunningSql,
+    "q_stream_topk"     -> qStreamTopkSql,
     "q_stream_join"     -> qStreamJoinSql,
     "q_stream_semi_join" -> qStreamSemiJoinSql,
     "q_stream_left_join" -> qStreamLeftJoinSql,

@@ -160,6 +160,48 @@ object EventStreams {
       }
   }
 
+  /** One row of a per-window top-k leaderboard snapshot; `w_total` (the
+    * window's total event count, strictly increasing) marks which
+    * snapshot is newest, so a last-write-wins consumer can keep the
+    * final one without ordering guarantees from the sink. */
+  case class WindowTopK(bucket: Timestamp, event_type: String, n: Long,
+      w_total: Long)
+
+  /** Streaming per-window top-k: for every (hour bucket), the k most
+    * frequent event types — the live "trending now" leaderboard. Spark
+    * has no streaming ranking window, so the rank is custom keyed state:
+    * `flatMapGroupsWithState` per bucket holds the type→count map
+    * (bounded: |event types| entries per window, NOT per event) and
+    * re-emits the top-k snapshot whenever the window's counts change.
+    * Deterministic tie-break (count desc, type asc) keeps the cut
+    * boundary stable across engines and micro-batch layouts. At 100 TB
+    * the state is windows×types rows — negligible against the stream —
+    * and a production run adds a state TIMEOUT at the watermark horizon
+    * to retire closed windows. */
+  def hourlyTopK(events: DataFrame, k: Int,
+      watermark: String = "40 days"): Dataset[WindowTopK] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .as[(Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[String, Long], WindowTopK](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (bucket: Timestamp, batch: Iterator[(Timestamp, String)],
+            state: GroupState[Map[String, Long]]) =>
+          val counts = batch.foldLeft(state.getOption.getOrElse(
+            Map.empty[String, Long])) { (m, r) =>
+            m.updated(r._2, m.getOrElse(r._2, 0L) + 1L)
+          }
+          state.update(counts)
+          val total = counts.valuesIterator.sum
+          counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(k)
+            .map { case (t, n) => WindowTopK(bucket, t, n, total) }
+            .iterator
+      }
+  }
+
   /** Stream-static enrichment: join the unbounded stream against a
     * bounded dimension (re-read per micro-batch, so slowly-changing
     * dimensions pick up updates without restarting the query). The

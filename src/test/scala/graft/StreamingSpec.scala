@@ -387,6 +387,34 @@ class StreamingSpec extends AnyFunSuite {
       Tables.events(spark, sf).count())
   }
 
+  test("streaming hourly top-k state accumulates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.hourlyTopK(in.toDF(), k = 2).toDF()
+      .writeStream.format("memory").queryName("stream_topk_spec")
+      .outputMode("update").start()
+    try {
+      // hour 0: 3 views, 2 clicks, 1 error — split across TWO batches so
+      // the second batch must rank on merged state, not batch-local counts
+      in.addData(Event(0L, t(1), 1L, "view", 0, "{}"),
+        Event(1L, t(2), 1L, "click", 0, "{}"),
+        Event(2L, t(3), 2L, "view", 0, "{}"))
+      q.processAllAvailable()
+      in.addData(Event(3L, t(4), 1L, "view", 0, "{}"),
+        Event(4L, t(5), 2L, "click", 0, "{}"),
+        Event(5L, t(6), 2L, "error", 0, "{}"))
+      q.processAllAvailable()
+      val rows = spark.table("stream_topk_spec")
+        .select($"event_type", $"n", $"w_total")
+        .as[(String, Long, Long)].collect()
+      // final snapshot = rows at the max marker (6 events total)
+      val fin = rows.filter(_._3 == 6L).map(r => r._1 -> r._2).toSeq.sorted
+      assert(fin === Seq("click" -> 2L, "view" -> 3L))
+      // the first batch's snapshot was also emitted (marker 3)
+      assert(rows.exists(_._3 == 3L))
+    } finally q.stop()
+  }
+
   test("readEventStream constructs on a not-yet-populated directory") {
     // production wiring order: the stream is declared BEFORE its producer
     // writes the first file — the schema probe must fall back to the
