@@ -250,6 +250,40 @@ object EventQueries {
       "ON c.user_id = e.user_id AND e.ts >= c.ts " +
       "AND e.ts <= c.ts + INTERVAL 900 SECONDS"
 
+  // ── Nearest-direction as-of with tolerance (merge_asof surface) ────────
+  // Each purchase takes its temporally CLOSEST click within ±10 minutes,
+  // either direction, ties to the backward match — AsOfJoin.asofDirected
+  // runs both carries over one exchange. The pre-aggregation of clicks
+  // per (user, ts) keeps the nearest-pick deterministic; the oracle ranks
+  // all in-tolerance candidates by (|Δ|, backward-first) and keeps rank 1.
+  def qAsofNearest(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").as("purchase_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("click_value"))
+    graft.operators.AsOfJoin.asofDirected(purchases, clicks,
+      keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+      payload = Seq("click_value"),
+      direction = "nearest", toleranceSec = Some(600))
+  }
+
+  val qAsofNearestSql: String =
+    "WITH p AS (SELECT user_id, ts, event_id, value AS purchase_value " +
+      "FROM events WHERE event_type = 'purchase'), " +
+      "c AS (SELECT user_id, ts, arg_max(value, event_id) AS click_value " +
+      "FROM events WHERE event_type = 'click' GROUP BY 1, 2), " +
+      "cand AS (SELECT p.user_id, p.ts, p.event_id, p.purchase_value, " +
+      "c.click_value, abs(epoch_us(c.ts) - epoch_us(p.ts)) AS adiff, " +
+      "CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END AS fwd " +
+      "FROM p JOIN c ON p.user_id = c.user_id " +
+      "AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 600000000) " +
+      "SELECT user_id, ts, event_id, purchase_value, click_value FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY user_id, event_id " +
+      "ORDER BY adiff, fwd) AS rk FROM cand) WHERE rk = 1"
+
   // ── Interval-overlap join: activity windows × incident windows ─────────
   // Exercises graft.operators.IntervalJoin (grid-bucketed, exactly-once
   // pair emission — no per-key cross product, no dedup pass): each click
@@ -1563,6 +1597,7 @@ object EventQueries {
     "q_sliding_window"   -> qSlidingWindow _,
     "q_range_join"       -> qRangeJoin _,
     "q_interval_join"    -> qIntervalJoin _,
+    "q_asof_nearest"     -> qAsofNearest _,
     "q_asof_join"        -> qAsofJoin _,
     "q_session_window"   -> qSessionWindow _,
     "q_tumbling_hourly"  -> qTumblingHourly _,
@@ -1610,6 +1645,7 @@ object EventQueries {
     "q_sliding_window"   -> qSlidingWindowSql,
     "q_range_join"       -> qRangeJoinSql,
     "q_interval_join"    -> qIntervalJoinSql,
+    "q_asof_nearest"     -> qAsofNearestSql,
     "q_asof_join"        -> qAsofJoinSql,
     "q_session_window"   -> qSessionWindowSql,
     "q_tumbling_hourly"  -> qTumblingHourlySql,

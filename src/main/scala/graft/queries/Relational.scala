@@ -1472,6 +1472,71 @@ object Relational {
       "UNION ALL SELECT 'bad_order_status', count(*) FROM orders " +
       "WHERE o_orderstatus NOT IN ('O', 'F', 'P')"
 
+  // ── Column profiler (data-catalog crawler shape) ───────────────────────
+  // Per-column null count, exact distinct cardinality, and numeric
+  // min/max over the whole fact table in ONE aggregation pass: Spark
+  // plans the 11 count-distincts as a single Expand (×11) + one shuffle —
+  // 11 separate scans would cost 11× the I/O the profiler exists to
+  // avoid. Numerics report min/max as doubles (bit-identical inputs);
+  // timestamps as epoch microseconds (exact integers < 2^53); strings
+  // report cardinality only (cross-engine string formatting of min/max
+  // is not hash-stable, cardinality is). At 100 TB the same plan holds —
+  // the expand factor is column count, not data — with
+  // approx_count_distinct as the documented cheaper knob.
+  def qProfile(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    def numProf(c: String) = Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+      countDistinct(col(c)).as(s"${c}_dist"),
+      min(col(c)).cast("double").as(s"${c}_min"),
+      max(col(c)).cast("double").as(s"${c}_max"))
+    def tsProf(c: String) = Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+      countDistinct(col(c)).as(s"${c}_dist"),
+      min(unix_micros(col(c))).cast("double").as(s"${c}_min"),
+      max(unix_micros(col(c))).cast("double").as(s"${c}_max"))
+    def strProf(c: String) = Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+      countDistinct(col(c)).as(s"${c}_dist"),
+      lit(null).cast("double").as(s"${c}_min"),
+      lit(null).cast("double").as(s"${c}_max"))
+    val nums = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val strs = Seq("l_returnflag", "l_linestatus")
+    val aggs = nums.flatMap(numProf) ++ strs.flatMap(strProf) ++
+      tsProf("l_shipdate") :+ count(lit(1)).as("n_rows")
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val cols = nums ++ strs :+ "l_shipdate"
+    val structs = cols.map(c =>
+      s"named_struct('col_name', '$c', 'n_rows', n_rows, " +
+        s"'n_nulls', ${c}_nulls, 'n_distinct', ${c}_dist, " +
+        s"'min_num', ${c}_min, 'max_num', ${c}_max)").mkString(", ")
+    one.selectExpr(s"inline(array($structs))")
+  }
+
+  val qProfileSql: String = {
+    val nums = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val rows =
+      nums.map(c =>
+        s"SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, " +
+          s"CAST(count(*) - count($c) AS BIGINT) AS n_nulls, " +
+          s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct, " +
+          s"CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num " +
+          "FROM lineitem") ++
+      Seq("l_returnflag", "l_linestatus").map(c =>
+        s"SELECT '$c', CAST(count(*) AS BIGINT), " +
+          s"CAST(count(*) - count($c) AS BIGINT), " +
+          s"CAST(count(DISTINCT $c) AS BIGINT), " +
+          "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM lineitem") :+
+      ("SELECT 'l_shipdate', CAST(count(*) AS BIGINT), " +
+        "CAST(count(*) - count(l_shipdate) AS BIGINT), " +
+        "CAST(count(DISTINCT l_shipdate) AS BIGINT), " +
+        "CAST(min(epoch_us(l_shipdate)) AS DOUBLE), " +
+        "CAST(max(epoch_us(l_shipdate)) AS DOUBLE) FROM lineitem")
+    rows.mkString(" UNION ALL ")
+  }
+
   // ── Grouped string aggregation (LISTAGG shape) ─────────────────────────
   // Per-region sorted roster of nation names — the string_agg/listagg
   // surface. collect_list's arrival order is nondeterministic by design;
@@ -1768,6 +1833,7 @@ object Relational {
     "q_full_outer"      -> qFullOuter _,
     "q_unpivot"         -> qUnpivot _,
     "q_dq_report"       -> qDqReport _,
+    "q_profile"         -> qProfile _,
     "q_mv_refresh"      -> qMvRefresh _,
     "q_histogram"       -> qHistogram _,
     "q_percentiles"     -> qPercentiles _,
@@ -1832,6 +1898,7 @@ object Relational {
     "q_full_outer"      -> qFullOuterSql,
     "q_unpivot"         -> qUnpivotSql,
     "q_dq_report"       -> qDqReportSql,
+    "q_profile"         -> qProfileSql,
     "q_mv_refresh"      -> qMvRefreshSql,
     "q_histogram"       -> qHistogramSql,
     "q_percentiles"     -> qPercentilesSql,

@@ -93,4 +93,37 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.count() > 0)
     assert(out.filter($"click_value".isNull).count() === 0)
   }
+
+  private def directed(dir: String, tol: Option[Long]) =
+    AsOfJoin.asofDirected(trades, quotes, Seq("k"), "ts", "qts", Seq("px"),
+      direction = dir, toleranceSec = tol)
+      .select($"trade", $"px").as[(String, Double)].collect().toMap
+
+  test("forward asof picks the earliest right row at or after each left ts") {
+    // t0 (ts=5) → quote at 8; t1 (ts=10) → 15; t2 (ts=20) → 20 (tie
+    // matches); t3 (ts=7, k=2) → 9
+    assert(directed("forward", None) ===
+      Map("t0" -> 100.0, "t1" -> 110.0, "t2" -> 120.0, "t3" -> 50.0))
+  }
+
+  test("nearest asof takes the closer side; exact |Δ| ties go backward") {
+    // t0 (5): only forward (8, Δ3) → 100; t1 (10): backward 8 (Δ2) beats
+    // forward 15 (Δ5) → 100; t2 (20): exact hit → 120; t3 (7): fwd 9 → 50
+    assert(directed("nearest", None) ===
+      Map("t0" -> 100.0, "t1" -> 100.0, "t2" -> 120.0, "t3" -> 50.0))
+    // equidistant: left at 10 between quotes at 8 and 12 → backward wins
+    val l = Seq((9L, 10L, "m")).toDF("k", "ts", "trade")
+    val r = Seq((9L, 8L, 1.0), (9L, 12L, 2.0)).toDF("k", "qts", "px")
+    val out = AsOfJoin.asofDirected(l, r, Seq("k"), "ts", "qts", Seq("px"),
+      "nearest", None).select($"px").as[Double].head()
+    assert(out === 1.0)
+  }
+
+  test("tolerance voids matches beyond the bound in every direction") {
+    // seconds-scale timestamps: ts column here is epoch-seconds longs
+    // cast via the micros math — use wide gaps (ts in SECONDS of long)
+    assert(directed("backward", Some(0L)) === Map("t2" -> 120.0))
+    // nearest with tolerance 0 keeps only exact-timestamp hits too
+    assert(directed("nearest", Some(0L)) === Map("t2" -> 120.0))
+  }
 }
