@@ -1417,6 +1417,84 @@ object EventQueries {
           sqrt(col("var0") / col("n0") + col("var1") / col("n1")), 6).as("welch_t"))
   }
 
+  // ── CUPED variance-reduced experiment readout ──────────────────────────
+  // Deng et al., "Improving the Sensitivity of Online Controlled
+  // Experiments by Utilizing Pre-Experiment Data" (WSDM'13): adjust each
+  // user's experiment-period metric Y by their PRE-period metric X,
+  // Yadj = Y − θ(X − X̄) with θ = cov(X,Y)/var(X) — same means, smaller
+  // variance, faster experiments. Everything is exact integer moments
+  // (cents; cross-multiplied covariance/variance numerators in
+  // DECIMAL(38,0) / HUGEINT — Σx·y overflows BIGINT at real scale) until
+  // the final double divisions, written with IDENTICAL operation order
+  // in both engines so the rounded report agrees bit-for-bit. One
+  // per-user rollup shuffle + a single-row global broadcast (Q11/Q15
+  // discipline); arms are the salted-md5 assignment q_ab_test proved.
+  private val CupedSplit = "2024-01-16"
+
+  def qCuped(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+    val pre = col("ts") < lit(CupedSplit).cast("timestamp")
+    val arm = graft.functions.Md5Bits.hash60(
+      concat(lit("cuped:"), col("user_id"))) % 2
+    val perUser = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(when(pre, cents).otherwise(0L)).as("x"),
+        sum(when(!pre, cents).otherwise(0L)).as("y"))
+      .select(col("x"), col("y"), arm.as("arm"))
+    val d38 = DecimalType(38, 0)
+    val g = perUser.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x").cast(d38) * col("x")).as("sxx"),
+      sum(col("x").cast(d38) * col("y")).as("sxy"))
+    val byArm = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("sx_v"), sum(col("y")).as("sy_v"))
+    val theta = (col("n").cast(d38) * col("sxy") -
+      col("sx").cast(d38) * col("sy")).cast("double") /
+      (col("n").cast(d38) * col("sxx") -
+        col("sx").cast(d38) * col("sx")).cast("double")
+    val xbar = col("sx").cast("double") / col("n")
+    val ybarV = col("sy_v").cast("double") / col("n_users")
+    val xbarV = col("sx_v").cast("double") / col("n_users")
+    byArm.crossJoin(broadcast(g))
+      .select(col("arm"), col("n_users"),
+        round(theta, 6).as("theta_r"),
+        round(ybarV, 4).as("mean_y_cents_r"),
+        round(ybarV - theta * (xbarV - xbar), 4).as("mean_y_adj_cents_r"))
+      .orderBy(col("arm"))
+  }
+
+  val qCupedSql: String = {
+    val arm = graft.functions.Md5Bits.sqlHash60(
+      "'cuped:' || CAST(user_id AS VARCHAR)") + " % 2"
+    val cents = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    s"WITH pu AS (SELECT user_id, " +
+      s"CAST(sum(CASE WHEN ts < TIMESTAMP '$CupedSplit' THEN $cents ELSE 0 END) AS BIGINT) AS x, " +
+      s"CAST(sum(CASE WHEN ts < TIMESTAMP '$CupedSplit' THEN 0 ELSE $cents END) AS BIGINT) AS y " +
+      "FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
+      s"pa AS (SELECT x, y, $arm AS arm FROM pu), " +
+      "g AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+      "sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(x AS HUGEINT) * y) AS sxy " +
+      "FROM pa), " +
+      "va AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users, " +
+      "CAST(sum(x) AS BIGINT) AS sx_v, CAST(sum(y) AS BIGINT) AS sy_v " +
+      "FROM pa GROUP BY 1) " +
+      "SELECT arm, n_users, " +
+      "round(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) " +
+      "/ CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE), 6) AS theta_r, " +
+      "round(CAST(sy_v AS DOUBLE) / n_users, 4) AS mean_y_cents_r, " +
+      "round(CAST(sy_v AS DOUBLE) / n_users - " +
+      "(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) " +
+      "/ CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)) * " +
+      "(CAST(sx_v AS DOUBLE) / n_users - CAST(sx AS DOUBLE) / n), 4) " +
+      "AS mean_y_adj_cents_r " +
+      "FROM va, g ORDER BY arm"
+  }
+
   val qAbTestSql: String = {
     val arm = graft.functions.Md5Bits.sqlHash60("'ab:' || CAST(user_id AS VARCHAR)") + " % 2"
     val v = "CAST(value AS DECIMAL(18,2))"
@@ -1598,6 +1676,7 @@ object EventQueries {
     "q_range_join"       -> qRangeJoin _,
     "q_interval_join"    -> qIntervalJoin _,
     "q_asof_nearest"     -> qAsofNearest _,
+    "q_cuped"            -> qCuped _,
     "q_asof_join"        -> qAsofJoin _,
     "q_session_window"   -> qSessionWindow _,
     "q_tumbling_hourly"  -> qTumblingHourly _,
@@ -1646,6 +1725,7 @@ object EventQueries {
     "q_range_join"       -> qRangeJoinSql,
     "q_interval_join"    -> qIntervalJoinSql,
     "q_asof_nearest"     -> qAsofNearestSql,
+    "q_cuped"            -> qCupedSql,
     "q_asof_join"        -> qAsofJoinSql,
     "q_session_window"   -> qSessionWindowSql,
     "q_tumbling_hourly"  -> qTumblingHourlySql,
