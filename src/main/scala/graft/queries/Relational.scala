@@ -383,6 +383,43 @@ object Relational {
       s"r3 AS (${prIter("r2")}) " +
       "SELECT node, round(rank, 6) AS rank_r FROM r3"
 
+  // ── Personalized PageRank (seed-restart walk) ──────────────────────────
+  // The "related to THESE items" recommender score: restart mass pinned
+  // to seeds {1,2,3}, 3 damped rounds, untouched nodes stay exactly 0.0
+  // and are pruned — so the output is the seeds' 3-hop neighborhood with
+  // proximity scores. Oracle = the same rounds unrolled with the seeded
+  // CASE restart; doubles round to 6 like q_pagerank.
+  private val PprSeeds = Seq(1L, 2L, 3L)
+
+  def qPagerankPersonalized(s: SparkSession, d: String): DataFrame =
+    graft.operators.PageRank.personalized(
+      Tables.lineitem(s, d).select(col("l_suppkey").as("src"),
+        col("l_partkey").as("dst")),
+      seeds = PprSeeds, iterations = 3)
+      .filter(col("rank") > 0.0)
+      .select(col("node"), round(col("rank"), 6).as("rank_r"))
+
+  private def pprIter(prev: String): String = {
+    val seedCase = s"CASE WHEN n.node IN (${PprSeeds.mkString(", ")}) " +
+      "THEN (1 - CAST(0.85 AS DOUBLE)) ELSE CAST(0 AS DOUBLE) END"
+    s"SELECT n.node, $seedCase + CAST(0.85 AS DOUBLE) * " +
+      "coalesce(s.s, CAST(0 AS DOUBLE)) AS rank FROM nodes n LEFT JOIN " +
+      s"(SELECT w.dst AS node, sum($prev.rank / w.deg) AS s " +
+      s"FROM w JOIN $prev ON w.src = $prev.node GROUP BY 1) s USING (node)"
+  }
+
+  val qPagerankPersonalizedSql: String =
+    "WITH e AS (SELECT l_suppkey AS src, l_partkey AS dst FROM lineitem), " +
+      "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+      "w AS (SELECT e.src, e.dst, d.deg FROM e JOIN " +
+      "(SELECT src, count(*) AS deg FROM e GROUP BY src) d USING (src)), " +
+      s"r0 AS (SELECT node, CASE WHEN node IN (${PprSeeds.mkString(", ")}) " +
+      "THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS rank FROM nodes), " +
+      s"r1 AS (${pprIter("r0")}), " +
+      s"r2 AS (${pprIter("r1")}), " +
+      s"r3 AS (${pprIter("r2")}) " +
+      "SELECT node, round(rank, 6) AS rank_r FROM r3 WHERE rank > 0.0"
+
   // ── SQL-text entry with a correlated-free scalar subquery ──────────────
   // The engine's spark.sql surface is first-class: the same Catalyst plan
   // serves SQL text and the DataFrame API. (The reference has no SQL
@@ -1842,6 +1879,7 @@ object Relational {
     "q_cpu_fib"         -> qCpuFib _,
     "q_pivot"           -> qPivot _,
     "q_pagerank"        -> qPagerank _,
+    "q_pagerank_ppr"    -> qPagerankPersonalized _,
     "q_intersect"       -> qIntersect _,
     "q_except"          -> qExcept _,
     "q_cube"            -> qCube _,
@@ -1907,6 +1945,7 @@ object Relational {
     "q_cpu_fib"         -> qCpuFibSql,
     "q_pivot"           -> qPivotSql,
     "q_pagerank"        -> qPagerankSql,
+    "q_pagerank_ppr"    -> qPagerankPersonalizedSql,
     "q_intersect"       -> qIntersectSql,
     "q_except"          -> qExceptSql,
     "q_cube"            -> qCubeSql,
