@@ -69,6 +69,31 @@ class SourcesSpec extends AnyFunSuite {
     assert(!scan.contains("event_type%3Dclick") && !scan.contains("event_type=click"))
   }
 
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    // the 100 TB star-join discipline: when the selective filter sits on
+    // the DIMENSION, the fact's partition pruning can only happen at
+    // RUNTIME (Catalyst inserts a dynamicpruning subquery reusing the
+    // broadcast) — without DPP every fact partition would be scanned
+    val path = s"$tmp/dpp_fact"
+    Tables.events(spark, sf)
+      .withColumn("etype", $"event_type")
+      .write.mode("overwrite").partitionBy("etype").parquet(path)
+    val fact = spark.read.parquet(path)
+    // the dim must be a SCAN (not a LocalRelation) for Catalyst's
+    // selective-predicate detection to consider its filter
+    val dimPath = s"$tmp/dpp_dim"
+    Seq(("purchase", "rev"), ("click", "eng"), ("error", "ops"))
+      .toDF("etype", "team").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+      .filter($"team" === "rev") // the selective predicate lives on the dim
+    val joined = fact.join(dim, Seq("etype"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic partition pruning in fact scan:\n$p")
+    assert(joined.count() ===
+      Tables.events(spark, sf).filter($"event_type" === "purchase").count())
+  }
+
   test("malformed csv rows surface in _corrupt_record instead of failing") {
     val dir = Files.createTempDirectory("graft_badcsv")
     Files.writeString(dir.resolve("d.csv"),
