@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.operators.IterCheckpoint.IterCheckpointOps
+
+/** Strongly connected components on a DIRECTED graph — the directed
+  * companion to [[ConnectedComponents]] (which ignores direction), used to
+  * find mutually-reachable clusters in link graphs, citation graphs, and
+  * redirect chains. Entirely beyond the reference's in-link-count PageRank
+  * (`performance_functions/simplified_page_rank.py`).
+  *
+  * Algorithm: the coloring / forward-backward method (Orzan's coloring;
+  * FW-BW of Fleischer-Hendrickson-Pinar), expressed as two min-label
+  * fixpoints per outer round:
+  *
+  *   1. F(v) = min id forward-reachable from v (v included) — min-label
+  *      propagation AGAINST edge direction with pointer jumping (labels
+  *      are themselves reachable nodes, so F(v) := min(F(v), F(F(v))) is
+  *      sound and cuts rounds from O(diameter) to O(log diameter)).
+  *   2. Within each color class {v: F(v)=c}, G(v) = min id that REACHES v
+  *      via same-color edges — the same fixpoint on the reversed
+  *      color-restricted subgraph. SCC paths never leave the SCC, and
+  *      every node of color c is ≥ c, so G(v)=c exactly when pivot c
+  *      reaches v; combined with F(v)=c (v reaches c, provably within
+  *      color) that pins v ∈ SCC(c).
+  *   3. Settle scc(v)=c where F(v)=G(v)=c (covers singleton pivots too:
+  *      F(v)=v ⇒ G(v)=v); recurse on the unsettled same-color subgraph —
+  *      one SCC settles per color per round, so DAG-shaped tails (every
+  *      node its own pivot) all settle in a single round rather than one
+  *      per round as in plain FW-BW.
+  *
+  * Scale shape: every fixpoint round is one key-shuffle join + one
+  * aggregation over the (shrinking) edge list; per-node state is two
+  * BIGINT columns; `iterCheckpoint` truncates lineage per double-step and
+  * an `Observation` metric rides the checkpoint job for convergence — no
+  * driver-side materialization at any size (same discipline as
+  * [[ConnectedComponents]] / [[PageRank]]).
+  */
+object StronglyConnectedComponents {
+
+  /** Min-label-reach fixpoint with pointer jumping: for every node of
+    * `edges` (two-column src/dst), the min id reachable by following
+    * edges forward. Returns (node, m). */
+  private def minReach(edges: DataFrame, maxRounds: Int): DataFrame = {
+    val e = edges.toDF("src", "dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // init fused with round one: F0(v) = min(v, out-neighbors) — labels
+    // start at one-hop reach; isolated-as-source nodes (dst-only) get
+    // their own id via the full outer union below
+    var labels = e.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("m"))
+      .withColumnRenamed("src", "node")
+      .union(e.select(col("dst").as("node"), col("dst").as("m")))
+      .groupBy(col("node")).agg(min(col("m")).as("m"))
+      .iterCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxRounds) {
+      // one hop: m'(v) = min(m(v), m(out-neighbors))
+      val hop = e.join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(min(col("m")).as("hm"))
+      val prop = labels.join(hop, Seq("node"), "left")
+        .select(col("node"),
+          least(col("m"), coalesce(col("hm"), col("m"))).as("m"),
+          col("m").as("prev"))
+        .iterCheckpoint()
+      // pointer jump: m := min(m, m(m)) — m(v) is reachable from v, so
+      // anything reachable from m(v) is reachable from v
+      val jump = prop.select(col("node").as("m"), col("m").as("jm"))
+      val obs = new org.apache.spark.sql.Observation(
+        s"scc_reach_${iter}_${System.nanoTime()}")
+      val next = prop.join(jump, Seq("m"), "left")
+        .select(col("node"),
+          least(col("m"), coalesce(col("jm"), col("m"))).as("m"),
+          col("prev"))
+        .observe(obs,
+          sum(when(col("m") =!= col("prev"), 1L).otherwise(0L)).as("changed"))
+        .iterCheckpoint()
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
+      labels = next.select(col("node"), col("m"))
+      iter += 1
+    }
+    e.unpersist(false)
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"scc min-reach did not converge in $maxRounds rounds; labels partial")
+    labels
+  }
+
+  /** @param edges two-column (src, dst) directed edge frame
+    * @return (node, scc) — scc = min node id of the strongly connected
+    *         component (singletons map to themselves). */
+  def components(edges: DataFrame, maxOuterRounds: Int = 8,
+      maxPropRounds: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var remaining = edges.toDF("src", "dst")
+      .filter(col("src") =!= col("dst")).distinct()
+      .iterCheckpoint()
+    var settled: DataFrame = Seq.empty[(Long, Long)].toDF("node", "scc")
+    var outer = 0
+    var done = remaining.isEmpty
+    while (!done && outer < maxOuterRounds) {
+      val fwd = minReach(remaining, maxPropRounds)
+        .withColumnRenamed("m", "f")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // same-color edges, reversed — G = min-reach on the transpose of
+      // the color-restricted subgraph
+      val colored = remaining
+        .join(fwd.select(col("node").as("src"), col("f").as("fs")), "src")
+        .join(fwd.select(col("node").as("dst"), col("f").as("fd")), "dst")
+        .filter(col("fs") === col("fd"))
+        .select(col("src"), col("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val bwd = minReach(colored.select(col("dst").as("src"),
+        col("src").as("dst")), maxPropRounds)
+        .withColumnRenamed("m", "g")
+      // settle where F == G (nodes with no same-color edge never enter
+      // bwd — they are their own pivot exactly when F(v)=v)
+      val verdicts = fwd.join(bwd, Seq("node"), "left")
+        .select(col("node"), col("f"),
+          coalesce(col("g"), col("node")).as("g"))
+        .iterCheckpoint()
+      settled = settled
+        .union(verdicts.filter(col("f") === col("g"))
+          .select(col("node"), col("f").as("scc")))
+        .iterCheckpoint()
+      val open = verdicts.filter(col("f") =!= col("g"))
+        .select(col("node"))
+      remaining = colored
+        .join(open.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(open.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .iterCheckpoint()
+      // nodes still open but with no surviving edge are singleton SCCs
+      val isolated = open
+        .join(remaining.select(col("src").as("node")), Seq("node"), "left_anti")
+        .join(remaining.select(col("dst").as("node")), Seq("node"), "left_anti")
+      settled = settled
+        .union(isolated.select(col("node"), col("node").as("scc")))
+        .iterCheckpoint()
+      fwd.unpersist(false)
+      colored.unpersist(false)
+      done = remaining.isEmpty
+      outer += 1
+    }
+    if (!done)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"scc did not settle every node in $maxOuterRounds outer rounds")
+    settled
+  }
+}

@@ -1,8 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
@@ -1638,7 +1639,140 @@ object EventQueries {
       "round(cume_dist() OVER w, 6) AS cd " +
       "FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)"
 
+  // ── Theil–Sen robust trend: median of pairwise slopes ──────────────────
+  // The estimator survives up to ~29% outlier days where OLS (q_regression)
+  // breaks down. Two stages: (1) aggregate to DAY grain — one key shuffle,
+  // and the point set stays ~365/year PER GROUP at any fact volume, which
+  // is what makes stage (2) safe at 100 TB; (2) all-pairs slopes WITHIN
+  // each group (bounded quadratic on the day grain, the same per-group-
+  // bounded expansion as the market-basket pairs) and an exact interpolated
+  // median via `percentile`. Sums ride as DECIMAL so both engines hand the
+  // division identical doubles.
+  def qTheilSen(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("x"))
+      .agg(sum(col("value").cast(DecimalType(18, 6))).cast("double").as("y"))
+    val a = daily.select(col("event_type"), col("x").as("x1"), col("y").as("y1"))
+    val b = daily.select(col("event_type"), col("x").as("x2"), col("y").as("y2"))
+    a.join(b, Seq("event_type"))
+      .filter(col("x2") > col("x1"))
+      .select(col("event_type"),
+        ((col("y2") - col("y1")) / (col("x2") - col("x1"))).as("slope"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(slope, 0.5)"), 6).as("ts_slope"))
+  }
+
+  val qTheilSenSql: String =
+    "WITH daily AS (SELECT event_type, " +
+      "date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x, " +
+      "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y " +
+      "FROM events GROUP BY 1, 2), " +
+      "p AS (SELECT a.event_type, (b.y - a.y) / (b.x - a.x) AS slope " +
+      "FROM daily a JOIN daily b ON a.event_type = b.event_type AND b.x > a.x) " +
+      "SELECT event_type, count(*) AS n_pairs, " +
+      "round(quantile_cont(slope, 0.5), 6) AS ts_slope FROM p GROUP BY 1"
+
+  // ── Kendall rank correlation (tau-a) between daily volume and value ────
+  // "Do busier days bring more revenue?" answered on RANKS — concordant
+  // minus discordant day pairs, so the statistic is integer-exact until
+  // the single final division (no floating-point accumulation anywhere).
+  // Same day-grain-then-bounded-pairs shape as Theil–Sen.
+  def qKendall(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("x"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 6))).as("y"))
+    val a = daily.select(col("event_type"), col("x").as("x1"),
+      col("cnt").as("c1"), col("y").as("y1"))
+    val b = daily.select(col("event_type"), col("x").as("x2"),
+      col("cnt").as("c2"), col("y").as("y2"))
+    val sgn = signum(col("c2") - col("c1")) * signum(col("y2") - col("y1"))
+    a.join(b, Seq("event_type"))
+      .filter(col("x2") > col("x1"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(sgn > 0, 1L).otherwise(0L)).as("concordant"),
+        sum(when(sgn < 0, 1L).otherwise(0L)).as("discordant"),
+        count(lit(1)).as("n_pairs"))
+      .select(col("event_type"), col("concordant"), col("discordant"),
+        col("n_pairs"),
+        round((col("concordant") - col("discordant")).cast("double") /
+          col("n_pairs"), 6).as("tau"))
+  }
+
+  val qKendallSql: String =
+    "WITH daily AS (SELECT event_type, " +
+      "date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x, " +
+      "count(*) AS cnt, sum(CAST(value AS DECIMAL(18,6))) AS y " +
+      "FROM events GROUP BY 1, 2), " +
+      "p AS (SELECT a.event_type, " +
+      "sign(b.cnt - a.cnt) * sign(b.y - a.y) AS s " +
+      "FROM daily a JOIN daily b ON a.event_type = b.event_type AND b.x > a.x) " +
+      "SELECT event_type, " +
+      "CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant, " +
+      "CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant, " +
+      "count(*) AS n_pairs, " +
+      "round(CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) - " +
+      "sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS tau " +
+      "FROM p GROUP BY 1"
+
+  // ── Difference-in-differences experiment readout ───────────────────────
+  // The observational companion to q_ab_test/q_cuped: treatment = odd
+  // user_id, intervention at 2024-01-16; the DiD estimate subtracts the
+  // control group's pre→post drift from the treatment group's. ONE
+  // aggregation pass — the four cell means are conditional sums, so the
+  // plan is a single partial-aggregated shuffle per event_type regardless
+  // of fact volume; sums ride as DECIMAL, means become doubles only at
+  // the final division.
+  def qDid(s: SparkSession, d: String): DataFrame = {
+    val v = col("value").cast(DecimalType(18, 6))
+    val treat = col("user_id") % 2 === 1
+    val post = to_date(col("ts")) >= to_date(lit("2024-01-16"))
+    def cell(p: Column, c: Column): (Column, Column) =
+      (sum(when(p, c).otherwise(lit(null))).cast("double"),
+        sum(when(p, 1L).otherwise(0L)))
+    val (st1, nt1) = cell(treat && post, v)
+    val (st0, nt0) = cell(treat && !post, v)
+    val (sc1, nc1) = cell(!treat && post, v)
+    val (sc0, nc0) = cell(!treat && !post, v)
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(st1.as("st1"), nt1.as("nt1"), st0.as("st0"), nt0.as("nt0"),
+        sc1.as("sc1"), nc1.as("nc1"), sc0.as("sc0"), nc0.as("nc0"))
+      .select(col("event_type"),
+        col("nt1"), col("nt0"), col("nc1"), col("nc0"),
+        round(col("st1") / col("nt1") - col("st0") / col("nt0"), 6)
+          .as("treat_delta"),
+        round(col("sc1") / col("nc1") - col("sc0") / col("nc0"), 6)
+          .as("control_delta"),
+        round((col("st1") / col("nt1") - col("st0") / col("nt0")) -
+          (col("sc1") / col("nc1") - col("sc0") / col("nc0")), 6).as("did"))
+  }
+
+  val qDidSql: String = {
+    def cellS(p: String) =
+      s"CAST(sum(CASE WHEN $p THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)"
+    def cellN(p: String) = s"CAST(sum(CASE WHEN $p THEN 1 ELSE 0 END) AS BIGINT)"
+    val t = "user_id % 2 = 1"
+    val p = "CAST(ts AS DATE) >= DATE '2024-01-16'"
+    "SELECT event_type, nt1, nt0, nc1, nc0, " +
+      "round(st1 / nt1 - st0 / nt0, 6) AS treat_delta, " +
+      "round(sc1 / nc1 - sc0 / nc0, 6) AS control_delta, " +
+      "round((st1 / nt1 - st0 / nt0) - (sc1 / nc1 - sc0 / nc0), 6) AS did " +
+      "FROM (SELECT event_type, " +
+      s"${cellS(s"$t AND $p")} AS st1, ${cellN(s"$t AND $p")} AS nt1, " +
+      s"${cellS(s"$t AND NOT ($p)")} AS st0, ${cellN(s"$t AND NOT ($p)")} AS nt0, " +
+      s"${cellS(s"NOT ($t) AND $p")} AS sc1, ${cellN(s"NOT ($t) AND $p")} AS nc1, " +
+      s"${cellS(s"NOT ($t) AND NOT ($p)")} AS sc0, ${cellN(s"NOT ($t) AND NOT ($p)")} AS nc0 " +
+      "FROM events GROUP BY 1) cells"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_theil_sen"        -> qTheilSen _,
+    "q_kendall"          -> qKendall _,
+    "q_did"              -> qDid _,
     "q_streaks"          -> qStreaks _,
     "q_running_distinct" -> qRunningDistinct _,
     "q_activity_bitmap"  -> qActivityBitmap _,
@@ -1688,6 +1822,9 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_theil_sen"        -> qTheilSenSql,
+    "q_kendall"          -> qKendallSql,
+    "q_did"              -> qDidSql,
     "q_streaks"          -> qStreaksSql,
     "q_running_distinct" -> qRunningDistinctSql,
     "q_activity_bitmap"  -> qActivityBitmapSql,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -754,7 +755,100 @@ object GraphQueries {
       "WHERE dist IS NOT NULL GROUP BY 1"
   }
 
+  // ── Strongly connected components on a DIRECTED purchase-path graph ────
+  // Nodes are parts; an edge points from each line to the NEXT line of the
+  // same order in (l_linenumber, l_partkey) order — the "purchase path".
+  // Restricted to partkey ≡ 0 (mod 7) so the DuckDB oracle's transitive
+  // closure stays verification-affordable; the Spark operator itself is
+  // the coloring/FW-BW iteration and never materializes reachability
+  // (see operators/StronglyConnectedComponents.scala). Edge derivation is
+  // ONE shuffle: per-order struct arrays sorted in codegen, adjacent
+  // pairs expanded — no window, no self-join re-shuffle of the fact table.
+  private def purchasePathEdges(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(struct(
+        col("l_linenumber").as("ln"), col("l_partkey").as("pk")))).as("xs"))
+      .select(explode(expr(
+        "transform(slice(xs, 1, size(xs) - 1), " +
+          "(x, i) -> struct(x.pk AS src, xs[i + 1].pk AS dst))")).as("p"))
+      .select(col("p.src"), col("p.dst"))
+      .filter(col("src") % 7 === 0 && col("dst") % 7 === 0 &&
+        col("src") =!= col("dst"))
+      .distinct()
+
+  def qScc(s: SparkSession, d: String): DataFrame =
+    graft.operators.StronglyConnectedComponents
+      .components(purchasePathEdges(s, d))
+
+  // ── Item-item collaborative filtering (co-occurrence cosine) ───────────
+  // The classic "customers who bought X also bought Y" recommender:
+  // sim(a,b) = |orders with both| / sqrt(|orders with a|·|orders with b|),
+  // top-3 neighbors per item. Co-occurrence comes from the one-shuffle
+  // per-order pair expansion (never a fact-table self-join); the support
+  // threshold caps the candidate pair set; occurrence counts are a
+  // |parts|-row side that AQE broadcasts while it fits. The top-3 filter
+  // compiles to WindowGroupLimit, so each shuffle partition forwards at
+  // most 3 rows per item — inputs to the final sort are bounded at any
+  // corpus size. All similarity inputs are exact integers, so both
+  // engines compute bit-identical doubles.
+  def qItemCf(s: SparkSession, d: String): DataFrame = {
+    val occ = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("pk"), col("l_orderkey")).distinct()
+      .groupBy(col("pk")).agg(count(lit(1)).as("occ"))
+    val cooc = orderPairs(s, d)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cooc"))
+      .filter(col("cooc") >= MinSupport)
+    val sym = cooc.unionAll(
+      cooc.select(col("dst").as("src"), col("src").as("dst"), col("cooc")))
+    val sim = sym
+      .join(occ.select(col("pk").as("src"), col("occ").as("occ_s")), "src")
+      .join(occ.select(col("pk").as("dst"), col("occ").as("occ_d")), "dst")
+      .select(col("src"), col("dst"),
+        (col("cooc").cast("double") /
+          sqrt((col("occ_s") * col("occ_d")).cast("double"))).as("sim"))
+    val byItem = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("dst").asc)
+    sim.withColumn("rn", row_number().over(byItem))
+      .filter(col("rn") <= 3)
+      .select(col("src"), col("dst"), round(col("sim"), 6).as("sim_r"),
+        col("rn"))
+  }
+
+  val qItemCfSql: String =
+    "WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+      "occ AS (SELECT l_partkey AS pk, count(*) AS occ FROM op GROUP BY 1), " +
+      "cooc AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS cooc " +
+      "FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey " +
+      "AND a.l_partkey < b.l_partkey " +
+      s"GROUP BY 1, 2 HAVING count(*) >= $MinSupport), " +
+      "sym AS (SELECT src, dst, cooc FROM cooc " +
+      "UNION ALL SELECT dst, src, cooc FROM cooc), " +
+      "sim AS (SELECT s.src, s.dst, CAST(s.cooc AS DOUBLE) / " +
+      "sqrt(CAST(o1.occ * o2.occ AS DOUBLE)) AS sim " +
+      "FROM sym s JOIN occ o1 ON s.src = o1.pk JOIN occ o2 ON s.dst = o2.pk), " +
+      "r AS (SELECT src, dst, sim, row_number() OVER " +
+      "(PARTITION BY src ORDER BY sim DESC, dst) AS rn FROM sim) " +
+      "SELECT src, dst, round(sim, 6) AS sim_r, rn FROM r WHERE rn <= 3"
+
+  val qSccSql: String =
+    "WITH RECURSIVE seq AS (SELECT l_orderkey, l_partkey, " +
+      "lead(l_partkey) OVER (PARTITION BY l_orderkey " +
+      "ORDER BY l_linenumber, l_partkey) AS nxt FROM lineitem), " +
+      "e AS (SELECT DISTINCT l_partkey AS src, nxt AS dst FROM seq " +
+      "WHERE nxt IS NOT NULL AND l_partkey % 7 = 0 AND nxt % 7 = 0 " +
+      "AND l_partkey <> nxt), " +
+      "reach(src, dst) AS (SELECT src, dst FROM e " +
+      "UNION SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src), " +
+      "nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e), " +
+      "mutual AS (SELECT r1.src AS v, r1.dst AS u FROM reach r1 " +
+      "JOIN reach r2 ON r1.src = r2.dst AND r1.dst = r2.src) " +
+      "SELECT n.v AS node, least(n.v, coalesce(min(m.u), n.v)) AS scc " +
+      "FROM nodes n LEFT JOIN mutual m ON n.v = m.v GROUP BY n.v"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scc"        -> qScc _,
+    "q_item_cf"    -> qItemCf _,
     "q_sssp"       -> qSssp _,
     "q_sssp_path"  -> qSsspPath _,
     "q_modularity" -> qModularity _,
@@ -769,6 +863,8 @@ object GraphQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_scc"        -> qSccSql,
+    "q_item_cf"    -> qItemCfSql,
     "q_sssp"       -> qSsspSql,
     "q_sssp_path"  -> qSsspPathSql,
     "q_modularity" -> qModularitySql,

@@ -1840,8 +1840,57 @@ object Relational {
     "SELECT CAST(sum(i * i) AS BIGINT) AS sum_sq, count(*) AS n " +
       s"FROM generate_series(1, $RangeN) t(i)"
 
+  // ── Market concentration: Herfindahl–Hirschman index per nation ────────
+  // Supplier revenue concentration of each nation's supply base — the
+  // standard antitrust/market-structure readout. Revenue rides as exact
+  // integer cents·pct (the TPC-H discipline above) rounded to whole
+  // dollars per supplier, so the squared-share sum is INTEGER-exact on
+  // both engines (share² sums of doubles would be addition-order-
+  // dependent); HHI = 10000·Σ(revᵢ/Σrev)² = 10000·Σrevᵢ²/(Σrev)²
+  // computed in one extra aggregation — no join-back of per-nation
+  // totals. Plan: fact shuffles once on suppkey, the 400-row supplier
+  // dim broadcasts, then 25 nation rows.
+  def qHhi(s: SparkSession, d: String): DataFrame = {
+    val revCp = (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long") *
+      (lit(100L) - (col("l_discount").cast(DecimalType(4, 2)) * 100)
+        .cast("long"))
+    val perSupp = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revCp.cast(DecimalType(38, 0))).as("rev_cp"))
+      // whole-dollar revenue: exact integer, identical on both engines
+      .select(col("l_suppkey"),
+        floor(col("rev_cp") / lit(1000000L)).cast("long").as("rev_d"))
+    perSupp
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))),
+        Seq("l_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("rev_d")).as("tot_d"),
+        sum(col("rev_d") * col("rev_d")).as("sum_sq"))
+      .filter(col("tot_d") > 0L)
+      .select(col("s_nationkey"), col("n_suppliers"),
+        round(lit(10000.0) * col("sum_sq").cast("double") /
+          (col("tot_d").cast("double") * col("tot_d").cast("double")), 6)
+          .as("hhi"))
+  }
+
+  val qHhiSql: String =
+    "WITH per_supp AS (SELECT l_suppkey, " +
+      "CAST(floor(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * " +
+      "(100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT))) " +
+      "/ 1000000) AS BIGINT) AS rev_d " +
+      "FROM lineitem GROUP BY 1) " +
+      "SELECT s_nationkey, count(*) AS n_suppliers, " +
+      "round(10000.0 * CAST(sum(rev_d * rev_d) AS DOUBLE) / " +
+      "(CAST(sum(rev_d) AS DOUBLE) * CAST(sum(rev_d) AS DOUBLE)), 6) AS hhi " +
+      "FROM per_supp JOIN supplier ON l_suppkey = s_suppkey " +
+      "GROUP BY 1 HAVING sum(rev_d) > 0"
+
   /** All (name → query) pairs this module contributes. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hhi"             -> qHhi _,
     "q_table_checksum"  -> qTableChecksum _,
     "q_skyline"         -> qSkyline _,
     "q_drawdown"        -> qDrawdown _,
@@ -1908,6 +1957,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_hhi"             -> qHhiSql,
     "q_table_checksum"  -> qTableChecksumSql,
     "q_skyline"         -> qSkylineSql,
     "q_drawdown"        -> qDrawdownSql,
