@@ -39,10 +39,13 @@ object KCore {
     var prevCount = -1L
     var converged = false
     var iter = 0
-    // One peel as a pure plan transform; TWO peels ride each checkpoint
-    // job (the BFS/SSSP double-step). The surviving-edge count is
-    // MONOTONE non-increasing, so an unchanged count two peels apart
-    // pins the peel between as well — the fixed-point test stays sound.
+    // One peel as a pure plan transform; THREE peels ride each checkpoint
+    // job (one step deeper than the BFS/SSSP double-step — peeling has no
+    // frontier join that grows with batched steps, so the probe cadence
+    // can stretch further and trim a third of the per-round job overhead).
+    // The surviving-edge count is MONOTONE non-increasing, so an
+    // unchanged count three peels apart pins the peels between as well —
+    // the fixed-point test stays sound.
     def peel(g: DataFrame): DataFrame = {
       val keep = g.groupBy(col("a")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("a"))
@@ -51,7 +54,7 @@ object KCore {
         .select(col("a"), col("b"))
     }
     while (!converged && iter < maxIterations) {
-      val steps = if (iter + 1 < maxIterations) 2 else 1
+      val steps = math.min(3, maxIterations - iter)
       val stepped = (1 to steps).foldLeft(sym)((g, _) => peel(g))
       val obs = new org.apache.spark.sql.Observation(
         s"kcore_${iter}_${System.nanoTime()}")

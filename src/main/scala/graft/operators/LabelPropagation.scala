@@ -36,6 +36,10 @@ object LabelPropagation {
     // each localCheckpoint job (the BFS/SSSP double-step) — the round
     // COUNT is exactly `rounds` either way, so the fixed-round oracle
     // parity is untouched; only the materialization cadence changes.
+    // A 3-step cadence was measured at sf0.1 local[32]: 4.63 s → 6.02 s
+    // (the 3-deep unmaterialized join+window chain costs more than the
+    // saved checkpoint job), so 2 stays — same conclusion as the 4-step
+    // BFS/SSSP experiment recorded in GraphQueries.
     def step(l: DataFrame): DataFrame = {
       val votes = sym
         .join(l.filter(col("lab").isNotNull)
