@@ -1769,7 +1769,100 @@ object EventQueries {
       "FROM events GROUP BY 1) cells"
   }
 
+  // ── Mutual information between event type and day-of-week ──────────────
+  // The feature-selection staple: how much knowing the weekday tells you
+  // about the event mix, MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))). One shuffle
+  // to the |types|×7 contingency table; marginals broadcast back onto the
+  // cells. Each cell's log-ratio is quantized to integer micro-nats
+  // BEFORE the final sum (the q_entropy discipline), so no floating-point
+  // accumulation order can flip the hash on either engine.
+  def qMutualInfo(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.events(s, d)
+      .select(col("event_type"),
+        (datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) % 7)
+          .cast("long").as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("c"))
+    val mx = cells.groupBy(col("event_type")).agg(sum(col("c")).as("cx"))
+    val my = cells.groupBy(col("dow")).agg(sum(col("c")).as("cy"))
+    val n = cells.agg(sum(col("c")).as("n"))
+    cells.join(broadcast(mx), Seq("event_type"))
+      .join(broadcast(my), Seq("dow"))
+      .crossJoin(broadcast(n))
+      .withColumn("lnq",
+        round(log((col("c") * col("n")).cast("double") /
+          (col("cx") * col("cy")).cast("double")) * 1e6, 0).cast("long"))
+      .agg(max(col("n")).as("n_events"), count(lit(1)).as("n_cells"),
+        sum(col("c") * col("lnq")).as("mi_micro"))
+      .select(col("n_events"), col("n_cells"),
+        round(col("mi_micro").cast("double") /
+          (col("n_events").cast("double") * 1e6), 6).as("mi_nats"))
+  }
+
+  val qMutualInfoSql: String =
+    "WITH cells AS (SELECT event_type, " +
+      "datediff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE)) % 7 AS dow, " +
+      "CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), " +
+      "mx AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS cx FROM cells GROUP BY 1), " +
+      "my AS (SELECT dow, CAST(sum(c) AS BIGINT) AS cy FROM cells GROUP BY 1), " +
+      "t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells), " +
+      "w AS (SELECT c, n, CAST(round(ln(CAST(c * n AS DOUBLE) / " +
+      "CAST(cx * cy AS DOUBLE)) * 1e6, 0) AS BIGINT) AS lnq " +
+      "FROM cells JOIN mx USING (event_type) JOIN my USING (dow) CROSS JOIN t) " +
+      "SELECT max(n) AS n_events, count(*) AS n_cells, " +
+      "round(CAST(CAST(sum(c * lnq) AS BIGINT) AS DOUBLE) / " +
+      "(CAST(max(n) AS DOUBLE) * 1e6), 6) AS mi_nats FROM w"
+
+  // ── Rolling 7-day regression slope per event type ──────────────────────
+  // Trend detection with a bounded RANGE frame: for every day, the OLS
+  // slope of daily revenue over the trailing week. The window runs on the
+  // DAY-grain frame (≤366 rows/year per type at any fact volume — the
+  // same "aggregate first, window the small frame" shape as q_seasonal_
+  // dow), and every windowed sum is INTEGER (cents / day indexes), so
+  // the slope's inputs are exact on both engines; doubles appear only at
+  // the final division.
+  def qRollingSlope(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("x"))
+      .agg(sum((col("value").cast(DecimalType(18, 2)) * 100).cast("long"))
+        .as("y_c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("x"))
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y_c")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y_c")).over(w))
+      .withColumn("sx2", sum(col("x") * col("x")).over(w))
+      .withColumn("vx", col("n") * col("sx2") - col("sx") * col("sx"))
+      .filter(col("n") > 1 && col("vx") > 0L)
+      .select(col("event_type"), col("x").as("day"), col("n").as("n_days"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          col("vx").cast("double"), 6).as("slope_cents"))
+  }
+
+  val qRollingSlopeSql: String =
+    "WITH daily AS (SELECT event_type, " +
+      "date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x, " +
+      "CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y_c " +
+      "FROM events GROUP BY 1, 2), " +
+      "w AS (SELECT event_type, x, " +
+      "count(*) OVER win AS n, " +
+      "CAST(sum(x) OVER win AS BIGINT) AS sx, " +
+      "CAST(sum(y_c) OVER win AS BIGINT) AS sy, " +
+      "CAST(sum(x * y_c) OVER win AS BIGINT) AS sxy, " +
+      "CAST(sum(x * x) OVER win AS BIGINT) AS sx2 " +
+      "FROM daily WINDOW win AS (PARTITION BY event_type ORDER BY x " +
+      "RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) " +
+      "SELECT event_type, x AS day, n AS n_days, " +
+      "round(CAST(n * sxy - sx * sy AS DOUBLE) / " +
+      "CAST(n * sx2 - sx * sx AS DOUBLE), 6) AS slope_cents " +
+      "FROM w WHERE n > 1 AND n * sx2 - sx * sx > 0"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mutual_info"      -> qMutualInfo _,
+    "q_rolling_slope"    -> qRollingSlope _,
     "q_theil_sen"        -> qTheilSen _,
     "q_kendall"          -> qKendall _,
     "q_did"              -> qDid _,
@@ -1822,6 +1915,8 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_mutual_info"      -> qMutualInfoSql,
+    "q_rolling_slope"    -> qRollingSlopeSql,
     "q_theil_sen"        -> qTheilSenSql,
     "q_kendall"          -> qKendallSql,
     "q_did"              -> qDidSql,

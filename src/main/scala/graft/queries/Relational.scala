@@ -1888,9 +1888,40 @@ object Relational {
       "FROM per_supp JOIN supplier ON l_suppkey = s_suppkey " +
       "GROUP BY 1 HAVING sum(rev_d) > 0"
 
+  // ── Hierarchical subtree rollup (BOM / org-chart aggregation) ──────────
+  // Roll part retail value up a category tree where node p's parent is
+  // p DIV 10 (a fixed-depth decimal trie — the shape of product-category
+  // and org hierarchies). With BOUNDED depth the ancestor set is a CLOSED
+  // FORM — each row explodes into its ≤8 ancestors in codegen and one
+  // aggregation finishes the job: no iterative join, no recursion, and
+  // the explode factor is the tree depth, never the tree size. (Unbounded
+  // hierarchies would use the pointer-doubling loop of ssspPaths; a
+  // 10-ary trie over 64-bit keys never needs it.) The DuckDB oracle runs
+  // the same ancestor expansion via list_transform.
+  def qTreeRollup(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        (col("p_retailprice").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("cents"))
+      .select(explode(expr(
+        "array_distinct(transform(sequence(0, 7), " +
+          "k -> p_partkey DIV CAST(power(10, k) AS BIGINT)))")).as("node"),
+        col("cents"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("subtree_cents"))
+
+  val qTreeRollupSql: String =
+    "SELECT node, count(*) AS n_parts, " +
+      "CAST(sum(cents) AS BIGINT) AS subtree_cents " +
+      "FROM (SELECT unnest(list_distinct(list_transform(range(0, 8), " +
+      "k -> p_partkey // CAST(power(10, k) AS BIGINT)))) AS node, " +
+      "CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents " +
+      "FROM part) t GROUP BY 1"
+
   /** All (name → query) pairs this module contributes. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hhi"             -> qHhi _,
+    "q_tree_rollup"     -> qTreeRollup _,
     "q_table_checksum"  -> qTableChecksum _,
     "q_skyline"         -> qSkyline _,
     "q_drawdown"        -> qDrawdown _,
@@ -1958,6 +1989,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q_hhi"             -> qHhiSql,
+    "q_tree_rollup"     -> qTreeRollupSql,
     "q_table_checksum"  -> qTableChecksumSql,
     "q_skyline"         -> qSkylineSql,
     "q_drawdown"        -> qDrawdownSql,
