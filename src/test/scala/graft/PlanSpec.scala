@@ -497,4 +497,49 @@ class PlanSpec extends AnyFunSuite {
         s"$q's correlated agg is not a keyed aggregate-then-join:\n$p")
     }
   }
+
+  test("item-CF: top-3 group-limits before the exchange, nothing cartesian") {
+    val p = plan("q_item_cf")
+    // each shuffle partition must forward ≤3 candidate rows per item —
+    // without the partial WindowGroupLimit the full similarity list
+    // shuffles to the rank window
+    assert("WindowGroupLimit .*Partial".r.findAllIn(p).nonEmpty,
+      s"top-3 not partial-group-limited before the exchange:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked:\n$p")
+  }
+
+  test("HHI: supplier dim broadcasts; revenue rollup keeps map-side combine") {
+    val p = plan("q_hhi")
+    assert(p.contains("BroadcastHashJoin"),
+      s"supplier dim must broadcast onto the per-supplier rollup:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the 400-row dim join must not shuffle the rollup:\n$p")
+    assert(p.contains("partial_sum"), s"revenue rollup lost combine:\n$p")
+  }
+
+  test("tree rollup: closed-form ancestor explode — no join anywhere") {
+    val p = plan("q_tree_rollup")
+    assert(!p.contains("Join"), s"hierarchy rollup must not join:\n$p")
+    assert(p.contains("Generate"), s"ancestor explode missing:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"subtree aggregation lost map-side combine:\n$p")
+  }
+
+  test("rolling slope: windows run on the day-grain frame after a partial agg") {
+    val p = plan("q_rolling_slope")
+    assert(p.contains("Window"), s"range-frame window missing:\n$p")
+    // the fact table must collapse to day grain (partial-agg shuffle)
+    // BEFORE any window — a window over raw events would sort the fact
+    assert(p.contains("partial_sum"), s"day-grain rollup lost combine:\n$p")
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.lastIndexOf("partial_sum")
+    assert(winIdx < aggIdx,
+      s"window must consume the aggregated frame, not the raw fact:\n$p")
+  }
+
+  test("mutual information: marginals broadcast, nothing sort-merges") {
+    val p = plan("q_mutual_info")
+    assert(!p.contains("SortMergeJoin"),
+      s"the 35-cell table must never shuffle for its marginals:\n$p")
+  }
 }
