@@ -61,6 +61,12 @@ object StronglyConnectedComponents {
       // one hop: m'(v) = min(m(v), m(out-neighbors))
       val hop = e.join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node")).agg(min(col("m")).as("hm"))
+      // checkpointed: prop feeds BOTH sides of the jump join below — the
+      // hop aggregation would run twice per round without materialization
+      // (a lazy persist() was measured SLOWER at sf0.1 — 8.8 s → 10.2 s
+      // whole-query — racing partitions double-compute the hop before the
+      // cache fills; the eager job is the cheaper spelling, same result
+      // as ConnectedComponents found)
       val prop = labels.join(hop, Seq("node"), "left")
         .select(col("node"),
           least(col("m"), coalesce(col("hm"), col("m"))).as("m"),
@@ -123,10 +129,11 @@ object StronglyConnectedComponents {
         .select(col("node"), col("f"),
           coalesce(col("g"), col("node")).as("g"))
         .iterCheckpoint()
+      // settled is consumed only after the loop; its lineage is a shallow
+      // union of checkpointed verdict frames — no per-round job needed
       settled = settled
         .union(verdicts.filter(col("f") === col("g"))
           .select(col("node"), col("f").as("scc")))
-        .iterCheckpoint()
       val open = verdicts.filter(col("f") =!= col("g"))
         .select(col("node"))
       remaining = colored
@@ -141,6 +148,7 @@ object StronglyConnectedComponents {
       settled = settled
         .union(isolated.select(col("node"), col("node").as("scc")))
         .iterCheckpoint()
+      // (this one stays eager: it pins settled before fwd/colored unpersist)
       fwd.unpersist(false)
       colored.unpersist(false)
       done = remaining.isEmpty
