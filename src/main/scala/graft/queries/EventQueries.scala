@@ -1860,7 +1860,99 @@ object EventQueries {
       "CAST(n * sx2 - sx * sx AS DOUBLE), 6) AS slope_cents " +
       "FROM w WHERE n > 1 AND n * sx2 - sx * sx > 0"
 
+  // ── Two-sample Kolmogorov–Smirnov statistic ────────────────────────────
+  // Are click values and purchase values drawn from the same distribution?
+  // D = max |F₁(v) − F₂(v)| computed EXACTLY: values quantize to integer
+  // cents (their native grid), per-cent counts aggregate in one shuffle,
+  // and the sup runs over the cross-multiplied integer |n₂·cum₁ −
+  // n₁·cum₂| so no float CDF accumulates. The lone unpartitioned window
+  // orders the per-cent count table — bounded by the value grid (≤49 k
+  // rows at ANY fact volume), the same bounded-series discipline as
+  // q_drawdown/q_changepoint.
+  def qKsTest(s: SparkSession, d: String): DataFrame = {
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+    val counts = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(cents.as("cents"), col("event_type"))
+      .groupBy(col("cents"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c2"))
+    val tot = counts.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val w = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(abs(col("n2") * col("cum1") - col("n1") * col("cum2")))
+          .as("d_num"))
+      .select(col("n1"), col("n2"),
+        round(col("d_num").cast("double") /
+          (col("n1").cast("double") * col("n2").cast("double")), 6)
+          .as("d_stat"))
+  }
+
+  val qKsTestSql: String =
+    "WITH counts AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents, " +
+      "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1, " +
+      "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2 " +
+      "FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1), " +
+      "t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM counts), " +
+      "cum AS (SELECT cents, " +
+      "CAST(sum(c1) OVER (ORDER BY cents) AS BIGINT) AS cum1, " +
+      "CAST(sum(c2) OVER (ORDER BY cents) AS BIGINT) AS cum2 FROM counts) " +
+      "SELECT max(n1) AS n1, max(n2) AS n2, " +
+      "round(CAST(max(abs(n2 * cum1 - n1 * cum2)) AS DOUBLE) / " +
+      "(CAST(max(n1) AS DOUBLE) * CAST(max(n2) AS DOUBLE)), 6) AS d_stat " +
+      "FROM cum CROSS JOIN t"
+
+  // ── Burstiness of per-user event arrivals ──────────────────────────────
+  // Goh & Barabási burstiness B = (σ−μ)/(σ+μ) of the inter-arrival gaps
+  // (B→−1 periodic, 0 Poisson, →+1 bursty) per event type. Gaps are
+  // integer microseconds from a per-(user, type) lag window (fine-grained
+  // partitions, scale-safe); moments accumulate as exact integers —
+  // Σgap² rides DECIMAL(38,0), micro-gaps square past BIGINT — and the
+  // n-scaled identity B = (√(nΣg²−(Σg)²) − Σg)/(√(nΣg²−(Σg)²) + Σg)
+  // feeds both engines the same exact integers into one sqrt.
+  def qBurstiness(s: SparkSession, d: String): DataFrame = {
+    val byUserType = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(s, d)
+      .withColumn("gap",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUserType))
+      .filter(col("gap").isNotNull)
+    gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("gap")).as("sg"),
+        sum(col("gap").cast(DecimalType(38, 0)) * col("gap")).as("sg2"))
+      .filter(col("n") > 1 && col("sg") > 0L)
+      .select(col("event_type"), col("n"),
+        round((sqrt((col("n") * col("sg2") - col("sg").cast(DecimalType(38, 0))
+          * col("sg")).cast("double")) - col("sg").cast("double")) /
+          (sqrt((col("n") * col("sg2") - col("sg").cast(DecimalType(38, 0))
+            * col("sg")).cast("double")) + col("sg").cast("double")), 6)
+          .as("burstiness"))
+  }
+
+  val qBurstinessSql: String =
+    "WITH gaps AS (SELECT event_type, " +
+      "epoch_us(ts) - lag(epoch_us(ts)) OVER " +
+      "(PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap " +
+      "FROM events), " +
+      "m AS (SELECT event_type, count(*) AS n, " +
+      "CAST(sum(gap) AS BIGINT) AS sg, " +
+      "sum(CAST(gap AS DECIMAL(38,0)) * gap) AS sg2 " +
+      "FROM gaps WHERE gap IS NOT NULL GROUP BY 1) " +
+      "SELECT event_type, n, " +
+      "round((sqrt(CAST(n * sg2 - CAST(sg AS DECIMAL(38,0)) * sg AS DOUBLE)) - " +
+      "CAST(sg AS DOUBLE)) / " +
+      "(sqrt(CAST(n * sg2 - CAST(sg AS DECIMAL(38,0)) * sg AS DOUBLE)) + " +
+      "CAST(sg AS DOUBLE)), 6) AS burstiness " +
+      "FROM m WHERE n > 1 AND sg > 0"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ks_test"          -> qKsTest _,
+    "q_burstiness"       -> qBurstiness _,
     "q_mutual_info"      -> qMutualInfo _,
     "q_rolling_slope"    -> qRollingSlope _,
     "q_theil_sen"        -> qTheilSen _,
@@ -1915,6 +2007,8 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ks_test"          -> qKsTestSql,
+    "q_burstiness"       -> qBurstinessSql,
     "q_mutual_info"      -> qMutualInfoSql,
     "q_rolling_slope"    -> qRollingSlopeSql,
     "q_theil_sen"        -> qTheilSenSql,

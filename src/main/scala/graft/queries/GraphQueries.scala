@@ -781,6 +781,40 @@ object GraphQueries {
     graft.operators.StronglyConnectedComponents
       .components(purchasePathEdges(s, d))
 
+  // ── Directed-edge reciprocity ──────────────────────────────────────────
+  // The share of directed purchase-path edges whose reverse edge also
+  // exists — the standard first diagnostic on any directed graph (how
+  // mutual is the linking?), and the cheap predictor of how much of the
+  // graph the SCC pass can collapse. One self-join of the edge list on
+  // the reversed key (both sides the same deduplicated frame), exact
+  // integer counts, one final division.
+  def qReciprocity(s: SparkSession, d: String): DataFrame = {
+    val e = purchasePathEdges(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val recip = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    val out = e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(recip.agg(count(lit(1)).as("n_recip")))
+      .select(col("n_edges"), col("n_recip"),
+        round(col("n_recip").cast("double") / col("n_edges"), 6)
+          .as("reciprocity"))
+    out
+  }
+
+  val qReciprocitySql: String =
+    "WITH seq AS (SELECT l_orderkey, l_partkey, " +
+      "lead(l_partkey) OVER (PARTITION BY l_orderkey " +
+      "ORDER BY l_linenumber, l_partkey) AS nxt FROM lineitem), " +
+      "e AS (SELECT DISTINCT l_partkey AS src, nxt AS dst FROM seq " +
+      "WHERE nxt IS NOT NULL AND l_partkey % 7 = 0 AND nxt % 7 = 0 " +
+      "AND l_partkey <> nxt), " +
+      "r AS (SELECT count(*) AS n_recip FROM e " +
+      "WHERE EXISTS (SELECT 1 FROM e e2 WHERE e2.src = e.dst AND e2.dst = e.src)) " +
+      "SELECT (SELECT count(*) FROM e) AS n_edges, n_recip, " +
+      "round(CAST(n_recip AS DOUBLE) / (SELECT count(*) FROM e), 6) AS reciprocity " +
+      "FROM r"
+
   // ── Item-item collaborative filtering (co-occurrence cosine) ───────────
   // The classic "customers who bought X also bought Y" recommender:
   // sim(a,b) = |orders with both| / sqrt(|orders with a|·|orders with b|),
@@ -849,6 +883,7 @@ object GraphQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scc"        -> qScc _,
     "q_item_cf"    -> qItemCf _,
+    "q_reciprocity" -> qReciprocity _,
     "q_sssp"       -> qSssp _,
     "q_sssp_path"  -> qSsspPath _,
     "q_modularity" -> qModularity _,
@@ -865,6 +900,7 @@ object GraphQueries {
   val oracles: Map[String, String] = Map(
     "q_scc"        -> qSccSql,
     "q_item_cf"    -> qItemCfSql,
+    "q_reciprocity" -> qReciprocitySql,
     "q_sssp"       -> qSsspSql,
     "q_sssp_path"  -> qSsspPathSql,
     "q_modularity" -> qModularitySql,
