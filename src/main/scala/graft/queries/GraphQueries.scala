@@ -815,6 +815,62 @@ object GraphQueries {
       "round(CAST(n_recip AS DOUBLE) / (SELECT count(*) FROM e), 6) AS reciprocity " +
       "FROM r"
 
+  // ── Degree assortativity (Newman's r) ──────────────────────────────────
+  // Do high-degree parts co-purchase with other high-degree parts?
+  // Pearson correlation of (deg(a), deg(b)) over the symmetrized
+  // co-purchase edges — positive r means hub-hub linking (social-network
+  // shape), negative means hub-spoke (tech-network shape); it decides
+  // whether degree-based partitioning will skew. Degrees are a |V|-row
+  // side broadcast onto the edge list; all five moments are exact
+  // integers in DECIMAL(38,0) (Σdeg³-scale products overflow BIGINT on
+  // power-law graphs), doubles only in the final correlation — the
+  // q_corr/q_degree_dist discipline.
+  def qAssortativity(s: SparkSession, d: String): DataFrame = {
+    val e = supportedEdges(s, d, MinSupport)
+    val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val withDeg = sym
+      .join(broadcast(deg.select(col("node").as("src"), col("deg").as("dx"))),
+        Seq("src"))
+      .join(broadcast(deg.select(col("node").as("dst"), col("deg").as("dy"))),
+        Seq("dst"))
+    withDeg
+      .agg(count(lit(1)).as("m2"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx").cast(dec) * col("dy")).as("sxy"),
+        sum(col("dx").cast(dec) * col("dx")).as("sx2"),
+        sum(col("dy").cast(dec) * col("dy")).as("sy2"))
+      .select(col("m2").as("n_directed_edges"),
+        round((col("m2") * col("sxy") - col("sx").cast(dec) * col("sy"))
+          .cast("double") /
+          (sqrt((col("m2") * col("sx2") - col("sx").cast(dec) * col("sx"))
+            .cast("double")) *
+            sqrt((col("m2") * col("sy2") - col("sy").cast(dec) * col("sy"))
+              .cast("double"))), 6).as("assortativity"))
+  }
+
+  val qAssortativitySql: String =
+    "WITH e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst " +
+      "FROM lineitem a JOIN lineitem b " +
+      "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+      s"GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= $MinSupport), " +
+      "sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e), " +
+      "deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY 1), " +
+      "w AS (SELECT d1.deg AS dx, d2.deg AS dy FROM sym " +
+      "JOIN deg d1 ON sym.src = d1.node JOIN deg d2 ON sym.dst = d2.node), " +
+      "m AS (SELECT count(*) AS m2, " +
+      "CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy, " +
+      "sum(CAST(dx AS DECIMAL(38,0)) * dy) AS sxy, " +
+      "sum(CAST(dx AS DECIMAL(38,0)) * dx) AS sx2, " +
+      "sum(CAST(dy AS DECIMAL(38,0)) * dy) AS sy2 FROM w) " +
+      "SELECT m2 AS n_directed_edges, " +
+      "round(CAST(m2 * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE) / " +
+      "(sqrt(CAST(m2 * sx2 - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)) * " +
+      "sqrt(CAST(m2 * sy2 - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE))), 6) " +
+      "AS assortativity FROM m"
+
   // ── Item-item collaborative filtering (co-occurrence cosine) ───────────
   // The classic "customers who bought X also bought Y" recommender:
   // sim(a,b) = |orders with both| / sqrt(|orders with a|·|orders with b|),
@@ -884,6 +940,7 @@ object GraphQueries {
     "q_scc"        -> qScc _,
     "q_item_cf"    -> qItemCf _,
     "q_reciprocity" -> qReciprocity _,
+    "q_assortativity" -> qAssortativity _,
     "q_sssp"       -> qSssp _,
     "q_sssp_path"  -> qSsspPath _,
     "q_modularity" -> qModularity _,
@@ -901,6 +958,7 @@ object GraphQueries {
     "q_scc"        -> qSccSql,
     "q_item_cf"    -> qItemCfSql,
     "q_reciprocity" -> qReciprocitySql,
+    "q_assortativity" -> qAssortativitySql,
     "q_sssp"       -> qSsspSql,
     "q_sssp_path"  -> qSsspPathSql,
     "q_modularity" -> qModularitySql,
