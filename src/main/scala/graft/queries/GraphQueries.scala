@@ -815,6 +815,74 @@ object GraphQueries {
       "round(CAST(n_recip AS DOUBLE) / (SELECT count(*) FROM e), 6) AS reciprocity " +
       "FROM r"
 
+  // ── Local clustering coefficient, averaged per degree ──────────────────
+  // Watts–Strogatz local CC(v) = 2·tri(v)/(deg(v)·(deg(v)−1)) — how
+  // clique-like each node's neighborhood is — reported as the average
+  // over nodes of equal degree (one row per distinct degree, bounded
+  // output at any graph size). Per-node triangle counts ride the SAME
+  // degree-oriented edge-iterator plan as q_triangles: each oriented
+  // edge (u,v) credits u and v with |adj(u)∩adj(v)| and every common
+  // neighbor w with 1, via one codegen intersect + explode — no wedge
+  // materialization, O(sqrt(m)) arrays under skew. Same-degree nodes
+  // share the denominator, so the per-degree average is EXACT integers:
+  // avg_cc(d) = 2·Σtri / (n_d·d·(d−1)) — no per-node double ever sums.
+  def qClusteringCoef(s: SparkSession, d: String): DataFrame = {
+    val e = coEdges(s, d)
+    val deg = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(broadcast(deg.select(col("node").as("src"), col("deg").as("sdeg"))),
+        Seq("src"))
+      .join(broadcast(deg.select(col("node").as("dst"), col("deg").as("ddeg"))),
+        Seq("dst"))
+    val fwd = col("sdeg") < col("ddeg") ||
+      (col("sdeg") === col("ddeg") && col("src") < col("dst"))
+    val o = withDeg.select(
+      when(fwd, col("src")).otherwise(col("dst")).as("u"),
+      when(fwd, col("dst")).otherwise(col("src")).as("v"))
+    val adj = o.groupBy(col("u")).agg(collect_list(col("v")).as("nbrs"))
+    val common = o
+      .join(adj.withColumnRenamed("nbrs", "nu"), Seq("u"))
+      .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
+      .select(col("u"), col("v"), array_intersect(col("nu"), col("nv")).as("cw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val credits = common
+      .select(col("u").as("node"), size(col("cw")).cast("long").as("t"))
+      .unionAll(common
+        .select(col("v").as("node"), size(col("cw")).cast("long").as("t")))
+      .unionAll(common
+        .select(explode(col("cw")).as("node"), lit(1L).as("t")))
+    val tri = credits.groupBy(col("node")).agg(sum(col("t")).as("tri"))
+    deg.filter(col("deg") >= 2)
+      .join(tri, Seq("node"), "left")
+      .select(col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
+      .groupBy(col("deg"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("tri")).as("sum_tri"))
+      .select(col("deg"), col("n_nodes"),
+        round(lit(2.0) * col("sum_tri").cast("double") /
+          (col("n_nodes").cast("double") * col("deg").cast("double") *
+            (col("deg") - 1L).cast("double")), 6).as("avg_cc"))
+  }
+
+  val qClusteringCoefSql: String =
+    "WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst " +
+      "FROM lineitem a JOIN lineitem b " +
+      "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+      "deg AS (SELECT node, count(*) AS deg FROM " +
+      "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e) n GROUP BY 1), " +
+      "tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c " +
+      "FROM e e1 JOIN e e2 ON e2.src = e1.dst " +
+      "JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst), " +
+      "creds AS (SELECT a AS node FROM tri UNION ALL " +
+      "SELECT b FROM tri UNION ALL SELECT c FROM tri), " +
+      "t AS (SELECT node, CAST(count(*) AS BIGINT) AS tri FROM creds GROUP BY 1) " +
+      "SELECT deg, count(*) AS n_nodes, " +
+      "round(2.0 * CAST(sum(coalesce(tri, 0)) AS DOUBLE) / " +
+      "(CAST(count(*) AS DOUBLE) * CAST(deg AS DOUBLE) * CAST(deg - 1 AS DOUBLE)), 6) " +
+      "AS avg_cc " +
+      "FROM deg LEFT JOIN t USING (node) WHERE deg >= 2 GROUP BY deg"
+
   // ── Degree assortativity (Newman's r) ──────────────────────────────────
   // Do high-degree parts co-purchase with other high-degree parts?
   // Pearson correlation of (deg(a), deg(b)) over the symmetrized
@@ -941,6 +1009,7 @@ object GraphQueries {
     "q_item_cf"    -> qItemCf _,
     "q_reciprocity" -> qReciprocity _,
     "q_assortativity" -> qAssortativity _,
+    "q_clustering_coef" -> qClusteringCoef _,
     "q_sssp"       -> qSssp _,
     "q_sssp_path"  -> qSsspPath _,
     "q_modularity" -> qModularity _,
@@ -959,6 +1028,7 @@ object GraphQueries {
     "q_item_cf"    -> qItemCfSql,
     "q_reciprocity" -> qReciprocitySql,
     "q_assortativity" -> qAssortativitySql,
+    "q_clustering_coef" -> qClusteringCoefSql,
     "q_sssp"       -> qSsspSql,
     "q_sssp_path"  -> qSsspPathSql,
     "q_modularity" -> qModularitySql,
