@@ -815,6 +815,48 @@ object GraphQueries {
       "round(CAST(n_recip AS DOUBLE) / (SELECT count(*) FROM e), 6) AS reciprocity " +
       "FROM r"
 
+  // ── Temporal edge novelty (graph drift monitor) ────────────────────────
+  // Per month: how many distinct co-purchase edges are appearing for the
+  // FIRST time vs recurring — the drift signal an incremental dedup/
+  // recommendation pipeline watches to size its re-train cadence. Three
+  // chained key-shuffles, all on the edge key: per-(edge, month)
+  // presence, first-month per edge (a min aggregate — no window), then
+  // the per-month rollup (≤ |months| rows at any volume).
+  def qEdgeNovelty(s: SparkSession, d: String): DataFrame = {
+    val em = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("m")),
+        Seq("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("m"))
+      .agg(array_distinct(sort_array(collect_list(col("l_partkey")))).as("ps"))
+      .select(col("m"), explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS src, y AS dst))))")).as("p"))
+      .select(col("m"), col("p.src"), col("p.dst"))
+      .distinct()
+    val first = em.groupBy(col("src"), col("dst"))
+      .agg(min(col("m")).as("fm"))
+    em.join(first, Seq("src", "dst"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when(col("m") === col("fm"), 1L).otherwise(0L)).as("n_new"))
+      .select(col("m"), col("n_edges"), col("n_new"),
+        round(col("n_new").cast("double") / col("n_edges"), 6).as("novelty"))
+  }
+
+  val qEdgeNoveltySql: String =
+    "WITH em AS (SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS m, " +
+      "a.l_partkey AS src, b.l_partkey AS dst " +
+      "FROM lineitem a JOIN lineitem b " +
+      "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+      "JOIN orders ON o_orderkey = a.l_orderkey), " +
+      "f AS (SELECT src, dst, min(m) AS fm FROM em GROUP BY 1, 2) " +
+      "SELECT m, count(*) AS n_edges, " +
+      "CAST(sum(CASE WHEN m = fm THEN 1 ELSE 0 END) AS BIGINT) AS n_new, " +
+      "round(CAST(sum(CASE WHEN m = fm THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) " +
+      "AS novelty " +
+      "FROM em JOIN f USING (src, dst) GROUP BY 1"
+
   // ── Local clustering coefficient, averaged per degree ──────────────────
   // Watts–Strogatz local CC(v) = 2·tri(v)/(deg(v)·(deg(v)−1)) — how
   // clique-like each node's neighborhood is — reported as the average
@@ -1010,6 +1052,7 @@ object GraphQueries {
     "q_reciprocity" -> qReciprocity _,
     "q_assortativity" -> qAssortativity _,
     "q_clustering_coef" -> qClusteringCoef _,
+    "q_edge_novelty" -> qEdgeNovelty _,
     "q_sssp"       -> qSssp _,
     "q_sssp_path"  -> qSsspPath _,
     "q_modularity" -> qModularity _,
@@ -1029,6 +1072,7 @@ object GraphQueries {
     "q_reciprocity" -> qReciprocitySql,
     "q_assortativity" -> qAssortativitySql,
     "q_clustering_coef" -> qClusteringCoefSql,
+    "q_edge_novelty" -> qEdgeNoveltySql,
     "q_sssp"       -> qSsspSql,
     "q_sssp_path"  -> qSsspPathSql,
     "q_modularity" -> qModularitySql,
