@@ -1950,7 +1950,76 @@ object EventQueries {
       "CAST(sg AS DOUBLE)), 6) AS burstiness " +
       "FROM m WHERE n > 1 AND sg > 0"
 
+  // ── Quantile normalization (cross-group distribution alignment) ────────
+  // The ML-preprocessing transform that forces every group's metric onto
+  // the POOLED distribution: a row at within-group relative rank q takes
+  // the pooled quantile at q (linear interpolation) — after it, every
+  // event type's value distribution is identical, only the ordering
+  // differs. Ranks come from the DistributedRank kernel on BOTH levels
+  // (per-type and pooled global) — no Window node anywhere, so neither
+  // the ~|types| fan-in nor the single global partition ever exists. The
+  // interpolation index is exact integer arithmetic — lo = 1 +
+  // (rk−1)(N−1) div (n−1), frac = the mod — and the two pooled-value
+  // probes are equi-joins on the unique pooled rank. Registered result:
+  // per-type moments of the normalized metric (micro-quantized sums, the
+  // q_entropy discipline), which pin every interpolated value.
+  def qQuantileNorm(s: SparkSession, d: String): DataFrame = {
+    val slim = Tables.events(s, d)
+      .select(col("event_type"), col("value"), col("event_id"))
+    val ranked = graft.operators.DistributedRank.withRowNumber(
+      slim, Seq("event_type"),
+      Seq(col("value").asc, col("event_id").asc), "rk",
+      nGroupCol = Some("n"))
+    val pooled = graft.operators.DistributedRank.withRowNumber(
+      slim.select(col("value"), col("event_id")), Seq.empty,
+      Seq(col("value").asc, col("event_id").asc), "p")
+      .select(col("p"), col("value").as("pv"))
+    val nTot = slim.agg(count(lit(1)).as("nn"))
+    val j = ranked.filter(col("n") > 1)
+      .crossJoin(broadcast(nTot))
+      .select(col("event_type"), col("n"),
+        // DIV, not `/`: long / long is DOUBLE division in Spark, and a
+        // 1-ulp-low quotient would truncate to the wrong pooled index
+        expr("1L + ((rk - 1L) * (nn - 1L)) DIV (n - 1L)").as("lo"),
+        pmod((col("rk") - 1L) * (col("nn") - 1L), col("n") - 1L).as("fn"))
+    val v = j
+      .join(pooled.select(col("p").as("lo"), col("pv").as("vlo")), Seq("lo"))
+      .join(pooled.select((col("p") - 1L).as("lo"), col("pv").as("vhi")),
+        Seq("lo"), "left")
+      .select(col("event_type"),
+        round((col("vlo") + (coalesce(col("vhi"), col("vlo")) - col("vlo")) *
+          col("fn") / (col("n") - 1L)) * 1e6, 0).cast("long").as("um"))
+    v.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("um")).cast("double") / 1e6, 2).as("sum_norm"),
+        round(min(col("um")).cast("double") / 1e6, 6).as("min_norm"),
+        round(max(col("um")).cast("double") / 1e6, 6).as("max_norm"))
+  }
+
+  val qQuantileNormSql: String =
+    "WITH s AS (SELECT event_type, value, event_id FROM events), " +
+      "r AS (SELECT event_type, value, event_id, " +
+      "row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk, " +
+      "count(*) OVER (PARTITION BY event_type) AS n FROM s), " +
+      "p AS (SELECT value AS pv, " +
+      "row_number() OVER (ORDER BY value, event_id) AS p FROM s), " +
+      "t AS (SELECT count(*) AS nn FROM s), " +
+      "j AS (SELECT event_type, n, " +
+      "1 + (rk - 1) * (nn - 1) // (n - 1) AS lo, " +
+      "(rk - 1) * (nn - 1) % (n - 1) AS fn " +
+      "FROM r CROSS JOIN t WHERE n > 1), " +
+      "v AS (SELECT j.event_type, CAST(round((plo.pv + " +
+      "(coalesce(phi.pv, plo.pv) - plo.pv) * fn / (j.n - 1)) * 1e6, 0) AS BIGINT) AS um " +
+      "FROM j JOIN p plo ON plo.p = j.lo " +
+      "LEFT JOIN p phi ON phi.p = j.lo + 1) " +
+      "SELECT event_type, count(*) AS n_rows, " +
+      "round(CAST(sum(um) AS DOUBLE) / 1e6, 2) AS sum_norm, " +
+      "round(CAST(min(um) AS DOUBLE) / 1e6, 6) AS min_norm, " +
+      "round(CAST(max(um) AS DOUBLE) / 1e6, 6) AS max_norm " +
+      "FROM v GROUP BY 1"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quantile_norm"    -> qQuantileNorm _,
     "q_ks_test"          -> qKsTest _,
     "q_burstiness"       -> qBurstiness _,
     "q_mutual_info"      -> qMutualInfo _,
@@ -2007,6 +2076,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_quantile_norm"    -> qQuantileNormSql,
     "q_ks_test"          -> qKsTestSql,
     "q_burstiness"       -> qBurstinessSql,
     "q_mutual_info"      -> qMutualInfoSql,

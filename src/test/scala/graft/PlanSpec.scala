@@ -537,6 +537,15 @@ class PlanSpec extends AnyFunSuite {
       s"window must consume the aggregated frame, not the raw fact:\n$p")
   }
 
+  test("quantile normalization ranks through the kernel: no Window node") {
+    // both rank levels (per-type AND pooled-global) must ride the
+    // DistributedRank kernel — a window spelling would funnel the fact
+    // table through one global partition for the pooled rank
+    val p = plan("q_quantile_norm")
+    assert(!p.contains("Window"),
+      s"quantile norm regressed to a window-based rank:\n$p")
+  }
+
   test("mutual information: marginals broadcast, nothing sort-merges") {
     val p = plan("q_mutual_info")
     assert(!p.contains("SortMergeJoin"),
