@@ -925,6 +925,106 @@ object GraphQueries {
       "AS avg_cc " +
       "FROM deg LEFT JOIN t USING (node) WHERE deg >= 2 GROUP BY deg"
 
+  // ── Recommendation evaluation: time-split hit-rate@3 ───────────────────
+  // The leakage-free eval harness for the item-CF recommender: similarity
+  // trains ONLY on pre-2000 orders; each post-2000 test basket hides its
+  // max part and asks whether the CF top-3 (scored by summed similarity
+  // of the remaining context items, context items excluded as
+  // candidates) recovers it. Every per-(order, candidate) score is the
+  // sum of NANO-QUANTIZED similarity integers — double sums would be
+  // accumulation-order-dependent across engines — and ranking ties break
+  // on candidate id, so the hit set is bit-deterministic. Shuffles: the
+  // train pair expansion (one), the candidate scoring join keyed on the
+  // context item, and a per-order WindowGroupLimit-able top-3.
+  private val CfSplitDate = "2000-01-01"
+
+  def qCfHitrate(s: SparkSession, d: String): DataFrame = {
+    val keyed = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"),
+          (col("o_orderdate") < lit(CfSplitDate).cast("date")).as("is_train")),
+        Seq("l_orderkey"))
+      .select(col("l_orderkey"), col("l_partkey"), col("is_train"))
+      .distinct()
+    val train = keyed.filter(col("is_train"))
+    val occ = train.groupBy(col("l_partkey").as("pk"))
+      .agg(count(lit(1)).as("occ"))
+    val cooc = train
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS src, y AS dst))))")).as("p"))
+      .select(col("p.src"), col("p.dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cooc"))
+      .filter(col("cooc") >= MinSupport)
+    val simDir = cooc
+      .unionAll(cooc.select(col("dst").as("src"), col("src").as("dst"),
+        col("cooc")))
+      .join(occ.select(col("pk").as("src"), col("occ").as("os")), "src")
+      .join(occ.select(col("pk").as("dst"), col("occ").as("od")), "dst")
+      .select(col("src"), col("dst"),
+        round(lit(1e9) * col("cooc").cast("double") /
+          sqrt((col("os") * col("od")).cast("double")), 0).cast("long")
+          .as("su"))
+    val testBaskets = keyed.filter(!col("is_train"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .select(col("l_orderkey"),
+        element_at(col("ps"), -1).as("target"),
+        expr("slice(ps, 1, size(ps) - 1)").as("context"))
+    val nTest = testBaskets.agg(count(lit(1)).as("n_test"))
+    val scored = testBaskets
+      .select(col("l_orderkey"), col("target"), col("context"),
+        explode(col("context")).as("src"))
+      .join(simDir, Seq("src"))
+      .filter(!array_contains(col("context"), col("dst")))
+      .groupBy(col("l_orderkey"), col("target"), col("dst"))
+      .agg(sum(col("su")).as("score"))
+    val byOrder = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("score").desc, col("dst").asc)
+    val top3 = scored.withColumn("rn", row_number().over(byOrder))
+      .filter(col("rn") <= 3)
+    top3.agg(count_distinct(col("l_orderkey")).as("n_scored"),
+      sum(when(col("dst") === col("target"), 1L).otherwise(0L)).as("n_hits"))
+      .crossJoin(broadcast(nTest))
+      .select(col("n_test"), col("n_scored"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_scored"), 6)
+          .as("hit_rate"))
+  }
+
+  val qCfHitrateSql: String =
+    "WITH keyed AS (SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS p, " +
+      s"o_orderdate < DATE '$CfSplitDate' AS is_train " +
+      "FROM lineitem l JOIN orders ON o_orderkey = l.l_orderkey), " +
+      "occ AS (SELECT p AS pk, count(*) AS occ FROM keyed WHERE is_train GROUP BY 1), " +
+      "cooc AS (SELECT a.p AS src, b.p AS dst, count(*) AS cooc " +
+      "FROM keyed a JOIN keyed b ON a.ok = b.ok AND a.p < b.p " +
+      s"WHERE a.is_train AND b.is_train GROUP BY 1, 2 HAVING count(*) >= $MinSupport), " +
+      "simdir AS (SELECT s.src, s.dst, CAST(round(1e9 * CAST(s.cooc AS DOUBLE) / " +
+      "sqrt(CAST(o1.occ * o2.occ AS DOUBLE)), 0) AS BIGINT) AS su " +
+      "FROM (SELECT src, dst, cooc FROM cooc " +
+      "UNION ALL SELECT dst, src, cooc FROM cooc) s " +
+      "JOIN occ o1 ON s.src = o1.pk JOIN occ o2 ON s.dst = o2.pk), " +
+      "tgt AS (SELECT ok, max(p) AS target, count(*) AS np FROM keyed " +
+      "WHERE NOT is_train GROUP BY 1 HAVING count(*) >= 2), " +
+      "ctx AS (SELECT k.ok, k.p AS b, t.target FROM keyed k " +
+      "JOIN tgt t ON k.ok = t.ok AND k.p <> t.target WHERE NOT k.is_train), " +
+      "scored AS (SELECT c.ok, c.target, s.dst, CAST(sum(s.su) AS BIGINT) AS score " +
+      "FROM ctx c JOIN simdir s ON s.src = c.b " +
+      "WHERE NOT EXISTS (SELECT 1 FROM ctx c2 WHERE c2.ok = c.ok AND c2.b = s.dst) " +
+      "GROUP BY 1, 2, 3), " +
+      "top3 AS (SELECT ok, target, dst, " +
+      "row_number() OVER (PARTITION BY ok ORDER BY score DESC, dst) AS rn " +
+      "FROM scored) " +
+      "SELECT (SELECT count(*) FROM tgt) AS n_test, " +
+      "count(DISTINCT ok) AS n_scored, " +
+      "CAST(sum(CASE WHEN dst = target THEN 1 ELSE 0 END) AS BIGINT) AS n_hits, " +
+      "round(CAST(sum(CASE WHEN dst = target THEN 1 ELSE 0 END) AS DOUBLE) / " +
+      "count(DISTINCT ok), 6) AS hit_rate " +
+      "FROM top3 WHERE rn <= 3"
+
   // ── Degree assortativity (Newman's r) ──────────────────────────────────
   // Do high-degree parts co-purchase with other high-degree parts?
   // Pearson correlation of (deg(a), deg(b)) over the symmetrized
@@ -1053,6 +1153,7 @@ object GraphQueries {
     "q_assortativity" -> qAssortativity _,
     "q_clustering_coef" -> qClusteringCoef _,
     "q_edge_novelty" -> qEdgeNovelty _,
+    "q_cf_hitrate" -> qCfHitrate _,
     "q_sssp"       -> qSssp _,
     "q_sssp_path"  -> qSsspPath _,
     "q_modularity" -> qModularity _,
@@ -1073,6 +1174,7 @@ object GraphQueries {
     "q_assortativity" -> qAssortativitySql,
     "q_clustering_coef" -> qClusteringCoefSql,
     "q_edge_novelty" -> qEdgeNoveltySql,
+    "q_cf_hitrate" -> qCfHitrateSql,
     "q_sssp"       -> qSsspSql,
     "q_sssp_path"  -> qSsspPathSql,
     "q_modularity" -> qModularitySql,
