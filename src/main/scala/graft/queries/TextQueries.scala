@@ -941,7 +941,51 @@ object TextQueries {
       "FROM g"
   }
 
+  // ── Temperature-scaled mixture weights (α-sampling) ────────────────────
+  // The GPT-3/multilingual-BERT sampling recipe: source i is drawn with
+  // probability ∝ nᵢ^α (α = 0.7 here), which up-weights low-resource
+  // sources relative to proportional sampling without flattening to
+  // uniform. One shuffle to per-lang token totals; the ≤|langs|-row
+  // frame computes weights/expected draws; the exponential is one pow()
+  // per source on identical exact integer totals — both engines produce
+  // the same doubles (q_entropy's ln discipline, with pow for ln). The
+  // report pairs the natural share with the α-share so the up-weighting
+  // is visible per source.
+  private val MixAlpha = 0.7
+  private val MixBudget = 100000L
+
+  def qMixTemperature(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.tokenCount
+    val totals = Tables.documents(s, d)
+      .select(col("lang"), tokenCount(col("text")).as("n_tok"))
+      .groupBy(col("lang")).agg(sum(col("n_tok")).as("toks"))
+    val wsum = totals
+      .agg(sum(col("toks")).as("all_toks"),
+        sum(pow(col("toks").cast("double"), MixAlpha)).as("wsum"))
+    totals.crossJoin(broadcast(wsum))
+      .select(col("lang"), col("toks"),
+        round(col("toks").cast("double") / col("all_toks"), 6)
+          .as("natural_share"),
+        round(pow(col("toks").cast("double"), MixAlpha) / col("wsum"), 6)
+          .as("alpha_share"),
+        round(lit(MixBudget) * pow(col("toks").cast("double"), MixAlpha) /
+          col("wsum"), 2).as("expected_draws"))
+  }
+
+  val qMixTemperatureSql: String =
+    s"WITH totals AS (SELECT lang, CAST(sum(len($sqlToks)) AS BIGINT) " +
+      "AS toks FROM documents GROUP BY 1), " +
+      "w AS (SELECT CAST(sum(toks) AS BIGINT) AS all_toks, " +
+      s"sum(pow(CAST(toks AS DOUBLE), $MixAlpha)) AS wsum FROM totals) " +
+      "SELECT lang, toks, " +
+      "round(CAST(toks AS DOUBLE) / all_toks, 6) AS natural_share, " +
+      s"round(pow(CAST(toks AS DOUBLE), $MixAlpha) / wsum, 6) AS alpha_share, " +
+      s"round($MixBudget * pow(CAST(toks AS DOUBLE), $MixAlpha) / wsum, 2) " +
+      "AS expected_draws " +
+      "FROM totals CROSS JOIN w"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mix_temperature" -> qMixTemperature _,
     "q_split"          -> qSplit _,
     "q_bm25"           -> qBm25 _,
     "q_zipf"           -> qZipf _,
@@ -970,6 +1014,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_mix_temperature" -> qMixTemperatureSql,
     "q_split"           -> qSplitSql,
     "q_bm25"            -> qBm25Sql,
     "q_zipf"            -> qZipfSql,
