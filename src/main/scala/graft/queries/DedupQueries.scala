@@ -667,7 +667,87 @@ object DedupQueries {
       "min(doc_id) AS survivor_id, count(*) AS n_members " +
       "FROM documents GROUP BY 1"
 
+  // ── MinHash estimator accuracy audit ───────────────────────────────────
+  // How far off is the 32-hash signature estimate from TRUE Jaccard on
+  // the pairs LSH actually surfaces? The question every banding
+  // configuration decision rests on. Candidates come from the proven
+  // lshPairs machinery with NO similarity floor (every banded collision);
+  // exact Jaccard is counted only for those candidates (the same
+  // candidates-only exact verification the PPJoin path uses). The
+  // over/under/equal split compares the two rationals by integer
+  // cross-multiplication — sign(agree·u − 32·i) — so no float comparison
+  // decides a count; error magnitudes micro-quantize before the sum.
+  def qMinhashError(s: SparkSession, d: String): DataFrame = {
+    val cands = lshPairs(Tables.documents(s, d),
+      numHashes = 32, bands = 8, threshold = 0.0)
+    val sh = shingleIndex(s, d)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cands.select(col("doc_a"), col("doc_b"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")),
+        Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    val stats = cands
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+      .select(col("est_jaccard"),
+        coalesce(col("i"), lit(0L)).as("i"),
+        (col("na") + col("nb") - coalesce(col("i"), lit(0L))).as("u"),
+        round(col("est_jaccard") * 32, 0).cast("long").as("agree"))
+      .withColumn("err_u",
+        round(abs(col("est_jaccard") -
+          col("i").cast("double") / col("u").cast("double")) * 1e6, 0)
+          .cast("long"))
+    stats.agg(count(lit(1)).as("n_pairs"),
+      sum(when(col("agree") * col("u") > lit(32L) * col("i"), 1L)
+        .otherwise(0L)).as("n_over"),
+      sum(when(col("agree") * col("u") < lit(32L) * col("i"), 1L)
+        .otherwise(0L)).as("n_under"),
+      sum(when(col("agree") * col("u") === lit(32L) * col("i"), 1L)
+        .otherwise(0L)).as("n_equal"),
+      sum(col("err_u")).as("sum_err"), max(col("err_u")).as("max_err"))
+      .select(col("n_pairs"), col("n_over"), col("n_under"), col("n_equal"),
+        round(col("sum_err").cast("double") /
+          (col("n_pairs").cast("double") * 1e6), 6).as("mean_abs_err"),
+        round(col("max_err").cast("double") / 1e6, 6).as("max_abs_err"))
+  }
+
+  val qMinhashErrorSql: String =
+    s"WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents), " +
+      s"shd AS (SELECT doc_id, unnest($sqlShingles) AS sh FROM toks), " +
+      s"hx AS (SELECT doc_id, ${Md5Bits.sqlHash60("sh")} % $MinhashP AS x FROM shd), " +
+      "mh AS (SELECT doc_id, i, " +
+      s"min((((i * 2654435761) % ${MinhashP - 1} + 1) * x + (i * 97531) % $MinhashP) % $MinhashP) AS mh " +
+      "FROM hx, range(0, 32) r(i) GROUP BY 1, 2), " +
+      "sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY 1), " +
+      "cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "CAST(len(list_filter(range(1, 33), j -> a.sig[j] = b.sig[j])) AS BIGINT) AS agree " +
+      "FROM sig a JOIN sig b ON a.doc_id < b.doc_id " +
+      "WHERE EXISTS (SELECT 1 FROM range(0, 8) t(bb) " +
+      "WHERE a.sig[bb*4+1 : bb*4+4] = b.sig[bb*4+1 : bb*4+4])), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1), " +
+      "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i FROM cand c " +
+      "JOIN shd sa ON sa.doc_id = c.doc_a " +
+      "JOIN shd sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh GROUP BY 1, 2), " +
+      "stats AS (SELECT agree, coalesce(i, 0) AS i, " +
+      "za.n + zb.n - coalesce(i, 0) AS u, " +
+      "CAST(round(abs(CAST(agree AS DOUBLE) / 32 - " +
+      "CAST(coalesce(i, 0) AS DOUBLE) / (za.n + zb.n - coalesce(i, 0))) * 1e6, 0) AS BIGINT) AS err_u " +
+      "FROM cand LEFT JOIN inter USING (doc_a, doc_b) " +
+      "JOIN sizes za ON za.doc_id = doc_a JOIN sizes zb ON zb.doc_id = doc_b) " +
+      "SELECT count(*) AS n_pairs, " +
+      "CAST(sum(CASE WHEN agree * u > 32 * i THEN 1 ELSE 0 END) AS BIGINT) AS n_over, " +
+      "CAST(sum(CASE WHEN agree * u < 32 * i THEN 1 ELSE 0 END) AS BIGINT) AS n_under, " +
+      "CAST(sum(CASE WHEN agree * u = 32 * i THEN 1 ELSE 0 END) AS BIGINT) AS n_equal, " +
+      "round(CAST(sum(err_u) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e6), 6) AS mean_abs_err, " +
+      "round(CAST(max(err_u) AS DOUBLE) / 1e6, 6) AS max_abs_err " +
+      "FROM stats"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_minhash_error" -> qMinhashError _,
     "q_dedup_canonical" -> qDedupCanonical _,
     "q_dup_spans"     -> qDupSpans _,
     "q_entity_resolution" -> qEntityResolution _,
@@ -684,6 +764,7 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_minhash_error" -> qMinhashErrorSql,
     "q_dedup_canonical" -> qDedupCanonicalSql,
     "q_dup_spans"      -> qDupSpansSql,
     "q_entity_resolution" -> qEntityResolutionSql,
