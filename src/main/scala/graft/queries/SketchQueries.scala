@@ -86,6 +86,65 @@ object SketchQueries {
         GROUP BY tok HAVING min(cnt) >= $HeavyThreshold"""
   }
 
+  // ── CMS point-estimate accuracy audit ──────────────────────────────────
+  // The companion to q_heavy_hitters that answers "is a 4×256 sketch
+  // enough for this vocabulary?": every distinct token's CMS estimate
+  // against its TRUE count. CMS is one-sided (never under), so the audit
+  // is pure integer arithmetic end to end — overestimate = est − true ≥ 0
+  // — and the report (exact-hit share, mean/max overestimate, tokens
+  // over the heavy threshold falsely) decides width before anyone trusts
+  // the sketch at scale. Same one-pass fold; true counts ride the same
+  // token shuffle the estimate probe uses.
+  def qCmsError(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .localCheckpoint(true)
+    val withBuckets = toks.select(
+      posexplode(array(cmsBuckets(col("tok")): _*)).as(Seq("i", "bucket")))
+    val cells = withBuckets
+      .groupBy(col("i"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val truth = toks.groupBy(col("tok")).agg(count(lit(1)).as("tc"))
+    val est = truth
+      .select(col("tok"), col("tc"),
+        posexplode(array(cmsBuckets(col("tok")): _*)).as(Seq("i", "bucket")))
+      .join(broadcast(cells), Seq("i", "bucket"))
+      .groupBy(col("tok"), col("tc")).agg(min(col("cnt")).as("est"))
+    est.select(col("tc"), col("est"), (col("est") - col("tc")).as("over"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("over") === 0L, 1L).otherwise(0L)).as("n_exact"),
+        sum(col("over")).as("sum_over"), max(col("over")).as("max_over"),
+        sum(when(col("est") >= HeavyThreshold && col("tc") < HeavyThreshold,
+          1L).otherwise(0L)).as("n_false_heavy"))
+      .select(col("n_tokens"), col("n_exact"), col("max_over"),
+        col("n_false_heavy"),
+        round(col("sum_over").cast("double") / col("n_tokens"), 6)
+          .as("mean_over"))
+  }
+
+  val qCmsErrorSql: String = {
+    val h1 = Md5Bits.sqlHash60("'cms1:' || tok")
+    val h2 = Md5Bits.sqlHash60("'cms2:' || tok")
+    s"""WITH toks AS (SELECT unnest($sqlTokens) AS tok FROM documents),
+        depth AS (SELECT unnest([0, 1, 2, 3]) AS i),
+        hashed AS (SELECT tok, $h1 AS h1, $h2 AS h2 FROM toks),
+        cells AS (SELECT i, (h1 + i * h2) % $CmsWidth AS bucket, count(*) AS cnt
+                  FROM hashed CROSS JOIN depth GROUP BY 1, 2),
+        truth AS (SELECT tok, h1, h2, CAST(count(*) AS BIGINT) AS tc
+                  FROM hashed GROUP BY 1, 2, 3),
+        est AS (SELECT tok, tc, CAST(min(cnt) AS BIGINT) AS est
+                FROM truth CROSS JOIN depth
+                JOIN cells ON cells.i = depth.i
+                          AND cells.bucket = (truth.h1 + depth.i * truth.h2) % $CmsWidth
+                GROUP BY 1, 2)
+        SELECT count(*) AS n_tokens,
+        CAST(sum(CASE WHEN est = tc THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        CAST(max(est - tc) AS BIGINT) AS max_over,
+        CAST(sum(CASE WHEN est >= $HeavyThreshold AND tc < $HeavyThreshold
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_heavy,
+        round(CAST(sum(est - tc) AS DOUBLE) / count(*), 6) AS mean_over
+        FROM est"""
+  }
+
   // ── CMS inner product: join-size estimation without joining ────────────
   // |A ⋈ B| on a key = Σ_k a_k·b_k — and the inner product of two
   // count-min sketches estimates it (min over depth rows of the row dot
@@ -373,6 +432,7 @@ object SketchQueries {
     "q_hll_groups"      -> qHllGroups _,
     "q_quantile_sketch" -> qQuantileSketch _,
     "q_heavy_hitters" -> qHeavyHitters _,
+    "q_cms_error"     -> qCmsError _,
     "q_bloom_prune"   -> qBloomPrune _,
   )
 
@@ -382,6 +442,7 @@ object SketchQueries {
     "q_hll_groups"      -> qHllGroupsSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
+    "q_cms_error"     -> qCmsErrorSql,
     "q_bloom_prune"   -> qBloomPruneSql,
   )
 }
