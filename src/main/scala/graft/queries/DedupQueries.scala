@@ -353,6 +353,46 @@ object DedupQueries {
       s"SELECT unnest($sqlShingles) AS v " +
         s"FROM (SELECT $sqlToks AS t FROM documents) tt")
 
+  // ── HLL estimator accuracy audit ───────────────────────────────────────
+  // Closes the sketch-audit family (MinHash → q_minhash_error, CMS →
+  // q_cms_error): the portable 128-register HLL's cardinality estimate
+  // against the EXACT distinct-shingle count, with the signed relative
+  // error — the number that sizes the register count before anyone
+  // trusts the sketch on a 100 TB dedup run. The shingle stream is
+  // materialized once and feeds both the sketch fold and the exact
+  // count; both sides are one aggregation each.
+  def qHllError(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Sketches
+    Shingles.register(s)
+    val vals = Tables.documents(s, d)
+      .select(explode(Shingles.shingles(col("text"), 3)).as("v"))
+      .localCheckpoint(true)
+    val est = vals
+      .select(Sketches.hllRegister(col("v")), Sketches.hllRank(col("v")))
+      .groupBy(col("hll_idx")).agg(max(col("hll_rho")).as("mx"))
+      .agg(sum(call_function("shiftleft", lit(1L),
+        lit(Sketches.RestBits + 1) - col("mx"))).as("s_present"),
+        count(lit(1)).as("n_present"))
+      .select(Sketches.hllFinish(col("s_present"), col("n_present")): _*)
+      .select(Sketches.hllEstimate(col("s_scaled"), col("zero_registers"))
+        .as("est_distinct"))
+    val exact = vals.agg(countDistinct(col("v")).as("exact_distinct"))
+    est.crossJoin(exact)
+      .select(col("exact_distinct"), col("est_distinct"),
+        round((col("est_distinct") - col("exact_distinct")) /
+          col("exact_distinct"), 6).as("rel_err"))
+  }
+
+  val qHllErrorSql: String = {
+    val src = s"SELECT unnest($sqlShingles) AS v " +
+      s"FROM (SELECT $sqlToks AS t FROM documents) tt"
+    s"WITH est AS (SELECT est_distinct FROM (${graft.functions.Sketches.sqlHll(src)}) e), " +
+      s"ex AS (SELECT CAST(count(DISTINCT v) AS BIGINT) AS exact_distinct FROM ($src) vv) " +
+      "SELECT exact_distinct, est_distinct, " +
+      "round((est_distinct - exact_distinct) / exact_distinct, 6) AS rel_err " +
+      "FROM est CROSS JOIN ex"
+  }
+
   // ── Blocked fuzzy matching (record linkage) ────────────────────────────
   // Approximate string matching between records that exact dedup misses:
   // candidate pairs come from cheap deterministic BLOCKING keys, and only
@@ -748,6 +788,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_error" -> qMinhashError _,
+    "q_hll_error"     -> qHllError _,
     "q_dedup_canonical" -> qDedupCanonical _,
     "q_dup_spans"     -> qDupSpans _,
     "q_entity_resolution" -> qEntityResolution _,
@@ -765,6 +806,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "q_minhash_error" -> qMinhashErrorSql,
+    "q_hll_error"     -> qHllErrorSql,
     "q_dedup_canonical" -> qDedupCanonicalSql,
     "q_dup_spans"      -> qDupSpansSql,
     "q_entity_resolution" -> qEntityResolutionSql,
