@@ -232,6 +232,83 @@ object SimilarityQueries {
       s"WHERE rnk <= $K"
   }
 
+  // ── SRP estimator accuracy audit ───────────────────────────────────────
+  // The fourth sketch audit (MinHash, CMS, HLL, now SRP): on every
+  // banded-collision pair, the 16-bit sign-random-projection estimate
+  // cos(π·hamming/16) against the TRUE cosine — the bits-vs-error
+  // measurement behind any SRP banding choice. The estimate takes only
+  // 17 possible values (hamming ∈ 0..16), rounded to 6dp before the
+  // error terms; error magnitudes micro-quantize before summing, so the
+  // one-row report is accumulation-order-free. Candidate generation is
+  // the proven band-bucket join — never all pairs.
+  def qSrpError(s: SparkSession, d: String): DataFrame = {
+    val nBits = 16
+    val bands = 4
+    val bandBits = nBits / bands
+    val mask = (1L << bandBits) - 1
+    val sk = vecs(s, d).filter(col("nrm") > 0)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        srpSketch(col("v"), nBits, Dims).as("sk"))
+    val banded = sk.select(col("vec_id"), col("v"), col("nrm"), col("sk"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sk"), b * bandBits).bitwiseAND(lit(mask))
+            .as("key"))
+      }: _*)).as("bk"))
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        col("a.v").as("va"), col("b.v").as("vb"),
+        (col("a.nrm") * col("b.nrm")).as("denom"),
+        col("a.sk").as("ska"), col("b.sk").as("skb"))
+      .dropDuplicates("ia", "ib")
+    val scored = pairs.select(
+      round(cos(lit(math.Pi) *
+        call_function("bit_count", col("ska").bitwiseXOR(col("skb")))
+          .cast("double") / nBits), 6).as("est"),
+      (DotProduct.dot(col("va"), col("vb")) / col("denom")).as("tru"))
+      .select(
+        round(abs(col("est") - col("tru")) * 1e6, 0).cast("long").as("ae"),
+        round((col("est") - col("tru")) * 1e6, 0).cast("long").as("se"))
+    scored.agg(count(lit(1)).as("n_pairs"),
+      sum(col("ae")).as("sae"), max(col("ae")).as("mae"),
+      sum(col("se")).as("sse"))
+      .select(col("n_pairs"),
+        round(col("sae").cast("double") /
+          (col("n_pairs").cast("double") * 1e6), 6).as("mean_abs_err"),
+        round(col("mae").cast("double") / 1e6, 6).as("max_abs_err"),
+        round(col("sse").cast("double") /
+          (col("n_pairs").cast("double") * 1e6), 6).as("bias"))
+  }
+
+  val qSrpErrorSql: String = {
+    val h = graft.functions.Md5Bits.sqlHash60(
+      "CAST(j AS VARCHAR) || ',' || CAST(d AS VARCHAR)")
+    "WITH planes AS (SELECT j, list(CAST(CASE WHEN (" + h + " & 1) = 1 " +
+      "THEN 1.0 ELSE -1.0 END AS DOUBLE) ORDER BY d) AS sv " +
+      s"FROM range(0, 16) a(j), range(0, $Dims) b(d) GROUP BY j), " +
+      "vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "sk AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, " +
+      "CAST(sum(CASE WHEN list_dot_product(v, sv) >= 0 " +
+      "THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS sk " +
+      "FROM vs, planes GROUP BY vec_id, v), " +
+      "pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib, " +
+      "round(cos(pi() * CAST(bit_count(xor(a.sk, b.sk)) AS DOUBLE) / 16), 6) AS est, " +
+      "list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS tru " +
+      "FROM sk a JOIN sk b ON a.vec_id < b.vec_id " +
+      "AND a.nrm > 0 AND b.nrm > 0 " +
+      "AND EXISTS (SELECT 1 FROM range(0, 4) t(bb) " +
+      "WHERE ((a.sk >> (bb*4)) & 15) = ((b.sk >> (bb*4)) & 15))), " +
+      "scored AS (SELECT CAST(round(abs(est - tru) * 1e6, 0) AS BIGINT) AS ae, " +
+      "CAST(round((est - tru) * 1e6, 0) AS BIGINT) AS se FROM pairs) " +
+      "SELECT count(*) AS n_pairs, " +
+      "round(CAST(sum(ae) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e6), 6) AS mean_abs_err, " +
+      "round(CAST(max(ae) AS DOUBLE) / 1e6, 6) AS max_abs_err, " +
+      "round(CAST(sum(se) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e6), 6) AS bias " +
+      "FROM scored"
+  }
+
   // ── Per-label centroids (elementwise mean vectors) ─────────────────────
   // The clustering/averaging primitive (IVF coarse quantizer training,
   // class prototypes): posexplode → one grouped aggregation keyed on
@@ -992,6 +1069,7 @@ object SimilarityQueries {
     "q_knn_heap"    -> qKnnHeap _,
     "q_cos_neardup" -> qCosNearDup _,
     "q_ann_lsh"     -> qAnnLsh _,
+    "q_srp_error"   -> qSrpError _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1005,6 +1083,7 @@ object SimilarityQueries {
     "q_knn_heap"    -> qKnnHeapSql,
     "q_cos_neardup" -> qCosNearDupSql,
     "q_ann_lsh"     -> qAnnLshSql,
+    "q_srp_error"   -> qSrpErrorSql,
     "q_ann_ivf"     -> qAnnIvfSql,
     "q_semdedup"    -> qSemdedupSql,
     "q_semdedup_keep" -> qSemdedupKeepSql,
