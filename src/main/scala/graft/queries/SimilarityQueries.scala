@@ -430,6 +430,43 @@ object SimilarityQueries {
       "PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rnk FROM cand) " +
       s"WHERE rnk <= $K"
 
+  // ── IVF recall audit (ANN vs exact ground truth) ───────────────────────
+  // The fifth accuracy audit: recall@5 of the nprobe=4 IVF search
+  // against the brute-force top-5 — the ANN quality number every
+  // nprobe/k trade-off decision reads. Both sides are the PROVEN chains
+  // (qAnnIvf's replayed k-means + probed search; qKnnBrute's guarded
+  // exact scan), the intersection is an equi-join on (query, neighbor),
+  // and every reported figure is a ratio of integers — mean recall =
+  // Σhits/(|queries|·k) — so nothing floats until one division.
+  def qIvfRecall(s: SparkSession, d: String): DataFrame = {
+    val ivf = qAnnIvf(s, d).select(col("qid"), col("nid"))
+    val brute = qKnnBrute(s, d).select(col("qid"), col("nid"))
+      .localCheckpoint(true)
+    val hits = brute.select(col("qid")).distinct()
+      .join(ivf.join(brute, Seq("qid", "nid"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("h")), Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("h"), lit(0L)).as("h"))
+    hits.agg(count(lit(1)).as("n_queries"),
+      sum(col("h")).as("total_hits"), min(col("h")).as("min_h"))
+      .select(col("n_queries"), col("total_hits"),
+        round(col("total_hits").cast("double") /
+          (col("n_queries").cast("double") * K), 6).as("mean_recall"),
+        round(col("min_h").cast("double") / K, 6).as("min_recall"))
+  }
+
+  val qIvfRecallSql: String =
+    s"WITH ivf AS (SELECT qid, nid FROM ($qAnnIvfSql) x), " +
+      s"brute AS (SELECT qid, nid FROM ($qKnnBruteSql) y), " +
+      "hit AS (SELECT q.qid, count(i.nid) AS h " +
+      "FROM (SELECT DISTINCT qid FROM brute) q " +
+      "LEFT JOIN (SELECT ivf.qid, ivf.nid FROM ivf " +
+      "JOIN brute ON ivf.qid = brute.qid AND ivf.nid = brute.nid) i " +
+      "ON i.qid = q.qid GROUP BY 1) " +
+      "SELECT count(*) AS n_queries, CAST(sum(h) AS BIGINT) AS total_hits, " +
+      s"round(CAST(sum(h) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * $K), 6) " +
+      "AS mean_recall, " +
+      s"round(CAST(min(h) AS DOUBLE) / $K, 6) AS min_recall FROM hit"
+
   // ── SemDeDup: embedding-cluster near-duplicate pruning ─────────────────
   // Abbas et al., "SemDeDup" (2023): cluster the corpus embeddings with
   // k-means, then drop, WITHIN each cluster only, every vector whose
@@ -1070,6 +1107,7 @@ object SimilarityQueries {
     "q_cos_neardup" -> qCosNearDup _,
     "q_ann_lsh"     -> qAnnLsh _,
     "q_srp_error"   -> qSrpError _,
+    "q_ivf_recall"  -> qIvfRecall _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1084,6 +1122,7 @@ object SimilarityQueries {
     "q_cos_neardup" -> qCosNearDupSql,
     "q_ann_lsh"     -> qAnnLshSql,
     "q_srp_error"   -> qSrpErrorSql,
+    "q_ivf_recall"  -> qIvfRecallSql,
     "q_ann_ivf"     -> qAnnIvfSql,
     "q_semdedup"    -> qSemdedupSql,
     "q_semdedup_keep" -> qSemdedupKeepSql,
