@@ -115,6 +115,60 @@ object PipelineQueries {
       "SELECT count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens, " +
       "round(avg(quality), 6) AS avg_quality FROM surv"
 
+  // ── Gate attrition funnel (the curation run report) ────────────────────
+  // How many documents survive each successive gate — input → language →
+  // quality → exact dedup → canonical dedup — with drops and share of
+  // input per stage. This is the one-page report every curation run
+  // publishes before anyone trains on its output. ONE scan: the four
+  // stage counts are conditional aggregates (the dedup stages are
+  // conditional COUNT DISTINCT over 16-byte digests), then the fixed
+  // 5-row funnel explodes from the single aggregate row — no second
+  // pass, no join, identical shape at any corpus size.
+  def qGateAttrition(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val t = tokens(col("text"))
+    val canon = md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+    val pass1 = col("lang") === "en"
+    val pass2 = pass1 && col("quality") >= QualityFloor
+    val one = docs
+      .select(col("doc_id"), col("text"), col("lang"),
+        qualityScore(t, col("n_chars")).as("quality"))
+      .agg(count(lit(1)).as("n0"),
+        sum(when(pass1, 1L).otherwise(0L)).as("n1"),
+        sum(when(pass2, 1L).otherwise(0L)).as("n2"),
+        countDistinct(when(pass2, md5(col("text")))).as("n3"),
+        countDistinct(when(pass2, canon)).as("n4"))
+    one.selectExpr("inline(array(" +
+      "named_struct('stage', '0_input', 'n_docs', n0, 'n_dropped', CAST(0 AS BIGINT)), " +
+      "named_struct('stage', '1_lang', 'n_docs', n1, 'n_dropped', n0 - n1), " +
+      "named_struct('stage', '2_quality', 'n_docs', n2, 'n_dropped', n1 - n2), " +
+      "named_struct('stage', '3_exact_dedup', 'n_docs', n3, 'n_dropped', n2 - n3), " +
+      "named_struct('stage', '4_canonical', 'n_docs', n4, 'n_dropped', n3 - n4)))",
+      "n0")
+      .selectExpr("stage", "n_docs", "n_dropped",
+        "round(CAST(n_docs AS DOUBLE) / n0, 6) AS share_of_input")
+  }
+
+  val qGateAttritionSql: String =
+    "WITH scored AS (SELECT doc_id, text, lang, " +
+      s"$sqlQuality AS quality " +
+      s"FROM (SELECT doc_id, text, lang, n_chars, $sqlTokens AS t FROM documents) a), " +
+      "agg AS (SELECT count(*) AS n0, " +
+      "CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+      s"CAST(sum(CASE WHEN lang = 'en' AND quality >= $QualityFloor THEN 1 ELSE 0 END) AS BIGINT) AS n2, " +
+      s"CAST(count(DISTINCT CASE WHEN lang = 'en' AND quality >= $QualityFloor " +
+      "THEN md5(text) END) AS BIGINT) AS n3, " +
+      s"CAST(count(DISTINCT CASE WHEN lang = 'en' AND quality >= $QualityFloor " +
+      "THEN md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) END) AS BIGINT) AS n4 " +
+      "FROM scored) " +
+      "SELECT stage, n_docs, n_dropped, " +
+      "round(CAST(n_docs AS DOUBLE) / n0, 6) AS share_of_input FROM (" +
+      "SELECT '0_input' AS stage, n0 AS n_docs, CAST(0 AS BIGINT) AS n_dropped, n0 FROM agg " +
+      "UNION ALL SELECT '1_lang', n1, n0 - n1, n0 FROM agg " +
+      "UNION ALL SELECT '2_quality', n2, n1 - n2, n0 FROM agg " +
+      "UNION ALL SELECT '3_exact_dedup', n3, n2 - n3, n0 FROM agg " +
+      "UNION ALL SELECT '4_canonical', n4, n3 - n4, n0 FROM agg) f"
+
   // ── k-anonymity audit (privacy gate before a data release) ─────────────
   // For a quasi-identifier tuple — segment, nation, coarse balance band —
   // every row must hide in a group of ≥ k lookalikes, or the release
@@ -152,11 +206,13 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_k_anonymity"   -> qKAnonymity _,
     "q_pipeline_exact" -> qPipelineExact _,
+    "q_gate_attrition" -> qGateAttrition _,
     "q_pipeline_full"  -> qPipelineFull _,
   )
 
   val oracles: Map[String, String] = Map(
     "q_k_anonymity"   -> qKAnonymitySql,
+    "q_gate_attrition" -> qGateAttritionSql,
     "q_pipeline_exact" -> qPipelineExactSql,
     "q_pipeline_full"  -> qPipelineFullSql,
   )
