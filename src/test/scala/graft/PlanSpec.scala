@@ -537,6 +537,42 @@ class PlanSpec extends AnyFunSuite {
       s"window must consume the aggregated frame, not the raw fact:\n$p")
   }
 
+  test("CF hit-rate: every join keyed, nothing cartesian") {
+    val p = plan("q_cf_hitrate")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked:\n$p")
+    // the one BroadcastNestedLoopJoin allowed is the single-row n_test
+    // attach; candidate scoring must stay a keyed join
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"candidate scoring degraded to an unkeyed join:\n$p")
+  }
+
+  test("edge novelty: first-month is an aggregate, not a window") {
+    val p = plan("q_edge_novelty")
+    assert(!p.contains("Window"),
+      s"first-appearance must be a min aggregate, not a window:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"rollups lost map-side combine:\n$p")
+  }
+
+  test("SCC edge derivation: sorted-array adjacency, no window") {
+    // the purchase-path edges come from ONE per-order struct-array
+    // aggregation — a lead() window would re-shuffle the fact table.
+    // Pinned through q_reciprocity, which shares purchasePathEdges and
+    // is lazy (q_scc itself executes its fixpoints on plan construction).
+    val pr = plan("q_reciprocity")
+    assert(!pr.contains("Window"),
+      s"purchase-path edges regressed to a window:\n$pr")
+  }
+
+  test("KS test: the window consumes the aggregated cents grid") {
+    val p = plan("q_ks_test")
+    assert(p.contains("Window"), s"cumulative sums missing:\n$p")
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.lastIndexOf("partial_sum")
+    assert(aggIdx > winIdx,
+      s"window must sit above the per-cent aggregation, not the raw fact:\n$p")
+  }
+
   test("quantile normalization ranks through the kernel: no Window node") {
     // both rank levels (per-type AND pooled-global) must ride the
     // DistributedRank kernel — a window spelling would funnel the fact
