@@ -66,6 +66,10 @@ object GraftFunctions {
     ("graft_jaro_winkler",
       "graft_jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1]",
       (es: Seq[Expression]) => JaroWinklerExpression(es(0), es(1))),
+    ("graft_zorder",
+      "graft_zorder(x, y, bits) - Morton/Z-order interleave of two keys",
+      (es: Seq[Expression]) =>
+        ZOrderExpression(es(0), es(1), litInt(es(2), "graft_zorder"))),
   )
 
   /** Imperative registration on a live session (idempotent) — equivalent

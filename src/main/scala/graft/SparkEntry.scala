@@ -27,7 +27,8 @@ object SparkEntry {
       SimilarityQueries.queries ++ EventQueries.queries ++
       MediaQueries.queries ++ PipelineQueries.queries ++ KvQueries.queries ++
       StreamQueries.queries ++ SketchQueries.queries ++
-      GraphQueries.queries ++ TpchQueries.queries ++ TpchBulkQueries.queries
+      GraphQueries.queries ++ TpchQueries.queries ++ TpchBulkQueries.queries ++
+      LakehouseQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
       SimilarityQueries.oracles ++ EventQueries.oracles ++
       MediaQueries.oracles ++ PipelineQueries.oracles ++ KvQueries.oracles ++
       StreamQueries.oracles ++ SketchQueries.oracles ++
-      GraphQueries.oracles ++ TpchQueries.oracles ++ TpchBulkQueries.oracles
+      GraphQueries.oracles ++ TpchQueries.oracles ++ TpchBulkQueries.oracles ++
+      LakehouseQueries.oracles
 }

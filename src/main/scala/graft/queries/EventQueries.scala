@@ -2018,7 +2018,41 @@ object EventQueries {
       "round(CAST(max(um) AS DOUBLE) / 1e6, 6) AS max_norm " +
       "FROM v GROUP BY 1"
 
+  // ── Sequential pattern support (A-then-later-B) ────────────────────────
+
+  /** Ordered-pair sequence mining: for every ordered event-type pair
+    * (a, b), the number of users with an `a` event STRICTLY before some
+    * `b` event — the gap-tolerant "did A then eventually B" support that
+    * q_transitions' adjacent bigrams cannot see. The fact stream reduces
+    * to one (user, type, min_ts, max_ts) row per pair — |users|·|types|
+    * rows, orders of magnitude below the event count — and the pair
+    * expansion self-joins THAT reduction per user (≤ |types|² rows each),
+    * so no event-level pairwise stage exists at any scale. */
+  def qSeqPatterns(s: SparkSession, d: String): DataFrame = {
+    val spans = Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+    val a = spans.select(col("user_id"), col("event_type").as("from_type"),
+      col("first_ts"))
+    val b = spans.select(col("user_id"), col("event_type").as("to_type"),
+      col("last_ts"))
+    a.join(b, Seq("user_id"))
+      .filter(col("from_type") =!= col("to_type") &&
+        col("first_ts") < col("last_ts"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val qSeqPatternsSql: String =
+    "WITH s AS (SELECT user_id, event_type, min(ts) AS first_ts, " +
+      "max(ts) AS last_ts FROM events GROUP BY 1, 2) " +
+      "SELECT a.event_type AS from_type, b.event_type AS to_type, " +
+      "count(*) AS n_users FROM s a JOIN s b ON a.user_id = b.user_id " +
+      "AND a.event_type <> b.event_type AND a.first_ts < b.last_ts " +
+      "GROUP BY 1, 2"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seq_patterns"     -> qSeqPatterns _,
     "q_quantile_norm"    -> qQuantileNorm _,
     "q_ks_test"          -> qKsTest _,
     "q_burstiness"       -> qBurstiness _,
@@ -2076,6 +2110,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_seq_patterns"     -> qSeqPatternsSql,
     "q_quantile_norm"    -> qQuantileNormSql,
     "q_ks_test"          -> qKsTestSql,
     "q_burstiness"       -> qBurstinessSql,

@@ -294,6 +294,77 @@ object SketchQueries {
       "WHERE cum >= r AND cum - cnt < r"
   }
 
+  // ── Histogram-quantile accuracy audit ──────────────────────────────────
+  // Sixth member of the sketch-audit family (MinHash, CMS, HLL, SRP,
+  // IVF-recall): the 64-bin histogram sketch's interpolated quantiles
+  // against the EXACT value at the identical rank r = ceil(p·n/100),
+  // computed by the DistributedRank kernel — no value buffering, no
+  // Window node. Everything stays integer cents until the report, so the
+  // audit row (per-percentile signed error, bin width) is hash-exact
+  // through both engines; it answers "is 64 bins enough for this value
+  // distribution?" with a measurement instead of the one-bin bound the
+  // spec asserts.
+  def qQsketchError(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"),
+      col("event_id"))
+    val bounds = ev.groupBy()
+      .agg(min(col("c")).as("minc"), max(col("c")).as("maxc"),
+        count(lit(1)).as("n"))
+    val hist = ev.crossJoin(broadcast(bounds))
+      .select(expr(s"(c - minc) div ((maxc - minc) div $HistBins + 1)").as("bin"),
+        col("minc"), col("maxc"), col("n"))
+      .groupBy(col("bin"), col("minc"), col("maxc"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val est = hist.withColumn("cum", sum(col("cnt")).over(w))
+      .select(col("*"), explode(array(QuantilePcts.map(lit): _*)).as("p"))
+      .withColumn("r", expr("(p * n + 99) div 100"))
+      .filter(col("cum") >= col("r") && col("cum") - col("cnt") < col("r"))
+      .select(col("p"),
+        expr(s"minc + bin * ((maxc - minc) div $HistBins + 1) + " +
+          s"((r - (cum - cnt)) * ((maxc - minc) div $HistBins + 1)) div cnt")
+          .as("est_cents"),
+        expr(s"(maxc - minc) div $HistBins + 1").as("bin_width"))
+    val ranked = graft.operators.DistributedRank.withRowNumber(
+      ev.withColumn("gk", lit(0)), Seq("gk"),
+      Seq(col("c").asc, col("event_id").asc), "rk", nGroupCol = Some("n_g"))
+    val exact = ranked
+      .select(col("c"), col("rk"), col("n_g"),
+        explode(array(QuantilePcts.map(lit): _*)).as("p2"))
+      .filter(col("rk") === expr("(p2 * n_g + 99) div 100"))
+      .select(col("p2"), col("c").as("exact_cents"))
+    est.join(exact, col("p") === col("p2"))
+      .select(col("p"), col("est_cents"), col("exact_cents"),
+        (col("est_cents") - col("exact_cents")).as("err_cents"),
+        col("bin_width"))
+  }
+
+  val qQsketchErrorSql: String = {
+    val width = s"(maxc - minc) // $HistBins + 1"
+    "WITH ev AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c, " +
+      "event_id FROM events), " +
+      "b AS (SELECT min(c) AS minc, max(c) AS maxc, count(*) AS n FROM ev), " +
+      s"h AS (SELECT (c - minc) // ($width) AS bin, minc, maxc, n, count(*) AS cnt " +
+      "FROM ev CROSS JOIN b GROUP BY 1, 2, 3, 4), " +
+      "cdf AS (SELECT *, CAST(sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM h), " +
+      "est AS (SELECT p, CAST(minc + bin * (" + width + ") + " +
+      "((r - (cum - cnt)) * (" + width + ")) // cnt AS BIGINT) AS est_cents, " +
+      "CAST(" + width + " AS BIGINT) AS bin_width " +
+      "FROM (SELECT *, (p * n + 99) // 100 AS r FROM cdf " +
+      s"CROSS JOIN (SELECT unnest([${QuantilePcts.mkString(", ")}]) AS p) q) x " +
+      "WHERE cum >= r AND cum - cnt < r), " +
+      "rkd AS (SELECT c, CAST(row_number() OVER (ORDER BY c, event_id) AS BIGINT) AS rk, " +
+      "CAST(count(*) OVER () AS BIGINT) AS n_g FROM ev), " +
+      "ex AS (SELECT p, c AS exact_cents FROM rkd " +
+      s"CROSS JOIN (SELECT unnest([${QuantilePcts.mkString(", ")}]) AS p) q " +
+      "WHERE rk = (p * n_g + 99) // 100) " +
+      "SELECT p, est_cents, exact_cents, est_cents - exact_cents AS err_cents, " +
+      "bin_width FROM est JOIN ex USING (p)"
+  }
+
   // ── Per-group HLL + sketch merge ───────────────────────────────────────
   // Distinct-user cardinality per event type AND the global estimate
   // obtained by MERGING the per-group sketches (cell-wise register max) —
@@ -431,6 +502,7 @@ object SketchQueries {
     "q_join_size_est"   -> qJoinSizeEst _,
     "q_hll_groups"      -> qHllGroups _,
     "q_quantile_sketch" -> qQuantileSketch _,
+    "q_qsketch_error"   -> qQsketchError _,
     "q_heavy_hitters" -> qHeavyHitters _,
     "q_cms_error"     -> qCmsError _,
     "q_bloom_prune"   -> qBloomPrune _,
@@ -441,6 +513,7 @@ object SketchQueries {
     "q_join_size_est"   -> qJoinSizeEstSql,
     "q_hll_groups"      -> qHllGroupsSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
+    "q_qsketch_error"   -> qQsketchErrorSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_cms_error"     -> qCmsErrorSql,
     "q_bloom_prune"   -> qBloomPruneSql,

@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.ZOrder
+import graft.queries.LakehouseQueries
+
+class LakehouseSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // ── Z-order expression ─────────────────────────────────────────────────
+
+  test("interleave matches a naive per-bit reference on sampled inputs") {
+    def naive(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, b) =>
+        acc | (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))
+      }
+    for (x <- Seq(0L, 1L, 2L, 3L, 511L, 512L, 1023L, 77L);
+         y <- Seq(0L, 1L, 3L, 64L, 1000L, 1023L))
+      assert(ZOrder.interleave(x, y, 10) === naive(x, y, 10), s"($x,$y)")
+    // known fixed points: unit steps in x/y move z by 1/2; all-ones fills
+    assert(ZOrder.interleave(0, 0, 10) === 0L)
+    assert(ZOrder.interleave(1, 0, 10) === 1L)
+    assert(ZOrder.interleave(0, 1, 10) === 2L)
+    assert(ZOrder.interleave(1023, 1023, 10) === (1L << 20) - 1)
+    // out-of-range inputs wrap to the low bits
+    assert(ZOrder.interleave(1024, 0, 10) === 0L)
+  }
+
+  test("graft_zorder is SQL-callable, codegen'd, and null-safe") {
+    val out = spark.sql("SELECT graft_zorder(5, 3, 10) AS z").head().getLong(0)
+    assert(out === ZOrder.interleave(5, 3, 10))
+    assert(spark.sql("SELECT graft_zorder(CAST(NULL AS INT), 3, 10) AS z")
+      .head().isNullAt(0))
+    // non-literal bits must raise the descriptive litInt error
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_zorder(1, 2, l_linenumber) FROM " +
+        s"parquet.`$sf/lineitem.parquet` LIMIT 1").collect()
+    }
+    assert(e.getMessage.contains("graft_zorder"))
+  }
+
+  test("z-curve buckets are locality cells: every span <= 1/8 of the domain") {
+    val df = LakehouseQueries.qZorder(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 64)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("x_span") <= 127,
+        s"bucket ${r.getAs[Long]("bucket")} x_span ${r.getAs[Long]("x_span")}")
+      assert(r.getAs[Long]("y_span") <= 127,
+        s"bucket ${r.getAs[Long]("bucket")} y_span ${r.getAs[Long]("y_span")}")
+    }
+    // coverage: the buckets partition all lineitem rows
+    assert(rows.map(_.getAs[Long]("n_rows")).sum ===
+      Tables.lineitem(spark, sf).count())
+  }
+
+  test("z-ordered layout bounds BOTH dims per file; key-sorted only one") {
+    // full 128×128 grid scaled onto the 1024 domain — a single-column
+    // sort's files each span the entire second dimension, while z-range
+    // files are curve octants whose min/max box is bounded in BOTH dims
+    // (the parquet zone-map property that skips files on either filter)
+    val keys = spark.range(1L << 14).select(
+      (($"id" / 128).cast("long") * 8).as("x"),
+      (pmod($"id", lit(128)) * 8).cast("long").as("y"))
+    val files = 8
+    def perFileSpans(df: org.apache.spark.sql.DataFrame, dir: String): Seq[(Long, Long)] = {
+      df.write.mode("overwrite").parquet(dir)
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+        .toSeq.map { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(max($"x") - min($"x"), max($"y") - min($"y")).head()
+          (r.getLong(0), r.getLong(1))
+        }
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    // z layout: files aligned to curve octants (top 3 z bits), the
+    // deterministic form of what repartitionByRange(z) approximates
+    val zDir = s"$base/z"
+    keys.withColumn("z", ZOrder.zorder($"x", $"y", 10))
+      .withColumn("octant", shiftright($"z", 17))
+      .sortWithinPartitions($"octant", $"z")
+      .write.partitionBy("octant").mode("overwrite").parquet(zDir)
+    val zSpans = new java.io.File(zDir).listFiles()
+      .filter(_.getName.startsWith("octant=")).toSeq.map { dir =>
+        val r = spark.read.parquet(dir.getAbsolutePath)
+          .agg(max($"x") - min($"x"), max($"y") - min($"y")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+    val xSpans = perFileSpans(
+      keys.repartitionByRange(files, $"x").sortWithinPartitions($"x"),
+      s"$base/x")
+    assert(zSpans.size === files && xSpans.size === files)
+    // every z octant's min/max box is bounded in BOTH dims: the top 3
+    // bits pin y's half+quarter and x's half → x_span ≤ 512, y_span ≤ 256
+    zSpans.foreach { case (a, b) =>
+      assert(a <= 512 && b <= 256, s"z octant span ($a,$b) too wide")
+    }
+    // a y = const filter reads the files whose y zone map contains it:
+    // expected file fraction = avg (y_span+1)/domain. Single-key layout
+    // never skips (~1.0); z-order reads a strict minority.
+    def yFrac(s: Seq[(Long, Long)]): Double =
+      s.map { case (_, b) => (b + 1.0) / 1024.0 }.sum / s.size
+    val (zY, xY) = (yFrac(zSpans), yFrac(xSpans))
+    assert(xY > 0.9, s"x-sorted files must span ~all of y, got $xY")
+    assert(zY < 0.5 * xY, s"z-order y-fraction $zY must undercut $xY by >2x")
+  }
+
+  // ── MERGE / upsert ─────────────────────────────────────────────────────
+
+  test("merge partitions keys into update/keep/insert with exact balances") {
+    val out = LakehouseQueries.qMergeUpsert(spark, sf).cache()
+    val customers = Tables.customer(spark, sf)
+      .select($"c_custkey").as[Long].collect().toSet
+    val byAction = out.groupBy($"action").agg(count(lit(1))).as[(String, Long)]
+      .collect().toMap
+    assert(byAction.keySet.subsetOf(Set("update", "keep", "insert")))
+    assert(byAction.getOrElse("insert", 0L) > 0, "remapped keys must insert")
+    assert(byAction.getOrElse("update", 0L) > 0)
+    // inserts are exactly the remapped (absent) source keys
+    out.filter($"action" === "insert").select($"custkey").as[Long].collect()
+      .foreach(k => assert(!customers.contains(k), s"insert key $k exists"))
+    // keep + update == full target census
+    assert(byAction.getOrElse("keep", 0L) + byAction.getOrElse("update", 0L)
+      === customers.size.toLong)
+    // one updated key: balance == old + delta, recomputed independently
+    val row = out.filter($"action" === "update").orderBy($"custkey").head()
+    val k = row.getAs[Long]("custkey")
+    val old = Tables.customer(spark, sf).filter($"c_custkey" === k)
+      .select(expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .as[Long].head()
+    val delta = Tables.orders(spark, sf)
+      .filter($"o_custkey" === k && pmod($"o_custkey", lit(3)) =!= 1)
+      .select(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .as[Long].collect().sum
+    assert(row.getAs[Long]("new_bal_cents") === old + delta)
+    out.unpersist()
+  }
+
+  // ── Incremental aggregate maintenance ──────────────────────────────────
+
+  test("partial-merge totals equal the direct single-pass aggregate") {
+    val merged = LakehouseQueries.qIncrAgg(spark, sf)
+      .select($"event_type", $"total_cents", $"n_events", $"max_cents")
+    val direct = Tables.events(spark, sf)
+      .select($"event_type",
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .groupBy($"event_type")
+      .agg(sum($"cents").as("total_cents"), count(lit(1)).as("n_events"),
+        max($"cents").as("max_cents"))
+    assert(merged.except(direct).isEmpty && direct.except(merged).isEmpty,
+      "merged partials must be lossless")
+    // day-partial granularity is real: more partials than types
+    val parts = LakehouseQueries.qIncrAgg(spark, sf)
+      .agg(sum($"n_day_partials")).head().getLong(0)
+    val types = direct.count()
+    assert(parts > types, s"expected >$types day-level partials, got $parts")
+  }
+
+  // ── Referential integrity ──────────────────────────────────────────────
+
+  test("FK audit counters match driver-side set arithmetic") {
+    val r = LakehouseQueries.qRefIntegrity(spark, sf).head()
+    val li = Tables.lineitem(spark, sf).select($"l_orderkey").as[Long].collect()
+    val ok = Tables.orders(spark, sf).select($"o_orderkey").as[Long].collect().toSet
+    val oc = Tables.orders(spark, sf).select($"o_custkey").as[Long].collect()
+    val ck = Tables.customer(spark, sf).select($"c_custkey").as[Long].collect().toSet
+    val cn = Tables.customer(spark, sf).select($"c_nationkey").as[Int].collect()
+    val nk = Tables.nation(spark, sf).select($"n_nationkey").as[Int].collect().toSet
+    assert(r.getAs[Long]("orphan_lineitems") === li.count(!ok.contains(_)).toLong)
+    assert(r.getAs[Long]("orphan_orders") === oc.count(!ck.contains(_)).toLong)
+    assert(r.getAs[Long]("orphan_customers") === cn.count(!nk.contains(_)).toLong)
+    val liSet = li.toSet
+    assert(r.getAs[Long]("childless_orders") === ok.count(!liSet.contains(_)).toLong)
+  }
+}

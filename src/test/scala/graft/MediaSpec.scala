@@ -102,6 +102,82 @@ class MediaSpec extends AnyFunSuite {
     assert(!got(11L).real_decode && got(11L).format === "stub:video")
   }
 
+  private def pcm16le(samples: Seq[Int]): Array[Byte] =
+    samples.flatMap(v => Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)).toArray
+
+  test("WAV encode → decode round-trips exact PCM16 statistics") {
+    val samples = Seq(0, 1, -1, 32767, -32768, 12345, -54)
+    val wav = MediaQueries.encodeWavPcm16(pcm16le(samples), 8000)
+    val out = MediaQueries.decodeWav(Iterator.single(
+      MediaRow(5L, wav, MediaMeta("audio", 0, 0, 99)))).next()
+    assert(out.real_decode && out.format === "wav")
+    assert(out.sample_rate === 8000, "rate must come from the header, not metadata")
+    assert(out.channels === 1 && out.bits === 16)
+    assert(out.n_samples === samples.length.toLong)
+    assert(out.sum_sq === samples.map(v => v.toLong * v).sum)
+    assert(out.max_abs === samples.map(math.abs).max)
+  }
+
+  test("encoded WAV is readable by javax.sound AudioSystem, and vice versa") {
+    val samples = Seq(100, -200, 300, -400)
+    // our encoder → JDK reader
+    val ours = MediaQueries.encodeWavPcm16(pcm16le(samples), 16000)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(ours))
+    assert(ais.getFormat.getSampleRate === 16000f)
+    assert(ais.getFormat.getChannels === 1)
+    assert(ais.getFormat.getSampleSizeInBits === 16)
+    assert(ais.getFrameLength === samples.length.toLong)
+    // JDK writer → our decoder
+    val fmt = new javax.sound.sampled.AudioFormat(22050f, 16, 1, true, false)
+    val data = pcm16le(samples)
+    val src = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(src,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val out = MediaQueries.decodeWav(Iterator.single(
+      MediaRow(6L, bos.toByteArray, MediaMeta("audio", 0, 0, 0)))).next()
+    assert(out.real_decode && out.sample_rate === 22050)
+    assert(out.n_samples === samples.length.toLong)
+    assert(out.sum_sq === samples.map(v => v.toLong * v).sum)
+  }
+
+  test("non-WAV and non-PCM payloads fall back to the LE-int16 stub") {
+    val text = "abcd".getBytes("UTF-8")
+    val out = MediaQueries.decodeWav(Iterator.single(
+      MediaRow(7L, text, MediaMeta("audio", 0, 0, 16000)))).next()
+    assert(!out.real_decode && out.format === "stub:audio")
+    assert(out.sample_rate === 16000, "stub keeps the metadata rate")
+    val s0 = ('a' | ('b' << 8)); val s1 = ('c' | ('d' << 8))
+    assert(out.n_samples === 2L)
+    assert(out.sum_sq === s0.toLong * s0 + s1.toLong * s1)
+    // RIFF magic but a non-PCM format code also falls back, not crashes
+    val wav = MediaQueries.encodeWavPcm16(pcm16le(Seq(9, 9)), 8000)
+    wav(20) = 3 // IEEE float format code
+    val bad = MediaQueries.decodeWav(Iterator.single(
+      MediaRow(8L, wav, MediaMeta("video", 0, 0, 44100)))).next()
+    assert(!bad.real_decode && bad.format === "stub:video")
+  }
+
+  test("q_media_audio takes the real path for every row and stays narrow") {
+    val df = MediaQueries.qMediaAudio(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"audio decode must not shuffle:\n$plan")
+    val audioDocs = Tables.documents(spark, sf).filter($"doc_id" % 3 === 1)
+    assert(df.count() === audioDocs.count())
+    // one row vs a driver-side recomputation over the raw text bytes
+    val doc = audioDocs.filter(length($"text") >= 2).head()
+    val bytes = doc.getAs[String]("text").getBytes("UTF-8")
+    val n = bytes.length / 2
+    val vals = (0 until n).map(i => (bytes(2 * i) & 0xff) | ((bytes(2 * i + 1) & 0xff) << 8))
+    val row = df.filter($"media_id" === doc.getAs[Long]("doc_id")).head()
+    assert(row.getAs[Long]("n_samples") === n.toLong)
+    assert(row.getAs[Long]("sum_sq") === vals.map(v => v.toLong * v).sum)
+    assert(row.getAs[Int]("max_abs") === vals.max)
+    assert(row.getAs[Int]("sample_rate") === 16000)
+  }
+
   test("frame sampling slices correct frame bytes") {
     val media = MediaQueries.mediaTable(spark, sf)
     val frames = MediaQueries.sampleFrames(media, frameBytes = 16, stride = 4)

@@ -587,4 +587,59 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"the 35-cell table must never shuffle for its marginals:\n$p")
   }
+
+  test("z-order report: codegen'd key, one partial-first aggregation, 2-col scan") {
+    val p = plan("q_zorder")
+    assert(p.contains("partial_"), s"bucket rollup must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+    val f = formatted("q_zorder")
+    assert(f.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"),
+      s"scan must read only the two key columns:\n$f")
+  }
+
+  test("merge upsert: keyed full-outer join, change set pre-aggregated") {
+    val p = plan("q_merge_upsert")
+    assert(p.contains("FullOuter"), s"expected a full-outer merge join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"merge must stay a keyed join:\n$p")
+    // the orders fact aggregates to per-key deltas BEFORE joining the
+    // target (partial_sum under the join, not a raw fact join)
+    assert(p.contains("partial_sum"), s"change set not pre-aggregated:\n$p")
+  }
+
+  test("seq patterns: the pair join consumes per-(user,type) aggregates") {
+    val p = plan("q_seq_patterns")
+    // event-level rows must reduce to first/last spans before any join —
+    // partial min/max under the join keeps the pair stage off the fact
+    assert(p.contains("partial_min") && p.contains("partial_max"),
+      s"span reduction must be map-side combined:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+  }
+
+  test("incremental aggregate: two-level rollup, both map-side combined") {
+    val p = plan("q_incr_agg")
+    assert("partial_sum".r.findAllIn(p).size >= 2,
+      s"both the day partials and the merge must combine map-side:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+  }
+
+  test("FK audit: anti joins throughout, nation side broadcast") {
+    val p = plan("q_ref_integrity")
+    assert("LeftAnti".r.findAllIn(p).size >= 4,
+      s"all four audits must plan as anti joins:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the nation anti join should broadcast the 5-row dim:\n$p")
+  }
+
+  test("quantile-sketch audit: exact side rides the kernel, no data Window") {
+    // the only Window allowed is over the 64-bin histogram CDF — the
+    // exact-rank side must come from DistributedRank, so no Window may
+    // consume an events-scale input (pin: exactly one Window, fed by an
+    // aggregate)
+    val p = plan("q_qsketch_error")
+    assert("Window".r.findAllIn(p).size <= 1,
+      s"expected at most the 64-bin CDF window:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
