@@ -772,6 +772,82 @@ object TextQueries {
       "SELECT row_number() OVER (ORDER BY n DESC, p) AS rnk, p, n " +
       s"FROM pc ORDER BY n DESC, p LIMIT $BpeTopPairs"
 
+  // ── BPE training loop (iterative merges, applied) ──────────────────────
+  // The full tokenizer-training iteration q_bpe_merges only samples the
+  // first round of: K times, count frequency-weighted adjacent symbol
+  // pairs over the VOCABULARY, pick the argmax (count desc, pair asc —
+  // total order, so the learned merge table is reproducible anywhere),
+  // APPLY the merge to every word's symbol sequence, recount. State is
+  // one row per distinct word (vocab-sized — the corpus is read once,
+  // then never again), refreshed per round through the same eager
+  // localCheckpoint discipline as PageRank/KMeans.
+  //
+  // Merge application must be leftmost-non-overlapping (BPE's rule:
+  // "a a a" + merge(a,a) → "aa a", not "aa aa"). Symbol sequences are
+  // kept as TWO-SPACE-joined strings with single-space ends, because
+  // then one `replace(r, ' a  b ', ' ab ')` IS that rule on both
+  // engines: each match consumes one space from each flanking
+  // two-space run, so consecutive matches chain ("a b a b" merges
+  // twice) while overlapping ones cannot ("a a a" merges once), and
+  // the replacement restores the invariant. The oracle replays the
+  // identical K rounds as unrolled CTEs.
+  private val BpeTrainRounds = 3
+
+  def qBpeTrain(s: SparkSession, d: String): DataFrame = {
+    val wf = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .withColumn("r", expr("concat(' ', array_join(transform(" +
+        "sequence(1, length(w)), i -> substr(w, i, 1)), '  '), ' ')"))
+      .select(col("f"), col("r"))
+      .localCheckpoint(true)
+    def pairCounts(state: DataFrame): DataFrame = state
+      .select(col("f"), expr("split(trim(r), '  ')").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("f"), explode(expr("transform(sequence(1, size(t) - 1), " +
+        "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("f")).as("n"))
+    var state = wf
+    val merges = (1 to BpeTrainRounds).map { step =>
+      val best = pairCounts(state)
+        .orderBy(col("n").desc, col("a").asc, col("b").asc).limit(1)
+        .select(lit(step).as("step"), col("a"), col("b"), col("n"))
+        .localCheckpoint(true) // single row; drives both output and state
+      state = state
+        .crossJoin(broadcast(best.select(col("a").as("ma"), col("b").as("mb"))))
+        .withColumn("r", expr("replace(r, " +
+          "concat(' ', ma, '  ', mb, ' '), concat(' ', ma, mb, ' '))"))
+        .select(col("f"), col("r"))
+        .localCheckpoint(true)
+      best
+    }
+    merges.reduce(_ unionAll _)
+  }
+
+  val qBpeTrainSql: String = {
+    def round(i: Int): String = {
+      val prev = s"s${i - 1}"
+      s"p$i AS (SELECT t[i] AS a, t[i+1] AS b, CAST(sum(f) AS BIGINT) AS n " +
+        "FROM (SELECT f, t, unnest(generate_series(1, len(t) - 1)) AS i " +
+        s"FROM (SELECT f, str_split(trim(r), '  ') AS t FROM $prev) z " +
+        "WHERE len(t) >= 2) y GROUP BY 1, 2), " +
+        s"b$i AS MATERIALIZED (SELECT $i AS step, a, b, n FROM p$i " +
+        "ORDER BY n DESC, a, b LIMIT 1), " +
+        s"s$i AS MATERIALIZED (SELECT f, replace(r, " +
+        s"' ' || (SELECT a FROM b$i) || '  ' || (SELECT b FROM b$i) || ' ', " +
+        s"' ' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || ' ') AS r FROM $prev)"
+    }
+    s"WITH words AS (SELECT unnest($sqlTokens) AS w FROM documents), " +
+      "wf AS (SELECT w, count(*) AS f FROM words GROUP BY 1), " +
+      "s0 AS MATERIALIZED (SELECT f, ' ' || array_to_string(list_transform(" +
+      "generate_series(1, length(w)), i -> w[i]), '  ') || ' ' AS r FROM wf), " +
+      (1 to BpeTrainRounds).map(round).mkString(", ") + " " +
+      "SELECT CAST(step AS INT) AS step, a, b, n FROM (" +
+      (1 to BpeTrainRounds).map(i => s"SELECT * FROM b$i")
+        .mkString(" UNION ALL ") + ") m"
+  }
+
   // ── Zipf's-law fit over word frequencies ───────────────────────────────
   // Does the vocabulary follow the power law every natural corpus does?
   // OLS slope of ln(count) on ln(rank) over the top-200 words — the
@@ -1004,6 +1080,7 @@ object TextQueries {
     "q_sample_group"  -> qSampleGroup _,
     "q_token_bpe"     -> qTokenBpe _,
     "q_bpe_merges"    -> qBpeMerges _,
+    "q_bpe_train"     -> qBpeTrain _,
     "q_boilerplate"   -> qBoilerplate _,
     "q_lang_confusion" -> qLangConfusion _,
     "q_token_count"   -> qTokenCount _,
@@ -1033,6 +1110,7 @@ object TextQueries {
     "q_sample_group"  -> qSampleGroupSql,
     "q_token_bpe"     -> qTokenBpeSql,
     "q_bpe_merges"    -> qBpeMergesSql,
+    "q_bpe_train"     -> qBpeTrainSql,
     "q_boilerplate"   -> qBoilerplateSql,
     "q_lang_confusion" -> qLangConfusionSql,
     "q_token_count"   -> qTokenCountSql,

@@ -84,6 +84,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(r => (r._2, r._3)).toSeq === want)
   }
 
+  test("bpe training loop equals a driver-side reference trainer") {
+    val got = graft.queries.TextQueries.qBpeTrain(spark, sf).collect()
+      .sortBy(_.getAs[Int]("step"))
+      .map(r => (r.getAs[Int]("step"), r.getAs[String]("a"),
+        r.getAs[String]("b"), r.getAs[Long]("n")))
+    assert(got.map(_._1).toSeq === Seq(1, 2, 3))
+    // independent reference: freq-weighted vocab, K rounds of
+    // count-argmax-apply with leftmost-non-overlapping merge application
+    val vocab = scala.collection.mutable.Map.empty[List[String], Long]
+    Tables.documents(spark, sf).select("text").collect().foreach { r =>
+      graft.functions.TextFunctions.tokenize(r.getString(0)).foreach { w =>
+        val syms = w.map(_.toString).toList
+        vocab(syms) = vocab.getOrElse(syms, 0L) + 1L
+      }
+    }
+    var state = vocab.toMap
+    val want = (1 to 3).map { step =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      state.foreach { case (syms, f) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          counts((p.head, p(1))) = counts.getOrElse((p.head, p(1)), 0L) + f
+        }
+      }
+      val ((a, b), n) = counts.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.head
+      def merge(syms: List[String]): List[String] = syms match {
+        case x :: y :: rest if x == a && y == b => (a + b) :: merge(rest)
+        case x :: rest => x :: merge(rest)
+        case Nil => Nil
+      }
+      state = state.groupBy { case (syms, _) => merge(syms) }
+        .map { case (m, g) => m -> g.values.sum }
+      (step, a, b, n)
+    }
+    assert(got.toSeq === want,
+      s"engine merges ${got.toSeq} != reference ${want}")
+  }
+
+  test("two-space replace applies merges leftmost-non-overlapping") {
+    // the representation invariant the BPE state relies on
+    def apply1(r: String, a: String, b: String): String =
+      r.replace(s" $a  $b ", s" $a$b ")
+    assert(apply1(" a  a  a ", "a", "a") === " aa  a ")
+    assert(apply1(" a  b  a  b ", "a", "b") === " ab  ab ")
+    assert(apply1(" x  a  b  y ", "a", "b") === " x  ab  y ")
+    assert(apply1(" a  b ", "a", "b") === " ab ")
+  }
+
   test("boilerplate report equals a driver-side per-source span census") {
     val rows = graft.queries.TextQueries.qBoilerplate(spark, sf).collect()
       .map(r => r.getAs[String]("source") ->
