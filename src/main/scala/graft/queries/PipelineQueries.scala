@@ -203,8 +203,46 @@ object PipelineQueries {
       s"CAST(sum(CASE WHEN g < $AnonK THEN g ELSE 0 END) AS BIGINT) AS rows_at_risk " +
       "FROM g"
 
+  // ── l-diversity audit (the k-anonymity companion) ──────────────────────
+  // k-anonymity alone still leaks when a lookalike group is homogeneous
+  // in the SENSITIVE attribute (everyone in the group shares it, so
+  // membership reveals it). l-diversity requires each quasi-identifier
+  // group — nation × coarse balance band here — to contain ≥ l distinct
+  // sensitive values (market segment). Two stacked partial-agg shuffles
+  // (distinct-per-group, then the report); same governance-gate shape as
+  // qKAnonymity, and the pair of audits is what a release gate runs.
+  private val DiversityL = 2
+
+  def qLDiversity(s: SparkSession, d: String): DataFrame = {
+    val bal = (col("c_acctbal").cast(
+      org.apache.spark.sql.types.DecimalType(18, 2)) * 100).cast("long")
+    Tables.customer(s, d)
+      .select(col("c_nationkey"), floor(bal / 100000L).cast("long").as("bal_band"),
+        col("c_mktsegment"))
+      .groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(countDistinct(col("c_mktsegment")).as("l"),
+        count(lit(1)).as("g"))
+      .agg(min(col("l")).as("l_min"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("l") < DiversityL, 1L).otherwise(0L)).as("n_homogeneous"),
+        sum(when(col("l") < DiversityL, col("g")).otherwise(0L)).as("rows_exposed"))
+  }
+
+  val qLDiversitySql: String =
+    "WITH g AS (SELECT c_nationkey, " +
+      "CAST(FLOOR(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+      "/ 100000.0) AS BIGINT) AS bal_band, " +
+      "CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l, " +
+      "CAST(count(*) AS BIGINT) AS g " +
+      "FROM customer GROUP BY 1, 2) " +
+      "SELECT min(l) AS l_min, CAST(count(*) AS BIGINT) AS n_groups, " +
+      s"CAST(sum(CASE WHEN l < $DiversityL THEN 1 ELSE 0 END) AS BIGINT) AS n_homogeneous, " +
+      s"CAST(sum(CASE WHEN l < $DiversityL THEN g ELSE 0 END) AS BIGINT) AS rows_exposed " +
+      "FROM g"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_k_anonymity"   -> qKAnonymity _,
+    "q_l_diversity"   -> qLDiversity _,
     "q_pipeline_exact" -> qPipelineExact _,
     "q_gate_attrition" -> qGateAttrition _,
     "q_pipeline_full"  -> qPipelineFull _,
@@ -212,6 +250,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q_k_anonymity"   -> qKAnonymitySql,
+    "q_l_diversity"   -> qLDiversitySql,
     "q_gate_attrition" -> qGateAttritionSql,
     "q_pipeline_exact" -> qPipelineExactSql,
     "q_pipeline_full"  -> qPipelineFullSql,

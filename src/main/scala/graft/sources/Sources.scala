@@ -94,6 +94,27 @@ object Sources {
       .saveAsTable(table)
   }
 
+  /** Z-ordered parquet layout: rows are range-partitioned and sorted by
+    * the Morton interleave of two integral columns, so every output
+    * file's parquet min/max zone maps are narrow in BOTH columns at once
+    * — filters on either key skip most files, where a single-column sort
+    * only ever skips on its leading column. `files` bounds the write
+    * parallelism/file count; the z key is computed by the codegen
+    * [[graft.functions.ZOrder]] expression and dropped before writing so
+    * the stored schema is unchanged. The layout job a 100 TB curated
+    * table runs after compaction. */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+      files: Int, bits: Int = 16): Unit = {
+    val z = graft.functions.ZOrder.zorder(
+      org.apache.spark.sql.functions.col(xCol),
+      org.apache.spark.sql.functions.col(yCol), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(files, org.apache.spark.sql.functions.col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Per-partition KV writer: `put` per row, `close` once at partition
     * end (flush the tail batch, release the connection). */
   trait KvWriter {

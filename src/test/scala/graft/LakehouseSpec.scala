@@ -108,6 +108,22 @@ class LakehouseSpec extends AnyFunSuite {
     assert(zY < 0.5 * xY, s"z-order y-fraction $zY must undercut $xY by >2x")
   }
 
+  test("writeZOrdered round-trips the data with the original schema") {
+    val keys = Tables.lineitem(spark, sf)
+      .select($"l_partkey", $"l_suppkey", $"l_quantity")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zw").toString
+    graft.sources.Sources.writeZOrdered(keys, dir, "l_partkey", "l_suppkey",
+      files = 4)
+    val back = spark.read.parquet(dir)
+    assert(back.schema.fieldNames.toSeq ===
+      Seq("l_partkey", "l_suppkey", "l_quantity"), "the z key must not leak")
+    assert(back.count() === keys.count())
+    assert(back.except(keys).isEmpty && keys.except(back).isEmpty)
+    val files = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files === 4)
+  }
+
   // ── MERGE / upsert ─────────────────────────────────────────────────────
 
   test("merge partitions keys into update/keep/insert with exact balances") {
