@@ -541,6 +541,39 @@ object Relational {
       s"count(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price " +
       "FROM orders GROUP BY 1"
 
+  // ── Equi-depth histogram (quantile bucketing) ──────────────────────────
+  // q_histogram's fixed-WIDTH buckets say nothing where the data is
+  // dense; the equi-DEPTH form — 8 buckets of equal row count, with the
+  // value range each one spans — is what optimizers and drift monitors
+  // actually store. Bucket assignment is pure integer arithmetic on the
+  // global rank from the DistributedRank kernel ((rk−1)·B div n), so no
+  // Window node touches the fact table and no group's values ever buffer
+  // in one task; the oracle replays the identical formula over a window
+  // row_number.
+  private val EquiDepthBuckets = 8
+
+  def qEquidepth(s: SparkSession, d: String): DataFrame = {
+    val slim = Tables.orders(s, d).select(
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"),
+      col("o_orderkey"))
+    graft.operators.DistributedRank.withRowNumber(
+        slim.withColumn("gk", lit(0)), Seq("gk"),
+        Seq(col("c").asc, col("o_orderkey").asc), "rk",
+        nGroupCol = Some("n_g"))
+      .withColumn("bucket", expr(s"((rk - 1) * $EquiDepthBuckets) div n_g"))
+      .groupBy(col("bucket"))
+      .agg(min(col("c")).as("lo_cents"), max(col("c")).as("hi_cents"),
+        count(lit(1)).as("n"))
+  }
+
+  val qEquidepthSql: String =
+    "WITH r AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c, " +
+      "CAST(row_number() OVER (ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT), o_orderkey) AS BIGINT) AS rk, " +
+      "CAST(count(*) OVER () AS BIGINT) AS n_g FROM orders) " +
+      s"SELECT ((rk - 1) * $EquiDepthBuckets) // n_g AS bucket, " +
+      "min(c) AS lo_cents, max(c) AS hi_cents, count(*) AS n " +
+      "FROM r GROUP BY 1"
+
   // ── Bucketed co-located join (the repeated-join layout at 100 TB) ──────
   // Pays the shuffle ONCE at write time: both sides bucketed+sorted on the
   // join key, then the fact⋈fact join reads buckets directly (SourcesSpec
@@ -1957,6 +1990,7 @@ object Relational {
     "q_dq_report"       -> qDqReport _,
     "q_profile"         -> qProfile _,
     "q_mv_refresh"      -> qMvRefresh _,
+    "q_equidepth"       -> qEquidepth _,
     "q_histogram"       -> qHistogram _,
     "q_percentiles"     -> qPercentiles _,
     "q_percentile_disc" -> qPercentileDisc _,
@@ -2025,6 +2059,7 @@ object Relational {
     "q_dq_report"       -> qDqReportSql,
     "q_profile"         -> qProfileSql,
     "q_mv_refresh"      -> qMvRefreshSql,
+    "q_equidepth"       -> qEquidepthSql,
     "q_histogram"       -> qHistogramSql,
     "q_percentiles"     -> qPercentilesSql,
     "q_percentile_disc" -> qPercentileDiscSql,

@@ -632,6 +632,13 @@ class PlanSpec extends AnyFunSuite {
       s"the nation anti join should broadcast the 5-row dim:\n$p")
   }
 
+  test("equi-depth histogram ranks through the kernel: no Window node") {
+    val p = plan("q_equidepth")
+    assert(!p.contains("Window"),
+      s"equi-depth bucketing must not funnel through a global window:\n$p")
+    assert(p.contains("partial_"), s"bucket rollup must map-side combine:\n$p")
+  }
+
   test("quantile-sketch audit: exact side rides the kernel, no data Window") {
     // the only Window allowed is over the 64-bin histogram CDF — the
     // exact-rank side must come from DistributedRank, so no Window may

@@ -196,4 +196,23 @@ class StatsQueriesSpec extends AnyFunSuite {
       } else assert(!got.contains((t, x)), s"degenerate window kept at ($t,$x)")
     }
   }
+  test("equi-depth histogram: balanced contiguous buckets covering all rows") {
+    val rows = graft.queries.Relational.qEquidepth(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("lo_cents"),
+        r.getAs[Long]("hi_cents"), r.getAs[Long]("n")))
+      .sortBy(_._1)
+    val total = Tables.orders(spark, sf).count()
+    assert(rows.map(_._1).toSeq === (0L until 8L))
+    assert(rows.map(_._4).sum === total, "buckets must partition all rows")
+    // equal depth: every bucket within 1 of n/8
+    rows.foreach { case (b, _, _, n) =>
+      assert(math.abs(n - total / 8.0) <= 1.0, s"bucket $b depth $n vs ${total / 8.0}")
+    }
+    // contiguous, non-overlapping value coverage in rank order
+    rows.sliding(2).foreach {
+      case Array((_, _, hi1, _), (_, lo2, _, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+    rows.foreach { case (_, lo, hi, _) => assert(lo <= hi) }
+  }
 }
