@@ -2018,6 +2018,59 @@ object EventQueries {
       "round(CAST(max(um) AS DOUBLE) / 1e6, 6) AS max_norm " +
       "FROM v GROUP BY 1"
 
+  // ── Seasonal-trend decomposition (STL-lite) ────────────────────────────
+  // Classical additive decomposition of the daily revenue series:
+  // trend = centered 7-day moving average (RANGE frame on the integer
+  // day index, so calendar gaps cannot shift the window), seasonal =
+  // per-day-of-week mean of the detrended series, residual = the rest.
+  // All three components stay exact integers until ONE final division
+  // each: detrended×7 = 7c − Σ7 (interior days only, where the full
+  // window exists), seasonal numerator = Σ_dow detrended×7 over n_dow
+  // days, residual numerator = detrended×7·n_dow − Σ_dow. Windows run on
+  // the |days|-row day-grain frame AFTER the partial aggregate — the
+  // rolling-slope discipline — never on event rows.
+  def qDecompose(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val daily = Tables.events(s, d)
+      .groupBy(datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+        .cast("long").as("x"))
+      .agg(sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("c"))
+    val w7 = W.orderBy(col("x")).rangeBetween(-3, 3)
+    val trended = daily
+      .withColumn("s7", sum(col("c")).over(w7))
+      .withColumn("n7", count(lit(1)).over(w7))
+      .filter(col("n7") === 7)
+      .withColumn("det7", col("c") * 7 - col("s7"))
+      .withColumn("dow", pmod(col("x"), lit(7)))
+    val seasonal = trended.groupBy(col("dow"))
+      .agg(sum(col("det7")).as("sdet"), count(lit(1)).as("ndow"))
+    trended.join(seasonal, Seq("dow"))
+      .select(col("x"), col("c"),
+        round(col("s7").cast("double") / 700.0, 6).as("trend_r"),
+        round(col("sdet").cast("double") / (col("ndow") * 700.0), 6)
+          .as("seasonal_r"),
+        round((col("det7") * col("ndow") - col("sdet")).cast("double") /
+          (col("ndow") * 700.0), 6).as("resid_r"))
+  }
+
+  val qDecomposeSql: String =
+    "WITH daily AS (SELECT CAST(date_diff('day', DATE '2024-01-01', " +
+      "CAST(ts AS DATE)) AS BIGINT) AS x, " +
+      "CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS c " +
+      "FROM events GROUP BY 1), " +
+      "t AS (SELECT x, c, " +
+      "CAST(sum(c) OVER (ORDER BY x RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS s7, " +
+      "CAST(count(*) OVER (ORDER BY x RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS n7 " +
+      "FROM daily), " +
+      "i AS (SELECT x, c, s7, c * 7 - s7 AS det7, x % 7 AS dow FROM t WHERE n7 = 7), " +
+      "se AS (SELECT dow, CAST(sum(det7) AS BIGINT) AS sdet, " +
+      "CAST(count(*) AS BIGINT) AS ndow FROM i GROUP BY 1) " +
+      "SELECT x, c, round(CAST(s7 AS DOUBLE) / 700.0, 6) AS trend_r, " +
+      "round(CAST(sdet AS DOUBLE) / (ndow * 700.0), 6) AS seasonal_r, " +
+      "round(CAST(det7 * ndow - sdet AS DOUBLE) / (ndow * 700.0), 6) AS resid_r " +
+      "FROM i JOIN se USING (dow)"
+
   // ── Sequential pattern support (A-then-later-B) ────────────────────────
 
   /** Ordered-pair sequence mining: for every ordered event-type pair
@@ -2053,6 +2106,7 @@ object EventQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_seq_patterns"     -> qSeqPatterns _,
+    "q_decompose"        -> qDecompose _,
     "q_quantile_norm"    -> qQuantileNorm _,
     "q_ks_test"          -> qKsTest _,
     "q_burstiness"       -> qBurstiness _,
@@ -2111,6 +2165,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "q_seq_patterns"     -> qSeqPatternsSql,
+    "q_decompose"        -> qDecomposeSql,
     "q_quantile_norm"    -> qQuantileNormSql,
     "q_ks_test"          -> qKsTestSql,
     "q_burstiness"       -> qBurstinessSql,

@@ -1146,7 +1146,52 @@ object GraphQueries {
       "SELECT n.v AS node, least(n.v, coalesce(min(m.u), n.v)) AS scc " +
       "FROM nodes n LEFT JOIN mutual m ON n.v = m.v GROUP BY n.v"
 
+  // ── Link prediction (common-neighbor scoring) ──────────────────────────
+  // "Which parts are NOT yet co-purchased but share the most co-purchase
+  // neighbors?" — the classic common-neighbors link predictor (the
+  // recommender candidate generator). Candidate pairs are generated as
+  // open wedges: every node emits the sorted pairs of its neighbor list,
+  // so a pair's count IS its common-neighbor count and only distance-2
+  // pairs ever materialize — never all-pairs. Existing edges are removed
+  // with one anti join; top-20 by (score desc, pair asc) via TakeOrdered.
+  // The support-thresholded graph keeps neighbor lists small here; at a
+  // 100 TB graph the standard production guard is capping hub adjacency
+  // (sample top-degree nodes) before the wedge expansion — the plan shape
+  // is unchanged by that cap.
+  private val LinkPredTop = 20
+
+  def qLinkPredict(s: SparkSession, d: String): DataFrame = {
+    val e = supportedEdges(s, d, MinSupport)
+    val sym = e.select(col("src").as("w"), col("dst").as("n"))
+      .unionAll(e.select(col("dst").as("w"), col("src").as("n")))
+    val adj = sym.groupBy(col("w"))
+      .agg(sort_array(collect_list(col("n"))).as("ns"))
+    val wedges = adj.select(explode(expr(
+      "flatten(transform(ns, (x, i) -> " +
+        "transform(slice(ns, i + 2, size(ns)), y -> struct(x AS u, y AS v))))"))
+      .as("p"))
+      .groupBy(col("p.u").as("u"), col("p.v").as("v"))
+      .agg(count(lit(1)).as("common"))
+    wedges.join(e,
+        wedges("u") === e("src") && wedges("v") === e("dst"), "left_anti")
+      .orderBy(col("common").desc, col("u").asc, col("v").asc)
+      .limit(LinkPredTop)
+  }
+
+  val qLinkPredictSql: String =
+    "WITH op AS (SELECT l_orderkey, l_partkey FROM lineitem GROUP BY 1, 2), " +
+      "e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst FROM op a " +
+      "JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+      s"GROUP BY 1, 2 HAVING count(*) >= $MinSupport), " +
+      "sym AS (SELECT src AS w, dst AS n FROM e UNION ALL SELECT dst, src FROM e), " +
+      "wedge AS (SELECT a.n AS u, b.n AS v, count(*) AS common FROM sym a " +
+      "JOIN sym b ON a.w = b.w AND a.n < b.n GROUP BY 1, 2) " +
+      "SELECT u, v, common FROM wedge " +
+      "WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = u AND e.dst = v) " +
+      s"ORDER BY common DESC, u, v LIMIT $LinkPredTop"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_link_predict" -> qLinkPredict _,
     "q_scc"        -> qScc _,
     "q_item_cf"    -> qItemCf _,
     "q_reciprocity" -> qReciprocity _,
@@ -1168,6 +1213,7 @@ object GraphQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_link_predict" -> qLinkPredictSql,
     "q_scc"        -> qSccSql,
     "q_item_cf"    -> qItemCfSql,
     "q_reciprocity" -> qReciprocitySql,

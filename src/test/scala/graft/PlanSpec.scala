@@ -649,4 +649,16 @@ class PlanSpec extends AnyFunSuite {
       s"expected at most the 64-bin CDF window:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+  test("decomposition windows run on the day-grain frame after partial agg") {
+    val p = plan("q_decompose")
+    // the |days|-row frame feeds two branches (seasonal rollup + output),
+    // so the RANGE window appears once per branch — both over the tiny
+    // day-grain input, never over event rows
+    assert("Window".r.findAllIn(p).size === 2,
+      s"expected the 7-day RANGE window in both day-grain branches:\n$p")
+    assert(p.contains("partial_sum"),
+      s"daily rollup must map-side combine before the window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 7-row seasonal table must broadcast:\n$p")
+  }
 }

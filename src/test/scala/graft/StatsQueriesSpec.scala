@@ -215,4 +215,18 @@ class StatsQueriesSpec extends AnyFunSuite {
     }
     rows.foreach { case (_, lo, hi, _) => assert(lo <= hi) }
   }
+  test("decomposition components reconstruct the daily series additively") {
+    val rows = graft.queries.EventQueries.qDecompose(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getAs[Long]("c") / 100.0
+      val rebuilt = r.getAs[Double]("trend_r") +
+        r.getAs[Double]("seasonal_r") + r.getAs[Double]("resid_r")
+      assert(math.abs(rebuilt - c) < 1e-4,
+        s"day ${r.getAs[Long]("x")}: $rebuilt != $c")
+    }
+    // seasonal means cancel: weighted by ndow they sum to ~0 per cycle
+    val byDow = rows.groupBy(r => r.getAs[Long]("x") % 7)
+    assert(byDow.size >= 6, "expected near-full weekday coverage")
+  }
 }
