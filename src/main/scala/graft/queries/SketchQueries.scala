@@ -365,6 +365,74 @@ object SketchQueries {
       "bin_width FROM est JOIN ex USING (p)"
   }
 
+  // ── Rolling distinct via HLL day-state merging ─────────────────────────
+  // The sketch answer to q_rolling_distinct's exact 7-day WAU: one
+  // 128-cell HLL state per DAY (what a 100 TB pipeline persists), and
+  // every rolling window is a register-max MERGE of the stored day
+  // states — a window over |days|×128 tiny rows — so no window ever
+  // revisits event rows and the same day states serve any window length.
+  // The day×cell grid is densified first (a cell present on day x−3 but
+  // absent on day x must still reach day x's merge); max-over-window
+  // ignores the null cells, and only window-present cells count toward
+  // n_present — exactly the per-group finish rule q_hll_groups proves.
+  // md5-derived registers throughout, so DuckDB replays every bit.
+  def qHllRolling(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Sketches
+    import org.apache.spark.sql.expressions.{Window => W}
+    val reg = Tables.events(s, d)
+      .select(datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+        .cast("long").as("x"),
+        Sketches.hllRegister(col("user_id").cast("string")),
+        Sketches.hllRank(col("user_id").cast("string")))
+    val daySketch = reg.groupBy(col("x"), col("hll_idx"))
+      .agg(max(col("hll_rho")).as("mx"))
+    val grid = daySketch.select(col("x")).distinct()
+      .crossJoin(broadcast(s.range(Sketches.M).select(col("id").as("hll_idx"))))
+      .join(daySketch, Seq("x", "hll_idx"), "left")
+    val w = W.partitionBy(col("hll_idx")).orderBy(col("x")).rangeBetween(-6, 0)
+    val agg = grid.withColumn("rmx", max(col("mx")).over(w))
+      .filter(col("rmx").isNotNull)
+      .groupBy(col("x"))
+      .agg(sum(call_function("shiftleft", lit(1L),
+        lit(Sketches.RestBits + 1) - col("rmx"))).as("s_present"),
+        count(lit(1)).as("n_present"))
+    agg.select(col("x") +:
+        Sketches.hllFinish(col("s_present"), col("n_present")): _*)
+      .select(col("x"), col("s_scaled"), col("zero_registers"),
+        Sketches.hllEstimate(col("s_scaled"), col("zero_registers"))
+          .as("est_rolling_users"))
+  }
+
+  val qHllRollingSql: String = {
+    import graft.functions.{Md5Bits, Sketches => Sk}
+    val h = Md5Bits.sqlHash60("CAST(user_id AS VARCHAR)")
+    val rest = (1L << Sk.RestBits) - 1
+    s"WITH hv AS (SELECT CAST(date_diff('day', DATE '2024-01-01', " +
+      s"CAST(ts AS DATE)) AS BIGINT) AS x, $h AS h FROM events), " +
+      s"reg AS (SELECT x, h >> ${Sk.RestBits} AS idx, " +
+      s"CASE WHEN (h & $rest) = 0 THEN ${Sk.RestBits + 1} " +
+      s"ELSE ${Sk.RestBits + 1} - length(bin(h & $rest)) END AS rho FROM hv), " +
+      "dmx AS (SELECT x, idx, max(rho) AS mx FROM reg GROUP BY 1, 2), " +
+      "grid AS (SELECT x, idx FROM (SELECT DISTINCT x FROM dmx) " +
+      s"CROSS JOIN (SELECT unnest(generate_series(0, ${Sk.M - 1})) AS idx)), " +
+      "g2 AS (SELECT grid.x, grid.idx, dmx.mx FROM grid " +
+      "LEFT JOIN dmx ON grid.x = dmx.x AND grid.idx = dmx.idx), " +
+      "rolled AS (SELECT x, idx, max(mx) OVER (PARTITION BY idx ORDER BY x " +
+      "RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rmx FROM g2), " +
+      "agg AS (SELECT x, " +
+      s"CAST(sum(CAST(1 AS BIGINT) << (${Sk.RestBits + 1} - rmx)) AS BIGINT) AS s_present, " +
+      "count(*) AS n_present FROM rolled WHERE rmx IS NOT NULL GROUP BY 1), " +
+      s"fin AS (SELECT x, s_present + (${Sk.M} - n_present) * ${Sk.Scale} AS s_scaled, " +
+      s"${Sk.M} - n_present AS zero_registers FROM agg) " +
+      "SELECT x, s_scaled, zero_registers, " +
+      s"round(CASE WHEN CAST(${Sk.Alpha} AS DOUBLE) * ${Sk.M} * ${Sk.M} * " +
+      s"CAST(${Sk.Scale} AS DOUBLE) / s_scaled <= ${2.5 * Sk.M} " +
+      "AND zero_registers > 0 " +
+      s"THEN CAST(${Sk.M} AS DOUBLE) * ln(CAST(${Sk.M} AS DOUBLE) / zero_registers) " +
+      s"ELSE CAST(${Sk.Alpha} AS DOUBLE) * ${Sk.M} * ${Sk.M} * " +
+      s"CAST(${Sk.Scale} AS DOUBLE) / s_scaled END, 4) AS est_rolling_users FROM fin"
+  }
+
   // ── Per-group HLL + sketch merge ───────────────────────────────────────
   // Distinct-user cardinality per event type AND the global estimate
   // obtained by MERGING the per-group sketches (cell-wise register max) —
@@ -503,6 +571,7 @@ object SketchQueries {
     "q_hll_groups"      -> qHllGroups _,
     "q_quantile_sketch" -> qQuantileSketch _,
     "q_qsketch_error"   -> qQsketchError _,
+    "q_hll_rolling"     -> qHllRolling _,
     "q_heavy_hitters" -> qHeavyHitters _,
     "q_cms_error"     -> qCmsError _,
     "q_bloom_prune"   -> qBloomPrune _,
@@ -514,6 +583,7 @@ object SketchQueries {
     "q_hll_groups"      -> qHllGroupsSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_qsketch_error"   -> qQsketchErrorSql,
+    "q_hll_rolling"     -> qHllRollingSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_cms_error"     -> qCmsErrorSql,
     "q_bloom_prune"   -> qBloomPruneSql,

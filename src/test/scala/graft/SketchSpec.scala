@@ -155,4 +155,22 @@ class SketchSpec extends AnyFunSuite {
         s"p$p est ${est(p)} vs exact $exact (bin $binWidth)")
     }
   }
+  test("rolling HLL day-state merge tracks the exact 7-day rolling distinct") {
+    val est = graft.queries.SketchQueries.qHllRolling(spark, sf).collect()
+      .map(r => r.getAs[Long]("x") -> r.getAs[Double]("est_rolling_users")).toMap
+    // exact 7-day rolling distinct users, driver-side
+    val byDay = Tables.events(spark, sf)
+      .selectExpr("datediff(to_date(ts), date '2024-01-01') AS x", "user_id")
+      .collect().groupBy(_.getInt(0))
+      .map { case (x, rs) => x.toLong -> rs.map(_.getLong(1)).toSet }
+    est.foreach { case (x, e) =>
+      val exact = (x - 6 to x).flatMap(d => byDay.getOrElse(d, Set.empty))
+        .toSet.size
+      assert(exact > 0, s"day $x has no exact users?")
+      assert(math.abs(e - exact) / exact.toDouble <= 0.35,
+        s"day $x: estimate $e vs exact $exact drifts >35%")
+    }
+    // every data day is reported
+    assert(est.keySet === byDay.keySet.map(_.toLong))
+  }
 }
