@@ -793,7 +793,10 @@ object TextQueries {
   // identical K rounds as unrolled CTEs.
   private val BpeTrainRounds = 3
 
-  def qBpeTrain(s: SparkSession, d: String): DataFrame = {
+  /** The K learned merges, one single-row (eagerly materialized)
+    * DataFrame per step in training order — shared by the train report
+    * and the tokenizer-apply query. */
+  private[queries] def bpeTrainMerges(s: SparkSession, d: String): Seq[DataFrame] = {
     val wf = Tables.documents(s, d)
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
@@ -809,7 +812,7 @@ object TextQueries {
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(sum(col("f")).as("n"))
     var state = wf
-    val merges = (1 to BpeTrainRounds).map { step =>
+    (1 to BpeTrainRounds).map { step =>
       val best = pairCounts(state)
         .orderBy(col("n").desc, col("a").asc, col("b").asc).limit(1)
         .select(lit(step).as("step"), col("a"), col("b"), col("n"))
@@ -822,8 +825,10 @@ object TextQueries {
         .localCheckpoint(true)
       best
     }
-    merges.reduce(_ unionAll _)
   }
+
+  def qBpeTrain(s: SparkSession, d: String): DataFrame =
+    bpeTrainMerges(s, d).reduce(_ unionAll _)
 
   val qBpeTrainSql: String = {
     def round(i: Int): String = {
@@ -846,6 +851,75 @@ object TextQueries {
       "SELECT CAST(step AS INT) AS step, a, b, n FROM (" +
       (1 to BpeTrainRounds).map(i => s"SELECT * FROM b$i")
         .mkString(" UNION ALL ") + ") m"
+  }
+
+  // ── Tokenizer apply (encode the corpus with the learned merges) ────────
+  // The other half of the q_bpe_train loop: encode every document with
+  // the learned merge table, in training order, and report the
+  // compression it buys per source — symbols per character before/after,
+  // the number a tokenizer-budget decision reads. The merge table (K
+  // single rows) broadcast-joins onto the token stream, application is
+  // the same leftmost-non-overlapping replace chain, and the rollup is
+  // one partial-agg shuffle on source — the corpus is scanned once, the
+  // merge table never grows with data.
+  def qBpeApply(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeTrainMerges(s, d)
+    val mtab = merges.map(m => broadcast(m.select(
+      concat(lit(" "), col("a"), lit("  "), col("b"), lit(" ")).as(s"pat"),
+      concat(lit(" "), col("a"), col("b"), lit(" ")).as(s"rep"))))
+    val toks = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .withColumn("r", expr("concat(' ', array_join(transform(" +
+        "sequence(1, length(w)), i -> substr(w, i, 1)), '  '), ' ')"))
+    val applied = mtab.zipWithIndex.foldLeft(toks) { case (df, (m, i)) =>
+      df.crossJoin(m.select(col("pat").as(s"p$i"), col("rep").as(s"q$i")))
+        .withColumn("r", expr(s"replace(r, p$i, q$i)"))
+        .drop(s"p$i", s"q$i")
+    }
+    applied
+      .select(col("source"), length(col("w")).cast("long").as("chars"),
+        size(expr("split(trim(r), '  ')")).cast("long").as("symbols"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("chars")).as("sum_chars"),
+        sum(col("symbols")).as("sum_symbols"))
+      .select(col("source"), col("n_tokens"), col("sum_chars"),
+        col("sum_symbols"),
+        round(col("sum_symbols").cast("double") / col("sum_chars"), 6)
+          .as("symbols_per_char"))
+  }
+
+  val qBpeApplySql: String = {
+    // the same K training rounds as qBpeTrainSql, then the encode pass
+    def round(i: Int): String = {
+      val prev = s"s${i - 1}"
+      s"p$i AS (SELECT t[i] AS a, t[i+1] AS b, CAST(sum(f) AS BIGINT) AS n " +
+        "FROM (SELECT f, t, unnest(generate_series(1, len(t) - 1)) AS i " +
+        s"FROM (SELECT f, str_split(trim(r), '  ') AS t FROM $prev) z " +
+        "WHERE len(t) >= 2) y GROUP BY 1, 2), " +
+        s"b$i AS MATERIALIZED (SELECT $i AS step, a, b, n FROM p$i " +
+        "ORDER BY n DESC, a, b LIMIT 1), " +
+        s"s$i AS MATERIALIZED (SELECT f, replace(r, " +
+        s"' ' || (SELECT a FROM b$i) || '  ' || (SELECT b FROM b$i) || ' ', " +
+        s"' ' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || ' ') AS r FROM $prev)"
+    }
+    val applyChain = (1 to BpeTrainRounds).foldLeft("r0") { (acc, i) =>
+      s"replace($acc, ' ' || (SELECT a FROM b$i) || '  ' || (SELECT b FROM b$i) || ' ', " +
+        s"' ' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || ' ')"
+    }
+    s"WITH words AS (SELECT unnest($sqlTokens) AS w FROM documents), " +
+      "wf AS (SELECT w, count(*) AS f FROM words GROUP BY 1), " +
+      "s0 AS MATERIALIZED (SELECT f, ' ' || array_to_string(list_transform(" +
+      "generate_series(1, length(w)), i -> w[i]), '  ') || ' ' AS r FROM wf), " +
+      (1 to BpeTrainRounds).map(round).mkString(", ") + ", " +
+      s"docs AS (SELECT source, unnest($sqlTokens) AS w FROM documents), " +
+      "enc0 AS (SELECT source, w, ' ' || array_to_string(list_transform(" +
+      "generate_series(1, length(w)), i -> w[i]), '  ') || ' ' AS r0 FROM docs), " +
+      s"enc AS (SELECT source, w, $applyChain AS r FROM enc0) " +
+      "SELECT source, count(*) AS n_tokens, " +
+      "CAST(sum(length(w)) AS BIGINT) AS sum_chars, " +
+      "CAST(sum(len(str_split(trim(r), '  '))) AS BIGINT) AS sum_symbols, " +
+      "round(CAST(sum(len(str_split(trim(r), '  '))) AS DOUBLE) / " +
+      "sum(length(w)), 6) AS symbols_per_char FROM enc GROUP BY 1"
   }
 
   // ── Zipf's-law fit over word frequencies ───────────────────────────────
@@ -1081,6 +1155,7 @@ object TextQueries {
     "q_token_bpe"     -> qTokenBpe _,
     "q_bpe_merges"    -> qBpeMerges _,
     "q_bpe_train"     -> qBpeTrain _,
+    "q_bpe_apply"     -> qBpeApply _,
     "q_boilerplate"   -> qBoilerplate _,
     "q_lang_confusion" -> qLangConfusion _,
     "q_token_count"   -> qTokenCount _,
@@ -1111,6 +1186,7 @@ object TextQueries {
     "q_token_bpe"     -> qTokenBpeSql,
     "q_bpe_merges"    -> qBpeMergesSql,
     "q_bpe_train"     -> qBpeTrainSql,
+    "q_bpe_apply"     -> qBpeApplySql,
     "q_boilerplate"   -> qBoilerplateSql,
     "q_lang_confusion" -> qLangConfusionSql,
     "q_token_count"   -> qTokenCountSql,

@@ -121,6 +121,38 @@ class PipelineSpec extends AnyFunSuite {
       s"engine merges ${got.toSeq} != reference ${want}")
   }
 
+  test("tokenizer apply equals driver-side encoding with the learned merges") {
+    val merges = graft.queries.TextQueries.qBpeTrain(spark, sf).collect()
+      .sortBy(_.getAs[Int]("step"))
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b")))
+    def encode(w: String): Int = {
+      var syms = w.map(_.toString).toList
+      merges.foreach { case (a, b) =>
+        def m(l: List[String]): List[String] = l match {
+          case x :: y :: rest if x == a && y == b => (a + b) :: m(rest)
+          case x :: rest => x :: m(rest)
+          case Nil => Nil
+        }
+        syms = m(syms)
+      }
+      syms.size
+    }
+    val want = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
+    Tables.documents(spark, sf).select("source", "text").collect().foreach { r =>
+      graft.functions.TextFunctions.tokenize(r.getString(1)).foreach { w =>
+        val (n, c, sy) = want.getOrElse(r.getString(0), (0L, 0L, 0L))
+        want(r.getString(0)) = (n + 1, c + w.length, sy + encode(w))
+      }
+    }
+    val got = graft.queries.TextQueries.qBpeApply(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("sum_chars"),
+          r.getAs[Long]("sum_symbols"))).toMap
+    assert(got === want.toMap)
+    // merges must actually compress: fewer symbols than characters
+    got.values.foreach { case (_, c, sy) => assert(sy < c) }
+  }
+
   test("two-space replace applies merges leftmost-non-overlapping") {
     // the representation invariant the BPE state relies on
     def apply1(r: String, a: String, b: String): String =
