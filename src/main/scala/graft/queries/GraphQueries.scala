@@ -1146,6 +1146,109 @@ object GraphQueries {
       "SELECT n.v AS node, least(n.v, coalesce(min(m.u), n.v)) AS scc " +
       "FROM nodes n LEFT JOIN mutual m ON n.v = m.v GROUP BY n.v"
 
+  // ── Closeness / harmonic centrality from pivot seeds ───────────────────
+  // The centrality class PageRank doesn't cover: distance-based. From
+  // `CentralitySeeds` deterministic pivots (smallest node ids — the
+  // standard pivot-sampling estimator shape; at 100 TB the seed list is
+  // just longer), ONE multi-source BFS fixpoint computes all seed
+  // distances together — state is (seed, node, dist), |seeds|·|V| rows,
+  // one keyed join + one aggregate per round on the same double-step /
+  // observed-convergence cadence as qBfs — and each seed's closeness
+  // (n−1)/Σd and harmonic Σ1/d fall out of a per-(seed, dist) count
+  // rollup. Harmonic stays EXACT integer: Σ cnt_d · (L/d) with
+  // L = lcm(1..20) = 232792560, one division at the end — no
+  // order-dependent float summation anywhere. The oracle unrolls the
+  // same rounds with the seed dimension carried through (converged
+  // states are fixed points, so surplus rounds are no-ops).
+  private val CentralitySeeds = 4
+  private val CentralityLcm = 232792560L // lcm(1..20); dists ≤ rounds = 20
+
+  def qCloseness(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.IterCheckpoint.IterCheckpointOps
+    val e = supportedEdges(s, d, MinSupport)
+    val sym = e.select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(e.select(col("dst").as("a"), col("src").as("b")))
+      .iterCheckpoint()
+    val nodes = sym.select(col("a").as("node")).distinct()
+    val seeds = nodes.orderBy(col("node").asc).limit(CentralitySeeds)
+      .select(col("node").as("seed"))
+    var dist = nodes.crossJoin(broadcast(seeds))
+      .select(col("seed"), col("node"),
+        when(col("node") === col("seed"), 0L)
+          .otherwise(lit(null).cast("long")).as("dist"))
+      .iterCheckpoint()
+    def expand(dd: DataFrame): DataFrame = {
+      val fm = sym
+        .join(dd.filter(col("dist").isNotNull)
+          .select(col("seed"), col("node").as("a"), col("dist")), Seq("a"))
+        .groupBy(col("seed"), col("b").as("node"))
+        .agg(min(col("dist")).as("mn"))
+      dd.join(fm, Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"),
+          when(col("dist").isNotNull, col("dist"))
+            .otherwise(col("mn") + 1L).as("dist"))
+    }
+    var reached = -1L
+    var rnd = 0
+    var growing = true
+    while (rnd < CcRounds && growing) {
+      val steps = if (rnd + 1 < CcRounds) 2 else 1
+      val stepped = (1 to steps).foldLeft(dist)((dd, _) => expand(dd))
+      val obs = new org.apache.spark.sql.Observation(
+        s"closeness_conv_${rnd}_${System.nanoTime()}")
+      val next = stepped
+        .observe(obs,
+          sum(when(col("dist").isNotNull, 1L).otherwise(0L)).as("reached"))
+        .iterCheckpoint()
+      val now = obs.get("reached").asInstanceOf[Long]
+      growing = now != reached
+      reached = now
+      dist = next
+      rnd += steps
+    }
+    val byDist = dist.filter(col("dist").isNotNull)
+      .groupBy(col("seed"), col("dist")).agg(count(lit(1)).as("cnt"))
+    byDist.groupBy(col("seed"))
+      .agg(sum(col("cnt")).as("n_reached"),
+        sum(col("dist") * col("cnt")).as("sum_dist"),
+        sum(when(col("dist") > 0,
+          col("cnt") * (lit(CentralityLcm) / col("dist")).cast("long"))
+          .otherwise(0L)).as("hsc"))
+      .select(col("seed"), col("n_reached"), col("sum_dist"),
+        round((col("n_reached") - 1).cast("double") / col("sum_dist"), 6)
+          .as("closeness_r"),
+        round(col("hsc").cast("double") / CentralityLcm, 6).as("harmonic_r"))
+  }
+
+  val qClosenessSql: String = {
+    def iter(prev: String): String =
+      s"SELECT l.seed, l.node, CASE WHEN l.dist IS NOT NULL THEN l.dist " +
+        "ELSE m.mn + 1 END AS dist " +
+        s"FROM $prev l LEFT JOIN (SELECT x.seed, s.b AS node, min(x.dist) AS mn " +
+        s"FROM sym s JOIN $prev x ON s.a = x.node " +
+        "WHERE x.dist IS NOT NULL GROUP BY 1, 2) m USING (seed, node)"
+    val rounds = (1 to CcRounds)
+      .map(i => s"c$i AS MATERIALIZED (${iter(s"c${i - 1}")})").mkString(", ")
+    "WITH e AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst " +
+      "FROM lineitem a JOIN lineitem b " +
+      "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+      s"GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= $MinSupport), " +
+      "sym AS MATERIALIZED (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e), " +
+      "nd AS MATERIALIZED (SELECT DISTINCT a AS node FROM sym), " +
+      s"seeds AS (SELECT node AS seed FROM nd ORDER BY node LIMIT $CentralitySeeds), " +
+      "c0 AS MATERIALIZED (SELECT seed, node, CASE WHEN node = seed " +
+      "THEN CAST(0 AS BIGINT) ELSE NULL END AS dist FROM nd CROSS JOIN seeds), " +
+      rounds + ", " +
+      s"bd AS (SELECT seed, dist, CAST(count(*) AS BIGINT) AS cnt FROM c$CcRounds " +
+      "WHERE dist IS NOT NULL GROUP BY 1, 2) " +
+      "SELECT seed, CAST(sum(cnt) AS BIGINT) AS n_reached, " +
+      "CAST(sum(dist * cnt) AS BIGINT) AS sum_dist, " +
+      "round(CAST(sum(cnt) - 1 AS DOUBLE) / sum(dist * cnt), 6) AS closeness_r, " +
+      s"round(CAST(sum(CASE WHEN dist > 0 THEN cnt * ($CentralityLcm // dist) " +
+      s"ELSE 0 END) AS DOUBLE) / $CentralityLcm, 6) AS harmonic_r " +
+      "FROM bd GROUP BY 1"
+  }
+
   // ── Link prediction (common-neighbor scoring) ──────────────────────────
   // "Which parts are NOT yet co-purchased but share the most co-purchase
   // neighbors?" — the classic common-neighbors link predictor (the
@@ -1192,6 +1295,7 @@ object GraphQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_link_predict" -> qLinkPredict _,
+    "q_closeness"    -> qCloseness _,
     "q_scc"        -> qScc _,
     "q_item_cf"    -> qItemCf _,
     "q_reciprocity" -> qReciprocity _,
@@ -1214,6 +1318,7 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "q_link_predict" -> qLinkPredictSql,
+    "q_closeness"    -> qClosenessSql,
     "q_scc"        -> qSccSql,
     "q_item_cf"    -> qItemCfSql,
     "q_reciprocity" -> qReciprocitySql,
