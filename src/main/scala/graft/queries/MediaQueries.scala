@@ -270,6 +270,66 @@ object MediaQueries {
     media.mapPartitions(decodeWav)
   }
 
+  case class AudioFrame(media_id: Long, frame_no: Long, n_samples: Int,
+      sum_sq: Long)
+
+  /** Per-frame energy extraction over decoded PCM16 WAV payloads: the
+    * data chunk is cut into `frameSamples`-sample frames (tail frame
+    * short) and each frame reduces to its exact integer energy
+    * Σ sample² — the feature a VAD / loudness / silence-trim stage
+    * consumes. Non-WAV payloads emit nothing (the decode gate). Still a
+    * narrow stage: frames of a payload are emitted inside its partition. */
+  def wavFrameEnergy(rows: Iterator[MediaRow],
+      frameSamples: Int): Iterator[AudioFrame] =
+    rows.flatMap { r =>
+      val b = r.payload
+      val isRiff = b.length >= 12 && b(0) == 'R' && b(1) == 'I' &&
+        b(2) == 'F' && b(3) == 'F' && b(8) == 'W' && b(9) == 'A' &&
+        b(10) == 'V' && b(11) == 'E'
+      if (!isRiff) Iterator.empty
+      else {
+        def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+        def u32(i: Int): Long = (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+          ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+        var pos = 12
+        var fmtCode, bits = -1
+        var dataOff, dataLen = -1
+        var ok = true
+        while (ok && pos + 8 <= b.length) {
+          val len = u32(pos + 4)
+          if (len < 0 || len > Int.MaxValue - 8) ok = false
+          else {
+            val id = new String(b, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+            if (id == "fmt " && pos + 24 <= b.length) {
+              fmtCode = u16(pos + 8); bits = u16(pos + 22)
+            } else if (id == "data") {
+              dataOff = pos + 8
+              dataLen = math.min(len, (b.length - dataOff).toLong).toInt
+            }
+            pos += 8 + len.toInt + (len.toInt & 1)
+          }
+        }
+        if (fmtCode != 1 || bits != 16 || dataOff < 0) Iterator.empty
+        else {
+          val n = dataLen / 2
+          (0 until (n + frameSamples - 1) / frameSamples).iterator.map { f =>
+            val lo = f * frameSamples
+            val hi = math.min(lo + frameSamples, n)
+            var ss = 0L
+            var i = lo
+            while (i < hi) {
+              val u = (b(dataOff + 2 * i) & 0xff) |
+                ((b(dataOff + 2 * i + 1) & 0xff) << 8)
+              val v = if (u >= 32768) u - 65536 else u
+              ss += v.toLong * v
+              i += 1
+            }
+            AudioFrame(r.media_id, f.toLong, hi - lo, ss)
+          }
+        }
+      }
+    }
+
   /** Frame-sampling for "video" payloads: every `stride`-th `frameBytes`
     * block as a frame, via codegen'd column ops only (binary substring —
     * no UDF). Emits (media_id, frame_no, frame bytes). */
@@ -411,7 +471,56 @@ object MediaQueries {
       "CAST(a.n AS BIGINT) AS n_samples, coalesce(g.sum_sq, 0) AS sum_sq, " +
       "coalesce(g.max_abs, 0) AS max_abs FROM a LEFT JOIN g USING (media_id)"
 
+  /** Loudness profile per audio doc: 50-sample frame energies → total,
+    * frame count, and the PEAK frame (earliest on energy ties — the
+    * silence-trim / VAD anchor). Exact integers end to end; the oracle
+    * recomputes the identical frame grouping from the text bytes. */
+  def qMediaEnergy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val FrameSamples = 50
+    mediaTable(s, d).filter(col("meta.kind") === "audio").as[MediaRow]
+      .mapPartitions { rows =>
+        wavFrameEnergy(rows.map { r =>
+          val even =
+            if (r.payload.length % 2 == 0) r.payload
+            else java.util.Arrays.copyOf(r.payload, r.payload.length - 1)
+          MediaRow(r.media_id, encodeWavPcm16(even, r.meta.sample_rate), r.meta)
+        }, FrameSamples)
+      }
+      .toDF()
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("sum_sq")).as("total_energy"),
+        max(struct(col("sum_sq").as("e"), (-col("frame_no")).as("nf"))).as("pk"))
+      .select(col("media_id"), col("n_frames"), col("total_energy"),
+        (-col("pk.nf")).as("peak_frame"), col("pk.e").as("peak_energy"))
+  }
+
+  // frame = (i-1)//50 over the same LE int16 sample stream as
+  // qMediaAudioSql; max(struct) tiebreak (energy desc, frame asc)
+  // mirrored by the row_number ordering. Docs with zero full samples
+  // emit no frames, hence no row — same as the engine's flatMap.
+  val qMediaEnergySql: String =
+    "WITH a AS (SELECT doc_id AS media_id, text, " +
+      "octet_length(encode(text)) // 2 AS n FROM documents WHERE doc_id % 3 = 1), " +
+      "s AS (SELECT media_id, unnest(generate_series(1, n)) AS i, text " +
+      "FROM a WHERE n > 0), " +
+      "v AS (SELECT media_id, CAST((i - 1) // 50 AS BIGINT) AS frame_no, " +
+      "ord(substr(text, CAST(i * 2 - 1 AS INT), 1)) " +
+      "+ 256 * ord(substr(text, CAST(i * 2 AS INT), 1)) AS u FROM s), " +
+      "x AS (SELECT media_id, frame_no, " +
+      "CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS smp FROM v), " +
+      "f AS (SELECT media_id, frame_no, CAST(sum(smp * smp) AS BIGINT) AS e " +
+      "FROM x GROUP BY 1, 2), " +
+      "r AS (SELECT media_id, frame_no, e, " +
+      "row_number() OVER (PARTITION BY media_id ORDER BY e DESC, frame_no ASC) AS rn, " +
+      "CAST(count(*) OVER (PARTITION BY media_id) AS BIGINT) AS n_frames, " +
+      "CAST(sum(e) OVER (PARTITION BY media_id) AS BIGINT) AS total_energy FROM f) " +
+      "SELECT media_id, n_frames, total_energy, frame_no AS peak_frame, " +
+      "e AS peak_energy FROM r WHERE rn = 1"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_energy"   -> qMediaEnergy _,
     "q_media_meta"     -> qMediaMeta _,
     "q_media_features" -> qMediaFeatures _,
     "q_media_by_kind"  -> qMediaByKind _,
@@ -420,6 +529,7 @@ object MediaQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_media_energy"   -> qMediaEnergySql,
     "q_media_meta"     -> qMediaMetaSql,
     "q_media_features" -> qMediaFeaturesSql,
     "q_media_by_kind"  -> qMediaByKindSql,

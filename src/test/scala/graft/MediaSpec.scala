@@ -178,6 +178,19 @@ class MediaSpec extends AnyFunSuite {
     assert(row.getAs[Int]("sample_rate") === 16000)
   }
 
+  test("frame energy cuts exact 50-sample frames with a short tail") {
+    // 120 samples → frames of 50, 50, 20
+    val samples = (1 to 120).map(i => if (i <= 50) 10 else if (i <= 100) -3 else 7)
+    val wav = MediaQueries.encodeWavPcm16(pcm16le(samples), 16000)
+    val frames = MediaQueries.wavFrameEnergy(Iterator.single(
+      MediaRow(9L, wav, MediaMeta("audio", 0, 0, 0))), 50).toSeq
+    assert(frames.map(f => (f.frame_no, f.n_samples, f.sum_sq)) === Seq(
+      (0L, 50, 50L * 100), (1L, 50, 50L * 9), (2L, 20, 20L * 49)))
+    // non-WAV payloads emit no frames (the decode gate)
+    assert(MediaQueries.wavFrameEnergy(Iterator.single(
+      MediaRow(10L, "notwav".getBytes, MediaMeta("audio", 0, 0, 0))), 50).isEmpty)
+  }
+
   test("frame sampling slices correct frame bytes") {
     val media = MediaQueries.mediaTable(spark, sf)
     val frames = MediaQueries.sampleFrames(media, frameBytes = 16, stride = 4)
