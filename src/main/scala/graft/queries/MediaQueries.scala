@@ -519,7 +519,49 @@ object MediaQueries {
       "SELECT media_id, n_frames, total_energy, frame_no AS peak_frame, " +
       "e AS peak_energy FROM r WHERE rn = 1"
 
+  /** Scene-change detection over the sampled "video" frames: a cut is a
+    * frame whose bytes differ from the previous sampled frame
+    * (md5-compared — 16 bytes per frame shuffle, not the frame bytes).
+    * The lag window partitions by media_id, so its scope is one
+    * payload's frame count — never a global ordering — and the report
+    * (frames, cuts, cut ratio) is the shot-boundary summary a video
+    * curation gate thresholds on. */
+  def qMediaScenes(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val w = W.partitionBy(col("media_id")).orderBy(col("frame_no"))
+    sampleFrames(mediaTable(s, d))
+      .select(col("media_id"), col("frame_no"), md5(col("frame")).as("h"))
+      .withColumn("prev", lag(col("h"), 1).over(w))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("prev").isNotNull && col("prev") =!= col("h"), 1L)
+          .otherwise(0L)).as("n_cuts"))
+      .select(col("media_id"), col("n_frames"), col("n_cuts"),
+        round(col("n_cuts").cast("double") /
+          greatest(col("n_frames") - 1, lit(1L)), 6).as("cut_ratio"))
+  }
+
+  // same frame slicing as qMediaFramesSql (frameBytes=16, step=64 over
+  // the ASCII text); lag over (media_id, frame_no) mirrored exactly
+  val qMediaScenesSql: String =
+    "WITH m AS (SELECT doc_id AS media_id, text, " +
+      "CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) AS n_frames " +
+      "FROM documents WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0), " +
+      "f AS (SELECT media_id, unnest(generate_series(0, n_frames - 1)) AS frame_no, " +
+      "text FROM m), " +
+      "h AS (SELECT media_id, frame_no, " +
+      "md5(substr(text, frame_no * 64 + 1, 16)) AS h FROM f), " +
+      "l AS (SELECT media_id, h, lag(h) OVER (PARTITION BY media_id " +
+      "ORDER BY frame_no) AS prev FROM h), " +
+      "g AS (SELECT media_id, count(*) AS n_frames, " +
+      "CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> h THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts " +
+      "FROM l GROUP BY 1) " +
+      "SELECT media_id, n_frames, n_cuts, " +
+      "round(CAST(n_cuts AS DOUBLE) / greatest(n_frames - 1, 1), 6) AS cut_ratio " +
+      "FROM g"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_scenes"   -> qMediaScenes _,
     "q_media_energy"   -> qMediaEnergy _,
     "q_media_meta"     -> qMediaMeta _,
     "q_media_features" -> qMediaFeatures _,
@@ -529,6 +571,7 @@ object MediaQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_media_scenes"   -> qMediaScenesSql,
     "q_media_energy"   -> qMediaEnergySql,
     "q_media_meta"     -> qMediaMetaSql,
     "q_media_features" -> qMediaFeaturesSql,
