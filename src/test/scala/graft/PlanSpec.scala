@@ -661,4 +661,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"the 7-row seasonal table must broadcast:\n$p")
   }
+  test("link prediction: wedge pairs via equi-joins, top-k TakeOrdered") {
+    val p = plan("q_link_predict")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge/anti stages must stay keyed:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 fell back to a global sort:\n$p")
+  }
+
+  test("media pipeline stays narrow until the per-doc rollup") {
+    // audio decode + frame energy: exactly one hash exchange (the
+    // media_id aggregation); payload bytes never shuffle
+    val p = plan("q_media_energy")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"payloads must not shuffle before the rollup:\n$p")
+    // scene detection: the lag window is keyed by media_id, no global sort
+    val sc = plan("q_media_scenes")
+    assert(!sc.contains("rangepartitioning") || sc.contains("media_id"),
+      s"scene window must partition by media_id:\n$sc")
+  }
 }
