@@ -160,6 +160,61 @@ object MediaQueries {
     media.mapPartitions(decodeImages)
   }
 
+  case class ResizedImage(media_id: Long, width: Int, height: Int,
+      payload: Array[Byte], real_resize: Boolean)
+
+  /** Deterministic nearest-neighbor resample to (w, h) — no AWT scaling
+    * hints whose kernels vary by JVM: source pixel = floor(i·srcDim/dstDim),
+    * so the same input bytes give the same output pixels anywhere. */
+  def resizePixels(img: java.awt.image.BufferedImage, w: Int,
+      h: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val sy = (y.toLong * img.getHeight / h).toInt
+      var x = 0
+      while (x < w) {
+        out.setRGB(x, y, img.getRGB((x.toLong * img.getWidth / w).toInt, sy))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Per-partition resize stage: real images (magic-sniffed, ImageIO-
+    * decoded) are nearest-neighbor resampled into an aspect-fit box of
+    * `box`×`box` and re-encoded as PNG; anything else passes through
+    * unchanged with the metadata dims (the stub discipline the decode
+    * stages use). Narrow like every payload stage. */
+  def resizeImages(rows: Iterator[MediaRow], box: Int): Iterator[ResizedImage] =
+    rows.map { r =>
+      val decoded = sniffImageFormat(r.payload).flatMap { _ =>
+        try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+      decoded match {
+        case Some(img) =>
+          val (w, h) = aspectFit(img.getWidth, img.getHeight, box)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(resizePixels(img, w, h), "png", bos)
+          ResizedImage(r.media_id, w, h, bos.toByteArray, real_resize = true)
+        case None =>
+          // stub: the PLANNED thumbnail dims from metadata (same exact
+          // integer arithmetic), payload passed through untouched
+          val (w, h) = aspectFit(r.meta.width, r.meta.height, box)
+          ResizedImage(r.media_id, w, h, r.payload, real_resize = false)
+      }
+    }
+
+  /** Exact integer aspect-fit: scale the long side to `box`, the short
+    * side by the same integer ratio (floor), floor 1. */
+  def aspectFit(w0: Int, h0: Int, box: Int): (Int, Int) =
+    if (w0 >= h0) (box, math.max(1, (h0.toLong * box / w0).toInt))
+    else (math.max(1, (w0.toLong * box / h0).toInt), box)
+
   // ── Real audio decode (RIFF/WAVE PCM16) with stub fallback ─────────────
 
   case class DecodedAudio(media_id: Long, format: String, sample_rate: Int,
@@ -560,7 +615,34 @@ object MediaQueries {
       "round(CAST(n_cuts AS DOUBLE) / greatest(n_frames - 1, 1), 6) AS cut_ratio " +
       "FROM g"
 
+  /** Thumbnail planning/resize over the "image" payloads: the resize
+    * stage runs for real (real images would be ImageIO-decoded,
+    * nearest-neighbor resampled, and re-encoded — spec-proven on
+    * generated PNGs); the ASCII fixtures take the passthrough arm, whose
+    * PLANNED aspect-fit dims use the identical integer arithmetic, so
+    * the oracle checks the fit math and the byte passthrough on every
+    * row. 16:9 metadata → every thumb is 64 wide. */
+  def qMediaThumbs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ThumbBox = 64
+    mediaTable(s, d).filter(col("meta.kind") === "image").as[MediaRow]
+      .mapPartitions(rows => resizeImages(rows, ThumbBox))
+      .toDF()
+      .select(col("media_id"), col("width").as("thumb_w"),
+        col("height").as("thumb_h"),
+        length(col("payload")).cast("bigint").as("n_bytes"),
+        col("real_resize"))
+  }
+
+  val qMediaThumbsSql: String =
+    "SELECT doc_id AS media_id, CAST(64 AS INT) AS thumb_w, " +
+      "CAST(greatest((CAST(doc_id % 4 * 90 + 180 AS BIGINT) * 64) " +
+      "// (doc_id % 4 * 160 + 320), 1) AS INT) AS thumb_h, " +
+      "octet_length(encode(text)) AS n_bytes, FALSE AS real_resize " +
+      "FROM documents WHERE doc_id % 3 = 0"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_thumbs"   -> qMediaThumbs _,
     "q_media_scenes"   -> qMediaScenes _,
     "q_media_energy"   -> qMediaEnergy _,
     "q_media_meta"     -> qMediaMeta _,
@@ -571,6 +653,7 @@ object MediaQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_media_thumbs"   -> qMediaThumbsSql,
     "q_media_scenes"   -> qMediaScenesSql,
     "q_media_energy"   -> qMediaEnergySql,
     "q_media_meta"     -> qMediaMetaSql,

@@ -178,6 +178,37 @@ class MediaSpec extends AnyFunSuite {
     assert(row.getAs[Int]("sample_rate") === 16000)
   }
 
+  test("real resize: nearest-neighbor resample of a generated PNG is exact") {
+    // 4x2 image of solid quadrant colors → aspect-fit into a 2-box:
+    // (4,2) → (2,1); nearest-neighbor picks source pixel floor(i*src/dst)
+    val px = Array(
+      Array(0xff0000, 0xff0000, 0x00ff00, 0x00ff00),
+      Array(0x0000ff, 0x0000ff, 0xffffff, 0xffffff))
+    val png = pngBytes(px)
+    val out = MediaQueries.resizeImages(Iterator.single(
+      MediaRow(20L, png, MediaMeta("image", 999, 999, 0))), 2).next()
+    assert(out.real_resize)
+    assert(out.width === 2 && out.height === 1)
+    // the resized payload is itself a valid PNG with the mapped pixels
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.payload))
+    assert(back.getWidth === 2 && back.getHeight === 1)
+    assert((back.getRGB(0, 0) & 0xffffff) === 0xff0000) // src (0,0)
+    assert((back.getRGB(1, 0) & 0xffffff) === 0x00ff00) // src (2,0)
+    // portrait orientation fits the long side too
+    val tall = pngBytes(Array(Array(0x123456), Array(0x654321),
+      Array(0xabcdef), Array(0xfedcba)))
+    val t = MediaQueries.resizeImages(Iterator.single(
+      MediaRow(21L, tall, MediaMeta("image", 0, 0, 0))), 2).next()
+    assert(t.width === 1 && t.height === 2 && t.real_resize)
+    // non-image payloads pass through with PLANNED aspect-fit dims
+    val stub = MediaQueries.resizeImages(Iterator.single(
+      MediaRow(22L, "words".getBytes, MediaMeta("image", 320, 180, 0))), 64).next()
+    assert(!stub.real_resize)
+    assert(stub.width === 64 && stub.height === 36) // 180*64/320
+    assert(stub.payload.toSeq === "words".getBytes.toSeq)
+  }
+
   test("frame energy cuts exact 50-sample frames with a short tail") {
     // 120 samples → frames of 50, 50, 20
     val samples = (1 to 120).map(i => if (i <= 50) 10 else if (i <= 100) -3 else 7)
