@@ -32,7 +32,7 @@ object KMeans {
     * argmin key (the row-constant `v·v` term cancels in comparisons).
     * Each entry is `struct(score, cluster)`, so struct ordering = score
     * asc, tie-break cluster asc. */
-  private def centroidScores(centroids: DataFrame,
+  private[graft] def centroidScores(centroids: DataFrame,
       v: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
     centroidScoresOf(
       centroids.select(col("cluster"), col("c")).collect()

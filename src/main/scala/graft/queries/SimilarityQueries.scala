@@ -467,6 +467,65 @@ object SimilarityQueries {
       "AS mean_recall, " +
       s"round(CAST(min(h) AS DOUBLE) / $K, 6) AS min_recall FROM hit"
 
+  // ── IVF-PQ recall audit (seventh sketch-accuracy audit) ────────────────
+  // recall@5 of the composed two-stage index (coarse probe + ADC + exact
+  // refine) against the brute-force ground truth — what decides whether
+  // the 16× scan compression is safe at the chosen nProbe/PqC dials.
+  // Same integer-ratio discipline as qIvfRecall; distance-ranked IVF-PQ
+  // top-k vs the cosine-ranked exact top-k agree because all vectors
+  // share ~unit scale on this fixture (the spec asserts the measured
+  // recall itself, so any metric mismatch would surface as a low number).
+  def qIvfPqRecall(s: SparkSession, d: String): DataFrame = {
+    val ann = qAnnIvfPq(s, d).select(col("qid"), col("nid"))
+    // exact SQUARED-L2 ground truth (the metric IVF-PQ ranks by — the
+    // cosine brute would count metric disagreement as index loss)
+    val v = vecs(s, d).select(col("vec_id").as("id"), col("v"))
+    val q = v.filter(col("id") < NumQueries)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    val wB = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("nid").asc)
+    val brute = v.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("nid"),
+        (DotProduct.dot(col("qv"), col("qv")) -
+          lit(2.0) * DotProduct.dot(col("qv"), col("v")) +
+          DotProduct.dot(col("v"), col("v"))).as("d2"))
+      .withColumn("rnk", row_number().over(wB))
+      .filter(col("rnk") <= K)
+      .select(col("qid"), col("nid"))
+      .localCheckpoint(true)
+    val hits = brute.select(col("qid")).distinct()
+      .join(ann.join(brute, Seq("qid", "nid"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("h")), Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("h"), lit(0L)).as("h"))
+    hits.agg(count(lit(1)).as("n_queries"),
+      sum(col("h")).as("total_hits"), min(col("h")).as("min_h"))
+      .select(col("n_queries"), col("total_hits"),
+        round(col("total_hits").cast("double") /
+          (col("n_queries").cast("double") * K), 6).as("mean_recall"),
+        round(col("min_h").cast("double") / K, 6).as("min_recall"))
+  }
+
+  lazy val qIvfPqRecallSql: String =
+    s"WITH ann AS (SELECT qid, nid FROM ($qAnnIvfPqSql) x), " +
+      "brute AS (SELECT qid, nid FROM (SELECT qid, nid, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY d2 ASC, nid ASC) AS rnk FROM (" +
+      "SELECT q.vec_id AS qid, e.vec_id AS nid, " +
+      "list_dot_product(q.qv, q.qv) - 2*list_dot_product(q.qv, e.v) " +
+      "+ list_dot_product(e.v, e.v) AS d2 " +
+      "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings " +
+      s"WHERE vec_id < $NumQueries) q, " +
+      "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e " +
+      s"WHERE e.vec_id <> q.vec_id) p) r WHERE rnk <= $K), " +
+      "hit AS (SELECT q.qid, count(i.nid) AS h " +
+      "FROM (SELECT DISTINCT qid FROM brute) q " +
+      "LEFT JOIN (SELECT ann.qid, ann.nid FROM ann " +
+      "JOIN brute ON ann.qid = brute.qid AND ann.nid = brute.nid) i " +
+      "ON i.qid = q.qid GROUP BY 1) " +
+      "SELECT count(*) AS n_queries, CAST(sum(h) AS BIGINT) AS total_hits, " +
+      s"round(CAST(sum(h) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * $K), 6) " +
+      "AS mean_recall, " +
+      s"round(CAST(min(h) AS DOUBLE) / $K, 6) AS min_recall FROM hit"
+
   // ── SemDeDup: embedding-cluster near-duplicate pruning ─────────────────
   // Abbas et al., "SemDeDup" (2023): cluster the corpus embeddings with
   // k-means, then drop, WITHIN each cluster only, every vector whose
@@ -730,18 +789,17 @@ object SimilarityQueries {
     * empty-cell coalesce), then encode + LUT joins + the left-assoc ADC
     * sum. Slices are 1-based inclusive on both engines
     * (Spark `slice(v, lo, len)` ↔ DuckDB `v[lo:hi]`). */
-  val qAnnPqSql: String = {
-    val m = 4 * PqK
+  /** The PQ trainer + encoder + LUT CTE block (everything between the
+    * shared `vs`/`smp` prefix and the candidate generation), reused
+    * verbatim by the standalone PQ oracle and the composed IVF-PQ
+    * oracle so the two replays cannot drift. Expects CTEs `vs(id, v)`
+    * and `smp(id, v, h)` to exist; defines `e$j`, `lut$j`, `codes`. */
+  private def pqTrainEncodeSql: String = {
     def dot(a: String, b: String) = s"list_dot_product($a, $b)"
     def d2(a: String, b: String) = s"${dot(a, a)} - 2*${dot(a, b)} + ${dot(b, b)}"
     def score(v: String, c: String) = s"${dot(c, c)} - 2*${dot(v, c)}"
     def sliced(e: String, j: Int) = s"$e[${j * PqSub + 1}:${(j + 1) * PqSub}]"
     val sb = new StringBuilder
-    sb ++= "WITH vs AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
-    // one shared oversample (ids are subspace-independent), sliced per codebook
-    sb ++= "smp AS MATERIALIZED (SELECT id, v, " +
-      graft.functions.Md5Bits.sqlHash60("CAST(id AS VARCHAR)") +
-      s" AS h FROM vs ORDER BY h, id LIMIT $m), "
     for (j <- 0 until PqM) {
       sb ++= s"s$j AS MATERIALIZED (SELECT id, ${sliced("v", j)} AS v, h FROM smp), "
       sb ++= s"vs$j AS MATERIALIZED (SELECT id, ${sliced("v", j)} AS v FROM vs), "
@@ -780,7 +838,20 @@ object SimilarityQueries {
         s"FROM vs$j q, cent${j}_$PqIters c WHERE q.id < $NumQueries), "
     }
     sb ++= "codes AS (SELECT e0.id, c0, c1, c2, c3 FROM e0 " +
-      "JOIN e1 USING (id) JOIN e2 USING (id) JOIN e3 USING (id)), "
+      "JOIN e1 USING (id) JOIN e2 USING (id) JOIN e3 USING (id))"
+    sb.toString
+  }
+
+  val qAnnPqSql: String = {
+    val m = 4 * PqK
+    def dot(a: String, b: String) = s"list_dot_product($a, $b)"
+    val sb = new StringBuilder
+    sb ++= "WITH vs AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    // one shared oversample (ids are subspace-independent), sliced per codebook
+    sb ++= "smp AS MATERIALIZED (SELECT id, v, " +
+      graft.functions.Md5Bits.sqlHash60("CAST(id AS VARCHAR)") +
+      s" AS h FROM vs ORDER BY h, id LIMIT $m), "
+    sb ++= pqTrainEncodeSql + ", "
     sb ++= "cand AS (SELECT l0.qid, e.id AS nid, pd0 + pd1 + pd2 + pd3 AS adist " +
       "FROM codes e " +
       "JOIN lut0 l0 ON l0.c0 = e.c0 " +
@@ -798,6 +869,107 @@ object SimilarityQueries {
     sb ++= "SELECT qid, nid, rnk, round(d2, 6) AS dist_r FROM (" +
       "SELECT qid, nid, d2, row_number() OVER (" +
       "PARTITION BY qid ORDER BY d2 ASC, nid ASC) AS rnk FROM exact) " +
+      s"WHERE rnk <= $K"
+    sb.toString
+  }
+
+  // ── IVF-PQ: the composed production ANN architecture ───────────────────
+  // FAISS's IndexIVFPQ shape, from the two PROVEN halves: the k-means
+  // coarse quantizer restricts each query to its nProbe nearest inverted-
+  // file cells (qAnnIvf's machinery), and WITHIN those cells candidates
+  // are scored by PQ asymmetric distance over 4-byte codes (qAnnPq's
+  // machinery; codebooks on raw vectors — the no-residual variant), then
+  // exact-refined on the bounded shortlist. At 100 TB this is the full
+  // story: the corpus scan reads (cell, 4 code bytes, id) per vector,
+  // only ~nProbe/k of it joins any query, LUTs and the shortlist
+  // broadcast, and raw vectors are touched only for the refine rows.
+  // Every stage reuses the oracle-proven tie rules (argmin score asc →
+  // cluster asc; shortlist adist asc → nid asc), and the DuckDB oracle
+  // is literally the two proven CTE prefixes concatenated (they share
+  // identical `vs`/`smp` heads) plus the probed candidate join.
+  def qAnnIvfPq(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d).select(col("vec_id").as("id"), col("v"))
+    val centroids = graft.operators.KMeans.fit(v, k = IvfK, iterations = IvfIters)
+    val cells = graft.operators.KMeans.assign(v, centroids)
+    val books = graft.operators.KMeans.fitProduct(
+      v, m = PqM, subDim = PqSub, k = PqK, iterations = PqIters)
+    // inverted file with PQ codes: (id, cluster, c0..c3) — one projection
+    val codes = cells.select(
+      col("id") +: col("cluster") +: (0 until PqM).map(j =>
+        graft.operators.KMeans.argminCluster(
+          slice(col("v"), j * PqSub + 1, PqSub), books(j)).as(s"c$j")): _*)
+    val q = v.filter(col("id") < NumQueries)
+    // top-nProbe coarse cells per query, shuffle-free (ivfSearch probe)
+    val qScored = graft.operators.KMeans.centroidScores(centroids, col("qv"))
+    val probes = q.select(col("id").as("qid"), col("v").as("qv"))
+      .select(col("qid"),
+        explode(slice(array_sort(array(qScored: _*)), 1, IvfProbe)).as("pc"))
+      .select(col("qid"), col("pc.cluster").as("cluster"))
+    def lut(j: Int): DataFrame = {
+      val qs = slice(col("v"), j * PqSub + 1, PqSub)
+      q.select(col("id").as("qid"), qs.as("qs"))
+        .crossJoin(broadcast(books(j)
+          .select(col("cluster").as(s"c$j"), col("c"))))
+        .select(col("qid"), col(s"c$j"),
+          (DotProduct.dot(col("c"), col("c")) -
+            lit(2.0) * DotProduct.dot(col("qs"), col("c")) +
+            DotProduct.dot(col("qs"), col("qs"))).as(s"pd$j"))
+    }
+    // the probe join introduces qid and restricts candidates to probed
+    // cells; the 4 LUT joins are then (qid, code) 1:1 — all broadcast
+    var cur = codes.join(broadcast(probes), Seq("cluster"))
+    for (j <- 0 until PqM)
+      cur = cur.join(broadcast(lut(j)), Seq("qid", s"c$j"))
+    val adist = (0 until PqM).map(j => col(s"pd$j")).reduce(_ + _)
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("nid").asc)
+    val shortlist = cur.filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("nid"), adist.as("adist"))
+      .withColumn("crk", row_number().over(wAdc))
+      .filter(col("crk") <= PqC)
+      .select(col("qid"), col("nid"))
+    val exact = v.join(broadcast(shortlist), col("id") === col("nid"))
+      .join(broadcast(q.select(col("id").as("qid"), col("v").as("qv"))), Seq("qid"))
+      .select(col("qid"), col("nid"),
+        (DotProduct.dot(col("qv"), col("qv")) -
+          lit(2.0) * DotProduct.dot(col("qv"), col("v")) +
+          DotProduct.dot(col("v"), col("v"))).as("d2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("nid").asc)
+    exact.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("qid"), col("nid"), col("rnk"), round(col("d2"), 6).as("dist_r"))
+  }
+
+  val qAnnIvfPqSql: String = {
+    def dot(a: String, b: String) = s"list_dot_product($a, $b)"
+    def score(v: String, c: String) = s"${dot(c, c)} - 2*${dot(v, c)}"
+    val sb = new StringBuilder
+    // coarse k-means replay (defines vs, smp, …, cells) + the PQ block
+    // (consumes the same vs/smp; defines e$j, lut$j, codes)
+    sb ++= kmeansCellsSql(IvfK, IvfIters) + ", "
+    sb ++= pqTrainEncodeSql + ", "
+    sb ++= "pprobes AS (SELECT qid, cluster FROM (" +
+      "SELECT q.id AS qid, c.cluster, row_number() OVER (PARTITION BY q.id " +
+      s"ORDER BY ${score("q.v", "c.v")} ASC, c.cluster ASC) AS rn " +
+      s"FROM vs q, cent$IvfIters c WHERE q.id < $NumQueries) " +
+      s"WHERE rn <= $IvfProbe), "
+    sb ++= "pcand AS (SELECT p.qid, e.id AS nid, pd0 + pd1 + pd2 + pd3 AS adist " +
+      "FROM pprobes p JOIN cells cl ON cl.cluster = p.cluster " +
+      "JOIN codes e ON e.id = cl.id " +
+      "JOIN lut0 l0 ON l0.qid = p.qid AND l0.c0 = e.c0 " +
+      "JOIN lut1 l1 ON l1.qid = p.qid AND l1.c1 = e.c1 " +
+      "JOIN lut2 l2 ON l2.qid = p.qid AND l2.c2 = e.c2 " +
+      "JOIN lut3 l3 ON l3.qid = p.qid AND l3.c3 = e.c3 " +
+      "WHERE e.id <> p.qid), "
+    sb ++= "pshort AS (SELECT qid, nid FROM (" +
+      "SELECT qid, nid, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY adist ASC, nid ASC) AS crk FROM pcand) " +
+      s"WHERE crk <= $PqC), "
+    sb ++= s"pexact AS (SELECT s.qid, s.nid, " +
+      s"${dot("q.v", "q.v")} - 2*${dot("q.v", "n.v")} + ${dot("n.v", "n.v")} AS d2 " +
+      "FROM pshort s JOIN vs q ON q.id = s.qid JOIN vs n ON n.id = s.nid) "
+    sb ++= "SELECT qid, nid, rnk, round(d2, 6) AS dist_r FROM (" +
+      "SELECT qid, nid, d2, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY d2 ASC, nid ASC) AS rnk FROM pexact) " +
       s"WHERE rnk <= $K"
     sb.toString
   }
@@ -1100,6 +1272,8 @@ object SimilarityQueries {
     "q_semdedup_keep" -> qSemdedupKeep _,
     "q_cluster_purity" -> qClusterPurity _,
     "q_knn_classify" -> qKnnClassify _,
+    "q_ann_ivfpq"      -> qAnnIvfPq _,
+    "q_ivfpq_recall"   -> qIvfPqRecall _,
     "q_ann_pq"      -> qAnnPq _,
     "q_centroids"   -> qCentroids _,
     "q_knn_brute"   -> qKnnBrute _,
@@ -1128,6 +1302,8 @@ object SimilarityQueries {
     "q_semdedup_keep" -> qSemdedupKeepSql,
     "q_cluster_purity" -> qClusterPuritySql,
     "q_knn_classify" -> qKnnClassifySql,
+    "q_ann_ivfpq"      -> qAnnIvfPqSql,
+    "q_ivfpq_recall"   -> qIvfPqRecallSql,
     "q_ann_pq"      -> qAnnPqSql,
   )
 }

@@ -383,4 +383,24 @@ class SimilaritySpec extends AnyFunSuite {
       assert(p >= 1.0 / m - 1e-9)
     }
   }
+  test("IVF-PQ composed index: audited recall is real and internally consistent") {
+    val r = graft.queries.SimilarityQueries.qIvfPqRecall(spark, sf).head()
+    val nq = r.getAs[Long]("n_queries")
+    val hits = r.getAs[Long]("total_hits")
+    assert(nq > 0 && hits >= 0 && hits <= nq * 5)
+    val mean = r.getAs[Double]("mean_recall")
+    assert(math.abs(mean - hits.toDouble / (nq * 5)) < 1e-6)
+    // structureless fixture: the composed index must still beat chance
+    // by a wide margin (random top-5 of ~N rows would be ~5/N)
+    assert(mean >= 0.2, s"IVF-PQ recall $mean below sanity floor")
+    // the composed result is a valid top-k: K rows per query, ranked
+    val ann = graft.queries.SimilarityQueries.qAnnIvfPq(spark, sf).collect()
+    val perQ = ann.groupBy(_.getAs[Long]("qid"))
+    perQ.values.foreach { rows =>
+      assert(rows.length <= 5)
+      val ds = rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("dist_r"))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b + 1e-9 },
+        "refined distances must be non-decreasing in rank")
+    }
+  }
 }
