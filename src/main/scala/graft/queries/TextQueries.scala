@@ -922,6 +922,47 @@ object TextQueries {
       "sum(length(w)), 6) AS symbols_per_char FROM enc GROUP BY 1"
   }
 
+  // ── Source vocabulary overlap (corpus comparison matrix) ───────────────
+  // Pairwise vocabulary Jaccard between sources — the corpus-drift /
+  // provenance-comparison report ("are these two crawls the same
+  // distribution?"). The q_user_overlap discipline on text: the corpus
+  // reduces to DISTINCT (source, token) rows, each token emits the
+  // sorted pairs of its source list (≤ |sources| per token — never an
+  // all-pairs stage over tokens), and |A∪B| = |A|+|B|−|A∩B| from the
+  // broadcast per-source vocabulary sizes. Output is |sources|²/2 rows
+  // at any corpus size.
+  def qSourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val sv = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .distinct()
+    val sizes = sv.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = sv.groupBy(col("tok"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .select(explode(expr("flatten(transform(ss, (x, i) -> " +
+        "transform(slice(ss, i + 2, size(ss)), y -> struct(x AS a, y AS b))))"))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("a"), col("n").as("na"))), Seq("a"))
+      .join(broadcast(sizes.select(col("source").as("b"), col("n").as("nb"))), Seq("b"))
+      .select(col("a"), col("b"), col("n_shared"),
+        (col("na") + col("nb") - col("n_shared")).as("n_union"),
+        round(col("n_shared").cast("double") /
+          (col("na") + col("nb") - col("n_shared")), 6).as("jaccard_r"))
+  }
+
+  val qSourceOverlapSql: String =
+    s"WITH sv AS (SELECT DISTINCT source, tok FROM " +
+      s"(SELECT source, unnest($sqlTokens) AS tok FROM documents)), " +
+      "sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sv GROUP BY 1), " +
+      "inter AS (SELECT x.source AS a, y.source AS b, " +
+      "CAST(count(*) AS BIGINT) AS n_shared FROM sv x " +
+      "JOIN sv y ON x.tok = y.tok AND x.source < y.source GROUP BY 1, 2) " +
+      "SELECT a, b, n_shared, sa.n + sb.n - n_shared AS n_union, " +
+      "round(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 6) AS jaccard_r " +
+      "FROM inter JOIN sizes sa ON sa.source = a JOIN sizes sb ON sb.source = b"
+
   // ── Zipf's-law fit over word frequencies ───────────────────────────────
   // Does the vocabulary follow the power law every natural corpus does?
   // OLS slope of ln(count) on ln(rank) over the top-200 words — the
@@ -1156,6 +1197,7 @@ object TextQueries {
     "q_bpe_merges"    -> qBpeMerges _,
     "q_bpe_train"     -> qBpeTrain _,
     "q_bpe_apply"     -> qBpeApply _,
+    "q_source_overlap" -> qSourceOverlap _,
     "q_boilerplate"   -> qBoilerplate _,
     "q_lang_confusion" -> qLangConfusion _,
     "q_token_count"   -> qTokenCount _,
@@ -1187,6 +1229,7 @@ object TextQueries {
     "q_bpe_merges"    -> qBpeMergesSql,
     "q_bpe_train"     -> qBpeTrainSql,
     "q_bpe_apply"     -> qBpeApplySql,
+    "q_source_overlap" -> qSourceOverlapSql,
     "q_boilerplate"   -> qBoilerplateSql,
     "q_lang_confusion" -> qLangConfusionSql,
     "q_token_count"   -> qTokenCountSql,
