@@ -283,6 +283,46 @@ object DedupQueries {
       "WHERE a.sig[bb*4+1 : bb*4+4] = b.sig[bb*4+1 : bb*4+4])) " +
       "SELECT doc_a, doc_b, est_jaccard FROM cand WHERE est_jaccard >= 0.8"
 
+  // ── Dedup report: near-dup cluster census over the LSH pair graph ──────
+  // The number a dedup run actually reports before anyone deletes data:
+  // connected components over the MinHash-LSH candidate pairs (the same
+  // oracle-proven pair generator as q_minhash_lsh), rolled up into a
+  // cluster-size histogram — "how many duplicate groups of size 2, 3, …
+  // does this corpus contain". The CC fixpoint runs on the PAIR graph
+  // (orders of magnitude below the corpus; docs with no near-dup never
+  // enter it), 20 min-label rounds with early exit, mirrored by the
+  // oracle's unrolled CTEs (converged labels are a fixed point, so
+  // surplus oracle rounds are no-ops).
+  private val DedupCcRounds = 20
+
+  def qDedupReport(s: SparkSession, d: String): DataFrame = {
+    val pairs = lshPairs(Tables.documents(s, d),
+        numHashes = 32, bands = 8, threshold = 0.8)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    graft.operators.ConnectedComponents
+      .components(pairs, maxIterations = DedupCcRounds)
+      .groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+  }
+
+  val qDedupReportSql: String = {
+    def iter(prev: String): String =
+      s"SELECT l.node, least(l.comp, coalesce(m.mn, l.comp)) AS comp FROM $prev l " +
+        s"LEFT JOIN (SELECT s2.a AS node, min(x.comp) AS mn FROM dsym s2 " +
+        s"JOIN $prev x ON s2.b = x.node GROUP BY 1) m USING (node)"
+    val rounds = (1 to DedupCcRounds)
+      .map(i => s"dl$i AS MATERIALIZED (${iter(s"dl${i - 1}")})").mkString(", ")
+    // qMinhashLshSql's own CTE chain, re-used verbatim as a subquery
+    s"WITH pr AS MATERIALIZED (SELECT doc_a, doc_b FROM ($qMinhashLshSql) z), " +
+      "dsym AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pr " +
+      "UNION SELECT doc_b, doc_a FROM pr), " +
+      "dl0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS comp FROM dsym), " +
+      rounds + " " +
+      "SELECT cluster_size, count(*) AS n_clusters FROM " +
+      s"(SELECT comp, count(*) AS cluster_size FROM dl$DedupCcRounds GROUP BY 1) g " +
+      "GROUP BY 1"
+  }
+
   val qSimhashPairsSql: String = {
     val bits = SimHash.Bits
     s"WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents WHERE text IS NOT NULL), " +
@@ -800,6 +840,7 @@ object DedupQueries {
     "q_dedup_exact"   -> qDedupExact _,
     "q_ngram_jaccard" -> qNgramJaccard _,
     "q_minhash_lsh"   -> qMinhashLsh _,
+    "q_dedup_report"  -> qDedupReport _,
     "q_simhash_pairs" -> qSimhashPairs _,
     "q_hll_distinct"  -> qHllDistinct _,
   )
@@ -817,6 +858,7 @@ object DedupQueries {
     "q_dedup_exact"    -> qDedupExactSql,
     "q_ngram_jaccard"  -> qNgramJaccardSql,
     "q_minhash_lsh"    -> qMinhashLshSql,
+    "q_dedup_report"   -> qDedupReportSql,
     "q_simhash_pairs"  -> qSimhashPairsSql,
     "q_winnow_overlap" -> qWinnowOverlapSql,
     "q_hll_distinct"   -> qHllDistinctSql,
