@@ -2071,6 +2071,78 @@ object EventQueries {
       "round(CAST(det7 * ndow - sdet AS DOUBLE) / (ndow * 700.0), 6) AS resid_r " +
       "FROM i JOIN se USING (dow)"
 
+  // ── Conversion latency (as-of attribution + kernel percentiles) ────────
+  // "How long after the last click does a purchase land?" — each purchase
+  // takes its user's LATEST prior click within one hour (the proven
+  // backward as-of join with tolerance: nearest-prior semantics make
+  // "within tolerance" exact, since any other prior click is older), and
+  // the matched lags reduce to the conversion report: counts, rate, and
+  // p50/p90/max latency in whole seconds. Percentiles ride the
+  // DistributedRank kernel (rank filter, no value buffering); the lag
+  // stays exact integers (µs difference, one integer division to
+  // seconds). The oracle replays DuckDB's native ASOF join + the same
+  // rank formula.
+  def qConversionLag(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"),
+        col("ts").as("click_at"))
+    val joined = graft.operators.AsOfJoin.asofDirected(
+      purchases, clicks, Seq("user_id"), "p_ts", "c_ts",
+      payload = Seq("click_at"), direction = "backward",
+      toleranceSec = Some(3600L), inner = false)
+    val lags = joined.select(col("event_id"),
+      when(col("click_at").isNotNull,
+        expr("(unix_micros(p_ts) - unix_micros(click_at)) div 1000000"))
+        .as("lag_s"))
+      .localCheckpoint(true) // consumed by the census AND the rank pass
+    val conv = lags.filter(col("lag_s").isNotNull)
+    val ranked = graft.operators.DistributedRank.withRowNumber(
+      conv.withColumn("gk", lit(0)), Seq("gk"),
+      Seq(col("lag_s").asc, col("event_id").asc), "rk",
+      nGroupCol = Some("n_g"))
+    val pcts = ranked
+      .select(col("lag_s"), col("rk"), col("n_g"),
+        explode(array(lit(50), lit(90))).as("p"))
+      .filter(col("rk") === expr("(p * n_g + 99) div 100"))
+      .groupBy()
+      .agg(max(when(col("p") === 50, col("lag_s"))).as("p50_lag_s"),
+        max(when(col("p") === 90, col("lag_s"))).as("p90_lag_s"))
+    val census = lags.agg(count(lit(1)).as("n_purchases"),
+      sum(when(col("lag_s").isNotNull, 1L).otherwise(0L)).as("n_converted"),
+      max(col("lag_s")).as("max_lag_s"))
+    census.crossJoin(broadcast(pcts))
+      .select(col("n_purchases"), col("n_converted"),
+        round(col("n_converted").cast("double") / col("n_purchases"), 6)
+          .as("conv_rate_r"),
+        col("p50_lag_s"), col("p90_lag_s"), col("max_lag_s"))
+  }
+
+  val qConversionLagSql: String =
+    "WITH p AS (SELECT user_id, ts AS p_ts, event_id FROM events " +
+      "WHERE event_type = 'purchase'), " +
+      "c AS (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'), " +
+      "m AS (SELECT p.event_id, " +
+      "CASE WHEN c.c_ts IS NOT NULL AND " +
+      "epoch_us(p.p_ts) - epoch_us(c.c_ts) <= CAST(3600000000 AS BIGINT) " +
+      "THEN (epoch_us(p.p_ts) - epoch_us(c.c_ts)) // 1000000 END AS lag_s " +
+      "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.p_ts >= c.c_ts), " +
+      "conv AS (SELECT event_id, lag_s FROM m WHERE lag_s IS NOT NULL), " +
+      "r AS (SELECT lag_s, CAST(row_number() OVER (ORDER BY lag_s, event_id) AS BIGINT) AS rk, " +
+      "CAST(count(*) OVER () AS BIGINT) AS n_g FROM conv), " +
+      "pc AS (SELECT max(CASE WHEN p = 50 THEN lag_s END) AS p50_lag_s, " +
+      "max(CASE WHEN p = 90 THEN lag_s END) AS p90_lag_s " +
+      "FROM r CROSS JOIN (SELECT unnest([50, 90]) AS p) q " +
+      "WHERE rk = (p * n_g + 99) // 100), " +
+      "cs AS (SELECT count(*) AS n_purchases, " +
+      "CAST(sum(CASE WHEN lag_s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_converted, " +
+      "max(lag_s) AS max_lag_s FROM m) " +
+      "SELECT n_purchases, n_converted, " +
+      "round(CAST(n_converted AS DOUBLE) / n_purchases, 6) AS conv_rate_r, " +
+      "p50_lag_s, p90_lag_s, max_lag_s FROM cs, pc"
+
   // ── Sequential pattern support (A-then-later-B) ────────────────────────
 
   /** Ordered-pair sequence mining: for every ordered event-type pair
@@ -2106,6 +2178,7 @@ object EventQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_seq_patterns"     -> qSeqPatterns _,
+    "q_conversion_lag"   -> qConversionLag _,
     "q_decompose"        -> qDecompose _,
     "q_quantile_norm"    -> qQuantileNorm _,
     "q_ks_test"          -> qKsTest _,
@@ -2165,6 +2238,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "q_seq_patterns"     -> qSeqPatternsSql,
+    "q_conversion_lag"   -> qConversionLagSql,
     "q_decompose"        -> qDecomposeSql,
     "q_quantile_norm"    -> qQuantileNormSql,
     "q_ks_test"          -> qKsTestSql,
