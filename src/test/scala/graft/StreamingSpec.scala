@@ -464,4 +464,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+  test("StreamMetrics listener meters batches, rows, and watermark progress") {
+    implicit val sqlCtx = spark.sqlContext
+    val meter = graft.streaming.StreamMetrics.attach(spark)
+    try {
+      val mem = MemoryStream[Event]
+      mem.addData(fixture: _*)
+      val q = EventStreams.hourlyCounts(mem.toDF())
+        .writeStream.format("memory").queryName("metered").outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable()
+        mem.addData(Event(9L, t(300), 3L, "click", 6.0, "{}"))
+        q.processAllAvailable()
+      } finally q.stop()
+      // listener events are async — wait for the meter to catch up
+      val deadline = System.currentTimeMillis() + 20000
+      def ready = meter.statsFor("metered").exists(_.inputRows >= fixture.size + 1)
+      while (!ready && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val st = meter.statsFor("metered").get
+      assert(st.inputRows === fixture.size + 1L,
+        s"all input rows metered: $st")
+      assert(st.nBatches >= 2, s"two data batches must be observed: $st")
+      assert(st.maxBatchRows === fixture.size.toLong, s"first batch size: $st")
+      assert(st.lastWatermark.nonEmpty, s"watermark must progress: $st")
+    } finally spark.streams.removeListener(meter)
+  }
 }
