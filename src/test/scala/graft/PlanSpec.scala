@@ -681,4 +681,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!sc.contains("rangepartitioning") || sc.contains("media_id"),
       s"scene window must partition by media_id:\n$sc")
   }
+  test("conversion lag: as-of machinery stays keyed; ranks ride the kernel") {
+    val p = plan("q_conversion_lag")
+    assert(!p.contains("CartesianProduct"),
+      s"as-of attribution must never go cartesian:\n$p")
+    // the percentile side must come from DistributedRank, not a Window
+    // over the lag rows (the census/broadcast single-row joins are fine)
+    assert(!p.contains("Window"),
+      s"lag percentiles regressed to a window:\n$p")
+  }
+
+  test("source overlap: token pair stage consumes the distinct reduction") {
+    val p = plan("q_source_overlap")
+    assert(p.contains("partial_"), s"vocab reduction must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay keyed:\n$p")
+  }
 }
