@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.operators.IterCheckpoint.IterCheckpointOps
+
+/** Louvain community detection (Blondel et al. 2008), distributed and
+  * DETERMINISTIC — the optimization counterpart to the descriptive
+  * `qModularity` score: it FINDS a partition instead of scoring a given
+  * one. Beyond the reference (whose only graph op is in-link counting).
+  *
+  * Sequential Louvain moves one node at a time, which no shuffle-based
+  * engine can reproduce; this is the standard synchronous relaxation
+  * (Prat-Pérez et al., "High quality, scalable and parallel community
+  * detection for large real graphs", WWW'14 discipline) made fully
+  * deterministic so a SQL oracle replays it bit-for-bit:
+  *
+  *  - **Semi-synchronous parity moves**: in round t only nodes with
+  *    `node % 2 == t % 2` may move. Simultaneous moves of adjacent nodes
+  *    are what make synchronous Louvain oscillate (two nodes swapping
+  *    communities forever); alternating by id parity breaks every
+  *    2-cycle while still moving half the graph per round.
+  *  - **Integer-exact gain**: moving u into community c changes
+  *    modularity by ΔQ ∝ m2·k_{u,c} − k_u·vol(c∖u) (both sides scaled by
+  *    2m² — positive iff the move improves Q). Edge weights are integers,
+  *    so the score is exact BIGINT arithmetic on any engine: no float
+  *    ever decides a move. (Overflow bound: m2·k_{u,c} < 2^63 holds up
+  *    to ~3·10^9 total edge weight; cast the score to DECIMAL beyond.)
+  *  - **Deterministic ties**: argmax by (score DESC, community ASC);
+  *    staying put is always a candidate (k_{u,c0} may be 0).
+  *  - **Fixed round count, no early exit**: parity alternation means a
+  *    quiet round is not a fixed point, so both engines run exactly
+  *    `rounds` rounds per level — replay-identical by construction.
+  *
+  * One aggregation level (communities → supernodes carrying self-loop
+  * weights, total volume m2 invariant) then a second local-move pass —
+  * the Louvain phase-2 that merges whole communities. Per round the plan
+  * is two keyed shuffles (community volumes; neighbor-community weights)
+  * + one broadcast of the single-row m2 — each O(|E|) with no windows on
+  * the edge set, the shape that survives a billion-edge graph.
+  */
+object Louvain {
+
+  /** Weighted degree per node: incident edge weight + 2× self-loop
+    * weight (self-loops appear once in `we` as src==dst rows). */
+  private def weightedDegrees(we: DataFrame): DataFrame = {
+    val sym = symEdges(we)
+    val nodes = we.select(col("src").as("node"))
+      .union(we.select(col("dst").as("node"))).distinct()
+    val d = sym.groupBy(col("a").as("node")).agg(sum(col("w")).as("d"))
+    val sw = we.filter(col("src") === col("dst"))
+      .groupBy(col("src").as("node")).agg(sum(col("w")).as("sw"))
+    nodes.join(d, Seq("node"), "left").join(sw, Seq("node"), "left")
+      .select(col("node"),
+        (coalesce(col("d"), lit(0L)) + lit(2L) * coalesce(col("sw"), lit(0L)))
+          .as("k"))
+  }
+
+  /** Both directions of the non-self edges. */
+  private def symEdges(we: DataFrame): DataFrame = {
+    val e = we.filter(col("src") =!= col("dst"))
+    e.select(col("src").as("a"), col("dst").as("b"), col("w"))
+      .union(e.select(col("dst").as("a"), col("src").as("b"), col("w")))
+  }
+
+  /** `rounds` parity-alternating local-move rounds over a weighted graph
+    * `we(src, dst, w)` (canonical src<=dst; src==dst rows are self-loops).
+    * Returns (node, comm). */
+  def localMove(we: DataFrame, rounds: Int): DataFrame = {
+    val sym = symEdges(we).persist(StorageLevel.MEMORY_AND_DISK)
+    val k = weightedDegrees(we).persist(StorageLevel.MEMORY_AND_DISK)
+    val m2df = k.agg(sum(col("k")).as("m2"))
+    var labels = k.select(col("node"), col("node").as("comm")).iterCheckpoint()
+    for (r <- 0 until rounds) {
+      val vol = labels.join(k, Seq("node"))
+        .groupBy(col("comm")).agg(sum(col("k")).as("vol"))
+      // weight from each node to each NEIGHBOR community, plus the node's
+      // own community as an always-present zero-weight candidate
+      val cand = sym
+        .join(labels.select(col("node").as("b"), col("comm")), Seq("b"))
+        .select(col("a").as("node"), col("comm"), col("w"))
+        .union(labels.select(col("node"), col("comm"), lit(0L).as("w")))
+        .groupBy(col("node"), col("comm")).agg(sum(col("w")).as("k_uc"))
+      val cur = labels.select(col("node"), col("comm").as("c0"))
+      val scored = cand
+        .join(vol, Seq("comm"))
+        .join(cur, Seq("node"))
+        .join(k, Seq("node"))
+        .crossJoin(broadcast(m2df))
+        .select(col("node"), col("comm"), col("c0"),
+          (col("m2") * col("k_uc") - col("k") *
+            (col("vol") - when(col("comm") === col("c0"), col("k"))
+              .otherwise(lit(0L)))).as("score"))
+      // argmax(score) tie-broken to the smallest community id, as a plain
+      // aggregation (communities per node are bounded by its degree — no
+      // window over the edge set)
+      val best = scored
+        .groupBy(col("node"))
+        .agg(max(struct(col("score"), (-col("comm")).as("nc"))).as("b"),
+          first(col("c0")).as("c0"))
+        .select(col("node"), (-col("b.nc")).as("bcomm"), col("c0"))
+      labels = best.select(col("node"),
+        when(pmod(col("node"), lit(2)) === lit(r % 2), col("bcomm"))
+          .otherwise(col("c0")).as("comm"))
+        .iterCheckpoint()
+    }
+    sym.unpersist(false)
+    k.unpersist(false)
+    labels
+  }
+
+  /** Collapse communities into supernodes: inter-community edges sum
+    * their weights, intra-community edges become self-loops. Total
+    * volume m2 is invariant. */
+  def aggregateGraph(we: DataFrame, labels: DataFrame): DataFrame =
+    we.join(labels.select(col("node").as("src"), col("comm").as("ca")), Seq("src"))
+      .join(labels.select(col("node").as("dst"), col("comm").as("cb")), Seq("dst"))
+      .groupBy(least(col("ca"), col("cb")).as("src"),
+        greatest(col("ca"), col("cb")).as("dst"))
+      .agg(sum(col("w")).as("w"))
+
+  /** Two-level Louvain: local moves, aggregate, local moves on the
+    * supergraph, project back. Returns (node, comm) for every node of
+    * the input graph; comm ids are node ids of the input graph (the
+    * label a community's supernode ended up in). */
+  def cluster(we: DataFrame, rounds: Int = 4): DataFrame = {
+    val l1 = localMove(we, rounds).persist(StorageLevel.MEMORY_AND_DISK)
+    val l2 = localMove(aggregateGraph(we, l1), rounds)
+    val out = l1.join(l2.select(col("node").as("comm"), col("comm").as("final")),
+        Seq("comm"))
+      .select(col("node"), col("final").as("comm"))
+    out
+  }
+
+  // ── DuckDB oracle replay ──────────────────────────────────────────────
+  // The full two-level run unrolled as materialized CTEs. Expects a CTE
+  // `we(src, dst, w)` (canonical, self-loops allowed) to exist; emits
+  // `final(node, comm)` as the last CTE. Every rule above (parity gate,
+  // integer score, tie order, fixed rounds) is spelled identically.
+
+  private def symSql(we: String, sym: String): String =
+    s"$sym AS MATERIALIZED (SELECT src AS a, dst AS b, w FROM $we WHERE src <> dst " +
+      s"UNION ALL SELECT dst, src, w FROM $we WHERE src <> dst)"
+
+  private def kSql(we: String, sym: String, kk: String): String =
+    s"$kk AS MATERIALIZED (SELECT n.node, coalesce(d.d, 0) + 2 * coalesce(sw.sw, 0) AS k FROM " +
+      s"(SELECT src AS node FROM $we UNION SELECT dst FROM $we) n " +
+      s"LEFT JOIN (SELECT a AS node, sum(w) AS d FROM $sym GROUP BY 1) d USING (node) " +
+      s"LEFT JOIN (SELECT src AS node, sum(w) AS sw FROM $we WHERE src = dst GROUP BY 1) sw USING (node))"
+
+  private def roundSql(p: String, t: Int, r: Int, sym: String, kk: String,
+      m2: String): (String, String) = {
+    val (vol, cand, best, next) = (s"${p}vol$t", s"${p}cand$t", s"${p}best$t", s"${p}l${t + 1}")
+    val prev = s"${p}l$t"
+    val sql =
+      s"$vol AS MATERIALIZED (SELECT comm, sum(k) AS vol FROM $prev JOIN $kk USING (node) GROUP BY 1), " +
+      s"$cand AS MATERIALIZED (SELECT node, comm, sum(w) AS k_uc FROM (" +
+        s"SELECT s.a AS node, l.comm, s.w FROM $sym s JOIN $prev l ON l.node = s.b " +
+        s"UNION ALL SELECT node, comm, 0 FROM $prev) GROUP BY 1, 2), " +
+      s"$best AS MATERIALIZED (SELECT node, comm AS bcomm FROM (" +
+        s"SELECT c.node, c.comm, row_number() OVER (PARTITION BY c.node ORDER BY " +
+        s"($m2.m2 * c.k_uc - kk.k * (v.vol - CASE WHEN c.comm = l.comm THEN kk.k ELSE 0 END)) DESC, " +
+        s"c.comm ASC) AS rn " +
+        s"FROM $cand c JOIN $vol v USING (comm) JOIN $prev l ON l.node = c.node " +
+        s"JOIN $kk kk ON kk.node = c.node, $m2) WHERE rn = 1), " +
+      s"$next AS MATERIALIZED (SELECT l.node, " +
+        s"CASE WHEN l.node % 2 = ${r % 2} THEN b.bcomm ELSE l.comm END AS comm " +
+        s"FROM $prev l JOIN $best b USING (node))"
+    (sql, next)
+  }
+
+  /** The full SQL replay: `we` must already be defined; appends CTEs and
+    * returns the name of the final (node, comm) CTE. */
+  def clusterSql(rounds: Int): (String, String) = {
+    val sb = new StringBuilder
+    sb ++= symSql("we", "sym1") + ", " + kSql("we", "sym1", "kk1") + ", "
+    sb ++= "m2 AS MATERIALIZED (SELECT sum(k) AS m2 FROM kk1), "
+    sb ++= "al0 AS MATERIALIZED (SELECT node, node AS comm FROM kk1), "
+    var last = "al0"
+    for (r <- 0 until rounds) {
+      val (sql, next) = roundSql("a", r, r, "sym1", "kk1", "m2")
+      sb ++= sql + ", "
+      last = next
+    }
+    val lvl1 = last
+    sb ++= s"we2 AS MATERIALIZED (SELECT least(la.comm, lb.comm) AS src, " +
+      s"greatest(la.comm, lb.comm) AS dst, sum(w) AS w FROM we e " +
+      s"JOIN $lvl1 la ON la.node = e.src JOIN $lvl1 lb ON lb.node = e.dst GROUP BY 1, 2), "
+    sb ++= symSql("we2", "sym2") + ", " + kSql("we2", "sym2", "kk2") + ", "
+    sb ++= "bl0 AS MATERIALIZED (SELECT node, node AS comm FROM kk2), "
+    last = "bl0"
+    for (r <- 0 until rounds) {
+      val (sql, next) = roundSql("b", r, r, "sym2", "kk2", "m2")
+      sb ++= sql + ", "
+      last = next
+    }
+    sb ++= s"final AS (SELECT l1.node, l2.comm FROM $lvl1 l1 " +
+      s"JOIN $last l2 ON l2.node = l1.comm)"
+    (sb.toString, "final")
+  }
+}

@@ -2063,7 +2063,10 @@ object EventQueries {
       "CAST(sum(c) OVER (ORDER BY x RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS s7, " +
       "CAST(count(*) OVER (ORDER BY x RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS n7 " +
       "FROM daily), " +
-      "i AS (SELECT x, c, s7, c * 7 - s7 AS det7, x % 7 AS dow FROM t WHERE n7 = 7), " +
+      // ((x%7)+7)%7, not x%7: Spark's pmod is non-negative while DuckDB %
+      // keeps the sign, so the two diverge for days before the 2024-01-01
+      // epoch — this spelling is pmod on both engines
+      "i AS (SELECT x, c, s7, c * 7 - s7 AS det7, ((x % 7) + 7) % 7 AS dow FROM t WHERE n7 = 7), " +
       "se AS (SELECT dow, CAST(sum(det7) AS BIGINT) AS sdet, " +
       "CAST(count(*) AS BIGINT) AS ndow FROM i GROUP BY 1) " +
       "SELECT x, c, round(CAST(s7 AS DOUBLE) / 700.0, 6) AS trend_r, " +

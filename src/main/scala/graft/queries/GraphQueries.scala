@@ -1293,7 +1293,39 @@ object GraphQueries {
       "WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = u AND e.dst = v) " +
       s"ORDER BY common DESC, u, v LIMIT $LinkPredTop"
 
+  // ── Louvain community detection ────────────────────────────────────────
+  // The optimization counterpart to q_modularity: FIND a partition instead
+  // of scoring the CC one. Two-level deterministic Louvain
+  // (operators/Louvain: parity-alternating local moves with integer-exact
+  // modularity gains, one aggregation level) over the same
+  // support-thresholded co-purchase graph; the registered result is the
+  // full community census (community label → member count), so the oracle
+  // hash pins the entire partition, not a summary. The spec scores the
+  // found partition with the qModularity formula and checks it beats both
+  // the singleton partition and (on the fixture graphs) the one-community
+  // baseline.
+  private val LouvainRounds = 4
+
+  def qCommunities(s: SparkSession, d: String): DataFrame = {
+    val we = supportedEdges(s, d, MinSupport).withColumn("w", lit(1L))
+    graft.operators.Louvain.cluster(we, rounds = LouvainRounds)
+      .groupBy(col("comm").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+  }
+
+  val qCommunitiesSql: String = {
+    val (ctes, fin) = graft.operators.Louvain.clusterSql(LouvainRounds)
+    "WITH op AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM lineitem GROUP BY 1, 2), " +
+      "we AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst, " +
+      "CAST(1 AS BIGINT) AS w FROM op a " +
+      "JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+      s"GROUP BY 1, 2 HAVING count(*) >= $MinSupport), " +
+      ctes + " " +
+      s"SELECT comm AS community, count(*) AS n_nodes FROM $fin GROUP BY 1"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_communities"  -> qCommunities _,
     "q_link_predict" -> qLinkPredict _,
     "q_closeness"    -> qCloseness _,
     "q_scc"        -> qScc _,
@@ -1317,6 +1349,7 @@ object GraphQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_communities"  -> qCommunitiesSql,
     "q_link_predict" -> qLinkPredictSql,
     "q_closeness"    -> qClosenessSql,
     "q_scc"        -> qSccSql,

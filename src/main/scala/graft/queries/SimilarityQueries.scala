@@ -792,16 +792,22 @@ object SimilarityQueries {
   /** The PQ trainer + encoder + LUT CTE block (everything between the
     * shared `vs`/`smp` prefix and the candidate generation), reused
     * verbatim by the standalone PQ oracle and the composed IVF-PQ
-    * oracle so the two replays cannot drift. Expects CTEs `vs(id, v)`
-    * and `smp(id, v, h)` to exist; defines `e$j`, `lut$j`, `codes`. */
+    * oracle so the two replays cannot drift. Expects a CTE `vs(id, v)`
+    * to exist; defines its own training sample `pqsmp` (LIMIT 4·PqK —
+    * matching KMeans.fitProduct's sample size, independent of whatever
+    * sample the coarse-quantizer replay drew) plus `e$j`, `lut$j`,
+    * `codes`. */
   private def pqTrainEncodeSql: String = {
     def dot(a: String, b: String) = s"list_dot_product($a, $b)"
     def d2(a: String, b: String) = s"${dot(a, a)} - 2*${dot(a, b)} + ${dot(b, b)}"
     def score(v: String, c: String) = s"${dot(c, c)} - 2*${dot(v, c)}"
     def sliced(e: String, j: Int) = s"$e[${j * PqSub + 1}:${(j + 1) * PqSub}]"
     val sb = new StringBuilder
+    sb ++= "pqsmp AS MATERIALIZED (SELECT id, v, " +
+      graft.functions.Md5Bits.sqlHash60("CAST(id AS VARCHAR)") +
+      s" AS h FROM vs ORDER BY h, id LIMIT ${4 * PqK}), "
     for (j <- 0 until PqM) {
-      sb ++= s"s$j AS MATERIALIZED (SELECT id, ${sliced("v", j)} AS v, h FROM smp), "
+      sb ++= s"s$j AS MATERIALIZED (SELECT id, ${sliced("v", j)} AS v, h FROM pqsmp), "
       sb ++= s"vs$j AS MATERIALIZED (SELECT id, ${sliced("v", j)} AS v FROM vs), "
       sb ++= s"ch${j}_0 AS MATERIALIZED (SELECT id, v FROM s$j ORDER BY h, id LIMIT 1), "
       sb ++= s"md${j}_0 AS MATERIALIZED (SELECT s.id, s.v, ${d2("s.v", "c.v")} AS mind FROM s$j s, ch${j}_0 c), "
@@ -843,14 +849,11 @@ object SimilarityQueries {
   }
 
   val qAnnPqSql: String = {
-    val m = 4 * PqK
     def dot(a: String, b: String) = s"list_dot_product($a, $b)"
     val sb = new StringBuilder
     sb ++= "WITH vs AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
-    // one shared oversample (ids are subspace-independent), sliced per codebook
-    sb ++= "smp AS MATERIALIZED (SELECT id, v, " +
-      graft.functions.Md5Bits.sqlHash60("CAST(id AS VARCHAR)") +
-      s" AS h FROM vs ORDER BY h, id LIMIT $m), "
+    // pqTrainEncodeSql draws its own shared oversample (pqsmp: ids are
+    // subspace-independent), sliced per codebook
     sb ++= pqTrainEncodeSql + ", "
     sb ++= "cand AS (SELECT l0.qid, e.id AS nid, pd0 + pd1 + pd2 + pd3 AS adist " +
       "FROM codes e " +
@@ -885,8 +888,10 @@ object SimilarityQueries {
   // broadcast, and raw vectors are touched only for the refine rows.
   // Every stage reuses the oracle-proven tie rules (argmin score asc →
   // cluster asc; shortlist adist asc → nid asc), and the DuckDB oracle
-  // is literally the two proven CTE prefixes concatenated (they share
-  // identical `vs`/`smp` heads) plus the probed candidate join.
+  // is literally the two proven CTE prefixes concatenated (sharing the
+  // `vs` head; each trainer draws its own correctly-sized sample, so
+  // IvfK and PqK may be dialed independently) plus the probed
+  // candidate join.
   def qAnnIvfPq(s: SparkSession, d: String): DataFrame = {
     val v = vecs(s, d).select(col("vec_id").as("id"), col("v"))
     val centroids = graft.operators.KMeans.fit(v, k = IvfK, iterations = IvfIters)

@@ -376,6 +376,9 @@ object SketchQueries {
   // ignores the null cells, and only window-present cells count toward
   // n_present — exactly the per-group finish rule q_hll_groups proves.
   // md5-derived registers throughout, so DuckDB replays every bit.
+  // Day index x is anchored at 2024-01-01 and may go negative for
+  // earlier events — safe here: x is only ever a grouping/range key
+  // (never fed through %/pmod, whose sign semantics differ by engine).
   def qHllRolling(s: SparkSession, d: String): DataFrame = {
     import graft.functions.Sketches
     import org.apache.spark.sql.expressions.{Window => W}

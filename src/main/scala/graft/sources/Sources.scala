@@ -102,17 +102,41 @@ object Sources {
     * parallelism/file count; the z key is computed by the codegen
     * [[graft.functions.ZOrder]] expression and dropped before writing so
     * the stored schema is unchanged. The layout job a 100 TB curated
-    * table runs after compaction. */
+    * table runs after compaction.
+    *
+    * Keys MUST fit in `bits` bits: `ZOrder.interleave` masks to the low
+    * `bits`, so a value ≥ 2^bits would silently wrap — rows far apart in
+    * key space would collide in z-space and the both-dimension zone-map
+    * locality would quietly degrade. Rather than trust the caller, the
+    * key range is validated via an `observe` metric riding the write job
+    * itself (no extra scan — the pre-scan alternative would double the
+    * I/O at 100 TB) and an out-of-range key throws as soon as the job
+    * lands, naming the offending range. Pre-bucket wide keys first
+    * (e.g. `pmod(col, 1 << bits)` as qZorder does) to opt into wrapping
+    * explicitly. */
   def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
       files: Int, bits: Int = 16): Unit = {
+    import org.apache.spark.sql.functions.{col, greatest, least, lit, max, min}
+    val obs = new org.apache.spark.sql.Observation()
     val z = graft.functions.ZOrder.zorder(
       org.apache.spark.sql.functions.col(xCol),
       org.apache.spark.sql.functions.col(yCol), bits)
-    df.withColumn("__z", z)
+    df.observe(obs,
+        max(greatest(col(xCol).cast("long"), col(yCol).cast("long"))).as("mx"),
+        least(min(col(xCol).cast("long")), min(col(yCol).cast("long"))).as("mn"))
+      .withColumn("__z", z)
       .repartitionByRange(files, org.apache.spark.sql.functions.col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+    val row = obs.get
+    val mx = Option(row("mx")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val mn = Option(row("mn")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    require(mn >= 0L && mx < (1L << bits),
+      s"writeZOrdered(bits=$bits): keys must be in [0, ${1L << bits}) but " +
+        s"observed [$mn, $mx] — z-values would wrap and zone-map locality " +
+        s"silently degrade; pre-bucket the keys (e.g. pmod(col, 1 << bits)) " +
+        "or raise bits")
   }
 
   /** Per-partition KV writer: `put` per row, `close` once at partition

@@ -24,6 +24,10 @@ final class StreamMetrics extends StreamingQueryListener {
   import StreamMetrics.QueryStats
 
   private val stats = TrieMap.empty[String, QueryStats]
+  // Termination events carry only the query id, but stats are keyed by
+  // name when one exists — record id→key at start so terminate can
+  // resolve named queries too.
+  private val idToKey = TrieMap.empty[String, String]
 
   /** Per-query accumulated counters, keyed by query name (falling back
     * to the id for unnamed queries). */
@@ -34,6 +38,7 @@ final class StreamMetrics extends StreamingQueryListener {
   override def onQueryStarted(
       e: StreamingQueryListener.QueryStartedEvent): Unit = {
     val key = Option(e.name).getOrElse(e.id.toString)
+    idToKey.update(e.id.toString, key)
     stats.putIfAbsent(key, QueryStats())
   }
 
@@ -53,13 +58,13 @@ final class StreamMetrics extends StreamingQueryListener {
   }
 
   override def onQueryTerminated(
-      e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-    stats.keys.foreach { k =>
-      // terminate events carry only ids; unnamed queries match directly,
-      // named ones flip on the id recorded at start if present
-      if (k == e.id.toString)
-        stats.update(k, stats(k).copy(terminated = true))
-    }
+      e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
+    // terminate events carry only ids — resolve through the id→key map
+    // recorded at start (falls back to the raw id for queries whose start
+    // event this listener never saw).
+    val key = idToKey.getOrElse(e.id.toString, e.id.toString)
+    stats.get(key).foreach(s => stats.update(key, s.copy(terminated = true)))
+  }
 }
 
 object StreamMetrics {

@@ -479,8 +479,10 @@ class StreamingSpec extends AnyFunSuite {
         q.processAllAvailable()
       } finally q.stop()
       // listener events are async — wait for the meter to catch up
+      // (including the terminate event fired by q.stop() above)
       val deadline = System.currentTimeMillis() + 20000
-      def ready = meter.statsFor("metered").exists(_.inputRows >= fixture.size + 1)
+      def ready = meter.statsFor("metered")
+        .exists(s => s.inputRows >= fixture.size + 1 && s.terminated)
       while (!ready && System.currentTimeMillis() < deadline) Thread.sleep(100)
       val st = meter.statsFor("metered").get
       assert(st.inputRows === fixture.size + 1L,
@@ -488,6 +490,8 @@ class StreamingSpec extends AnyFunSuite {
       assert(st.nBatches >= 2, s"two data batches must be observed: $st")
       assert(st.maxBatchRows === fixture.size.toLong, s"first batch size: $st")
       assert(st.lastWatermark.nonEmpty, s"watermark must progress: $st")
+      assert(st.terminated, s"named query's terminate event must resolve " +
+        s"through the id recorded at start: $st")
     } finally spark.streams.removeListener(meter)
   }
 }
