@@ -1555,6 +1555,118 @@ object EventQueries {
       "FROM l WHERE nxt IS NULL"
   }
 
+  // ── Holt-Winters (additive triple exponential smoothing) backtest ──────
+  // The model upgrade over q_forecast_eval's seasonal-naive: level +
+  // trend + 7-slot seasonal state, walked forward over the day-grain
+  // revenue series with one-step-ahead forecasts scored against the
+  // actuals, reported next to the seasonal-naive MAE (skill = 1 −
+  // MAE_hw/MAE_naive — negative means the model loses to the baseline,
+  // which the fixture's structureless 30-day series legitimately shows).
+  // Dyadic smoothing (α=1/2, β=1/4, γ=1/2) with FLOOR-DIV integer state
+  // on cents — the qEwma discipline taken to a full recurrence: no float
+  // ever enters the state, so both engines replay the walk bit-for-bit
+  // (floor division is spelled portably as (a − ((a%d)+d)%d)/d; Spark
+  // pmod and DuckDB % disagree on negatives, and level/trend/seasonal
+  // all go negative). The sequential fold runs as ONE Catalyst
+  // `aggregate` HOF over the collected |days| array — the documented
+  // bounded-frame discipline (the day series is calendar-sized no matter
+  // the fact volume; the daily rollup itself is a distributed shuffle).
+  // Init: l₀ = floor-mean of week 1, b₀ = 0, s_j = c_j − l₀; forecasts
+  // start at day 8. Day indexes are the 2024-01-01 epoch (non-negative,
+  // continuous — qDecompose's anchoring); the oracle replays the walk as
+  // a recursive CTE carrying the 7 seasonal slots as columns.
+  def qHoltWinters(s: SparkSession, d: String): DataFrame = {
+    def fdiv(a: Column, dd: Long): Column =
+      ((a - pmod(a, lit(dd))) / lit(dd)).cast("long")
+    val daily = Tables.events(s, d)
+      .groupBy(datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+        .cast("long").as("x"))
+      .agg(sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("c"))
+    val naive = daily
+      .join(daily.select((col("x") + 7L).as("x"), col("c").as("pc")), Seq("x"))
+      .agg(count(lit(1)).as("n_naive"),
+        sum(abs(col("c") - col("pc"))).as("sum_naive"))
+    val folded = daily
+      .agg(sort_array(collect_list(struct(col("x"), col("c")))).as("arr"))
+      .select(col("arr"), slice(col("arr"), 1, 7).as("h7"))
+      .select(col("arr"), col("h7"),
+        fdiv(aggregate(col("h7"), lit(0L), (a, e) => a + e.getField("c")), 7L)
+          .as("l0"))
+      .select(col("arr"), col("l0"),
+        transform(col("h7"), e => e.getField("c") - col("l0")).as("sin"))
+      .select(aggregate(
+        slice(col("arr"), lit(8), greatest(size(col("arr")) - 7, lit(0))),
+        struct(col("l0").as("l"), lit(0L).as("b"), col("sin").as("s"),
+          lit(0L).as("sabs"), lit(0L).as("n")),
+        (acc, e) => {
+          val ix = pmod(e.getField("x"), lit(7L)).cast("int")
+          val sold = element_at(acc.getField("s"), ix + 1)
+          val fc = acc.getField("l") + acc.getField("b") + sold
+          val lnew = fdiv(e.getField("c") - sold +
+            acc.getField("l") + acc.getField("b"), 2L)
+          val bnew = fdiv(lnew - acc.getField("l") +
+            lit(3L) * acc.getField("b"), 4L)
+          val snew = fdiv(e.getField("c") - lnew + sold, 2L)
+          struct(lnew.as("l"), bnew.as("b"),
+            transform(acc.getField("s"),
+              (v, i) => when(i === ix, snew).otherwise(v)).as("s"),
+            (acc.getField("sabs") + abs(e.getField("c") - fc)).as("sabs"),
+            (acc.getField("n") + 1L).as("n"))
+        }).as("st"))
+    folded.crossJoin(broadcast(naive))
+      .select(col("st.n").as("n_days"),
+        round(col("st.sabs").cast("double") / col("st.n"), 6)
+          .as("mae_hw_cents_r"),
+        round(col("sum_naive").cast("double") / col("n_naive"), 6)
+          .as("mae_naive_cents_r"),
+        round(lit(1.0) -
+          (col("st.sabs").cast("double") / col("st.n")) /
+            (col("sum_naive").cast("double") / col("n_naive")), 6)
+          .as("skill_r"))
+  }
+
+  val qHoltWintersSql: String = {
+    def fd(a: String, dd: Int) = s"((($a) - ((($a) % $dd) + $dd) % $dd) // $dd)"
+    val sold = "CASE d.x % 7 " +
+      (0 until 7).map(j => s"WHEN $j THEN r.s$j").mkString(" ") + " END"
+    // helper layers (sold → lnew → bnew/snew) so each sub-expression is
+    // spelled once; the recursive member may reference `rec` only once,
+    // which the innermost derived table does
+    val recInner =
+      s"SELECT w2.*, ${fd("c - lnew + sold", 2)} AS snew, " +
+        s"${fd("lnew - l + 3 * b", 4)} AS bnew FROM (" +
+        s"SELECT w1.*, ${fd("c - sold + l + b", 2)} AS lnew FROM (" +
+        "SELECT r.nxt, r.l, r.b, r.s0, r.s1, r.s2, r.s3, r.s4, r.s5, r.s6, " +
+        s"r.sabs, r.n, d.c, d.x % 7 AS ix, $sold AS sold " +
+        "FROM rec r JOIN dr d ON d.rn = r.nxt + 1) w1) w2"
+    val supd = (0 until 7)
+      .map(j => s"CASE WHEN ix = $j THEN snew ELSE s$j END").mkString(", ")
+    "WITH RECURSIVE daily AS (" +
+      "SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x, " +
+      "CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS c " +
+      "FROM events GROUP BY 1), " +
+      "dr AS (SELECT x, c, row_number() OVER (ORDER BY x) AS rn FROM daily), " +
+      s"l0t AS (SELECT ${fd("sum(c)", 7)} AS l0 FROM dr WHERE rn <= 7), " +
+      "init AS (SELECT CAST(7 AS BIGINT) AS nxt, l0 AS l, CAST(0 AS BIGINT) AS b, " +
+      (0 until 7).map(j => s"(SELECT c FROM dr WHERE rn = ${j + 1}) - l0 AS s$j")
+        .mkString(", ") + ", " +
+      "CAST(0 AS BIGINT) AS sabs, CAST(0 AS BIGINT) AS n FROM l0t), " +
+      "rec AS (SELECT * FROM init UNION ALL " +
+      s"SELECT nxt + 1, lnew, bnew, $supd, " +
+      "sabs + abs(c - (l + b + sold)), n + 1 " +
+      s"FROM ($recInner) z), " +
+      "hw AS (SELECT sabs, n FROM rec ORDER BY nxt DESC LIMIT 1), " +
+      "nv AS (SELECT CAST(count(*) AS BIGINT) AS n_naive, " +
+      "CAST(sum(abs(a.c - f.c)) AS BIGINT) AS sum_naive " +
+      "FROM daily a JOIN daily f ON f.x = a.x - 7) " +
+      "SELECT n AS n_days, round(CAST(sabs AS DOUBLE) / n, 6) AS mae_hw_cents_r, " +
+      "round(CAST(sum_naive AS DOUBLE) / n_naive, 6) AS mae_naive_cents_r, " +
+      "round(1.0 - (CAST(sabs AS DOUBLE) / n) / " +
+      "(CAST(sum_naive AS DOUBLE) / n_naive), 6) AS skill_r " +
+      "FROM hw, nv"
+  }
+
   // ── Interval concurrency: peak simultaneous sessions per day ───────────
   // Sweep-line over session endpoints (+1 start / −1 end), but partitioned
   // by DAY rather than one global ordered pass: a global running sum needs
@@ -2212,6 +2324,7 @@ object EventQueries {
     "q_new_vs_returning" -> qNewVsReturning _,
     "q_rfm"              -> qRfm _,
     "q_ewma"             -> qEwma _,
+    "q_holt_winters"     -> qHoltWinters _,
     "q_transitions"      -> qTransitions _,
     "q_seasonal_dow"     -> qSeasonalDow _,
     "q_value_ranks"      -> qValueRanks _,
@@ -2272,6 +2385,7 @@ object EventQueries {
     "q_new_vs_returning" -> qNewVsReturningSql,
     "q_rfm"              -> qRfmSql,
     "q_ewma"             -> qEwmaSql,
+    "q_holt_winters"     -> qHoltWintersSql,
     "q_transitions"      -> qTransitionsSql,
     "q_seasonal_dow"     -> qSeasonalDowSql,
     "q_value_ranks"      -> qValueRanksSql,

@@ -574,30 +574,118 @@ object MediaQueries {
       "SELECT media_id, n_frames, total_energy, frame_no AS peak_frame, " +
       "e AS peak_energy FROM r WHERE rn = 1"
 
-  /** Scene-change detection over the sampled "video" frames: a cut is a
-    * frame whose bytes differ from the previous sampled frame
-    * (md5-compared — 16 bytes per frame shuffle, not the frame bytes).
-    * The lag window partitions by media_id, so its scope is one
-    * payload's frame count — never a global ordering — and the report
-    * (frames, cuts, cut ratio) is the shot-boundary summary a video
-    * curation gate thresholds on. */
+  // ── Scene-change detection, now with a REAL video arm ──────────────────
+
+  case class SceneResult(media_id: Long, n_frames: Long, n_cuts: Long,
+      real_decode: Boolean)
+
+  /** Mean BT.601 luma of one frame, strided to ≤ ~64k samples. */
+  private def meanLuma(img: java.awt.image.BufferedImage): Double = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val stride = math.max(1, math.ceil(math.sqrt(w.toLong * h / 65536.0)).toInt)
+    var sum = 0.0
+    var n = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        n += 1
+        x += stride
+      }
+      y += stride
+    }
+    if (n == 0) 0.0 else sum / n
+  }
+
+  /** Per-payload shot-boundary detection — ENTIRELY local to the row, so
+    * scene detection is a narrow stage: frames of one payload live IN
+    * the payload, and nothing (not even frame hashes) ever shuffles.
+    *
+    * REAL arm: payloads that sniff as GIF decode frame-by-frame through
+    * `javax.imageio`'s sequence reader (animated GIF is the one
+    * multi-frame format the JRE ships a codec for); a cut is a frame
+    * whose mean BT.601 luma jumps ≥ `lumaCut` from its predecessor —
+    * the standard luma-delta shot-boundary rule. (Delta frames smaller
+    * than the canvas are scored on their own raster — fine for the
+    * full-frame GIFs the spec generates; a production composite step
+    * would layer disposal methods, same plumbing.)
+    *
+    * STUB arm (everything else, incl. the ASCII fixtures — oracle rows
+    * unchanged): the byte-slice sampling of `sampleFrames` (16 bytes
+    * every 64), a cut whenever the sampled slice differs from its
+    * predecessor. */
+  def detectScenes(rows: Iterator[MediaRow],
+      lumaCut: Double = 32.0): Iterator[SceneResult] = {
+    def stub(r: MediaRow): SceneResult = {
+      val bytes = r.payload
+      val step = 64
+      val frameBytes = 16
+      val nFrames = ((bytes.length + step - 1) / step).toLong
+      var cuts = 0L
+      var f = 1
+      while (f < nFrames) {
+        val (a, b) = (f * step - step, f * step)
+        val prev = java.util.Arrays.copyOfRange(bytes, a,
+          math.min(a + frameBytes, bytes.length))
+        val cur = java.util.Arrays.copyOfRange(bytes, b,
+          math.min(b + frameBytes, bytes.length))
+        if (!java.util.Arrays.equals(prev, cur)) cuts += 1
+        f += 1
+      }
+      SceneResult(r.media_id, nFrames, cuts, real_decode = false)
+    }
+    rows.map { r =>
+      if (!sniffImageFormat(r.payload).contains("gif")) stub(r)
+      else {
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) stub(r)
+            else {
+              val rd = readers.next()
+              rd.setInput(iis)
+              val n = rd.getNumImages(true)
+              var cuts = 0L
+              var prev = 0.0
+              var i = 0
+              while (i < n) {
+                val l = meanLuma(rd.read(i))
+                if (i > 0 && math.abs(l - prev) >= lumaCut) cuts += 1
+                prev = l
+                i += 1
+              }
+              rd.dispose()
+              SceneResult(r.media_id, n.toLong, cuts, real_decode = true)
+            }
+          } finally iis.close()
+        } catch { case _: Exception => stub(r) }
+      }
+    }
+  }
+
+  /** Shot-boundary summary per "video" payload (frames, cuts, cut
+    * ratio — what a video curation gate thresholds on), through the
+    * per-payload [[detectScenes]] stage. */
   def qMediaScenes(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.{Window => W}
-    val w = W.partitionBy(col("media_id")).orderBy(col("frame_no"))
-    sampleFrames(mediaTable(s, d))
-      .select(col("media_id"), col("frame_no"), md5(col("frame")).as("h"))
-      .withColumn("prev", lag(col("h"), 1).over(w))
-      .groupBy(col("media_id"))
-      .agg(count(lit(1)).as("n_frames"),
-        sum(when(col("prev").isNotNull && col("prev") =!= col("h"), 1L)
-          .otherwise(0L)).as("n_cuts"))
+    import s.implicits._
+    mediaTable(s, d)
+      .filter(col("meta.kind") === "video" && length(col("payload")) > 0)
+      .as[MediaRow]
+      .mapPartitions(rows => detectScenes(rows))
+      .toDF()
       .select(col("media_id"), col("n_frames"), col("n_cuts"),
         round(col("n_cuts").cast("double") /
-          greatest(col("n_frames") - 1, lit(1L)), 6).as("cut_ratio"))
+          greatest(col("n_frames") - 1, lit(1L)), 6).as("cut_ratio"),
+        col("real_decode"))
   }
 
   // same frame slicing as qMediaFramesSql (frameBytes=16, step=64 over
-  // the ASCII text); lag over (media_id, frame_no) mirrored exactly
+  // the ASCII text); adjacent-slice inequality == the stub arm's rule
   val qMediaScenesSql: String =
     "WITH m AS (SELECT doc_id AS media_id, text, " +
       "CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) AS n_frames " +
@@ -612,7 +700,8 @@ object MediaQueries {
       "CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> h THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts " +
       "FROM l GROUP BY 1) " +
       "SELECT media_id, n_frames, n_cuts, " +
-      "round(CAST(n_cuts AS DOUBLE) / greatest(n_frames - 1, 1), 6) AS cut_ratio " +
+      "round(CAST(n_cuts AS DOUBLE) / greatest(n_frames - 1, 1), 6) AS cut_ratio, " +
+      "FALSE AS real_decode " +
       "FROM g"
 
   /** Thumbnail planning/resize over the "image" payloads: the resize

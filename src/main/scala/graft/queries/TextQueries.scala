@@ -132,6 +132,88 @@ object TextQueries {
       "round(CAST(n AS DOUBLE) / n_actual, 6) AS frac_of_actual " +
       "FROM conf JOIN a USING (lang_label)"
 
+  // ── Gate ROC/AUC + precision-recall points (threshold-free ranking
+  // metric) ──────────────────────────────────────────────────────────────
+  // The missing piece of the gate-eval family: confusion matrices and
+  // hit-rates score ONE threshold; AUC scores the gate's entire ranking.
+  // Signal = the proven quality score; positive class = lang't'en' docs —
+  // "does the quality gate rank English docs above the rest?". AUC comes
+  // from the Mann–Whitney identity AUC = U/(n_pos·n_neg) with
+  // U = R_pos − n_pos(n_pos+1)/2, where ranks are the exact global
+  // row_numbers of (quality, doc_id) from the DistributedRank two-pass
+  // kernel — NO corpus-wide window, the same plan q_rank_sum proves. The
+  // doc_id tiebreak makes ranks unique and engine-identical, so U is
+  // exact integer algebra (score ties split deterministically rather
+  // than by the ½-correction — both engines apply the same rule).
+  // PR points at 5 fixed thresholds ride ONE additional aggregation pass
+  // (20 conditional counters, then unpivoted) — never a per-threshold
+  // rescan. The single-row AUC broadcasts onto the 5 threshold rows.
+  private val AucThresholds = Seq(0.30, 0.40, 0.50, 0.60, 0.70)
+
+  def qGateAuc(s: SparkSession, d: String): DataFrame = {
+    val scored = qQualityScore(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("quality"),
+        (col("lang") === "en").cast("int").as("pos"))
+    val ranked = graft.operators.DistributedRank.withRowNumber(
+      scored, Seq(), Seq(col("quality").asc, col("doc_id").asc), "rk")
+    val auc = ranked.agg(
+        sum(col("pos").cast("long")).as("n_pos"),
+        sum(lit(1L) - col("pos")).as("n_neg"),
+        sum(when(col("pos") === 1, col("rk"))).as("r_pos"))
+      .withColumn("u_stat", col("r_pos") - expr("(n_pos * (n_pos + 1)) div 2"))
+      .select(col("n_pos"), col("n_neg"), col("u_stat"),
+        round(col("u_stat").cast("double") /
+          (col("n_pos").cast("double") * col("n_neg")), 6).as("auc_r"))
+    // one pass, 4 counters per threshold; thresholds are literals so the
+    // whole block stays inside the same partial aggregate
+    val aggs = AucThresholds.zipWithIndex.flatMap { case (t, i) =>
+      Seq(
+        sum(when(col("quality") >= t && col("pos") === 1, 1L).otherwise(0L))
+          .as(s"tp_$i"),
+        sum(when(col("quality") >= t && col("pos") === 0, 1L).otherwise(0L))
+          .as(s"fp_$i"))
+    }
+    val counters = scored.agg(aggs.head, aggs.tail: _*)
+    val rows = counters.select(explode(array(AucThresholds.zipWithIndex.map {
+      case (t, i) =>
+        struct(lit(t).as("thr"), col(s"tp_$i").as("tp"), col(s"fp_$i").as("fp"))
+    }: _*)).as("r")).select(col("r.thr"), col("r.tp"), col("r.fp"))
+    rows.crossJoin(broadcast(auc))
+      .select(col("thr"), col("tp"), col("fp"),
+        (col("n_pos") - col("tp")).as("fn"),
+        (col("n_neg") - col("fp")).as("tn"),
+        when(col("tp") + col("fp") > 0,
+          round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
+          .as("precision_r"),
+        round(col("tp").cast("double") / col("n_pos"), 6).as("recall_r"),
+        col("u_stat"), col("auc_r"))
+  }
+
+  val qGateAucSql: String = {
+    val thrValues = AucThresholds.map(t => s"($t)").mkString(", ")
+    s"WITH q AS ($qQualityScoreSql), " +
+      "sc AS (SELECT q.doc_id, q.quality, " +
+      "CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos " +
+      "FROM q JOIN documents d USING (doc_id)), " +
+      "rk AS (SELECT pos, CAST(row_number() OVER (ORDER BY quality, doc_id) AS BIGINT) AS rk FROM sc), " +
+      "auc AS (SELECT n_pos, n_neg, u_stat, " +
+      "round(CAST(u_stat AS DOUBLE) / (CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc_r FROM (" +
+      "SELECT n_pos, n_neg, r_pos - (n_pos * (n_pos + 1)) // 2 AS u_stat FROM (" +
+      "SELECT CAST(sum(pos) AS BIGINT) AS n_pos, " +
+      "CAST(sum(1 - pos) AS BIGINT) AS n_neg, " +
+      "CAST(sum(CASE WHEN pos = 1 THEN rk END) AS BIGINT) AS r_pos FROM rk) a) b), " +
+      s"thr(thr) AS (VALUES $thrValues), " +
+      "pr AS (SELECT thr, " +
+      "CAST(sum(CASE WHEN quality >= thr AND pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp, " +
+      "CAST(sum(CASE WHEN quality >= thr AND pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp " +
+      "FROM sc, thr GROUP BY 1) " +
+      "SELECT thr, tp, fp, n_pos - tp AS fn, n_neg - fp AS tn, " +
+      "CASE WHEN tp + fp > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision_r, " +
+      "round(CAST(tp AS DOUBLE) / n_pos, 6) AS recall_r, " +
+      "u_stat, auc_r FROM pr, auc"
+  }
+
   // ── Exact content fingerprint (md5) ────────────────────────────────────
   // Deterministic per-document fingerprint; groundwork for exact dedup.
   def qFingerprint(s: SparkSession, d: String): DataFrame =
@@ -1200,6 +1282,7 @@ object TextQueries {
     "q_source_overlap" -> qSourceOverlap _,
     "q_boilerplate"   -> qBoilerplate _,
     "q_lang_confusion" -> qLangConfusion _,
+    "q_gate_auc" -> qGateAuc _,
     "q_token_count"   -> qTokenCount _,
     "q_quality_score" -> qQualityScore _,
     "q_lang_id"       -> qLangId _,
@@ -1232,6 +1315,7 @@ object TextQueries {
     "q_source_overlap" -> qSourceOverlapSql,
     "q_boilerplate"   -> qBoilerplateSql,
     "q_lang_confusion" -> qLangConfusionSql,
+    "q_gate_auc" -> qGateAucSql,
     "q_token_count"   -> qTokenCountSql,
     "q_quality_score" -> qQualityScoreSql,
     "q_lang_id"       -> qLangIdSql,

@@ -222,6 +222,70 @@ class MediaSpec extends AnyFunSuite {
       MediaRow(10L, "notwav".getBytes, MediaMeta("audio", 0, 0, 0))), 50).isEmpty)
   }
 
+  private def animatedGif(frames: Seq[Int]): Array[Byte] = {
+    // 8x8 solid-color frames written through the JRE's GIF sequence
+    // writer — a genuine multi-frame GIF89a payload
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    w.setOutput(ios)
+    w.prepareWriteSequence(null)
+    frames.foreach { rgb =>
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, rgb)
+      w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    w.endWriteSequence()
+    ios.close()
+    bos.toByteArray
+  }
+
+  test("real video arm: animated GIF frames decode and the planted cut is found") {
+    // dark, dark, bright — exactly one luma jump between frames 2 and 3
+    val gif = animatedGif(Seq(0x141414, 0x141414, 0xe6e6e6))
+    assert(MediaQueries.sniffImageFormat(gif) === Some("gif"))
+    val out = MediaQueries.detectScenes(Iterator.single(
+      MediaRow(1L, gif, MediaMeta("video", 8, 8, 0)))).next()
+    assert(out.real_decode, "GIF must take the javax.imageio sequence path")
+    assert(out.n_frames === 3L, s"all three frames must decode: $out")
+    assert(out.n_cuts === 1L, s"exactly the planted cut: $out")
+    // no cut anywhere in a constant animation
+    val flat = MediaQueries.detectScenes(Iterator.single(
+      MediaRow(2L, animatedGif(Seq(0x808080, 0x808080, 0x808080)),
+        MediaMeta("video", 8, 8, 0)))).next()
+    assert(flat.real_decode && flat.n_frames === 3L && flat.n_cuts === 0L)
+  }
+
+  test("scene stub arm reproduces the byte-slice sampling rule exactly") {
+    // 130 bytes → 3 frames at step 64; frames 0 and 1 share their first
+    // 16 bytes, frame 2 differs
+    val bytes = (Array.fill(16)('a'.toByte) ++ Array.fill(48)('x'.toByte) ++
+      Array.fill(16)('a'.toByte) ++ Array.fill(48)('x'.toByte) ++
+      Array.fill(2)('z'.toByte))
+    val out = MediaQueries.detectScenes(Iterator.single(
+      MediaRow(3L, bytes, MediaMeta("video", 0, 0, 0)))).next()
+    assert(!out.real_decode)
+    assert(out.n_frames === 3L)
+    assert(out.n_cuts === 1L, s"frames 0,1 equal; frame 2 differs: $out")
+    // corrupt bytes that sniff as GIF fall back to the stub
+    val fakeGif = "GIF8junk".getBytes("UTF-8")
+    val bad = MediaQueries.detectScenes(Iterator.single(
+      MediaRow(4L, fakeGif, MediaMeta("video", 0, 0, 0)))).next()
+    assert(!bad.real_decode)
+  }
+
+  test("q_media_scenes stays narrow (no shuffle) and all-stub on fixtures") {
+    val df = MediaQueries.qMediaScenes(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"scene detection is per-payload local — no shuffle allowed:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(!_.getAs[Boolean]("real_decode")),
+      "ASCII fixtures must all take the stub arm")
+  }
+
   test("frame sampling slices correct frame bytes") {
     val media = MediaQueries.mediaTable(spark, sf)
     val frames = MediaQueries.sampleFrames(media, frameBytes = 16, stride = 4)

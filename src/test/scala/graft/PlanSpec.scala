@@ -374,7 +374,7 @@ class PlanSpec extends AnyFunSuite {
     // rank + driver offsets, so the executed plans must contain no
     // Window node (and therefore no single-partition window Exchange).
     for (q <- Seq("q_gini", "q_rfm", "q_rank_sum", "q_deciles", "q_value_ranks",
-        "q_percentile_disc")) {
+        "q_percentile_disc", "q_gate_auc")) {
       val p = plan(q)
       assert(!p.contains("Window"),
         s"$q regressed to a window-based rank:\n$p")

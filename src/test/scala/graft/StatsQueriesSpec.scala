@@ -229,4 +229,50 @@ class StatsQueriesSpec extends AnyFunSuite {
     val byDow = rows.groupBy(r => r.getAs[Long]("x") % 7)
     assert(byDow.size >= 6, "expected near-full weekday coverage")
   }
+  test("gate AUC == driver-side rank-sum over (quality, doc_id) pairs") {
+    val rows = graft.queries.TextQueries.qGateAuc(spark, sf).collect()
+    assert(rows.length === 5, "one row per threshold")
+    // driver recompute: collect scores + labels, rank by (quality, id)
+    val scored = graft.queries.TextQueries.qQualityScore(spark, sf)
+      .selectExpr("doc_id", "quality").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val langs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val ranked = scored.sortBy { case (id, q) => (q, id) }.zipWithIndex
+      .map { case ((id, q), i) => (id, q, i + 1L, langs(id) == "en") }
+    val nPos = ranked.count(_._4).toLong
+    val nNeg = ranked.size - nPos
+    val u = ranked.filter(_._4).map(_._3).sum - nPos * (nPos + 1) / 2
+    val auc = u.toDouble / (nPos.toDouble * nNeg)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("u_stat") === u)
+      assert(math.abs(r.getAs[Double]("auc_r") - auc) < 1e-6)
+      val thr = r.getAs[Double]("thr")
+      val tp = ranked.count(x => x._4 && x._2 >= thr).toLong
+      val fp = ranked.count(x => !x._4 && x._2 >= thr).toLong
+      assert(r.getAs[Long]("tp") === tp, s"tp@$thr")
+      assert(r.getAs[Long]("fp") === fp, s"fp@$thr")
+      assert(r.getAs[Long]("fn") === nPos - tp)
+      assert(r.getAs[Long]("tn") === nNeg - fp)
+      val rec = BigDecimal(tp.toDouble / nPos)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("recall_r") === rec)
+    }
+    // structural properties: AUC in (0,1); recall is monotone
+    // non-increasing and precision's denominator shrinks as the
+    // threshold rises. (The fixture's text is vocabulary-identical
+    // across lang labels, so the SIGNAL is near-chance by construction —
+    // the spec pins the metric, not the synthetic corpus.)
+    val auc0 = rows.head.getAs[Double]("auc_r")
+    assert(auc0 > 0.0 && auc0 < 1.0)
+    val byThr = rows.sortBy(_.getAs[Double]("thr"))
+    byThr.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("recall_r") >= b.getAs[Double]("recall_r"))
+        assert(a.getAs[Long]("tp") + a.getAs[Long]("fp") >=
+          b.getAs[Long]("tp") + b.getAs[Long]("fp"))
+      case _ =>
+    }
+  }
 }

@@ -464,6 +464,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+  test("live ProcessingTime trigger: results match AvailableNow and get metered") {
+    // every other streaming row verifies via backfill
+    // (processAllAvailable); this drives a genuinely LIVE query — a
+    // ProcessingTime trigger polling while data arrives in real time —
+    // and asserts (a) the live result equals the batch plan and (b)
+    // StreamMetrics meters the live query. Bounded by a deadline, not
+    // sleep-synchronized: the test waits on observed sink rows.
+    implicit val sqlCtx = spark.sqlContext
+    val meter = graft.streaming.StreamMetrics.attach(spark)
+    val mem = MemoryStream[Event]
+    val q = EventStreams.hourlyCounts(mem.toDF())
+      .writeStream.format("memory").queryName("live_hourly")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+        "200 milliseconds"))
+      .start()
+    try {
+      def sinkRows: Long = spark.table("live_hourly").count()
+      def waitFor(cond: => Boolean, what: String): Unit = {
+        val deadline = System.currentTimeMillis() + 30000
+        while (!cond && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+        assert(cond, s"timed out waiting for $what")
+      }
+      // feed in two real-time installments while the trigger polls
+      mem.addData(fixture.take(3): _*)
+      waitFor(sinkRows >= 2, "first installment to land")
+      mem.addData(fixture.drop(3): _*)
+      val expected = fixture.toDF()
+        .groupBy(date_trunc("hour", $"ts").as("bucket"), $"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      waitFor(sinkRows >= expected.size, "second installment to land")
+      val streamed = spark.table("live_hourly")
+        .select($"bucket", $"event_type", $"n_events", $"sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(streamed === expected,
+        "live-trigger result must equal the batch plan over the same data")
+      q.stop()
+      // the meter saw the live query: all rows, ≥2 data batches, and the
+      // terminate event resolved through its name
+      def st = meter.statsFor("live_hourly")
+      waitFor(st.exists(s => s.inputRows >= fixture.size && s.terminated),
+        s"meter to catch up: $st")
+      assert(st.get.nBatches >= 2, s"live trigger must fire per arrival: $st")
+    } finally {
+      if (q.isActive) q.stop()
+      spark.streams.removeListener(meter)
+    }
+  }
+
   test("StreamMetrics listener meters batches, rows, and watermark progress") {
     implicit val sqlCtx = spark.sqlContext
     val meter = graft.streaming.StreamMetrics.attach(spark)
