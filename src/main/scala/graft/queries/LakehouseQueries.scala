@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -164,6 +164,156 @@ object LakehouseQueries {
       "(SELECT count(*) FROM orders o WHERE NOT EXISTS " +
       "(SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)) AS childless_orders"
 
+  // ── SCD2 dimension history build ───────────────────────────────────────
+  // The slowly-changing-dimension type-2 construction every warehouse
+  // runs: collapse an event stream into versioned attribute rows
+  // (valid_from / valid_to / version / is_current), one row per VALUE
+  // CHANGE rather than per event. Here: each user's event_type as the
+  // tracked attribute. Two windows, both partitioned by the
+  // high-cardinality user key (never a global ordering): the first
+  // drops runs of the unchanged value (lag), the second stitches the
+  // surviving change points into intervals (lead + row_number). At
+  // 100 TB this is one shuffle on the dimension key — the history table
+  // is change-sized, not event-sized.
+  def qScd2(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val w = W.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val changes = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    val w2 = W.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    changes
+      .withColumn("valid_to", lead(col("ts"), 1).over(w2))
+      .withColumn("version_no", row_number().over(w2).cast("long"))
+      .select(col("user_id"), col("event_type"), col("ts").as("valid_from"),
+        col("valid_to"), col("version_no"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  val qScd2Sql: String =
+    "WITH c AS (SELECT user_id, ts, event_id, event_type, " +
+      "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev " +
+      "FROM events), " +
+      "ch AS (SELECT user_id, ts, event_id, event_type FROM c " +
+      "WHERE prev IS NULL OR prev <> event_type) " +
+      "SELECT user_id, event_type, ts AS valid_from, " +
+      "lead(ts) OVER w AS valid_to, " +
+      "CAST(row_number() OVER w AS BIGINT) AS version_no, " +
+      "lead(ts) OVER w IS NULL AS is_current " +
+      "FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+
+  // ── Compaction planner (small-file bin packing) ────────────────────────
+  // The maintenance job behind every OPTIMIZE/compact command: given a
+  // file manifest (simulated here as lineitem's (ship-month, returnflag,
+  // linestatus) fragments with a bytes estimate), pack files into
+  // target-sized output bins. The packing rule is Spark's own split
+  // packing (linear scan in manifest order, bin = prefix-bytes div
+  // target) — deterministic, one-pass, and ORDER-PRESERVING, so each
+  // bin's files are contiguous in partition order and the rewrite keeps
+  // clustering. The manifest is file-COUNT-sized (thousands of rows for
+  // petabytes of data), so the single ordered window here is the
+  // documented bounded-frame discipline — the plan that never touches
+  // the data files themselves.
+  private val CompactTargetBytes = 1L << 20
+
+  def qCompactionPlan(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val manifest = Tables.lineitem(s, d)
+      .groupBy(date_trunc("month", col("l_shipdate")).as("part_month"),
+        col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+      .agg((count(lit(1)) * 100L).as("bytes"))
+    val w = W.orderBy(col("part_month"), col("rf"), col("ls"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    manifest
+      .withColumn("prefix", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("prefix") / CompactTargetBytes).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bin_bytes"),
+        min(col("part_month")).as("first_month"),
+        max(col("part_month")).as("last_month"))
+  }
+
+  val qCompactionPlanSql: String =
+    "WITH m AS (SELECT date_trunc('month', CAST(l_shipdate AS DATE)) AS part_month, " +
+      "l_returnflag AS rf, l_linestatus AS ls, " +
+      "CAST(count(*) * 100 AS BIGINT) AS bytes FROM lineitem GROUP BY 1, 2, 3), " +
+      "p AS (SELECT part_month, rf, ls, bytes, " +
+      "coalesce(CAST(sum(bytes) OVER (ORDER BY part_month, rf, ls " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS prefix " +
+      "FROM m) " +
+      s"SELECT CAST(prefix // $CompactTargetBytes AS BIGINT) AS bin, " +
+      "CAST(count(*) AS BIGINT) AS n_files, CAST(sum(bytes) AS BIGINT) AS bin_bytes, " +
+      "CAST(min(part_month) AS TIMESTAMP) AS first_month, " +
+      "CAST(max(part_month) AS TIMESTAMP) AS last_month " +
+      "FROM p GROUP BY 1"
+
+  // ── Zone-map pruning estimator (data-skipping audit) ───────────────────
+  // "How much would these predicates skip?" — the question asked before
+  // paying for a Z-order rewrite. Zone maps (per-fragment min/max of the
+  // filter columns, the stats parquet footers keep) come from one
+  // manifest-grain aggregation; each candidate predicate then scores
+  // n_files_skipped / rows_skipped in one pass over the manifest via
+  // conditional counters (a fragment is skippable iff its [min,max]
+  // cannot intersect the predicate), unpivoted to a row per predicate.
+  // Fragments = the compaction manifest's (month, rf, ls) — aligned
+  // fragments make the two maintenance reports directly comparable.
+  def qZonePruning(s: SparkSession, d: String): DataFrame = {
+    val zones = Tables.lineitem(s, d)
+      .groupBy(date_trunc("month", col("l_shipdate")).as("part_month"),
+        col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_quantity")).as("qty_min"), max(col("l_quantity")).as("qty_max"),
+        min(col("l_extendedprice")).as("pr_min"),
+        max(col("l_extendedprice")).as("pr_max"))
+    // (name, skippable-when) — min/max cannot satisfy the predicate
+    val preds: Seq[(String, Column)] = Seq(
+      ("qty_gt_45", col("qty_max") <= 45.0),
+      ("qty_le_5", col("qty_min") > 5.0),
+      ("price_lt_2000", col("pr_min") >= 2000.0),
+      ("price_ge_100000", col("pr_max") < 100000.0),
+      ("qty_20_to_25", col("qty_max") < 20.0 || col("qty_min") > 25.0))
+    val aggs = preds.zipWithIndex.flatMap { case ((_, skip), i) =>
+      Seq(sum(when(skip, 1L).otherwise(0L)).as(s"f_$i"),
+        sum(when(skip, col("n_rows")).otherwise(0L)).as(s"r_$i"))
+    } ++ Seq(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows_tot"))
+    zones.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(preds.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(name).as("predicate"), col("n_files"),
+          col(s"f_$i").as("files_skipped"), col("n_rows_tot"),
+          col(s"r_$i").as("rows_skipped"))
+      }: _*)).as("p"))
+      .select(col("p.predicate"), col("p.n_files"), col("p.files_skipped"),
+        col("p.n_rows_tot"), col("p.rows_skipped"),
+        round(col("p.files_skipped").cast("double") / col("p.n_files"), 6)
+          .as("file_skip_ratio_r"))
+  }
+
+  val qZonePruningSql: String = {
+    val preds = Seq(
+      ("qty_gt_45", "qty_max <= 45.0"),
+      ("qty_le_5", "qty_min > 5.0"),
+      ("price_lt_2000", "pr_min >= 2000.0"),
+      ("price_ge_100000", "pr_max < 100000.0"),
+      ("qty_20_to_25", "qty_max < 20.0 OR qty_min > 25.0"))
+    "WITH z AS (SELECT date_trunc('month', CAST(l_shipdate AS DATE)) AS part_month, " +
+      "l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows, " +
+      "min(l_quantity) AS qty_min, max(l_quantity) AS qty_max, " +
+      "min(l_extendedprice) AS pr_min, max(l_extendedprice) AS pr_max " +
+      "FROM lineitem GROUP BY 1, 2, 3), " +
+      "c AS (SELECT CAST(count(*) AS BIGINT) AS n_files, " +
+      "CAST(sum(n_rows) AS BIGINT) AS n_rows_tot, " +
+      preds.zipWithIndex.map { case ((_, cond), i) =>
+        s"CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS f_$i, " +
+          s"CAST(sum(CASE WHEN $cond THEN n_rows ELSE 0 END) AS BIGINT) AS r_$i"
+      }.mkString(", ") + " FROM z) " +
+      preds.zipWithIndex.map { case ((name, _), i) =>
+        s"SELECT '$name' AS predicate, n_files, f_$i AS files_skipped, " +
+          s"n_rows_tot, r_$i AS rows_skipped, " +
+          s"round(CAST(f_$i AS DOUBLE) / n_files, 6) AS file_skip_ratio_r FROM c"
+      }.mkString(" UNION ALL ")
+  }
+
   // ── Registration ───────────────────────────────────────────────────────
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -171,6 +321,9 @@ object LakehouseQueries {
     "q_merge_upsert"  -> qMergeUpsert _,
     "q_incr_agg"      -> qIncrAgg _,
     "q_ref_integrity" -> qRefIntegrity _,
+    "q_scd2"          -> qScd2 _,
+    "q_compaction_plan" -> qCompactionPlan _,
+    "q_zone_pruning"  -> qZonePruning _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -178,5 +331,8 @@ object LakehouseQueries {
     "q_merge_upsert"  -> qMergeUpsertSql,
     "q_incr_agg"      -> qIncrAggSql,
     "q_ref_integrity" -> qRefIntegritySql,
+    "q_scd2"          -> qScd2Sql,
+    "q_compaction_plan" -> qCompactionPlanSql,
+    "q_zone_pruning"  -> qZonePruningSql,
   )
 }

@@ -240,7 +240,73 @@ object PipelineQueries {
       s"CAST(sum(CASE WHEN l < $DiversityL THEN g ELSE 0 END) AS BIGINT) AS rows_exposed " +
       "FROM g"
 
+  // ── t-closeness audit (completing the anonymity-gate triad) ────────────
+  // k-anonymity bounds group SIZE and l-diversity bounds distinct
+  // sensitive values, but a group can satisfy both while its sensitive
+  // DISTRIBUTION still leaks (e.g. 95/5 where the population is 50/50).
+  // t-closeness requires every quasi-identifier group's sensitive
+  // distribution to sit within t of the global one — for a categorical
+  // attribute (market segment) the distance is total variation:
+  // TVD(g) = ½ Σ_s |cnt_gs/n_g − cnt_s/N|. Exact integer discipline:
+  // TVD = Σ_s |N·cnt_gs − n_g·cnt_s| / (2·n_g·N), so the numerator is
+  // BIGINT and one rounded division ends the query. Plan: one keyed
+  // count shuffle, then everything joins a 5-row segment total and a
+  // single-row N — both broadcast; absent (group, segment) cells enter
+  // via the broadcast grid (|p−q| = q when the group lacks a segment).
+  private val TClosenessT = 0.4
+
+  def qTCloseness(s: SparkSession, d: String): DataFrame = {
+    val bal = (col("c_acctbal").cast(
+      org.apache.spark.sql.types.DecimalType(18, 2)) * 100).cast("long")
+    val base = Tables.customer(s, d)
+      .select(col("c_nationkey"), floor(bal / 100000L).cast("long").as("bal_band"),
+        col("c_mktsegment"))
+    val gs = base.groupBy(col("c_nationkey"), col("bal_band"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("c_gs"))
+    val g = gs.groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(sum(col("c_gs")).as("n_g"))
+    val sTot = base.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("c_s"))
+    val tot = base.agg(count(lit(1)).as("n_total"))
+    val tvd = g.crossJoin(broadcast(sTot)).crossJoin(broadcast(tot))
+      .join(gs, Seq("c_nationkey", "bal_band", "c_mktsegment"), "left")
+      .groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(first(col("n_g")).as("n_g"), first(col("n_total")).as("n_total"),
+        sum(abs(col("n_total") * coalesce(col("c_gs"), lit(0L)) -
+          col("n_g") * col("c_s"))).as("numer"))
+      .select(col("n_g"),
+        round(col("numer").cast("double") /
+          (lit(2.0) * col("n_g") * col("n_total")), 6).as("tvd_r"))
+    tvd.agg(count(lit(1)).as("n_groups"),
+      max(col("tvd_r")).as("t_max_r"),
+      sum(when(col("tvd_r") > TClosenessT, 1L).otherwise(0L)).as("n_violating"),
+      sum(when(col("tvd_r") > TClosenessT, col("n_g")).otherwise(0L))
+        .as("rows_at_risk"))
+  }
+
+  val qTClosenessSql: String =
+    "WITH base AS (SELECT c_nationkey, " +
+      "CAST(FLOOR(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+      "/ 100000.0) AS BIGINT) AS bal_band, c_mktsegment FROM customer), " +
+      "gs AS (SELECT c_nationkey, bal_band, c_mktsegment, " +
+      "CAST(count(*) AS BIGINT) AS c_gs FROM base GROUP BY 1, 2, 3), " +
+      "g AS (SELECT c_nationkey, bal_band, CAST(sum(c_gs) AS BIGINT) AS n_g " +
+      "FROM gs GROUP BY 1, 2), " +
+      "st AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS c_s FROM base GROUP BY 1), " +
+      "nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM base), " +
+      "tvd AS (SELECT g.c_nationkey, g.bal_band, any_value(g.n_g) AS n_g, " +
+      "round(CAST(sum(abs(nt.n_total * coalesce(gs.c_gs, 0) - g.n_g * st.c_s)) AS DOUBLE) " +
+      "/ (2.0 * any_value(g.n_g) * any_value(nt.n_total)), 6) AS tvd_r " +
+      "FROM g CROSS JOIN st CROSS JOIN nt " +
+      "LEFT JOIN gs ON gs.c_nationkey = g.c_nationkey AND gs.bal_band = g.bal_band " +
+      "AND gs.c_mktsegment = st.c_mktsegment " +
+      "GROUP BY 1, 2) " +
+      "SELECT CAST(count(*) AS BIGINT) AS n_groups, max(tvd_r) AS t_max_r, " +
+      s"CAST(sum(CASE WHEN tvd_r > $TClosenessT THEN 1 ELSE 0 END) AS BIGINT) AS n_violating, " +
+      s"CAST(sum(CASE WHEN tvd_r > $TClosenessT THEN n_g ELSE 0 END) AS BIGINT) AS rows_at_risk " +
+      "FROM tvd"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_t_closeness"   -> qTCloseness _,
     "q_k_anonymity"   -> qKAnonymity _,
     "q_l_diversity"   -> qLDiversity _,
     "q_pipeline_exact" -> qPipelineExact _,
@@ -249,6 +315,7 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_t_closeness"   -> qTClosenessSql,
     "q_k_anonymity"   -> qKAnonymitySql,
     "q_l_diversity"   -> qLDiversitySql,
     "q_gate_attrition" -> qGateAttritionSql,

@@ -191,4 +191,99 @@ class LakehouseSpec extends AnyFunSuite {
     val liSet = li.toSet
     assert(r.getAs[Long]("childless_orders") === ok.count(!liSet.contains(_)).toLong)
   }
+
+  // ── SCD2 history build ─────────────────────────────────────────────────
+
+  test("SCD2 versions tile each user's timeline with contiguous intervals") {
+    val rows = LakehouseQueries.qScd2(spark, sf).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, vs) =>
+      val sorted = vs.sortBy(_.getAs[Long]("version_no"))
+      // contiguous version numbers from 1
+      assert(sorted.map(_.getAs[Long]("version_no")).toSeq ===
+        (1L to sorted.length).toSeq, s"user $u")
+      // exactly one open (current) version, and it is the last
+      assert(sorted.count(_.getAs[Boolean]("is_current")) === 1, s"user $u")
+      assert(sorted.last.getAs[Boolean]("is_current"), s"user $u")
+      // each version's valid_to equals the next version's valid_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[java.sql.Timestamp]("valid_to") ===
+            b.getAs[java.sql.Timestamp]("valid_from"), s"gap for user $u")
+          // and consecutive versions really changed the attribute
+          assert(a.getAs[String]("event_type") !== b.getAs[String]("event_type"),
+            s"non-change version for user $u")
+        case _ =>
+      }
+    }
+    // history is change-sized: strictly fewer rows than events
+    val nEvents = Tables.events(spark, sf).count()
+    assert(rows.values.map(_.length).sum < nEvents)
+  }
+
+  // ── Compaction planner ─────────────────────────────────────────────────
+
+  test("compaction bins partition the manifest in order with full coverage") {
+    val bins = LakehouseQueries.qCompactionPlan(spark, sf).collect()
+      .sortBy(_.getAs[Long]("bin"))
+    val manifest = Tables.lineitem(spark, sf)
+      .groupBy(date_trunc("month", $"l_shipdate"), $"l_returnflag", $"l_linestatus")
+      .count().collect()
+    assert(bins.map(_.getAs[Long]("n_files")).sum === manifest.length.toLong,
+      "every manifest file lands in exactly one bin")
+    assert(bins.map(_.getAs[Long]("bin_bytes")).sum ===
+      manifest.map(_.getAs[Long]("count") * 100L).sum)
+    // bins are dense 0..max and order-preserving in partition order
+    assert(bins.map(_.getAs[Long]("bin")).toSeq ===
+      (0L until bins.length).toSeq)
+    bins.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(!a.getAs[java.sql.Timestamp]("last_month")
+          .after(b.getAs[java.sql.Timestamp]("first_month")),
+          "bins must not interleave partition order")
+      case _ =>
+    }
+  }
+
+  // ── Zone-map pruning ───────────────────────────────────────────────────
+
+  test("zone pruning is sound: skipped fragments contain zero matching rows") {
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_shipdate", $"l_returnflag", $"l_linestatus",
+        $"l_quantity", $"l_extendedprice").collect()
+    def frag(r: org.apache.spark.sql.Row) =
+      (r.getAs[java.sql.Timestamp](0).toLocalDateTime.getYear,
+        r.getAs[java.sql.Timestamp](0).toLocalDateTime.getMonthValue,
+        r.getString(1), r.getString(2))
+    val byFrag = li.groupBy(frag)
+    val preds: Map[String, org.apache.spark.sql.Row => Boolean] = Map(
+      "qty_gt_45" -> (r => r.getDouble(3) > 45.0),
+      "qty_le_5" -> (r => r.getDouble(3) <= 5.0),
+      "price_lt_2000" -> (r => r.getDouble(4) < 2000.0),
+      "price_ge_100000" -> (r => r.getDouble(4) >= 100000.0),
+      "qty_20_to_25" -> (r => r.getDouble(3) >= 20.0 && r.getDouble(3) <= 25.0))
+    val got = LakehouseQueries.qZonePruning(spark, sf).collect()
+      .map(r => r.getAs[String]("predicate") -> r).toMap
+    assert(got.keySet === preds.keySet)
+    preds.foreach { case (name, hit) =>
+      val r = got(name)
+      assert(r.getAs[Long]("n_files") === byFrag.size.toLong)
+      // soundness: a fragment may be counted skipped ONLY if no row in it
+      // satisfies the predicate — rows_skipped rows produce zero hits
+      val skippableRows = byFrag.values.filter(_.forall(!hit(_)))
+      assert(r.getAs[Long]("files_skipped") <= skippableRows.size.toLong,
+        s"$name claimed more skips than truly empty fragments")
+      // min/max screening is EXACT for one-sided predicates (if the
+      // extremum passes, the row holding it is a hit) but only sound
+      // for the interval predicate (a wide [min,max] can straddle
+      // [20,25] with no row inside)
+      if (name != "qty_20_to_25") {
+        assert(r.getAs[Long]("files_skipped") === skippableRows.size.toLong,
+          s"$name under-skipped vs the exact min/max screen")
+        assert(r.getAs[Long]("rows_skipped") ===
+          skippableRows.map(_.length.toLong).sum, name)
+      }
+    }
+  }
 }

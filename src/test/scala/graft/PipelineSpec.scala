@@ -203,4 +203,32 @@ class PipelineSpec extends AnyFunSuite {
     // the guess column only emits the four supported codes
     assert(rows.map(_._2).toSet.subsetOf(Set("en", "de", "fr", "es")))
   }
+
+  test("t-closeness equals a driver-side total-variation recompute") {
+    val r = graft.queries.PipelineQueries.qTCloseness(spark, sf).head()
+    val rows = Tables.customer(spark, sf)
+      .selectExpr("c_nationkey",
+        "CAST(FLOOR(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) / 100000.0) AS BIGINT)",
+        "c_mktsegment").collect()
+      .map(x => ((x.getInt(0), x.getLong(1)), x.getString(2)))
+    val n = rows.length.toLong
+    val global = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val segs = global.keySet
+    val tvds = rows.groupBy(_._1).toSeq.map { case (_, members) =>
+      val ng = members.length.toLong
+      val local = members.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val numer = segs.toSeq
+        .map(sg => math.abs(n * local.getOrElse(sg, 0L) - ng * global(sg))).sum
+      val tvd = BigDecimal(numer.toDouble / (2.0 * ng * n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (ng, tvd)
+    }.toSeq
+    assert(r.getAs[Long]("n_groups") === tvds.size.toLong)
+    assert(r.getAs[Double]("t_max_r") === tvds.map(_._2).max)
+    val violating = tvds.filter(_._2 > 0.4)
+    assert(r.getAs[Long]("n_violating") === violating.size.toLong)
+    assert(r.getAs[Long]("rows_at_risk") === violating.map(_._1).sum)
+    // a TVD is a distance: in [0, 1]
+    assert(tvds.forall(t => t._2 >= 0.0 && t._2 <= 1.0))
+  }
 }
