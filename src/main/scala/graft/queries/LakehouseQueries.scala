@@ -129,6 +129,102 @@ object LakehouseQueries {
       "CAST(sum(p_n) AS BIGINT) AS n_events, max(p_max) AS max_cents, " +
       "count(*) AS n_day_partials FROM p GROUP BY 1"
 
+  // ── Incremental JOIN-view maintenance (delta algebra) ──────────────────
+  // The join sibling of qIncrAgg: keep an enriched view V = orders ⋈
+  // customer current without re-joining the world. With batch deltas ΔO
+  // and ΔC, the standard delta algebra is
+  //   ΔV = (ΔO ⋈ C_old) ∪ (O_old ⋈ ΔC) ∪ (ΔO ⋈ ΔC),
+  // and V_new = V_old ∪ ΔV — three joins whose LEFT sides are
+  // delta-sized (two of them) instead of one full re-join. Deltas here
+  // are deterministic key slices (every 10th order, every 20th
+  // customer); the oracle computes the DIRECT full join, so hash
+  // equality proves the three-way delta decomposition covers every row
+  // exactly once (no dupes at the ΔO⋈ΔC corner, no omissions). The
+  // registered result also counts the delta-contributed rows per
+  // nation — the monitoring number an incremental pipeline reports.
+  def qIncrJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val (oB, oD) = (o.filter(pmod(col("o_orderkey"), lit(10)) =!= 0),
+      o.filter(pmod(col("o_orderkey"), lit(10)) === 0))
+    val (cB, cD) = (c.filter(pmod(col("c_custkey"), lit(20)) =!= 0),
+      c.filter(pmod(col("c_custkey"), lit(20)) === 0))
+    def j(a: DataFrame, b: DataFrame) =
+      a.join(b, col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), col("cents"))
+    val vOld = j(oB, cB).withColumn("from_delta", lit(0L))
+    val dV = j(oD, cB).unionAll(j(oB, cD)).unionAll(j(oD, cD))
+      .withColumn("from_delta", lit(1L))
+    vOld.unionAll(dV)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"),
+        sum(col("from_delta")).as("n_from_delta"))
+  }
+
+  val qIncrJoinSql: String =
+    "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders, " +
+      "CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) " +
+      "AS total_cents, " +
+      "CAST(sum(CASE WHEN o_orderkey % 10 = 0 OR c_custkey % 20 = 0 " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS n_from_delta " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1"
+
+  // ── Partition-skew diagnostics (the pre-shuffle sizing report) ─────────
+  // The report run before sizing any skew-sensitive job: per-key counts
+  // of the join column, the hottest key's share, the top-10 keys' share,
+  // AND the load distribution over the md5-hash buckets an actual
+  // shuffle would produce (32 here) — max-bucket/mean-bucket is the
+  // straggler factor AQE or salting has to absorb. One keyed count
+  // shuffle; everything after is |keys|-row arithmetic with a 32-row
+  // bucket rollup and a TakeOrdered top-10, never a global sort.
+  private val SkewBuckets = 32
+
+  def qSkewMetrics(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt"))
+    val top10 = counts.orderBy(col("cnt").desc, col("l_partkey").asc).limit(10)
+      .agg(sum(col("cnt")).as("top10_rows"))
+    val buckets = counts
+      .groupBy((graft.functions.Md5Bits.hash60(
+        concat(lit("skew:"), col("l_partkey"))) % SkewBuckets).as("bucket"))
+      .agg(sum(col("cnt")).as("load"))
+      .agg(max(col("load")).as("max_bucket_load"),
+        count(lit(1)).as("n_buckets"))
+    totals.crossJoin(broadcast(top10)).crossJoin(broadcast(buckets))
+      .select(col("n_keys"), col("n_rows"), col("max_cnt"),
+        round(col("max_cnt") * col("n_keys") / col("n_rows").cast("double"), 6)
+          .as("key_skew_factor_r"),
+        round(col("top10_rows").cast("double") / col("n_rows"), 6)
+          .as("top10_share_r"),
+        col("max_bucket_load"),
+        round(col("max_bucket_load") * col("n_buckets") /
+          col("n_rows").cast("double"), 6).as("bucket_skew_factor_r"))
+  }
+
+  val qSkewMetricsSql: String = {
+    val h = graft.functions.Md5Bits.sqlHash60("'skew:' || CAST(l_partkey AS VARCHAR)")
+    "WITH c AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt " +
+      "FROM lineitem GROUP BY 1), " +
+      "t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys, " +
+      "CAST(sum(cnt) AS BIGINT) AS n_rows, max(cnt) AS max_cnt FROM c), " +
+      "tp AS (SELECT CAST(sum(cnt) AS BIGINT) AS top10_rows FROM " +
+      "(SELECT cnt FROM c ORDER BY cnt DESC, l_partkey ASC LIMIT 10)), " +
+      s"b AS (SELECT $h % $SkewBuckets AS bucket, " +
+      "CAST(sum(cnt) AS BIGINT) AS load FROM c GROUP BY 1), " +
+      "bb AS (SELECT max(load) AS max_bucket_load, " +
+      "CAST(count(*) AS BIGINT) AS n_buckets FROM b) " +
+      "SELECT n_keys, n_rows, max_cnt, " +
+      "round(CAST(max_cnt * n_keys AS DOUBLE) / n_rows, 6) AS key_skew_factor_r, " +
+      "round(CAST(top10_rows AS DOUBLE) / n_rows, 6) AS top10_share_r, " +
+      "max_bucket_load, " +
+      "round(CAST(max_bucket_load * n_buckets AS DOUBLE) / n_rows, 6) " +
+      "AS bucket_skew_factor_r " +
+      "FROM t, tp, bb"
+  }
+
   // ── Referential-integrity audit ────────────────────────────────────────
 
   /** FK audit across the star schema's spine: orphan facts (lineitem
@@ -324,6 +420,8 @@ object LakehouseQueries {
     "q_scd2"          -> qScd2 _,
     "q_compaction_plan" -> qCompactionPlan _,
     "q_zone_pruning"  -> qZonePruning _,
+    "q_incr_join"     -> qIncrJoin _,
+    "q_skew_metrics"  -> qSkewMetrics _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -334,5 +432,7 @@ object LakehouseQueries {
     "q_scd2"          -> qScd2Sql,
     "q_compaction_plan" -> qCompactionPlanSql,
     "q_zone_pruning"  -> qZonePruningSql,
+    "q_incr_join"     -> qIncrJoinSql,
+    "q_skew_metrics"  -> qSkewMetricsSql,
   )
 }

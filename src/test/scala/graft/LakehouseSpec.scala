@@ -246,6 +246,50 @@ class LakehouseSpec extends AnyFunSuite {
     }
   }
 
+  // ── Incremental join-view maintenance ──────────────────────────────────
+
+  test("delta join algebra equals the direct full join, corner included") {
+    val got = LakehouseQueries.qIncrJoin(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val orders = Tables.orders(spark, sf)
+      .selectExpr("o_orderkey", "o_custkey",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").collect()
+    val cust = Tables.customer(spark, sf)
+      .selectExpr("c_custkey", "c_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val direct = orders.flatMap { o =>
+      cust.get(o.getLong(1)).map { nat =>
+        (nat, o.getLong(2),
+          if (o.getLong(0) % 10 == 0 || o.getLong(1) % 20 == 0) 1L else 0L)
+      }
+    }.groupBy(_._1).view.mapValues(v =>
+      (v.length.toLong, v.map(_._2).sum, v.map(_._3).sum)).toMap
+    assert(got === direct,
+      "three-way delta decomposition must cover every row exactly once")
+    // and deltas actually contributed
+    assert(got.values.map(_._3).sum > 0)
+  }
+
+  // ── Skew diagnostics ───────────────────────────────────────────────────
+
+  test("skew metrics equal a driver-side recompute of the key histogram") {
+    val r = LakehouseQueries.qSkewMetrics(spark, sf).head()
+    val counts = Tables.lineitem(spark, sf).groupBy($"l_partkey").count()
+      .as[(Long, Long)].collect()
+    val nRows = counts.map(_._2).sum
+    assert(r.getAs[Long]("n_keys") === counts.length.toLong)
+    assert(r.getAs[Long]("n_rows") === nRows)
+    assert(r.getAs[Long]("max_cnt") === counts.map(_._2).max)
+    val top10 = counts.sortBy(c => (-c._2, c._1)).take(10).map(_._2).sum
+    assert(r.getAs[Double]("top10_share_r") ===
+      BigDecimal(top10.toDouble / nRows)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // straggler factors are ≥ 1 by construction
+    assert(r.getAs[Double]("key_skew_factor_r") >= 1.0)
+    assert(r.getAs[Double]("bucket_skew_factor_r") >= 1.0)
+  }
+
   // ── Zone-map pruning ───────────────────────────────────────────────────
 
   test("zone pruning is sound: skipped fragments contain zero matching rows") {
