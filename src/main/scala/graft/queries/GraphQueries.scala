@@ -1249,6 +1249,157 @@ object GraphQueries {
       "FROM bd GROUP BY 1"
   }
 
+  // ── Betweenness centrality (sampled Brandes) ───────────────────────────
+  // The last classic centrality the family lacked: "which nodes sit on
+  // the most shortest paths" — the broker/bottleneck measure, vs
+  // PageRank's endorsement and closeness's reachability. Exact Brandes
+  // runs one BFS per node; the standard estimator (Brandes–Pich 2007)
+  // runs it from pivot seeds only — the same `CentralitySeeds` smallest
+  // ids qCloseness uses, so at 100 TB the seed list just grows.
+  //
+  // Forward phase: synchronous level-by-level BFS carrying σ (the
+  // shortest-path COUNT) — σ(b) at level r is the integer sum of σ over
+  // b's level-(r−1) neighbors; exact BIGINT on both engines. Single-step
+  // rounds (σ accumulation is per-level, so the double-step cadence the
+  // distance-only BFS uses would fuse two frontiers); converged levels
+  // are fixed points, so the fixed `CcRounds` unroll is replay-safe.
+  //
+  // Backward phase: dependency accumulation δ(v) = Σ_w (σv/σw)(1+δ(w))
+  // over v's successors w (neighbors one level deeper). δ is rational,
+  // and a float sum would be partial-aggregation-order-dependent — so δ
+  // is carried in integer MICRO-units with portable floor division
+  // (the qEwma/Holt-Winters integer-state discipline):
+  //   δq(v) = Σ_w (σv·(10⁶ + δq(w)) − mod) / σw,  exact BIGINT.
+  // Each backward level is one join + one keyed aggregate; levels run
+  // from the deepest frontier up. The registered result is the top-20
+  // brokers by accumulated δq across seeds (ties → node asc) — the
+  // ranking a graph-ops team actually consumes.
+  private val BetwMicro = 1000000L
+
+  def qBetweenness(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.IterCheckpoint.IterCheckpointOps
+    val e = supportedEdges(s, d, MinSupport)
+    val sym = e.select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(e.select(col("dst").as("a"), col("src").as("b")))
+      .iterCheckpoint()
+    val nodes = sym.select(col("a").as("node")).distinct()
+    val seeds = nodes.orderBy(col("node").asc).limit(CentralitySeeds)
+      .select(col("node").as("seed"))
+    // (seed, node, dist, sigma): dist null = unreached
+    var st = nodes.crossJoin(broadcast(seeds))
+      .select(col("seed"), col("node"),
+        when(col("node") === col("seed"), 0L).otherwise(lit(null).cast("long"))
+          .as("dist"),
+        when(col("node") === col("seed"), 1L).otherwise(lit(null).cast("long"))
+          .as("sigma"))
+      .iterCheckpoint()
+    // early exit once a round assigns nothing: every later round is a
+    // no-op on BOTH engines (the oracle's surplus unrolled rounds leave
+    // a converged state untouched), so parity survives the shortcut —
+    // rounds drop from the fixed 20 to the graph's eccentricity.
+    var r = 1
+    var growing = true
+    var maxDist = 0
+    while (r <= CcRounds && growing) {
+      val frontier = st.filter(col("dist") === (r - 1))
+        .select(col("seed"), col("node").as("a"), col("sigma").as("fs"))
+      val contrib = sym.join(frontier, Seq("a"))
+        .groupBy(col("seed"), col("b").as("node"))
+        .agg(sum(col("fs")).as("sig"))
+      val obs = new org.apache.spark.sql.Observation(
+        s"betw_fwd_${r}_${System.nanoTime()}")
+      st = st.join(contrib, Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"),
+          when(col("dist").isNotNull, col("dist"))
+            .when(col("sig").isNotNull, lit(r.toLong)).as("dist"),
+          when(col("dist").isNotNull, col("sigma"))
+            .when(col("sig").isNotNull, col("sig")).as("sigma"))
+        .observe(obs, sum(when(col("dist") === r, 1L).otherwise(0L)).as("assigned"))
+        .iterCheckpoint()
+      growing = obs.get("assigned").asInstanceOf[Long] > 0L
+      if (growing) maxDist = r
+      r += 1
+    }
+    // backward: δq per (seed, node), deepest reached level first (levels
+    // beyond maxDist are empty — no-ops the oracle still unrolls)
+    var dq = st.filter(col("dist").isNotNull)
+      .select(col("seed"), col("node"), col("dist"), col("sigma"),
+        lit(0L).as("deltaq"))
+      .iterCheckpoint()
+    for (lev <- maxDist to 1 by -1) {
+      val deeper = dq.filter(col("dist") === lev)
+        .select(col("seed"), col("node").as("b"),
+          col("sigma").as("sw"), col("deltaq").as("dw"))
+      val num = col("sigma") * (lit(BetwMicro) + col("dw"))
+      val c = sym.join(deeper, Seq("b"))
+        .select(col("seed"), col("a").as("node"), col("sw"), col("dw"))
+        .join(dq.filter(col("dist") === (lev - 1))
+          .select(col("seed"), col("node"), col("sigma")), Seq("seed", "node"))
+        .select(col("seed"), col("node"),
+          ((num - pmod(num, col("sw"))) / col("sw")).cast("long").as("dc"))
+        .groupBy(col("seed"), col("node")).agg(sum(col("dc")).as("dsum"))
+      dq = dq.join(c, Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"), col("dist"), col("sigma"),
+          (col("deltaq") + coalesce(col("dsum"), lit(0L))).as("deltaq"))
+        .iterCheckpoint()
+    }
+    dq.filter(col("node") =!= col("seed"))
+      .groupBy(col("node"))
+      .agg(sum(col("deltaq")).as("betw_q"))
+      .orderBy(col("betw_q").desc, col("node").asc)
+      .limit(20)
+      .select(col("node"), col("betw_q"),
+        round(col("betw_q").cast("double") / BetwMicro, 6).as("betweenness_r"))
+  }
+
+  val qBetweennessSql: String = {
+    def fwd(prev: String, r: Int): String =
+      s"SELECT t.seed, t.node, " +
+        s"CASE WHEN t.dist IS NOT NULL THEN t.dist WHEN m.sig IS NOT NULL THEN $r END AS dist, " +
+        "CASE WHEN t.dist IS NOT NULL THEN t.sigma WHEN m.sig IS NOT NULL THEN m.sig END AS sigma " +
+        s"FROM $prev t LEFT JOIN (SELECT x.seed, s.b AS node, " +
+        s"CAST(sum(x.sigma) AS BIGINT) AS sig FROM sym s " +
+        s"JOIN $prev x ON s.a = x.node AND x.dist = ${r - 1} GROUP BY 1, 2) m " +
+        "USING (seed, node)"
+    def bwd(prev: String, lev: Int): String = {
+      val num = s"g.sigma * ($BetwMicro + d.dw)"
+      s"SELECT t.seed, t.node, t.dist, t.sigma, " +
+        "t.deltaq + coalesce(c.dsum, 0) AS deltaq " +
+        s"FROM $prev t LEFT JOIN (" +
+        s"SELECT g.seed, g.node, CAST(sum(($num - ((($num) % d.sw) + d.sw) % d.sw) // d.sw) AS BIGINT) AS dsum " +
+        s"FROM (SELECT seed, node, sigma FROM $prev WHERE dist = ${lev - 1}) g " +
+        "JOIN sym s ON s.a = g.node " +
+        s"JOIN (SELECT seed, node AS b, sigma AS sw, deltaq AS dw FROM $prev " +
+        s"WHERE dist = $lev) d ON d.seed = g.seed AND d.b = s.b " +
+        "GROUP BY 1, 2) c USING (seed, node)"
+    }
+    val fwds = (1 to CcRounds)
+      .map(i => s"f$i AS MATERIALIZED (${fwd(s"f${i - 1}", i)})").mkString(", ")
+    val bwds = (CcRounds to 1 by -1)
+      .map(l => s"b${CcRounds - l} AS MATERIALIZED " +
+        s"(${bwd(if (l == CcRounds) "bini" else s"b${CcRounds - l - 1}", l)})")
+      .mkString(", ")
+    "WITH e AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst " +
+      "FROM lineitem a JOIN lineitem b " +
+      "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+      s"GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= $MinSupport), " +
+      "sym AS MATERIALIZED (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e), " +
+      "nd AS MATERIALIZED (SELECT DISTINCT a AS node FROM sym), " +
+      s"seeds AS (SELECT node AS seed FROM nd ORDER BY node LIMIT $CentralitySeeds), " +
+      "f0 AS MATERIALIZED (SELECT seed, node, " +
+      "CASE WHEN node = seed THEN CAST(0 AS BIGINT) END AS dist, " +
+      "CASE WHEN node = seed THEN CAST(1 AS BIGINT) END AS sigma " +
+      "FROM nd CROSS JOIN seeds), " +
+      fwds + ", " +
+      s"bini AS MATERIALIZED (SELECT seed, node, dist, sigma, " +
+      s"CAST(0 AS BIGINT) AS deltaq FROM f$CcRounds WHERE dist IS NOT NULL), " +
+      bwds + " " +
+      "SELECT node, CAST(sum(deltaq) AS BIGINT) AS betw_q, " +
+      s"round(CAST(sum(deltaq) AS DOUBLE) / $BetwMicro, 6) AS betweenness_r " +
+      s"FROM b${CcRounds - 1} WHERE node <> seed GROUP BY 1 " +
+      "ORDER BY betw_q DESC, node ASC LIMIT 20"
+  }
+
   // ── Link prediction (common-neighbor scoring) ──────────────────────────
   // "Which parts are NOT yet co-purchased but share the most co-purchase
   // neighbors?" — the classic common-neighbors link predictor (the
@@ -1326,6 +1477,7 @@ object GraphQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_communities"  -> qCommunities _,
+    "q_betweenness"  -> qBetweenness _,
     "q_link_predict" -> qLinkPredict _,
     "q_closeness"    -> qCloseness _,
     "q_scc"        -> qScc _,
@@ -1350,6 +1502,7 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "q_communities"  -> qCommunitiesSql,
+    "q_betweenness"  -> qBetweennessSql,
     "q_link_predict" -> qLinkPredictSql,
     "q_closeness"    -> qClosenessSql,
     "q_scc"        -> qSccSql,
