@@ -260,18 +260,19 @@ object LakehouseQueries {
       "(SELECT count(*) FROM orders o WHERE NOT EXISTS " +
       "(SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)) AS childless_orders"
 
-  // ── SCD2 dimension history build ───────────────────────────────────────
-  // The slowly-changing-dimension type-2 construction every warehouse
-  // runs: collapse an event stream into versioned attribute rows
-  // (valid_from / valid_to / version / is_current), one row per VALUE
-  // CHANGE rather than per event. Here: each user's event_type as the
-  // tracked attribute. Two windows, both partitioned by the
+  // ── Attribute-change history build (event-grain SCD2 sibling) ──────────
+  // The companion to Relational.qScd2 (which versions the customer
+  // dimension per order): collapse a raw EVENT stream into versioned
+  // attribute rows (valid_from / valid_to / version / is_current), one
+  // row per VALUE CHANGE rather than per event — the consecutive-dedup
+  // step qScd2 doesn't need (orders are already one version each) but a
+  // high-frequency attribute feed does. Here: each user's event_type. Two windows, both partitioned by the
   // high-cardinality user key (never a global ordering): the first
   // drops runs of the unchanged value (lag), the second stitches the
   // surviving change points into intervals (lead + row_number). At
   // 100 TB this is one shuffle on the dimension key — the history table
   // is change-sized, not event-sized.
-  def qScd2(s: SparkSession, d: String): DataFrame = {
+  def qAttrHistory(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.{Window => W}
     val w = W.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val changes = Tables.events(s, d)
@@ -287,7 +288,7 @@ object LakehouseQueries {
         col("valid_to").isNull.as("is_current"))
   }
 
-  val qScd2Sql: String =
+  val qAttrHistorySql: String =
     "WITH c AS (SELECT user_id, ts, event_id, event_type, " +
       "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev " +
       "FROM events), " +
@@ -417,7 +418,7 @@ object LakehouseQueries {
     "q_merge_upsert"  -> qMergeUpsert _,
     "q_incr_agg"      -> qIncrAgg _,
     "q_ref_integrity" -> qRefIntegrity _,
-    "q_scd2"          -> qScd2 _,
+    "q_attr_history"  -> qAttrHistory _,
     "q_compaction_plan" -> qCompactionPlan _,
     "q_zone_pruning"  -> qZonePruning _,
     "q_incr_join"     -> qIncrJoin _,
@@ -429,7 +430,7 @@ object LakehouseQueries {
     "q_merge_upsert"  -> qMergeUpsertSql,
     "q_incr_agg"      -> qIncrAggSql,
     "q_ref_integrity" -> qRefIntegritySql,
-    "q_scd2"          -> qScd2Sql,
+    "q_attr_history"  -> qAttrHistorySql,
     "q_compaction_plan" -> qCompactionPlanSql,
     "q_zone_pruning"  -> qZonePruningSql,
     "q_incr_join"     -> qIncrJoinSql,

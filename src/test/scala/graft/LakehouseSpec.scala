@@ -194,8 +194,8 @@ class LakehouseSpec extends AnyFunSuite {
 
   // ── SCD2 history build ─────────────────────────────────────────────────
 
-  test("SCD2 versions tile each user's timeline with contiguous intervals") {
-    val rows = LakehouseQueries.qScd2(spark, sf).collect()
+  test("attribute history versions tile each user's timeline contiguously") {
+    val rows = LakehouseQueries.qAttrHistory(spark, sf).collect()
       .groupBy(_.getAs[Long]("user_id"))
     assert(rows.nonEmpty)
     rows.foreach { case (u, vs) =>
