@@ -698,4 +698,29 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"),
       s"pair generation must stay keyed:\n$p")
   }
+
+  test("lakehouse maintenance plans: keyed joins, bounded windows") {
+    // incremental join view: three keyed joins, never a nested loop, and
+    // the delta sides keep their pushed key-slice filters at the scan
+    val ij = plan("q_incr_join")
+    assert(!ij.contains("CartesianProduct") &&
+      !ij.contains("BroadcastNestedLoopJoin"),
+      s"delta algebra must stay equi-keyed:\n$ij")
+    assert(ij.contains("PushedFilters") || ij.contains("partial_"),
+      s"delta slices should reach the scan / rollup should combine:\n$ij")
+    // skew report: one keyed count shuffle + TakeOrdered top-10 — a
+    // global sort of the key histogram would defeat the point
+    val sk = plan("q_skew_metrics")
+    assert(sk.contains("TakeOrderedAndProject"),
+      s"top-10 keys must be TakeOrdered, not a global sort:\n$sk")
+    // compaction planner + attr history: windows exist but only keyed or
+    // manifest-grain — both must come AFTER a partial aggregate so the
+    // window input is rollup-sized (manifest) or change-sized
+    val cp = plan("q_compaction_plan")
+    assert(cp.contains("partial_"),
+      s"manifest rollup must map-side combine before the packing window:\n$cp")
+    val ah = plan("q_attr_history")
+    assert(ah.contains("user_id"),
+      s"history windows must key on user_id:\n$ah")
+  }
 }
