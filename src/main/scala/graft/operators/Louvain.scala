@@ -70,7 +70,13 @@ object Louvain {
   def localMove(we: DataFrame, rounds: Int): DataFrame = {
     val sym = symEdges(we).persist(StorageLevel.MEMORY_AND_DISK)
     val k = weightedDegrees(we).persist(StorageLevel.MEMORY_AND_DISK)
-    val m2df = k.agg(sum(col("k")).as("m2"))
+    // m2 (total volume) is a single bounded scalar, invariant across
+    // rounds AND aggregation levels — collect it once rather than
+    // re-broadcasting a one-row subplan in every round's job. (Measured
+    // neutral at sf0.1 — 12.9 s vs 12.6 s, within min-of-3 noise: the
+    // round cost is the three keyed aggregations, not the broadcast —
+    // kept for the simpler per-round plan.)
+    val m2: Long = k.agg(sum(col("k"))).head().getLong(0)
     var labels = k.select(col("node"), col("node").as("comm")).iterCheckpoint()
     for (r <- 0 until rounds) {
       val vol = labels.join(k, Seq("node"))
@@ -87,9 +93,8 @@ object Louvain {
         .join(vol, Seq("comm"))
         .join(cur, Seq("node"))
         .join(k, Seq("node"))
-        .crossJoin(broadcast(m2df))
         .select(col("node"), col("comm"), col("c0"),
-          (col("m2") * col("k_uc") - col("k") *
+          (lit(m2) * col("k_uc") - col("k") *
             (col("vol") - when(col("comm") === col("c0"), col("k"))
               .otherwise(lit(0L)))).as("score"))
       // argmax(score) tie-broken to the smallest community id, as a plain
