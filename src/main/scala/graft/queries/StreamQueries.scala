@@ -463,7 +463,29 @@ object StreamQueries {
         .select(col("w.start").as("w_start"), col("event_type"), col("n")))
   }
 
+  /** Streaming SCD2 / attribute history == batch q_attr_history: the
+    * custom keyed state (EventStreams.attrHistory) emits closed version
+    * rows once and re-emits the open version per touching micro-batch;
+    * the assembly keeps, per (user, version), the closed row when one
+    * exists (max over the has-valid_to struct — closed rows are unique,
+    * open re-emissions identical), then derives is_current — exactly
+    * the batch builder's output, so qAttrHistorySql is the oracle. */
+  def qStreamScd(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val versions = graft.streaming.EventStreams.attrHistory(
+      eventStream(s, d).as[EventStreams.Event])
+    runToMemory(s, versions.toDF(), OutputMode.Update())
+      .groupBy(col("user_id"), col("version_no"))
+      .agg(max(struct(col("valid_to").isNotNull.as("closed"),
+        col("valid_to"), col("event_type"), col("valid_from"))).as("m"))
+      .select(col("user_id"), col("m.event_type").as("event_type"),
+        col("m.valid_from").as("valid_from"), col("m.valid_to").as("valid_to"),
+        col("version_no"), col("m.valid_to").isNull.as("is_current"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_scd"      -> qStreamScd _,
     "q_stream_upsert"   -> qStreamUpsert _,
     "q_stream_enrich"   -> qStreamEnrich _,
     "q_stream_sliding"  -> qStreamSliding _,
@@ -483,6 +505,7 @@ object StreamQueries {
 
   /** Same ground truth as the batch forms — that is the point. */
   val oracles: Map[String, String] = Map(
+    "q_stream_scd"      -> LakehouseQueries.qAttrHistorySql,
     "q_stream_upsert"   -> qStreamUpsertSql,
     "q_stream_enrich"   -> qStreamEnrichSql,
     "q_stream_sliding"  -> EventQueries.qSlidingWindowSql,

@@ -160,6 +160,63 @@ object EventStreams {
       }
   }
 
+  /** One emitted version row of the streaming attribute history; closed
+    * versions carry their valid_to, the open one re-emits null until a
+    * later change (or never). */
+  case class AttrVersion(user_id: Long, event_type: String,
+      valid_from: Timestamp, valid_to: Option[Timestamp], version_no: Long)
+
+  /** Keyed state for [[attrHistory]] — public: the state encoder's
+    * generated code constructs/reads it reflectively. */
+  case class AttrState(cur_type: String, valid_from: Timestamp,
+      version: Long, last_ts: Timestamp, last_id: Long)
+
+  /** Streaming SCD2 / attribute-change history — the live twin of the
+    * batch `q_attr_history`: per-user keyed state tracks the CURRENT
+    * attribute version (type, valid_from, version counter); each
+    * micro-batch's events for a user are ordered by (ts, event_id)
+    * in-group and folded — a value change CLOSES the open version
+    * (emitting it with its valid_to) and opens the next; unchanged
+    * values only advance the order cursor. State is one tiny record per
+    * user, sharded by the group shuffle; emissions are change-sized.
+    * Events at or before the cursor (cross-batch stragglers) are
+    * dropped — the documented late-data rule (a production variant
+    * buffers within the watermark before folding; the fixture feed is
+    * ts-ordered across batches, so the rule never fires there). The
+    * open version re-emits each touching batch, so consumers keep, per
+    * (user, version), the closed row when one exists — exactly what
+    * StreamQueries' assembly does before the batch oracle compare. */
+  def attrHistory(events: Dataset[Event]): Dataset[AttrVersion] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, AttrVersion](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[AttrState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[AttrVersion]
+          sorted.foreach { e =>
+            if (st == null)
+              st = AttrState(e.event_type, e.ts, 1L, e.ts, e.event_id)
+            else if (e.ts.getTime < st.last_ts.getTime ||
+              (e.ts.getTime == st.last_ts.getTime && e.event_id <= st.last_id)) {
+              // late arrival behind the cursor: drop (documented rule)
+            } else if (e.event_type != st.cur_type) {
+              out += AttrVersion(uid, st.cur_type, st.valid_from,
+                Some(e.ts), st.version)
+              st = AttrState(e.event_type, e.ts, st.version + 1L,
+                e.ts, e.event_id)
+            } else st = st.copy(last_ts = e.ts, last_id = e.event_id)
+          }
+          if (st != null) {
+            state.update(st)
+            out += AttrVersion(uid, st.cur_type, st.valid_from, None, st.version)
+          }
+          out.iterator
+      }
+  }
+
   /** One row of a per-window top-k leaderboard snapshot; `w_total` (the
     * window's total event count, strictly increasing) marks which
     * snapshot is newest, so a last-write-wins consumer can keep the

@@ -464,6 +464,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+  test("streaming attribute history versions match the batch SCD2 builder") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.attrHistory(mem.toDS())
+      .toDF()
+      .writeStream.format("memory").queryName("attr_hist")
+      .outputMode("update").start()
+    try {
+      // batch 1: user 1 changes click→view (two versions), user 2 one
+      // version; DELIBERATELY out of ts order within the batch — the
+      // in-group sort must restore event-time order
+      mem.addData(
+        Event(2L, t(20), 1L, "view", 0.0, "{}"),
+        Event(0L, t(0), 1L, "click", 0.0, "{}"),
+        Event(1L, t(10), 1L, "click", 0.0, "{}"),
+        Event(3L, t(5), 2L, "click", 0.0, "{}"))
+      q.processAllAvailable()
+      // batch 2: user 1 changes again ACROSS the batch boundary (state
+      // must close version 2); user 2 unchanged value → no new version
+      mem.addData(
+        Event(4L, t(30), 1L, "purchase", 0.0, "{}"),
+        Event(5L, t(40), 2L, "click", 0.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // assemble exactly like qStreamScd: per (user, version) keep the
+    // closed row when one exists
+    val rows = spark.table("attr_hist")
+      .groupBy($"user_id", $"version_no")
+      .agg(max(struct($"valid_to".isNotNull.as("closed"), $"valid_to",
+        $"event_type", $"valid_from")).as("m"))
+      .select($"user_id", $"version_no", $"m.event_type", $"m.valid_from",
+        $"m.valid_to")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getTimestamp(3), r.getTimestamp(4)))).toMap
+    assert(rows === Map(
+      (1L, 1L) -> (("click", t(0), t(20))),
+      (1L, 2L) -> (("view", t(20), t(30))),
+      (1L, 3L) -> (("purchase", t(30), null)),
+      (2L, 1L) -> (("click", t(5), null))))
+  }
+
   test("live ProcessingTime trigger: results match AvailableNow and get metered") {
     // every other streaming row verifies via backfill
     // (processAllAvailable); this drives a genuinely LIVE query — a
