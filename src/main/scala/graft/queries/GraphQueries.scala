@@ -1163,7 +1163,11 @@ object GraphQueries {
   private val CentralitySeeds = 4
   private val CentralityLcm = 232792560L // lcm(1..20); dists ≤ rounds = 20
 
-  def qCloseness(s: SparkSession, d: String): DataFrame = {
+  /** The shared multi-source BFS fixpoint over the supported co-purchase
+    * graph: (seed, node, dist) for the `CentralitySeeds` pivots, on the
+    * double-step observed-convergence cadence. Serves qCloseness and
+    * qEffDiameter (the two pivot-sampling distance estimators). */
+  private def seedDistances(s: SparkSession, d: String): DataFrame = {
     import graft.operators.IterCheckpoint.IterCheckpointOps
     val e = supportedEdges(s, d, MinSupport)
     val sym = e.select(col("src").as("a"), col("dst").as("b"))
@@ -1206,7 +1210,11 @@ object GraphQueries {
       dist = next
       rnd += steps
     }
-    val byDist = dist.filter(col("dist").isNotNull)
+    dist
+  }
+
+  def qCloseness(s: SparkSession, d: String): DataFrame = {
+    val byDist = seedDistances(s, d).filter(col("dist").isNotNull)
       .groupBy(col("seed"), col("dist")).agg(count(lit(1)).as("cnt"))
     byDist.groupBy(col("seed"))
       .agg(sum(col("cnt")).as("n_reached"),
@@ -1247,6 +1255,67 @@ object GraphQueries {
       s"round(CAST(sum(CASE WHEN dist > 0 THEN cnt * ($CentralityLcm // dist) " +
       s"ELSE 0 END) AS DOUBLE) / $CentralityLcm, 6) AS harmonic_r " +
       "FROM bd GROUP BY 1"
+  }
+
+  // ── Effective diameter (pivot-sampled distance distribution) ──────────
+  // The graph-scale dial that decides BFS/iteration budgets: pool the
+  // (seed → node) shortest distances from the SAME pivot BFS qCloseness
+  // runs (the ANF/HyperANF estimator shape — more seeds at scale), and
+  // report the pooled distance histogram's summary: max observed
+  // distance (a diameter lower bound), the 90% effective diameter
+  // (smallest d with ≥90% of connected ordered pairs at distance ≤ d —
+  // integer cross-multiplied, no division), and the mean distance. The
+  // only window runs on the ≤20-row distance histogram (the
+  // bounded-frame discipline); everything upstream is the proven BFS.
+  def qEffDiameter(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val hist = seedDistances(s, d)
+      .filter(col("dist").isNotNull && col("dist") > 0)
+      .groupBy(col("dist")).agg(count(lit(1)).as("cnt"))
+    val tot = hist.agg(sum(col("cnt")).as("n_pairs"),
+      max(col("dist")).as("max_dist"),
+      sum(col("dist") * col("cnt")).as("sum_dist"))
+    val w = W.orderBy(col("dist"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val eff = hist.withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") * 10 >= col("n_pairs") * 9)
+      .agg(min(col("dist")).as("eff_diameter_90"))
+    tot.crossJoin(broadcast(eff))
+      .select(col("n_pairs"), col("max_dist"), col("eff_diameter_90"),
+        round(col("sum_dist").cast("double") / col("n_pairs"), 6)
+          .as("mean_dist_r"))
+  }
+
+  val qEffDiameterSql: String = {
+    def iter(prev: String): String =
+      s"SELECT l.seed, l.node, CASE WHEN l.dist IS NOT NULL THEN l.dist " +
+        "ELSE m.mn + 1 END AS dist " +
+        s"FROM $prev l LEFT JOIN (SELECT x.seed, s.b AS node, min(x.dist) AS mn " +
+        s"FROM sym s JOIN $prev x ON s.a = x.node " +
+        "WHERE x.dist IS NOT NULL GROUP BY 1, 2) m USING (seed, node)"
+    val rounds = (1 to CcRounds)
+      .map(i => s"e$i AS MATERIALIZED (${iter(s"e${i - 1}")})").mkString(", ")
+    "WITH e AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst " +
+      "FROM lineitem a JOIN lineitem b " +
+      "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+      s"GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= $MinSupport), " +
+      "sym AS MATERIALIZED (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e), " +
+      "nd AS MATERIALIZED (SELECT DISTINCT a AS node FROM sym), " +
+      s"seeds AS (SELECT node AS seed FROM nd ORDER BY node LIMIT $CentralitySeeds), " +
+      "e0 AS MATERIALIZED (SELECT seed, node, CASE WHEN node = seed " +
+      "THEN CAST(0 AS BIGINT) ELSE NULL END AS dist FROM nd CROSS JOIN seeds), " +
+      rounds + ", " +
+      s"h AS (SELECT dist, CAST(count(*) AS BIGINT) AS cnt FROM e$CcRounds " +
+      "WHERE dist IS NOT NULL AND dist > 0 GROUP BY 1), " +
+      "t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_pairs, max(dist) AS max_dist, " +
+      "CAST(sum(dist * cnt) AS BIGINT) AS sum_dist FROM h), " +
+      "c AS (SELECT dist, CAST(sum(cnt) OVER (ORDER BY dist " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM h), " +
+      "ed AS (SELECT min(dist) AS eff_diameter_90 FROM c, t " +
+      "WHERE cum * 10 >= n_pairs * 9) " +
+      "SELECT n_pairs, max_dist, eff_diameter_90, " +
+      "round(CAST(sum_dist AS DOUBLE) / n_pairs, 6) AS mean_dist_r FROM t, ed"
   }
 
   // ── Betweenness centrality (sampled Brandes) ───────────────────────────
@@ -1478,6 +1547,7 @@ object GraphQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_communities"  -> qCommunities _,
     "q_betweenness"  -> qBetweenness _,
+    "q_eff_diameter" -> qEffDiameter _,
     "q_link_predict" -> qLinkPredict _,
     "q_closeness"    -> qCloseness _,
     "q_scc"        -> qScc _,
@@ -1503,6 +1573,7 @@ object GraphQueries {
   val oracles: Map[String, String] = Map(
     "q_communities"  -> qCommunitiesSql,
     "q_betweenness"  -> qBetweennessSql,
+    "q_eff_diameter" -> qEffDiameterSql,
     "q_link_predict" -> qLinkPredictSql,
     "q_closeness"    -> qClosenessSql,
     "q_scc"        -> qSccSql,

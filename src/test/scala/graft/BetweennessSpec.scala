@@ -75,6 +75,41 @@ class BetweennessSpec extends AnyFunSuite {
     (1L to 4L).foreach(l => assert(b.getOrElse(l, 0L) === 0L, s"leaf $l"))
   }
 
+  test("effective diameter equals a driver-side BFS distance histogram") {
+    val r = graft.queries.GraphQueries.qEffDiameter(spark, sf).head()
+    // rebuild the supported graph + multi-source BFS driver-side
+    val li = Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey", "l_partkey").as[(Long, Long)].collect()
+    val pairs = li.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }
+    val supported = pairs.groupBy(identity).iterator.collect {
+      case (p, occ) if occ.size >= 2 => p
+    }.toSeq
+    val adj = (supported ++ supported.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seeds = adj.keys.toSeq.sorted.take(4)
+    val dists = seeds.flatMap { s =>
+      val dist = scala.collection.mutable.Map(s -> 0L)
+      var frontier = Seq(s)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(adj(_)).distinct.filterNot(dist.contains)
+        val d = dist(frontier.head) + 1
+        next.foreach(dist(_) = d)
+        frontier = next
+      }
+      dist.values.filter(_ > 0)
+    }
+    assert(r.getAs[Long]("n_pairs") === dists.size.toLong)
+    assert(r.getAs[Long]("max_dist") === dists.max)
+    val sorted = dists.sorted
+    val eff = sorted((dists.size * 9 + 9) / 10 - 1) // smallest d covering ≥90%
+    assert(r.getAs[Long]("eff_diameter_90") === eff)
+    assert(r.getAs[Long]("eff_diameter_90") <= r.getAs[Long]("max_dist"))
+  }
+
   test("fixture run matches the driver reference on the co-purchase graph") {
     val got = graft.queries.GraphQueries.qBetweenness(spark, sf)
       .select($"node", $"betw_q").as[(Long, Long)].collect().toMap
