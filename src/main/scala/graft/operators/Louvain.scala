@@ -132,9 +132,14 @@ object Louvain {
   def cluster(we: DataFrame, rounds: Int = 4): DataFrame = {
     val l1 = localMove(we, rounds).persist(StorageLevel.MEMORY_AND_DISK)
     val l2 = localMove(aggregateGraph(we, l1), rounds)
+    // materialize the projection join eagerly so l1's cache can be
+    // released here instead of lingering for the session lifetime
+    // (mirrors how localMove unpersists sym/k after its rounds)
     val out = l1.join(l2.select(col("node").as("comm"), col("comm").as("final")),
         Seq("comm"))
       .select(col("node"), col("final").as("comm"))
+      .iterCheckpoint()
+    l1.unpersist(false)
     out
   }
 

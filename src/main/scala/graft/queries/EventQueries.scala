@@ -1628,7 +1628,10 @@ object EventQueries {
 
   val qHoltWintersSql: String = {
     def fd(a: String, dd: Int) = s"((($a) - ((($a) % $dd) + $dd) % $dd) // $dd)"
-    val sold = "CASE d.x % 7 " +
+    // ((x % 7) + 7) % 7, not raw %: DuckDB % is negative for day indexes
+    // before the 2024-01-01 epoch, which would match no WHEN and poison
+    // the recursive state with NULLs (Spark-side pmod is always >= 0)
+    val sold = "CASE ((d.x % 7) + 7) % 7 " +
       (0 until 7).map(j => s"WHEN $j THEN r.s$j").mkString(" ") + " END"
     // helper layers (sold → lnew → bnew/snew) so each sub-expression is
     // spelled once; the recursive member may reference `rec` only once,
@@ -1638,7 +1641,7 @@ object EventQueries {
         s"${fd("lnew - l + 3 * b", 4)} AS bnew FROM (" +
         s"SELECT w1.*, ${fd("c - sold + l + b", 2)} AS lnew FROM (" +
         "SELECT r.nxt, r.l, r.b, r.s0, r.s1, r.s2, r.s3, r.s4, r.s5, r.s6, " +
-        s"r.sabs, r.n, d.c, d.x % 7 AS ix, $sold AS sold " +
+        s"r.sabs, r.n, d.c, ((d.x % 7) + 7) % 7 AS ix, $sold AS sold " +
         "FROM rec r JOIN dr d ON d.rn = r.nxt + 1) w1) w2"
     val supd = (0 until 7)
       .map(j => s"CASE WHEN ix = $j THEN snew ELSE s$j END").mkString(", ")

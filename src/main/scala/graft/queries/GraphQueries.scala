@@ -1345,14 +1345,19 @@ object GraphQueries {
   // ranking a graph-ops team actually consumes.
   private val BetwMicro = 1000000L
 
-  def qBetweenness(s: SparkSession, d: String): DataFrame = {
+  def qBetweenness(s: SparkSession, d: String): DataFrame =
+    betweennessOnEdges(supportedEdges(s, d, MinSupport), CentralitySeeds)
+
+  /** Edge-parameterized core of [[qBetweenness]] — public so specs can
+    * drive the DISTRIBUTED operator over hand-built closed-form graphs
+    * (path, star) instead of only the parquet fixture. */
+  def betweennessOnEdges(e: DataFrame, nSeeds: Int): DataFrame = {
     import graft.operators.IterCheckpoint.IterCheckpointOps
-    val e = supportedEdges(s, d, MinSupport)
     val sym = e.select(col("src").as("a"), col("dst").as("b"))
       .unionAll(e.select(col("dst").as("a"), col("src").as("b")))
       .iterCheckpoint()
     val nodes = sym.select(col("a").as("node")).distinct()
-    val seeds = nodes.orderBy(col("node").asc).limit(CentralitySeeds)
+    val seeds = nodes.orderBy(col("node").asc).limit(nSeeds)
       .select(col("node").as("seed"))
     // (seed, node, dist, sigma): dist null = unreached
     var st = nodes.crossJoin(broadcast(seeds))
@@ -1399,13 +1404,17 @@ object GraphQueries {
       val deeper = dq.filter(col("dist") === lev)
         .select(col("seed"), col("node").as("b"),
           col("sigma").as("sw"), col("deltaq").as("dw"))
-      val num = col("sigma") * (lit(BetwMicro) + col("dw"))
+      // `div` (integral division) keeps the quotient exact BIGINT; the
+      // previous (num - pmod(num, sw)) / sw spelled the same value but
+      // Spark's `/` on BIGINTs goes through DOUBLE, losing exactness
+      // once sigma*(1e6+deltaq) exceeds 2^53 on dense graphs. All values
+      // are positive, so truncating div == the oracle's floor `//`.
       val c = sym.join(deeper, Seq("b"))
         .select(col("seed"), col("a").as("node"), col("sw"), col("dw"))
         .join(dq.filter(col("dist") === (lev - 1))
           .select(col("seed"), col("node"), col("sigma")), Seq("seed", "node"))
         .select(col("seed"), col("node"),
-          ((num - pmod(num, col("sw"))) / col("sw")).cast("long").as("dc"))
+          expr(s"(sigma * (${BetwMicro}L + dw)) div sw").as("dc"))
         .groupBy(col("seed"), col("node")).agg(sum(col("dc")).as("dsum"))
       dq = dq.join(c, Seq("seed", "node"), "left")
         .select(col("seed"), col("node"), col("dist"), col("sigma"),

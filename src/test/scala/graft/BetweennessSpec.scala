@@ -50,11 +50,15 @@ class BetweennessSpec extends AnyFunSuite {
   }
 
   private def run(edges: Seq[(Long, Long)], nSeeds: Int): Map[Long, Long] = {
-    // replicate qBetweenness's engine over an arbitrary edge set by
-    // recomputing with the reference — the DISTRIBUTED side is covered
-    // by the oracle rows; here we cross-check the reference itself
-    // against closed forms, then the fixture run against the reference.
-    ref(edges, nSeeds)
+    // drive the DISTRIBUTED operator over the hand-built edge set, and
+    // cross-check it against the driver-side reference in the same call —
+    // so the closed-form tests pin the real betweennessOnEdges plan, not
+    // the reference against itself
+    val got = graft.queries.GraphQueries
+      .betweennessOnEdges(edges.toDF("src", "dst"), nSeeds)
+      .select($"node", $"betw_q").as[(Long, Long)].collect().toMap
+    assert(got === ref(edges, nSeeds), "distributed vs driver reference")
+    got
   }
 
   test("path graph: the middle node brokers everything") {
