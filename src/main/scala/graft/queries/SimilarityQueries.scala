@@ -903,6 +903,16 @@ object SimilarityQueries {
       col("id") +: col("cluster") +: (0 until PqM).map(j =>
         graft.operators.KMeans.argminCluster(
           slice(col("v"), j * PqSub + 1, PqSub), books(j)).as(s"c$j")): _*)
+    ivfPqServe(v, codes, centroids, books)
+  }
+
+  /** The IVF-PQ SERVING path — probes, LUT joins, ADC shortlist, exact
+    * refine — shared verbatim by [[qAnnIvfPq]] (in-query training) and
+    * [[qAnnServe]] (persisted index), so the two are hash-equal by
+    * construction. `v` doubles as query source (id < NumQueries) and
+    * refine store (raw vectors touched only for shortlisted ids). */
+  private def ivfPqServe(v: DataFrame, codes: DataFrame,
+      centroids: DataFrame, books: Seq[DataFrame]): DataFrame = {
     val q = v.filter(col("id") < NumQueries)
     // top-nProbe coarse cells per query, shuffle-free (ivfSearch probe)
     val qScored = graft.operators.KMeans.centroidScores(centroids, col("qv"))
@@ -978,6 +988,75 @@ object SimilarityQueries {
       s"WHERE rnk <= $K"
     sb.toString
   }
+
+  // ── Persisted-index ANN serving (fit once, serve forever) ──────────────
+  // Production ANN never retrains per query: FAISS fits an index once and
+  // serves millions of queries from it. qAnnIvfPq's dominant cost is the
+  // in-query training (~3 s of its 4.1 s at sf0.1); this pair splits it:
+  // fitAnnIndex trains the coarse quantizer + 4 PQ codebooks, encodes the
+  // corpus, and PERSISTS the artifacts to parquet (centroids k=16 rows,
+  // codebooks 4×16 rows, codes = (id, cell, 4 bytes) per vector, plus the
+  // raw-vector refine store — exactly FAISS IndexRefineFlat's layout);
+  // qAnnServe answers the same probes reading ONLY those tables. Doubles
+  // round-trip parquet exactly, and the serving plan is the shared
+  // ivfPqServe, so the result is hash-identical to qAnnIvfPq and the
+  // SAME oracle replay proves it. The index dir is keyed by a fingerprint
+  // of the source file (path+size+mtime), so a regenerated corpus refits
+  // instead of serving stale artifacts. At 100 TB the serve-side scan
+  // reads (cell, 4 code bytes, id) per vector — the 16×-compressed
+  // inverted file — and raw vectors only for the ~PqC shortlisted rows.
+  private def annIndexDir(d: String): java.nio.file.Path = {
+    val src = java.nio.file.Paths.get(d, "embeddings.parquet")
+    val files: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(src)) {
+        val s = java.nio.file.Files.list(src)
+        try { import scala.jdk.CollectionConverters._; s.iterator.asScala.toSeq }
+        finally s.close()
+      } else Seq(src)
+    val fp = files.sortBy(_.toString).map { f =>
+      s"$f:${java.nio.file.Files.size(f)}:" +
+        java.nio.file.Files.getLastModifiedTime(f).toMillis
+    }.mkString("|")
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_ann_index_$h")
+  }
+
+  /** Train + persist the IVF-PQ index artifacts under `dir`. */
+  def fitAnnIndex(s: SparkSession, d: String, dir: String): Unit = {
+    val v = vecs(s, d).select(col("vec_id").as("id"), col("v"))
+    val centroids = graft.operators.KMeans.fit(v, k = IvfK, iterations = IvfIters)
+    val cells = graft.operators.KMeans.assign(v, centroids)
+    val books = graft.operators.KMeans.fitProduct(
+      v, m = PqM, subDim = PqSub, k = PqK, iterations = PqIters)
+    val codes = cells.select(
+      col("id") +: col("cluster") +: (0 until PqM).map(j =>
+        graft.operators.KMeans.argminCluster(
+          slice(col("v"), j * PqSub + 1, PqSub), books(j)).as(s"c$j")): _*)
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    (0 until PqM).foreach(j =>
+      books(j).write.mode("overwrite").parquet(s"$dir/book$j"))
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    v.write.mode("overwrite").parquet(s"$dir/vectors")
+  }
+
+  def qAnnServe(s: SparkSession, d: String): DataFrame = {
+    val dir = annIndexDir(d)
+    if (!java.nio.file.Files.exists(dir.resolve("codes").resolve("_SUCCESS")))
+      fitAnnIndex(s, d, dir.toString)
+    // the RETURNED plan reads only the persisted index tables — no
+    // embeddings scan, no training stage (PlanSpec pins this)
+    ivfPqServe(
+      s.read.parquet(s"$dir/vectors"),
+      s.read.parquet(s"$dir/codes"),
+      s.read.parquet(s"$dir/centroids"),
+      (0 until PqM).map(j => s.read.parquet(s"$dir/book$j")))
+  }
+
+  /** Hash-equal to qAnnIvfPq by construction, so the oracle is the same
+    * full train+serve replay. */
+  val qAnnServeSql: String = qAnnIvfPqSql
 
   // ── int8 scalar quantization under the oracle gate ─────────────────────
   // The 4× storage/scan compression for a 100 TB embedding corpus
@@ -1278,6 +1357,7 @@ object SimilarityQueries {
     "q_cluster_purity" -> qClusterPurity _,
     "q_knn_classify" -> qKnnClassify _,
     "q_ann_ivfpq"      -> qAnnIvfPq _,
+    "q_ann_serve"      -> qAnnServe _,
     "q_ivfpq_recall"   -> qIvfPqRecall _,
     "q_ann_pq"      -> qAnnPq _,
     "q_centroids"   -> qCentroids _,
@@ -1308,6 +1388,7 @@ object SimilarityQueries {
     "q_cluster_purity" -> qClusterPuritySql,
     "q_knn_classify" -> qKnnClassifySql,
     "q_ann_ivfpq"      -> qAnnIvfPqSql,
+    "q_ann_serve"      -> qAnnServeSql,
     "q_ivfpq_recall"   -> qIvfPqRecallSql,
     "q_ann_pq"      -> qAnnPqSql,
   )

@@ -403,4 +403,23 @@ class SimilaritySpec extends AnyFunSuite {
         "refined distances must be non-decreasing in rank")
     }
   }
+
+  test("persisted-index serving equals in-query training bit-for-bit") {
+    val serve = graft.queries.SimilarityQueries.qAnnServe(spark, sf)
+    // the serve plan must read ONLY the persisted index tables: no scan
+    // of the source embeddings, no KMeans training stages
+    val plan = serve.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_ann_index_"),
+      "serve plan should scan the persisted index")
+    assert(!plan.contains("embeddings.parquet"),
+      "serve plan must not rescan the source embeddings")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("qid"), r.getAs[Int]("rnk"))
+    val got = serve.collect().map(r => key(r) ->
+      (r.getAs[Long]("nid"), r.getAs[Double]("dist_r"))).toMap
+    val exp = graft.queries.SimilarityQueries.qAnnIvfPq(spark, sf)
+      .collect().map(r => key(r) ->
+        (r.getAs[Long]("nid"), r.getAs[Double]("dist_r"))).toMap
+    assert(got === exp, "served top-k differs from the trained-in-query top-k")
+  }
 }
