@@ -143,6 +143,52 @@ object Louvain {
     out
   }
 
+  /** How many min-label-propagation rounds the refinement CC runs (and
+    * the oracle unrolls). Pointer jumping makes this O(log diameter);
+    * converged rounds are fixed points, so the engine's early exit and
+    * the oracle's fixed unroll agree (the CC parity rule). */
+  val RefineRounds = 10
+
+  /** Leiden refinement (Traag et al. 2019): split every community of
+    * `labels` into the CONNECTED COMPONENTS of its induced subgraph, so
+    * each refined community is connected by construction — the guarantee
+    * plain Louvain lacks (its synchronous moves can strand a community's
+    * members with no internal path). Refined ids are the min node id of
+    * the component (globally unique — components are disjoint); nodes
+    * with no intra-community edge become singletons. One keyed
+    * edge-filter join + the proven pointer-jumping CC — O(|E|) per
+    * round, no windows, billion-edge-shaped. */
+  def refine(we: DataFrame, labels: DataFrame): DataFrame = {
+    val intra = symEdges(we)
+      .join(labels.select(col("node").as("a"), col("comm").as("ca")), Seq("a"))
+      .join(labels.select(col("node").as("b"), col("comm").as("cb")), Seq("b"))
+      .filter(col("ca") === col("cb"))
+      .select(col("a").as("src"), col("b").as("dst"))
+    val cc = ConnectedComponents.components(intra, maxIterations = RefineRounds)
+    labels.join(cc.select(col("node"), col("comp")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("comp"), col("node")).as("comm"))
+  }
+
+  /** Two-level Louvain with Leiden's refinement phase: local moves →
+    * refine (split disconnected communities) → aggregate ON THE REFINED
+    * partition → local moves on the supergraph → project → final refine.
+    * The closing refinement is what carries the Leiden guarantee to the
+    * OUTPUT: every emitted community induces a connected subgraph
+    * (LouvainSpec asserts it; full Leiden's randomized γ-sampled merge
+    * step is replaced by the deterministic parity local-move rule so the
+    * SQL oracle replays bit-for-bit). */
+  def clusterLeiden(we: DataFrame, rounds: Int = 4): DataFrame = {
+    val l1 = refine(we, localMove(we, rounds))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val l2 = localMove(aggregateGraph(we, l1), rounds)
+    val merged = l1.join(
+        l2.select(col("node").as("comm"), col("comm").as("final")), Seq("comm"))
+      .select(col("node"), col("final").as("comm"))
+    val out = refine(we, merged).iterCheckpoint()
+    l1.unpersist(false)
+    out
+  }
+
   // ── DuckDB oracle replay ──────────────────────────────────────────────
   // The full two-level run unrolled as materialized CTEs. Expects a CTE
   // `we(src, dst, w)` (canonical, self-loops allowed) to exist; emits
@@ -208,5 +254,67 @@ object Louvain {
     sb ++= s"final AS (SELECT l1.node, l2.comm FROM $lvl1 l1 " +
       s"JOIN $last l2 ON l2.node = l1.comm)"
     (sb.toString, "final")
+  }
+
+  /** SQL replay of [[refine]]: intra-community edge filter, then
+    * `RefineRounds` unrolled rounds of the pointer-jumping CC update
+    * (neighbor-min prop + one-hop jump, exactly the engine's two joins
+    * per round; converged rounds are fixed points so the engine's early
+    * exit and this fixed unroll agree). `sym` must hold both directions
+    * of the non-self edges; emits `out(node, comm)`. */
+  def refineSql(p: String, sym: String, labels: String, out: String): String = {
+    val sb = new StringBuilder
+    sb ++= s"${p}isym AS MATERIALIZED (SELECT s.a, s.b FROM $sym s " +
+      s"JOIN $labels la ON la.node = s.a JOIN $labels lb ON lb.node = s.b " +
+      "WHERE la.comm = lb.comm), "
+    sb ++= s"${p}cc0 AS MATERIALIZED (SELECT a AS node, least(a, min(b)) AS comp " +
+      s"FROM ${p}isym GROUP BY a), "
+    for (i <- 1 to RefineRounds) {
+      sb ++= s"${p}nm$i AS (SELECT s.a AS node, min(l.comp) AS ncomp " +
+        s"FROM ${p}isym s JOIN ${p}cc${i - 1} l ON l.node = s.b GROUP BY 1), "
+      sb ++= s"${p}pp$i AS MATERIALIZED (SELECT l.node, " +
+        s"least(l.comp, coalesce(n.ncomp, l.comp)) AS comp " +
+        s"FROM ${p}cc${i - 1} l LEFT JOIN ${p}nm$i n USING (node)), "
+      sb ++= s"${p}cc$i AS MATERIALIZED (SELECT p.node, " +
+        s"least(p.comp, coalesce(j.jcomp, p.comp)) AS comp " +
+        s"FROM ${p}pp$i p LEFT JOIN " +
+        s"(SELECT node AS comp, comp AS jcomp FROM ${p}pp$i) j USING (comp)), "
+    }
+    sb ++= s"$out AS MATERIALIZED (SELECT l.node, coalesce(c.comp, l.node) AS comm " +
+      s"FROM $labels l LEFT JOIN ${p}cc$RefineRounds c USING (node))"
+    sb.toString
+  }
+
+  /** The full Leiden replay: level-1 moves, refine, aggregate on the
+    * REFINED partition, level-2 moves, project, final refine. Expects
+    * `we`; emits the name of the final (node, comm) CTE. */
+  def clusterLeidenSql(rounds: Int): (String, String) = {
+    val sb = new StringBuilder
+    sb ++= symSql("we", "sym1") + ", " + kSql("we", "sym1", "kk1") + ", "
+    sb ++= "m2 AS MATERIALIZED (SELECT sum(k) AS m2 FROM kk1), "
+    sb ++= "al0 AS MATERIALIZED (SELECT node, node AS comm FROM kk1), "
+    var last = "al0"
+    for (r <- 0 until rounds) {
+      val (sql, next) = roundSql("a", r, r, "sym1", "kk1", "m2")
+      sb ++= sql + ", "
+      last = next
+    }
+    sb ++= refineSql("ra", "sym1", last, "ral") + ", "
+    val lvl1 = "ral"
+    sb ++= s"we2 AS MATERIALIZED (SELECT least(la.comm, lb.comm) AS src, " +
+      s"greatest(la.comm, lb.comm) AS dst, sum(w) AS w FROM we e " +
+      s"JOIN $lvl1 la ON la.node = e.src JOIN $lvl1 lb ON lb.node = e.dst GROUP BY 1, 2), "
+    sb ++= symSql("we2", "sym2") + ", " + kSql("we2", "sym2", "kk2") + ", "
+    sb ++= "bl0 AS MATERIALIZED (SELECT node, node AS comm FROM kk2), "
+    last = "bl0"
+    for (r <- 0 until rounds) {
+      val (sql, next) = roundSql("b", r, r, "sym2", "kk2", "m2")
+      sb ++= sql + ", "
+      last = next
+    }
+    sb ++= s"mrg AS MATERIALIZED (SELECT l1.node, l2.comm FROM $lvl1 l1 " +
+      s"JOIN $last l2 ON l2.node = l1.comm), "
+    sb ++= refineSql("rb", "sym1", "mrg", "leidenfinal")
+    (sb.toString, "leidenfinal")
   }
 }

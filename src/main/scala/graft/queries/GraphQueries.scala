@@ -1553,8 +1553,38 @@ object GraphQueries {
       s"SELECT comm AS community, count(*) AS n_nodes FROM $fin GROUP BY 1"
   }
 
+  // ── Leiden-refined communities (connectivity-guaranteed) ───────────────
+  // Louvain can emit internally DISCONNECTED communities (Traag et al.
+  // 2019 measure up to 25% of them defective on real graphs); Leiden's
+  // refinement phase is the standard fix. q_communities_leiden runs the
+  // same deterministic two-level scaffold with a refinement after each
+  // level: every community is split into the connected components of its
+  // induced subgraph (operators/Louvain.refine — the proven
+  // pointer-jumping CC over intra-community edges), so every emitted
+  // community induces a connected subgraph BY CONSTRUCTION (LouvainSpec
+  // asserts it on the fixture + a hand-built defective case). Census
+  // output like q_communities so the oracle hash pins the partition.
+  def qCommunitiesLeiden(s: SparkSession, d: String): DataFrame = {
+    val we = supportedEdges(s, d, MinSupport).withColumn("w", lit(1L))
+    graft.operators.Louvain.clusterLeiden(we, rounds = LouvainRounds)
+      .groupBy(col("comm").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+  }
+
+  val qCommunitiesLeidenSql: String = {
+    val (ctes, fin) = graft.operators.Louvain.clusterLeidenSql(LouvainRounds)
+    "WITH op AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM lineitem GROUP BY 1, 2), " +
+      "we AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst, " +
+      "CAST(1 AS BIGINT) AS w FROM op a " +
+      "JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+      s"GROUP BY 1, 2 HAVING count(*) >= $MinSupport), " +
+      ctes + " " +
+      s"SELECT comm AS community, count(*) AS n_nodes FROM $fin GROUP BY 1"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_communities"  -> qCommunities _,
+    "q_communities_leiden" -> qCommunitiesLeiden _,
     "q_betweenness"  -> qBetweenness _,
     "q_eff_diameter" -> qEffDiameter _,
     "q_link_predict" -> qLinkPredict _,
@@ -1581,6 +1611,7 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "q_communities"  -> qCommunitiesSql,
+    "q_communities_leiden" -> qCommunitiesLeidenSql,
     "q_betweenness"  -> qBetweennessSql,
     "q_eff_diameter" -> qEffDiameterSql,
     "q_link_predict" -> qLinkPredictSql,

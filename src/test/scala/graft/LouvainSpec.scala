@@ -115,6 +115,85 @@ class LouvainSpec extends AnyFunSuite {
     assert(q > 0.4, s"planted 4-community structure should score well: $q")
   }
 
+  /** Driver-side connectivity check: every community of `labels` must
+    * induce a connected subgraph of `edges`. */
+  private def disconnectedComms(edges: Seq[(Long, Long, Long)],
+      labels: Map[Long, Long]): Set[Long] = {
+    val adj = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq((e._1, e._2), (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    labels.toSeq.groupBy(_._2).collect { case (comm, members0) =>
+      val members = members0.map(_._1).toSet
+      val seen = scala.collection.mutable.Set(members.head)
+      var frontier = Set(members.head)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+          .intersect(members).diff(seen)
+        seen ++= frontier
+      }
+      (comm, seen.size == members.size)
+    }.collect { case (comm, ok) if !ok => comm }.toSet
+  }
+
+  test("refine splits an internally disconnected community") {
+    // hand-built defective partition: {0,1,2,3} labeled one community but
+    // the induced subgraph is two disjoint edges; node 4 shares the label
+    // with no intra edge at all
+    val edges = Seq((0L, 1L, 1L), (2L, 3L, 1L), (4L, 5L, 1L))
+    val we = edges.toDF("src", "dst", "w")
+    val bad = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (5L, 9L))
+      .toDF("node", "comm")
+    val refined = Louvain.refine(we, bad).as[(Long, Long)].collect().toMap
+    // components of community 0: {0,1} → 0, {2,3} → 2, {4} → singleton
+    assert(refined(0L) === 0L && refined(1L) === 0L)
+    assert(refined(2L) === 2L && refined(3L) === 2L)
+    assert(refined(4L) === 4L, "no-intra-edge member becomes a singleton")
+    assert(refined(5L) === 5L, "lone-member community refines to itself")
+    assert(disconnectedComms(edges, refined).isEmpty)
+    // a partition that is already all-connected is a fixed point
+    val again = Louvain.refine(we, refined.toSeq.toDF("node", "comm"))
+      .as[(Long, Long)].collect().toMap
+    assert(again === refined)
+  }
+
+  test("clusterLeiden: every emitted community induces a connected subgraph") {
+    def h(a: Long, b: Long): Long = {
+      var x = a * 2654435761L + b * 40503L
+      x ^= x >>> 16; x *= 0x45d9f3bL; x ^= x >>> 16; math.abs(x)
+    }
+    val edges = (for {
+      a <- 0L until 40L; b <- (a + 1) until 40L
+      sameGroup = a / 10 == b / 10
+      keep = if (sameGroup) h(a, b) % 10 < 7 else h(a, b) % 100 < 2
+      if keep
+    } yield (a, b, 1L + h(b, a) % 3)).toSeq
+    val got = Louvain.clusterLeiden(edges.toDF("src", "dst", "w"), rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet === (0L until 40L).toSet, "every node labeled once")
+    assert(disconnectedComms(edges, got).isEmpty,
+      "Leiden guarantee: no internally disconnected community")
+    // refinement must not wreck quality: still beats the degenerate
+    // partitions on modularity
+    val q = modularity(edges, got)
+    val qSingleton = modularity(edges, (0L until 40L).map(n => n -> n).toMap)
+    val qOne = modularity(edges, (0L until 40L).map(n => n -> 0L).toMap)
+    assert(q > qSingleton && q > qOne, s"q=$q singleton=$qSingleton one=$qOne")
+    assert(q > 0.4, s"planted structure should survive refinement: $q")
+    // and on the two-clique graph Leiden finds the same PARTITION as
+    // Louvain (already connected — refinement only relabels each
+    // community to its min member id)
+    def parts(m: Map[Long, Long]): Set[Set[Long]] =
+      m.toSeq.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    val tc = Louvain.clusterLeiden(twoCliques.toDF("src", "dst", "w"), rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(parts(tc) === parts(
+      Louvain.cluster(twoCliques.toDF("src", "dst", "w"), rounds = 4)
+        .as[(Long, Long)].collect().toMap))
+    // Leiden labels are canonical: each community labeled by a member
+    tc.groupBy(_._2).foreach { case (comm, members) =>
+      assert(members.keySet.contains(comm), s"label $comm not a member") }
+  }
+
   test("self-loops from aggregation carry their volume (m2 invariant)") {
     // aggregate the two-clique graph by a coarse labeling and check the
     // supergraph's total volume equals the original
