@@ -506,6 +506,69 @@ class StreamingSpec extends AnyFunSuite {
       (2L, 1L) -> (("click", t(5), null))))
   }
 
+  test("RocksDB state store: attrHistory results and metering match the default store") {
+    // all other streaming rows run on the default (HDFS-backed in-memory)
+    // state store; the 100 TB deployment answer for large state is the
+    // RocksDB provider. Run the heaviest stateful query under BOTH
+    // providers and assert byte-identical results + StreamMetrics parity,
+    // with query-progress evidence that RocksDB was actually engaged.
+    implicit val sqlCtx = spark.sqlContext
+    val feed = Seq(
+      Seq(Event(2L, t(20), 1L, "view", 0.0, "{}"),
+        Event(0L, t(0), 1L, "click", 0.0, "{}"),
+        Event(1L, t(10), 1L, "click", 0.0, "{}"),
+        Event(3L, t(5), 2L, "click", 0.0, "{}")),
+      Seq(Event(4L, t(30), 1L, "purchase", 0.0, "{}"),
+        Event(5L, t(40), 2L, "click", 0.0, "{}")))
+    def runOnce(qname: String): (Map[(Long, Long), (String, Timestamp, Timestamp)],
+        graft.streaming.StreamMetrics.QueryStats, Set[String]) = {
+      val meter = graft.streaming.StreamMetrics.attach(spark)
+      val mem = MemoryStream[Event]
+      val q = EventStreams.attrHistory(mem.toDS()).toDF()
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("update").start()
+      val stateMetricKeys =
+        try {
+          feed.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+          q.recentProgress.flatMap(p => p.stateOperators.flatMap(
+            _.customMetrics.keySet().toArray.map(_.toString))).toSet
+        } finally q.stop()
+      val deadline = System.currentTimeMillis() + 30000
+      while (!meter.statsFor(qname).exists(_.terminated) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      spark.streams.removeListener(meter)
+      val rows = spark.table(qname)
+        .groupBy($"user_id", $"version_no")
+        .agg(max(struct($"valid_to".isNotNull.as("closed"), $"valid_to",
+          $"event_type", $"valid_from")).as("m"))
+        .select($"user_id", $"version_no", $"m.event_type", $"m.valid_from",
+          $"m.valid_to")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getString(2), r.getTimestamp(3), r.getTimestamp(4)))).toMap
+      (rows, meter.statsFor(qname).get, stateMetricKeys)
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    val (baseRows, baseStats, _) = runOnce("scd_store_default")
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val (rocksRows, rocksStats, rocksMetrics) =
+      try runOnce("scd_store_rocksdb")
+      finally prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    assert(rocksMetrics.exists(_.toLowerCase.contains("rocksdb")),
+      s"RocksDB provider not engaged — state metrics: $rocksMetrics")
+    assert(rocksRows === baseRows,
+      "attrHistory results must be provider-independent")
+    assert(rocksRows.nonEmpty && rocksRows((1L, 3L))._1 === "purchase")
+    assert(rocksStats.inputRows === baseStats.inputRows)
+    assert(rocksStats.maxBatchRows === baseStats.maxBatchRows)
+    assert(rocksStats.terminated && baseStats.terminated)
+  }
+
   test("live ProcessingTime trigger: results match AvailableNow and get metered") {
     // every other streaming row verifies via backfill
     // (processAllAvailable); this drives a genuinely LIVE query — a
