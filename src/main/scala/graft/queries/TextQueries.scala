@@ -1004,6 +1004,187 @@ object TextQueries {
       "sum(length(w)), 6) AS symbols_per_char FROM enc GROUP BY 1"
   }
 
+  // ── Unigram-LM (SentencePiece-style) tokenizer training ────────────────
+  // The other tokenizer-training family next to BPE (q_bpe_train): Kudo
+  // 2018's unigram language model, in its deterministic hard-EM (Viterbi)
+  // form so a SQL oracle replays it bit-for-bit. Seed vocabulary = every
+  // observed character plus the top-`UlmMulti` substrings (≤ UlmMaxPiece
+  // chars) by corpus weight; then `UlmEmRounds` rounds of: E-step —
+  // Viterbi-segment every word under integer micro-nat piece costs (the
+  // q_lm_score quantization discipline: one rounded libm ln per piece
+  // per round, all comparisons exact BIGINT), M-step — re-score pieces
+  // from their usage counts (unused pieces get a floor cost, keeping the
+  // vocab fixed and coverage guaranteed since every char stays present).
+  // The per-word DP runs entirely inside array expressions (aggregate/
+  // transform/filter over a match list) — corpus-keyed, zero shuffle
+  // beyond the word-frequency and count aggregations, vocab-sized state
+  // broadcast as a map literal (the KMeans bounded-collect precedent).
+  // Viterbi ties break deterministically by encoding (cost, start) into
+  // one BIGINT: key = cost*16 + s (s < 16 — words are capped at
+  // UlmMaxWLen=12 chars), so min(key) prefers the LONGER piece on equal
+  // cost; the oracle's backtrace uses the same encoding. At 100 TB the
+  // plan is one token-count shuffle + per-round (projection + vocab-
+  // sized aggregation) — model state never grows with the corpus.
+  private val UlmMaxWLen = 12
+  private val UlmMaxPiece = 4
+  private val UlmMulti = 64
+  private val UlmEmRounds = 2
+  private val UlmFloor = 30000000L
+  private val UlmInf = 1000000000000000L
+  private val UlmTop = 40
+
+  private def ulmWords(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) <= UlmMaxWLen)
+      .groupBy(col("word")).agg(count(lit(1)).as("wfreq"))
+
+  /** One Viterbi E-step: segment every word under `vocab` (piece →
+    * integer micro-nat cost) and return (piece, cnt) usage counts. */
+  private def ulmEStep(words: DataFrame, vocab: Map[String, Long]): DataFrame =
+    words
+      .withColumn("vm", typedlit(vocab))
+      // candidate matches (s, e, cost) — singles guarantee coverage
+      .selectExpr("word", "wfreq",
+        s"""filter(transform(flatten(transform(
+           sequence(0, length(word) - 1), s ->
+             transform(sequence(s + 1, least(s + $UlmMaxPiece, length(word))),
+               e -> named_struct('s', s, 'e', e)))),
+           pe -> named_struct('s', pe.s, 'e', pe.e,
+             'cost', try_element_at(vm, substring(word, pe.s + 1, pe.e - pe.s)))),
+           m -> m.cost IS NOT NULL) AS ms""")
+      // forward DP: best(p) = min cost of segmenting the first p chars
+      .selectExpr("word", "wfreq", "ms",
+        s"""aggregate(sequence(1, length(word)),
+           concat(array(CAST(0 AS BIGINT)),
+             array_repeat(CAST($UlmInf AS BIGINT), length(word))),
+           (acc, p) -> transform(acc, (v, i) -> CASE WHEN i = p THEN
+             coalesce(array_min(transform(filter(ms, m -> m.e = p),
+               m -> element_at(acc, m.s + 1) + m.cost)),
+               CAST($UlmInf AS BIGINT)) ELSE v END)) AS best""")
+      // backtrace: walk from the end choosing min (cost*16 + s) — the
+      // deterministic tie-break shared with the oracle
+      .selectExpr("word", "wfreq",
+        s"""aggregate(sequence(1, length(word)),
+           named_struct('pos', length(word),
+             'ps', CAST(array() AS ARRAY<STRING>)),
+           (st, x) -> CASE WHEN st.pos > 0 THEN named_struct(
+             'pos', CAST(array_min(transform(filter(ms, m -> m.e = st.pos),
+               m -> (element_at(best, m.s + 1) + m.cost) * 16 + m.s)) % 16
+               AS INT),
+             'ps', array_append(st.ps, substring(word,
+               CAST(array_min(transform(filter(ms, m -> m.e = st.pos),
+                 m -> (element_at(best, m.s + 1) + m.cost) * 16 + m.s)) % 16
+                 AS INT) + 1,
+               st.pos - CAST(array_min(transform(filter(ms, m -> m.e = st.pos),
+                 m -> (element_at(best, m.s + 1) + m.cost) * 16 + m.s)) % 16
+                 AS INT))))
+             ELSE st END).ps AS pieces""")
+      .select(col("wfreq"), explode(col("pieces")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wfreq")).cast("long").as("cnt"))
+
+  /** Quantized score table from counts: cost = round(−ln(cnt/tot)·1e6)
+    * computed IN SPARK (bounded vocab-sized result, then collected). */
+  private def ulmScore(counts: DataFrame): DataFrame =
+    counts.crossJoin(broadcast(counts.agg(sum(col("cnt")).as("tot"))))
+      .select(col("piece"),
+        round(-log(col("cnt").cast("double") / col("tot").cast("double")) *
+          lit(1000000.0)).cast("long").as("cost"))
+
+  private def collectVocab(df: DataFrame): Map[String, Long] =
+    df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  def qUnigramLm(s: SparkSession, d: String): DataFrame = {
+    val words = ulmWords(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // seed: all substrings ≤ UlmMaxPiece chars weighted by word freq
+    val seed = words
+      .select(col("word"), col("wfreq"), explode(expr(
+        s"""flatten(transform(sequence(0, length(word) - 1), s ->
+           transform(sequence(s + 1, least(s + $UlmMaxPiece, length(word))),
+             e -> named_struct('s', s, 'e', e))))""")).as("pe"))
+      .select(expr("substring(word, pe.s + 1, pe.e - pe.s)").as("piece"),
+        col("wfreq"))
+      .groupBy(col("piece")).agg(sum(col("wfreq")).cast("long").as("cnt"))
+    val singles = seed.filter(length(col("piece")) === 1)
+    val multis = seed.filter(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(UlmMulti)
+    val vsel = singles.unionAll(multis)
+    var vocab = collectVocab(ulmScore(vsel))
+    var counts: DataFrame = null
+    for (_ <- 1 to UlmEmRounds) {
+      counts = ulmEStep(words, vocab)
+      // M-step: rescore used pieces, floor the unused (vocab stays fixed)
+      val rescored = vsel.select(col("piece"))
+        .join(ulmScore(counts).withColumnRenamed("cost", "c2"), Seq("piece"), "left")
+        .select(col("piece"), coalesce(col("c2"), lit(UlmFloor)).as("cost"))
+      vocab = collectVocab(rescored)
+    }
+    val out = counts
+      .crossJoin(broadcast(counts.agg(sum(col("cnt")).as("tot"))))
+      .select(col("piece"), col("cnt").as("n_uses"),
+        round(-log(col("cnt").cast("double") / col("tot").cast("double")) *
+          lit(1000000.0)).cast("long").as("lp_micro"))
+      .orderBy(col("n_uses").desc, col("piece").asc).limit(UlmTop)
+    words.unpersist(false)
+    out
+  }
+
+  val qUnigramLmSql: String = {
+    // one E-step as recursive-CTE DP + backtrace; `vocab$r(piece, cost)`
+    // must exist; defines cnt$r(piece, cnt)
+    def eStep(r: Int): String = {
+      val (wm, dp, dpf, bt, cnt) = (s"wm$r", s"dp$r", s"dpf$r", s"bt$r", s"cnt$r")
+      s"$wm AS (SELECT c.word, any_value(c.wfreq) AS wfreq, " +
+        "CAST(any_value(length(c.word)) AS INT) AS len, " +
+        "list(struct_pack(s := c.s, e := c.e, cost := v.cost) ORDER BY c.e, c.s) AS ms " +
+        s"FROM cand c JOIN vocab$r v USING (piece) GROUP BY c.word), " +
+      s"$dp AS (SELECT word, wfreq, len, ms, 0 AS p, [CAST(0 AS BIGINT)] AS best FROM $wm " +
+        "UNION ALL SELECT word, wfreq, len, ms, p + 1, " +
+        "list_append(best, coalesce(list_min(list_transform(" +
+        "list_filter(ms, m -> m.e = p + 1), m -> best[m.s + 1] + m.cost)), " +
+        s"CAST($UlmInf AS BIGINT))) FROM $dp WHERE p < len), " +
+      s"$dpf AS (SELECT word, wfreq, len, ms, best FROM $dp WHERE p = len), " +
+      s"$bt AS (SELECT word, wfreq, ms, best, len AS pos, CAST(NULL AS VARCHAR) AS piece FROM $dpf " +
+        "UNION ALL SELECT word, wfreq, ms, best, CAST(k % 16 AS INT) AS pos, " +
+        "substr(word, CAST(k % 16 AS INT) + 1, oldpos - CAST(k % 16 AS INT)) AS piece " +
+        "FROM (SELECT word, wfreq, ms, best, pos AS oldpos, " +
+        "list_min(list_transform(list_filter(ms, m -> m.e = pos), " +
+        s"m -> (best[m.s + 1] + m.cost) * 16 + m.s)) AS k FROM $bt WHERE pos > 0) z), " +
+      s"$cnt AS MATERIALIZED (SELECT piece, CAST(sum(wfreq) AS BIGINT) AS cnt " +
+        s"FROM $bt WHERE piece IS NOT NULL GROUP BY 1)"
+    }
+    def mStep(r: Int): String =
+      s"t$r AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM cnt$r), " +
+      s"vocab${r + 1} AS MATERIALIZED (SELECT v.piece, " +
+        s"CASE WHEN c.cnt IS NULL THEN CAST($UlmFloor AS BIGINT) " +
+        "ELSE CAST(round(-ln(CAST(c.cnt AS DOUBLE) / t.tot) * 1000000.0) AS BIGINT) END AS cost " +
+        s"FROM vocab1 v LEFT JOIN cnt$r c USING (piece), t$r t)"
+    "WITH RECURSIVE words AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS wfreq " +
+      s"FROM (SELECT unnest($sqlToks) AS word FROM documents) " +
+      s"WHERE length(word) <= $UlmMaxWLen GROUP BY 1), " +
+      "c1 AS (SELECT word, wfreq, " +
+      "unnest(generate_series(0, CAST(length(word) AS INT) - 1)) AS s FROM words), " +
+      "c2 AS (SELECT word, wfreq, s, " +
+      s"unnest(generate_series(s + 1, least(s + $UlmMaxPiece, CAST(length(word) AS INT)))) AS e FROM c1), " +
+      "cand AS MATERIALIZED (SELECT word, wfreq, s, e, substr(word, s + 1, e - s) AS piece FROM c2), " +
+      "seed AS (SELECT piece, CAST(sum(wfreq) AS BIGINT) AS cnt FROM cand GROUP BY 1), " +
+      "vsel AS MATERIALIZED (SELECT piece, cnt FROM seed WHERE length(piece) = 1 " +
+      "UNION ALL SELECT piece, cnt FROM (SELECT piece, cnt FROM seed " +
+      s"WHERE length(piece) >= 2 ORDER BY cnt DESC, piece ASC LIMIT $UlmMulti) m), " +
+      "vt AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM vsel), " +
+      "vocab1 AS MATERIALIZED (SELECT piece, " +
+      "CAST(round(-ln(CAST(cnt AS DOUBLE) / t.tot) * 1000000.0) AS BIGINT) AS cost " +
+      "FROM vsel, vt t), " +
+      (1 to UlmEmRounds).map(r =>
+        if (r < UlmEmRounds) eStep(r) + ", " + mStep(r)
+        else eStep(r)).mkString(", ") + ", " +
+      s"tf AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM cnt$UlmEmRounds) " +
+      s"SELECT piece, cnt AS n_uses, " +
+      "CAST(round(-ln(CAST(cnt AS DOUBLE) / t.tot) * 1000000.0) AS BIGINT) AS lp_micro " +
+      s"FROM cnt$UlmEmRounds, tf t " +
+      s"ORDER BY n_uses DESC, piece ASC LIMIT $UlmTop"
+  }
+
   // ── Source vocabulary overlap (corpus comparison matrix) ───────────────
   // Pairwise vocabulary Jaccard between sources — the corpus-drift /
   // provenance-comparison report ("are these two crawls the same
@@ -1278,6 +1459,7 @@ object TextQueries {
     "q_token_bpe"     -> qTokenBpe _,
     "q_bpe_merges"    -> qBpeMerges _,
     "q_bpe_train"     -> qBpeTrain _,
+    "q_unigram_lm"    -> qUnigramLm _,
     "q_bpe_apply"     -> qBpeApply _,
     "q_source_overlap" -> qSourceOverlap _,
     "q_boilerplate"   -> qBoilerplate _,
@@ -1311,6 +1493,7 @@ object TextQueries {
     "q_token_bpe"     -> qTokenBpeSql,
     "q_bpe_merges"    -> qBpeMergesSql,
     "q_bpe_train"     -> qBpeTrainSql,
+    "q_unigram_lm"    -> qUnigramLmSql,
     "q_bpe_apply"     -> qBpeApplySql,
     "q_source_overlap" -> qSourceOverlapSql,
     "q_boilerplate"   -> qBoilerplateSql,

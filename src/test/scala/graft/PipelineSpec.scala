@@ -121,6 +121,69 @@ class PipelineSpec extends AnyFunSuite {
       s"engine merges ${got.toSeq} != reference ${want}")
   }
 
+  test("unigram-LM trainer equals a driver-side reference (Viterbi hard-EM)") {
+    val got = graft.queries.TextQueries.qUnigramLm(spark, sf).collect()
+      .map(r => (r.getAs[String]("piece"), r.getAs[Long]("n_uses"),
+        r.getAs[Long]("lp_micro"))).toSeq
+    // independent reference: seed substring vocab, 2 Viterbi hard-EM
+    // rounds with the cost*16+s tie-break encoding, floor for unused
+    val Inf = 1000000000000000L
+    def q(c: Long, tot: Long): Long =
+      BigDecimal(-math.log(c.toDouble / tot.toDouble) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val wfreq = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    Tables.documents(spark, sf).select("text").collect().foreach { r =>
+      graft.functions.TextFunctions.tokenize(r.getString(0))
+        .filter(_.length <= 12).foreach(w => wfreq(w) += 1L)
+    }
+    val seed = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    for ((w, f) <- wfreq; s <- 0 until w.length;
+         e <- (s + 1) to math.min(s + 4, w.length))
+      seed(w.substring(s, e)) += f
+    val vsel = seed.iterator.filter(_._1.length == 1).toSeq ++
+      seed.iterator.filter(_._1.length >= 2).toSeq
+        .sortBy { case (p, c) => (-c, p) }.take(64)
+    val tot0 = vsel.map(_._2).sum
+    var vocab: Map[String, Long] =
+      vsel.map { case (p, c) => p -> q(c, tot0) }.toMap
+    var counts: Map[String, Long] = Map.empty
+    for (_ <- 1 to 2) {
+      val cnt = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      for ((w, f) <- wfreq) {
+        val L = w.length
+        val best = Array.fill(L + 1)(Inf); best(0) = 0L
+        for (p <- 1 to L) {
+          val opts = (math.max(0, p - 4) until p).flatMap(s =>
+            vocab.get(w.substring(s, p)).map(c => best(s) + c))
+          if (opts.nonEmpty) best(p) = opts.min
+        }
+        var pos = L
+        while (pos > 0) {
+          val k = (math.max(0, pos - 4) until pos).flatMap(s =>
+            vocab.get(w.substring(s, pos))
+              .map(c => (best(s) + c) * 16 + s)).min
+          val s = (k % 16).toInt
+          cnt(w.substring(s, pos)) += f
+          pos = s
+        }
+      }
+      counts = cnt.toMap
+      val tot = counts.values.sum
+      vocab = vocab.keysIterator
+        .map(p => p -> counts.get(p).map(c => q(c, tot)).getOrElse(30000000L))
+        .toMap
+    }
+    val tot2 = counts.values.sum
+    val want = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(40)
+      .map { case (p, c) => (p, c, q(c, tot2)) }
+    assert(got === want, s"engine top-40 != reference")
+    // structural sanity: pieces cover more than single chars
+    assert(got.exists(_._1.length >= 2), "trained vocab should use multi-char pieces")
+  }
+
   test("tokenizer apply equals driver-side encoding with the learned merges") {
     val merges = graft.queries.TextQueries.qBpeTrain(spark, sf).collect()
       .sortBy(_.getAs[Int]("step"))
