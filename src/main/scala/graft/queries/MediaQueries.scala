@@ -574,6 +574,109 @@ object MediaQueries {
       "SELECT media_id, n_frames, total_energy, frame_no AS peak_frame, " +
       "e AS peak_energy FROM r WHERE rn = 1"
 
+  // ── Spectral band energies via fixed-point Goertzel ────────────────────
+  // The per-band half of the audio feature story next to q_media_energy's
+  // broadband frame energy: tone/voicing detection at FIXED frequencies
+  // (DTMF-style) wants per-bin power without a full FFT, and Goertzel is
+  // the standard one-bin recurrence: s[n] = x[n] + 2cos(ω)·s[n−1] − s[n−2],
+  // power = s²[N−1] + s²[N−2] − 2cos(ω)·s[N−1]·s[N−2]. The irrational
+  // coefficient is QUANTIZED to 2^20 fixed point (embedded-DSP practice)
+  // and embedded as the SAME integer literal in both engines — computed
+  // once at class init, so no runtime libm call can diverge — and every
+  // recurrence step floor-divides back down, keeping the whole state
+  // exact BIGINT (the EWMA/Holt-Winters integer-state discipline).
+  // Power's cross term nests the division FIRST (((cq·s1)//2^20)·s2) so
+  // nothing exceeds 2^63 at s ≈ N²·32768. Same narrow-stage shape as the
+  // other media queries: samples never leave their payload's partition;
+  // the only shuffle is the (media, band)-keyed final aggregation.
+  case class BandFrame(media_id: Long, frame_no: Long, band_k: Int, p: Long)
+
+  private val GoertzelN = 50
+  private val GoertzelShift = 1048576L // 2^20 fixed-point scale
+  /** DFT bins k of the 50-sample frame (freq = k·fs/50); cq = the
+    * quantized 2cos(2πk/50) literal shared verbatim with the oracle. */
+  private[graft] val GoertzelBands: Seq[(Int, Long)] = Seq(1, 2, 4, 8).map(k =>
+    k -> Math.round(2.0 * Math.cos(2.0 * Math.PI * k / GoertzelN) *
+      GoertzelShift))
+
+  /** Per-frame, per-band fixed-point Goertzel over LE int16 payload
+    * samples — one streaming pass per frame runs all bands. */
+  def goertzelFrames(rows: Iterator[MediaRow], frameSamples: Int,
+      bands: Seq[(Int, Long)]): Iterator[BandFrame] =
+    rows.flatMap { r =>
+      val b = r.payload
+      val n = b.length / 2
+      (0 until (n + frameSamples - 1) / frameSamples).iterator.flatMap { f =>
+        val lo = f * frameSamples
+        val hi = math.min(lo + frameSamples, n)
+        bands.iterator.map { case (k, cq) =>
+          var s1 = 0L
+          var s2 = 0L
+          var i = lo
+          while (i < hi) {
+            val u = (b(2 * i) & 0xff) | ((b(2 * i + 1) & 0xff) << 8)
+            val v = if (u >= 32768) u - 65536 else u
+            val s0 = v + cq * s1 / GoertzelShift - s2
+            s2 = s1
+            s1 = s0
+            i += 1
+          }
+          BandFrame(r.media_id, f.toLong, k,
+            s1 * s1 + s2 * s2 - cq * s1 / GoertzelShift * s2)
+        }
+      }
+    }
+
+  def qAudioBands(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d).filter(col("meta.kind") === "audio").as[MediaRow]
+      .mapPartitions(rows => goertzelFrames(rows, GoertzelN, GoertzelBands))
+      .toDF()
+      .groupBy(col("media_id"), col("band_k"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("p")).as("band_energy"),
+        max(struct(col("p").as("e"), (-col("frame_no")).as("nf"))).as("pk"))
+      .select(col("media_id"), col("band_k"), col("n_frames"),
+        col("band_energy"), (-col("pk.nf")).as("peak_frame"),
+        col("pk.e").as("peak_energy"))
+  }
+
+  /** The recurrence replayed per (media, frame, band) as a recursive CTE
+    * carrying (s1, s2) integer state through the frame's samples, with
+    * the identical fixed-point literals and floor divisions. */
+  val qAudioBandsSql: String = {
+    val bandRows = GoertzelBands
+      .map { case (k, cq) => s"($k, CAST($cq AS BIGINT))" }.mkString(", ")
+    "WITH RECURSIVE a AS (SELECT doc_id AS media_id, text, " +
+      "octet_length(encode(text)) // 2 AS n FROM documents WHERE doc_id % 3 = 1), " +
+      "sidx AS (SELECT media_id, unnest(generate_series(1, n)) AS i, text " +
+      "FROM a WHERE n > 0), " +
+      s"x AS MATERIALIZED (SELECT media_id, CAST((i - 1) // $GoertzelN AS BIGINT) AS frame_no, " +
+      s"CAST((i - 1) % $GoertzelN AS BIGINT) AS j, " +
+      "CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS smp FROM (" +
+      "SELECT media_id, i, ord(substr(text, CAST(i * 2 - 1 AS INT), 1)) " +
+      "+ 256 * ord(substr(text, CAST(i * 2 AS INT), 1)) AS u FROM sidx) v), " +
+      "fl AS (SELECT media_id, frame_no, CAST(count(*) AS BIGINT) AS flen " +
+      "FROM x GROUP BY 1, 2), " +
+      s"bands(k, cq) AS (VALUES $bandRows), " +
+      "rec AS (SELECT f.media_id, f.frame_no, b.k, b.cq, f.flen, " +
+      "CAST(0 AS BIGINT) AS j, CAST(0 AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2 " +
+      "FROM fl f CROSS JOIN bands b " +
+      "UNION ALL SELECT r.media_id, r.frame_no, r.k, r.cq, r.flen, r.j + 1, " +
+      s"x.smp + (r.cq * r.s1) // $GoertzelShift - r.s2, r.s1 " +
+      "FROM rec r JOIN x ON x.media_id = r.media_id " +
+      "AND x.frame_no = r.frame_no AND x.j = r.j WHERE r.j < r.flen), " +
+      "fin AS (SELECT media_id, frame_no, k, " +
+      s"s1 * s1 + s2 * s2 - ((cq * s1) // $GoertzelShift) * s2 AS p " +
+      "FROM rec WHERE j = flen), " +
+      "r AS (SELECT media_id, k, frame_no, p, " +
+      "row_number() OVER (PARTITION BY media_id, k ORDER BY p DESC, frame_no ASC) AS rn, " +
+      "CAST(count(*) OVER (PARTITION BY media_id, k) AS BIGINT) AS n_frames, " +
+      "CAST(sum(p) OVER (PARTITION BY media_id, k) AS BIGINT) AS band_energy FROM fin) " +
+      "SELECT media_id, CAST(k AS INT) AS band_k, n_frames, band_energy, " +
+      "frame_no AS peak_frame, p AS peak_energy FROM r WHERE rn = 1"
+  }
+
   // ── Scene-change detection, now with a REAL video arm ──────────────────
 
   case class SceneResult(media_id: Long, n_frames: Long, n_cuts: Long,
@@ -734,6 +837,7 @@ object MediaQueries {
     "q_media_thumbs"   -> qMediaThumbs _,
     "q_media_scenes"   -> qMediaScenes _,
     "q_media_energy"   -> qMediaEnergy _,
+    "q_audio_bands"    -> qAudioBands _,
     "q_media_meta"     -> qMediaMeta _,
     "q_media_features" -> qMediaFeatures _,
     "q_media_by_kind"  -> qMediaByKind _,
@@ -745,6 +849,7 @@ object MediaQueries {
     "q_media_thumbs"   -> qMediaThumbsSql,
     "q_media_scenes"   -> qMediaScenesSql,
     "q_media_energy"   -> qMediaEnergySql,
+    "q_audio_bands"    -> qAudioBandsSql,
     "q_media_meta"     -> qMediaMetaSql,
     "q_media_features" -> qMediaFeaturesSql,
     "q_media_by_kind"  -> qMediaByKindSql,

@@ -303,4 +303,43 @@ class MediaSpec extends AnyFunSuite {
       .as[Long].collect().sum
     assert(frames.count() === expected)
   }
+
+  test("Goertzel bands pick out generated pure tones at their bin frequency") {
+    import graft.queries.MediaQueries
+    import graft.queries.MediaQueries.{MediaMeta, MediaRow}
+    // a pure sine at bin k of the 50-sample frame must put (nearly) all
+    // its Goertzel energy into band k — for each k in the band set
+    def toneRow(id: Long, k: Int, nSamples: Int): MediaRow = {
+      val bytes = new Array[Byte](2 * nSamples)
+      for (i <- 0 until nSamples) {
+        val v = math.round(
+          10000.0 * math.sin(2.0 * math.Pi * k * i / 50.0)).toInt
+        val u = if (v < 0) v + 65536 else v
+        bytes(2 * i) = (u & 0xff).toByte
+        bytes(2 * i + 1) = ((u >> 8) & 0xff).toByte
+      }
+      MediaRow(id, bytes, MediaMeta("audio", 0, 0, 16000))
+    }
+    for (k <- Seq(1, 2, 4, 8)) {
+      val frames = MediaQueries.goertzelFrames(
+        Iterator(toneRow(k.toLong, k, 200)), 50, MediaQueries.GoertzelBands)
+        .toSeq
+      assert(frames.size === 4 * 4, "4 full frames x 4 bands")
+      val perBand = frames.groupBy(_.band_k).view.mapValues(_.map(_.p).sum)
+      val own = perBand(k)
+      (Seq(1, 2, 4, 8).toSet - k).foreach { other =>
+        assert(own > 20L * perBand(other),
+          s"tone at bin $k: band $k energy $own should dominate " +
+            s"band $other (${perBand(other)})")
+      }
+    }
+    // frame layout: tail frame is short, empty payload emits nothing
+    val tail = MediaQueries.goertzelFrames(
+      Iterator(toneRow(9L, 4, 60)), 50, MediaQueries.GoertzelBands).toSeq
+    assert(tail.map(_.frame_no).distinct.sorted === Seq(0L, 1L))
+    assert(MediaQueries.goertzelFrames(
+      Iterator(MediaRow(10L, Array.emptyByteArray,
+        MediaMeta("audio", 0, 0, 16000))), 50,
+      MediaQueries.GoertzelBands).isEmpty)
+  }
 }
