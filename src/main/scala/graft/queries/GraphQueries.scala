@@ -815,6 +815,100 @@ object GraphQueries {
       "round(CAST(n_recip AS DOUBLE) / (SELECT count(*) FROM e), 6) AS reciprocity " +
       "FROM r"
 
+  // ── HITS hubs & authorities ────────────────────────────────────────────
+  // Kleinberg's HITS (JACM 1999) over the directed purchase-path graph —
+  // the classic dual of PageRank that the centrality family was missing:
+  // a part is a good HUB if it links to good authorities (it leads
+  // buyers onward), a good AUTHORITY if good hubs link to it. Alternating
+  // power iteration in the repo's exact fixed-point discipline: scores
+  // live in integer micro-units (start 1e6), each half-step is one keyed
+  // O(|E|) join+sum shuffle (never a window over the edge set), and
+  // normalization divides by k = max(score) div 1e6 + 1 with truncating
+  // integer division — every iterate is an exact BIGINT vector, so
+  // iterate T is bit-identical in Spark and the oracle's unrolled CTEs;
+  // no float ever enters the state. Per round the only driver-side value
+  // is the single max scalar (bounded by construction, same as Louvain's
+  // m2); plans re-root each round via iterCheckpoint. Scale bound:
+  // scores ≤ 1e6, so a half-step sum ≤ in-degree · 1e6 — BIGINT-safe to
+  // ~9·10^12 in-links per node.
+  private val HitsIters = 6
+
+  def qHits(s: SparkSession, d: String): DataFrame =
+    hitsScores(purchasePathEdges(s, d), HitsIters)
+
+  /** The alternating fixed-point iteration over any (src, dst) directed
+    * edge frame — separated so specs can pin it on hand graphs. */
+  private[graft] def hitsScores(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def scalarMax(df: DataFrame, c: String): Long = {
+      val r = df.agg(max(col(c))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var hub = nodes.withColumn("h", lit(1000000L))
+    var auth = nodes.withColumn("a", lit(0L))
+    for (_ <- 1 to iters) {
+      val aRaw = nodes.join(
+          e.join(hub.select(col("node").as("src"), col("h")), Seq("src"))
+            .groupBy(col("dst").as("node")).agg(sum(col("h")).as("ar")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("ar"), lit(0L)).as("ar"))
+        .iterCheckpoint()
+      val ka = scalarMax(aRaw, "ar") / 1000000L + 1
+      auth = aRaw.select(col("node"), expr(s"ar div ${ka}L").as("a"))
+        .iterCheckpoint()
+      val hRaw = nodes.join(
+          e.join(auth.select(col("node").as("dst"), col("a")), Seq("dst"))
+            .groupBy(col("src").as("node")).agg(sum(col("a")).as("hr")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("hr"), lit(0L)).as("hr"))
+        .iterCheckpoint()
+      val kh = scalarMax(hRaw, "hr") / 1000000L + 1
+      hub = hRaw.select(col("node"), expr(s"hr div ${kh}L").as("h"))
+        .iterCheckpoint()
+    }
+    // the final frame reads only the checkpointed score tables — release
+    // the edge/node caches now (the Louvain-leak lesson from round 9)
+    val out = hub.join(auth, Seq("node"))
+      .select(col("node"), col("h").as("hub_q"), col("a").as("auth_q"))
+    e.unpersist(); nodes.unpersist()
+    out
+  }
+
+  val qHitsSql: String = {
+    def round(t: Int): String = {
+      val p = if (t == 1) "h0" else s"h${t - 1}"
+      s"ar$t AS MATERIALIZED (SELECT n.node, COALESCE(SUM(h.h), 0) AS ar " +
+        "FROM nodes n " +
+        s"LEFT JOIN e ON e.dst = n.node LEFT JOIN $p h ON h.node = e.src " +
+        "GROUP BY n.node), " +
+        s"ka$t AS (SELECT (MAX(ar) // 1000000) + 1 AS k FROM ar$t), " +
+        s"a$t AS MATERIALIZED (SELECT node, ar // k AS a FROM ar$t, ka$t), " +
+        s"hr$t AS MATERIALIZED (SELECT n.node, COALESCE(SUM(a.a), 0) AS hr " +
+        "FROM nodes n " +
+        s"LEFT JOIN e ON e.src = n.node LEFT JOIN a$t a ON a.node = e.dst " +
+        "GROUP BY n.node), " +
+        s"kh$t AS (SELECT (MAX(hr) // 1000000) + 1 AS k FROM hr$t), " +
+        s"h$t AS MATERIALIZED (SELECT node, hr // k AS h FROM hr$t, kh$t)"
+    }
+    "WITH seq AS (SELECT l_orderkey, l_partkey, " +
+      "lead(l_partkey) OVER (PARTITION BY l_orderkey " +
+      "ORDER BY l_linenumber, l_partkey) AS nxt FROM lineitem), " +
+      "e AS MATERIALIZED (SELECT DISTINCT l_partkey AS src, nxt AS dst " +
+      "FROM seq WHERE nxt IS NOT NULL AND l_partkey % 7 = 0 " +
+      "AND nxt % 7 = 0 AND l_partkey <> nxt), " +
+      "nodes AS MATERIALIZED (SELECT src AS node FROM e " +
+      "UNION SELECT dst FROM e), " +
+      "h0 AS (SELECT node, CAST(1000000 AS HUGEINT) AS h FROM nodes), " +
+      (1 to HitsIters).map(round).mkString(", ") + " " +
+      s"SELECT h.node AS node, CAST(h.h AS BIGINT) AS hub_q, " +
+      s"CAST(a.a AS BIGINT) AS auth_q " +
+      s"FROM h$HitsIters h JOIN a$HitsIters a ON h.node = a.node"
+  }
+
   // ── Temporal edge novelty (graph drift monitor) ────────────────────────
   // Per month: how many distinct co-purchase edges are appearing for the
   // FIRST time vs recurring — the drift signal an incremental dedup/
@@ -1583,6 +1677,7 @@ object GraphQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hits"         -> qHits _,
     "q_communities"  -> qCommunities _,
     "q_communities_leiden" -> qCommunitiesLeiden _,
     "q_betweenness"  -> qBetweenness _,
@@ -1610,6 +1705,7 @@ object GraphQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_hits"         -> qHitsSql,
     "q_communities"  -> qCommunitiesSql,
     "q_communities_leiden" -> qCommunitiesLeidenSql,
     "q_betweenness"  -> qBetweennessSql,

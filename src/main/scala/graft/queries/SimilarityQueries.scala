@@ -1345,7 +1345,264 @@ object SimilarityQueries {
       "round(sqrt(CAST(CAST(n AS HUGEINT) * squ - CAST(su AS HUGEINT) * su AS DOUBLE) / " +
       "CAST(n * n AS DOUBLE)) / 1e6, 6) AS std_r, min_u, max_u FROM m"
 
+  // ── PCA: dominant principal component by fixed-point power iteration ──
+  // The dimensionality-reduction fit next to q_feature_scale's scaler:
+  // the top eigenvector of the embedding covariance matrix, with its
+  // explained-variance share — what a 100 TB pipeline runs before
+  // whitening, compressing, or visualizing its vectors. The architecture
+  // is the standard Spark one (MLlib RowMatrix.computePrincipalComponents
+  // does exactly this split): the O(N) work — accumulating the d×d Gram
+  // matrix — is ONE distributed scan with map-side partial aggregation
+  // (each row emits its d(d+1)/2 upper-triangle products + d linear terms
+  // + a count as (slot, term) pairs from a single flattened-transform
+  // array, so the shuffle carries only slots × partitions rows, never
+  // N×d²), and the O(d²) eigensolve runs on the bounded 2 145-entry
+  // collected matrix — bounded by construction, like KMeans' k-centroid
+  // table. Cross-engine exactness discipline: components quantize to
+  // micro-units at the scan; covariance numerators N·Σxy − Σx·Σy are
+  // exact integers (DECIMAL(38,0) / HUGEINT); the matrix is prescaled by
+  // an integral divisor into ±1e9; and each power-iteration step
+  // normalizes by max-|w| with integer truncating division (spelled
+  // sign·(|w| div k) on both engines), so every iterate is an exact
+  // integer vector and iterate T is bit-identical in Spark, BigInt, and
+  // DuckDB — no float ever enters the state. Convergence (vs the true
+  // eigenvector) is spec-tested; the oracle replays the identical
+  // unrolled iteration.
+  private val PcaDim = 64
+  private val PcaIters = 80
+
+  def qPca(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dd = PcaDim
+    // one scan: quantized vector → (slot, term) pairs for the upper
+    // triangle (slot = i·d+j, j ≥ i), the linear sums (slot = d²+i) and
+    // the row count (slot = d²+d) — all partial-aggregated before the
+    // 2 145-row shuffle
+    val q = transform(col("embedding"),
+      x => round(x.cast("double") * 1e6, 0).cast("long"))
+    val pairTerms = flatten(transform(col("q"), (xi, i) =>
+      transform(slice(col("q"), i + lit(1), lit(dd) - i), (xj, k) =>
+        struct((i * lit(dd) + i + k).as("p"), (xi * xj).as("t")))))
+    val linTerms = transform(col("q"), (x, i) =>
+      struct((lit(dd * dd) + i).as("p"), x.as("t")))
+    val cntTerm = array(struct(lit(dd * dd + dd).as("p"), lit(1L).as("t")))
+    val sums = Tables.embeddings(s, d).select(q.as("q"))
+      .select(explode(concat(pairTerms, linTerms, cntTerm)).as("e"))
+      .groupBy(col("e.p").as("p")).agg(sum(col("e.t").cast(dec)).as("s"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getDecimal(1).toBigInteger)
+      .map { case (p, v) => p -> BigInt(v) }.toMap
+    // bounded driver-side eigensolve over the collected d×d matrix —
+    // exact BigInt, mirroring the oracle's unrolled SQL operation for
+    // operation (truncating division spelled sign·(|x| div k))
+    def tdiv(x: BigInt, k: BigInt): BigInt =
+      if (x < 0) -((-x) / k) else x / k
+    val n = sums(dd * dd + dd)
+    val sv = Array.tabulate(dd)(i => sums.getOrElse(dd * dd + i, BigInt(0)))
+    val cnum = Array.tabulate(dd, dd) { (i, j) =>
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      n * sums.getOrElse(a * dd + b, BigInt(0)) - sv(i) * sv(j)
+    }
+    val g = cnum.flatten.map(_.abs).max / BigInt(1000000000L) + 1
+    val c = cnum.map(_.map(tdiv(_, g)))
+    def matvec(v: Array[BigInt]): Array[BigInt] =
+      Array.tabulate(dd)(i =>
+        (0 until dd).foldLeft(BigInt(0))((a, j) => a + c(i)(j) * v(j)))
+    var v = Array.fill(dd)(BigInt(1000000L))
+    for (_ <- 1 to PcaIters) {
+      val w = matvec(v)
+      val k = w.map(_.abs).max / BigInt(1000000L) + 1
+      v = w.map(tdiv(_, k))
+    }
+    val wf = matvec(v)
+    val rn = (0 until dd).foldLeft(BigInt(0))((a, i) => a + v(i) * wf(i))
+    val rd = (0 until dd).foldLeft(BigInt(0))((a, i) => a + v(i) * v(i))
+    val tr = (0 until dd).foldLeft(BigInt(0))((a, i) => a + c(i)(i))
+    val share =
+      if (rd * tr == 0) None
+      else Some(tdiv(rn * BigInt(1000000L), rd * tr).toLong)
+    import s.implicits._
+    (0 until dd)
+      .map(i => (i.toLong, v(i).toLong, share.map(long2Long).orNull))
+      .toDF("dim", "pc1_q", "ev_share_ppm")
+      .select(col("dim"), col("pc1_q"), col("ev_share_ppm").cast("long"))
+  }
+
+  val qPcaSql: String = {
+    val dd = PcaDim
+    def step(t: Int): String = {
+      val p = if (t == 1) "v0" else s"v${t - 1}"
+      s"w$t AS MATERIALIZED (SELECT m.i AS i, SUM(m.c * v.v) AS w " +
+        s"FROM m JOIN $p v ON m.j = v.i GROUP BY m.i), " +
+        s"k$t AS (SELECT (MAX(ABS(w)) // 1000000) + 1 AS k FROM w$t), " +
+        s"v$t AS MATERIALIZED (SELECT i, CASE WHEN w < 0 THEN -((-w) // k) " +
+        s"ELSE w // k END AS v FROM w$t, k$t)"
+    }
+    s"WITH x AS MATERIALIZED (SELECT vec_id, CAST(pos - 1 AS BIGINT) AS i, " +
+      "CAST(round(CAST(embedding[pos] AS DOUBLE) * 1e6, 0) AS BIGINT) AS xq " +
+      "FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(pos)), " +
+      "nn AS (SELECT count(DISTINCT vec_id) AS n FROM x), " +
+      "sv AS (SELECT i, CAST(sum(xq) AS HUGEINT) AS s FROM x GROUP BY 1), " +
+      "p AS (SELECT a.i AS i, b.i AS j, " +
+      "SUM(CAST(a.xq AS HUGEINT) * b.xq) AS p " +
+      "FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i " +
+      "GROUP BY 1, 2), " +
+      "cq AS MATERIALIZED (SELECT p.i AS i, p.j AS j, " +
+      "CAST(nn.n AS HUGEINT) * p.p - sa.s * sb.s AS cnum " +
+      "FROM p JOIN sv sa ON sa.i = p.i JOIN sv sb ON sb.i = p.j " +
+      "CROSS JOIN nn), " +
+      "gg AS (SELECT (MAX(ABS(cnum)) // 1000000000) + 1 AS g FROM cq), " +
+      "mu AS (SELECT i, j, CASE WHEN cnum < 0 THEN -((-cnum) // g) " +
+      "ELSE cnum // g END AS c FROM cq, gg), " +
+      "m AS MATERIALIZED (SELECT i, j, c FROM mu " +
+      "UNION ALL SELECT j, i, c FROM mu WHERE i < j), " +
+      s"v0 AS (SELECT CAST(range AS BIGINT) AS i, " +
+      s"CAST(1000000 AS HUGEINT) AS v FROM range($dd)), " +
+      (1 to PcaIters).map(step).mkString(", ") + ", " +
+      s"wf AS (SELECT m.i AS i, SUM(m.c * v.v) AS w " +
+      s"FROM m JOIN v$PcaIters v ON m.j = v.i GROUP BY m.i), " +
+      s"ray AS (SELECT SUM(v.v * w.w) AS rn FROM v$PcaIters v " +
+      "JOIN wf w ON v.i = w.i), " +
+      s"rdd AS (SELECT SUM(v * v) AS rd FROM v$PcaIters), " +
+      "trc AS (SELECT SUM(c) AS tr FROM m WHERE i = j) " +
+      s"SELECT v.i AS dim, CAST(v.v AS BIGINT) AS pc1_q, " +
+      "CAST(CASE WHEN rd * tr = 0 THEN NULL " +
+      "WHEN rn < 0 THEN -(((-rn) * 1000000) // (rd * tr)) " +
+      "ELSE (rn * 1000000) // (rd * tr) END AS BIGINT) AS ev_share_ppm " +
+      s"FROM v$PcaIters v CROSS JOIN ray CROSS JOIN rdd CROSS JOIN trc"
+  }
+
+  // ── Grid DBSCAN: density-based clustering with noise ──────────────────
+  // The density-based family next to KMeans (centroid) and Louvain
+  // (graph): cluster = maximal set of connected DENSE grid cells, with
+  // border and noise semantics — the STING/GriDBSCAN-style cell
+  // formulation of DBSCAN (Ester et al., KDD'96) that scales where
+  // point-pairwise ε-joins cannot. Points land in integer grid cells
+  // (floor(x·20) on dims 0–1, cell width 0.05); a cell with ≥ 5 points
+  // is CORE; clusters are connected components over 8-adjacent core
+  // cells (the proven pointer-jumping CC operator, on the CELL graph —
+  // |cells| ≪ N, never a point-pairwise stage); points of a non-core
+  // cell adjacent to a core cell are BORDER (attached to the min
+  // adjacent cluster label — deterministic tie-break); everything else
+  // is NOISE. Every stage is a keyed shuffle on cell coordinates; the
+  // 8-way adjacency is an equi-join on shifted integer keys, not a
+  // range join. Census output is one bounded row per cluster plus one
+  // noise row. The oracle replays the grid, the unrolled min-label CC
+  // (convergence spec-tested), the border attach, and the census.
+  private val DbMinPts = 5
+  private val DbScale = 20 // cell width 1/20 = 0.05 on dims 0-1
+  private val DbOffsets =
+    Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
+
+  def qDbscanGrid(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.IterCheckpoint.IterCheckpointOps
+    val cells = Tables.embeddings(s, d)
+      .select(
+        floor(element_at(col("embedding"), 1).cast("double") * DbScale)
+          .cast("long").as("cx"),
+        floor(element_at(col("embedding"), 2).cast("double") * DbScale)
+          .cast("long").as("cy"))
+      .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cid",
+        (col("cx") + 1000) * 100000 + (col("cy") + 1000))
+      .iterCheckpoint()
+    val core = cells.filter(col("cnt") >= DbMinPts)
+    val offs = explode(array(DbOffsets.map { case (dx, dy) =>
+      struct(lit(dx).as("dx"), lit(dy).as("dy")) }: _*)).as("o")
+    val coreAt = core.select(
+      col("cx").as("nx"), col("cy").as("ny"), col("cid").as("kcid"))
+    val edges = core.select(col("cid").as("src"), col("cx"), col("cy"), offs)
+      .select(col("src"), (col("cx") + col("o.dx")).as("nx"),
+        (col("cy") + col("o.dy")).as("ny"))
+      .join(coreAt, Seq("nx", "ny"))
+      .filter(col("src") < col("kcid"))
+      .select(col("src"), col("kcid").as("dst"))
+    // isolated core cells have no edges — they stay their own cluster
+    val lab = core.select(col("cid"))
+      .join(graft.operators.ConnectedComponents.components(edges)
+        .withColumnRenamed("node", "cid"), Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("comp"), col("cid")).as("comp"))
+    val coreCnt = core.join(lab, Seq("cid"))
+      .groupBy(col("comp").as("cluster"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("cnt")).as("n_core_pts"))
+    val bcells = cells.filter(col("cnt") < DbMinPts)
+      .select(col("cid"), col("cnt"), col("cx"), col("cy"), offs)
+      .select(col("cid"), col("cnt"), (col("cx") + col("o.dx")).as("nx"),
+        (col("cy") + col("o.dy")).as("ny"))
+      .join(coreAt, Seq("nx", "ny"))
+      .join(lab.select(col("cid").as("kcid"), col("comp")), Seq("kcid"))
+      .groupBy(col("cid"), col("cnt"))
+      .agg(min(col("comp")).as("cluster"))
+      .iterCheckpoint()
+    val borderCnt = bcells.groupBy(col("cluster"))
+      .agg(sum(col("cnt")).as("n_border_pts"))
+    val clusters = coreCnt.join(borderCnt, Seq("cluster"), "left")
+      .select(col("cluster"), col("n_cells"), col("n_core_pts"),
+        coalesce(col("n_border_pts"), lit(0L)).as("n_border_pts"),
+        lit(0L).as("n_noise_pts"))
+    val noise = cells.filter(col("cnt") < DbMinPts)
+      .join(bcells.select(col("cid")), Seq("cid"), "left_anti")
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n"))
+      .select(lit(-1L).as("cluster"), lit(0L).as("n_cells"),
+        lit(0L).as("n_core_pts"), lit(0L).as("n_border_pts"),
+        col("n").as("n_noise_pts"))
+    clusters.unionAll(noise)
+  }
+
+  val qDbscanGridSql: String = {
+    val ccRounds = 24
+    def ccIter(prev: String, cur: String): String =
+      s"$cur AS MATERIALIZED (SELECT l.node, " +
+        "LEAST(l.comp, COALESCE(MIN(l2.comp), l.comp)) AS comp " +
+        s"FROM $prev l " +
+        "LEFT JOIN sym s ON s.a = l.node " +
+        s"LEFT JOIN $prev l2 ON l2.node = s.b " +
+        "GROUP BY l.node, l.comp)"
+    val rounds = (1 to ccRounds)
+      .map(i => ccIter(s"l${i - 1}", s"l$i")).mkString(", ")
+    "WITH cells AS MATERIALIZED (SELECT cx, cy, " +
+      "(cx + 1000) * 100000 + (cy + 1000) AS cid, count(*) AS cnt FROM " +
+      s"(SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * $DbScale) AS BIGINT) AS cx, " +
+      s"CAST(floor(CAST(embedding[2] AS DOUBLE) * $DbScale) AS BIGINT) AS cy " +
+      "FROM embeddings) p GROUP BY 1, 2), " +
+      s"core AS MATERIALIZED (SELECT * FROM cells WHERE cnt >= $DbMinPts), " +
+      "offs AS (SELECT dx.range AS dx, dy.range AS dy " +
+      "FROM range(-1, 2) dx, range(-1, 2) dy " +
+      "WHERE NOT (dx.range = 0 AND dy.range = 0)), " +
+      "e AS MATERIALIZED (SELECT a.cid AS src, b.cid AS dst " +
+      "FROM core a CROSS JOIN offs o " +
+      "JOIN core b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy " +
+      "WHERE a.cid < b.cid), " +
+      "sym AS MATERIALIZED (SELECT src AS a, dst AS b FROM e " +
+      "UNION ALL SELECT dst, src FROM e), " +
+      "l0 AS MATERIALIZED (SELECT cid AS node, cid AS comp FROM core), " +
+      rounds + ", " +
+      s"lab AS MATERIALIZED (SELECT node AS cid, comp FROM l$ccRounds), " +
+      "corecnt AS (SELECT lab.comp AS cluster, " +
+      "CAST(count(*) AS BIGINT) AS n_cells, " +
+      "CAST(SUM(k.cnt) AS BIGINT) AS n_core_pts " +
+      "FROM core k JOIN lab ON lab.cid = k.cid GROUP BY 1), " +
+      "bcells AS MATERIALIZED (SELECT c.cid, c.cnt, MIN(lab.comp) AS cluster " +
+      s"FROM cells c CROSS JOIN offs o " +
+      "JOIN core k ON k.cx = c.cx + o.dx AND k.cy = c.cy + o.dy " +
+      "JOIN lab ON lab.cid = k.cid " +
+      s"WHERE c.cnt < $DbMinPts GROUP BY c.cid, c.cnt), " +
+      "bordercnt AS (SELECT cluster, CAST(SUM(cnt) AS BIGINT) AS n_border_pts " +
+      "FROM bcells GROUP BY 1), " +
+      "noise AS (SELECT CAST(COALESCE(SUM(c.cnt), 0) AS BIGINT) AS n " +
+      s"FROM cells c WHERE c.cnt < $DbMinPts " +
+      "AND NOT EXISTS (SELECT 1 FROM bcells b WHERE b.cid = c.cid)) " +
+      "SELECT cc.cluster, cc.n_cells, cc.n_core_pts, " +
+      "CAST(COALESCE(b.n_border_pts, 0) AS BIGINT) AS n_border_pts, " +
+      "CAST(0 AS BIGINT) AS n_noise_pts " +
+      "FROM corecnt cc LEFT JOIN bordercnt b ON b.cluster = cc.cluster " +
+      "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), " +
+      "CAST(0 AS BIGINT), CAST(0 AS BIGINT), n FROM noise"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pca"           -> qPca _,
+    "q_dbscan_grid"   -> qDbscanGrid _,
     "q_feature_scale" -> qFeatureScale _,
     "q_rrf"           -> qRrf _,
     "q_spatial_join"  -> qSpatialJoin _,
@@ -1370,6 +1627,8 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pca"            -> qPcaSql,
+    "q_dbscan_grid"    -> qDbscanGridSql,
     "q_feature_scale"  -> qFeatureScaleSql,
     "q_rrf"            -> qRrfSql,
     "q_spatial_join"   -> qSpatialJoinSql,

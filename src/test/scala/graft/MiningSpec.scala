@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{GraphQueries, SimilarityQueries}
+
+/** Pins for the round-10 mining trio: fixed-point power-iteration PCA,
+  * HITS hubs/authorities, and grid DBSCAN. PCA is checked against an
+  * independent double-precision eigensolve (the integer fixed point must
+  * CONVERGE, not just be deterministic); HITS against closed-form
+  * structural facts on hand graphs; DBSCAN against conservation and
+  * connectivity invariants replayed driver-side on the bounded cell
+  * grid. */
+class MiningSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // ── PCA ────────────────────────────────────────────────────────────────
+
+  test("qPca emits one max-normalized 64-dim integer eigenvector") {
+    val rows = SimilarityQueries.qPca(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 64)
+    assert(rows.map(_._1).sorted === (0L until 64L).toArray)
+    val maxAbs = rows.map(x => math.abs(x._2)).max
+    // max-norm scaling leaves the largest component within a whisker of 1e6
+    assert(maxAbs <= 1000000L && maxAbs >= 990000L)
+    // one explained-variance share, constant across rows, in (0, 1e6) ppm
+    val shares = rows.map(_._3).distinct
+    assert(shares.length === 1 && shares.head > 0 && shares.head < 1000000L)
+  }
+
+  test("qPca's integer fixed point converges to the true eigenvector") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val d = 64
+    val n = vecs.length.toDouble
+    val mean = Array.tabulate(d)(i => vecs.map(_(i)).sum / n)
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      vecs.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / n
+    }
+    var v = Array.fill(d)(1.0)
+    for (_ <- 1 to 300) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / nrm)
+    }
+    val got = SimilarityQueries.qPca(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1).toDouble))
+      .sortBy(_._1).map(_._2)
+    val dot = (0 until d).map(i => got(i) * v(i)).sum
+    val cos = math.abs(dot) /
+      (math.sqrt(got.map(x => x * x).sum) * math.sqrt(v.map(x => x * x).sum))
+    assert(cos > 0.999, s"cosine to true eigenvector was $cos")
+  }
+
+  test("qPca is deterministic across runs") {
+    val a = SimilarityQueries.qPca(spark, sf).collect().toSeq
+    val b = SimilarityQueries.qPca(spark, sf).collect().toSeq
+    assert(a.toSet === b.toSet)
+  }
+
+  // ── HITS ───────────────────────────────────────────────────────────────
+
+  private def hits(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] =
+    GraphQueries.hitsScores(edges.toDF("src", "dst"), 6)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("star hub: the center is the unique best hub, leaves pure authorities") {
+    // 0 -> 1, 0 -> 2, 0 -> 3
+    val m = hits(Seq((0L, 1L), (0L, 2L), (0L, 3L)))
+    assert(m.size === 4)
+    val (h0, a0) = m(0L)
+    assert(a0 === 0L)          // nothing links TO the center
+    assert(h0 > 0)
+    for (leaf <- Seq(1L, 2L, 3L)) {
+      val (hl, al) = m(leaf)
+      assert(hl === 0L)        // leaves link to nothing
+      assert(al === m(1L)._2)  // symmetric leaves score identically
+      assert(al > 0)
+    }
+    assert(h0 > m(1L)._1)
+  }
+
+  test("chain: pure source has zero authority, pure sink zero hub") {
+    val m = hits(Seq((10L, 11L), (11L, 12L)))
+    assert(m(10L)._2 === 0L)   // no in-links
+    assert(m(12L)._1 === 0L)   // no out-links
+    assert(m(10L)._1 > 0 && m(12L)._2 > 0)
+  }
+
+  test("qHits covers exactly the purchase-path node set with bounded scores") {
+    val rows = GraphQueries.qHits(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 1000000L &&
+      r.getLong(2) >= 0 && r.getLong(2) <= 1000000L))
+    // max-norm: the best hub and best authority sit near the 1e6 ceiling
+    assert(rows.map(_.getLong(1)).max >= 500000L)
+    assert(rows.map(_.getLong(2)).max >= 500000L)
+  }
+
+  // ── grid DBSCAN ────────────────────────────────────────────────────────
+
+  test("qDbscanGrid conserves points and emits exactly one noise row") {
+    val rows = SimilarityQueries.qDbscanGrid(spark, sf).collect()
+    val noise = rows.filter(_.getLong(0) == -1L)
+    assert(noise.length === 1)
+    val total = rows.map(r => r.getLong(2) + r.getLong(3) + r.getLong(4)).sum
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(total === nVecs, "core + border + noise must partition the points")
+    // cluster rows carry no noise count; the noise row carries nothing else
+    assert(rows.filter(_.getLong(0) != -1L).forall(_.getLong(4) == 0L))
+    assert(noise.head.getLong(1) == 0L && noise.head.getLong(2) == 0L &&
+      noise.head.getLong(3) == 0L)
+  }
+
+  test("every DBSCAN cluster's core cells induce a connected subgraph") {
+    // replay the grid driver-side (bounded: |cells| ≤ a few hundred)
+    val cells = Tables.embeddings(spark, sf)
+      .select(
+        floor(element_at(col("embedding"), 1).cast("double") * 20)
+          .cast("long").as("cx"),
+        floor(element_at(col("embedding"), 2).cast("double") * 20)
+          .cast("long").as("cy"))
+      .groupBy("cx", "cy").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val core = cells.filter(_._2 >= 5).keySet
+    // flood fill over 8-adjacency
+    var comp = Map.empty[(Long, Long), Int]
+    var next = 0
+    for (c <- core.toSeq.sorted if !comp.contains(c)) {
+      var frontier = List(c); comp += c -> next
+      while (frontier.nonEmpty) {
+        val u = frontier.head; frontier = frontier.tail
+        for (dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0) {
+          val v = (u._1 + dx, u._2 + dy)
+          if (core(v) && !comp.contains(v)) { comp += v -> next; frontier ::= v }
+        }
+      }
+      next += 1
+    }
+    val expected = comp.groupBy(_._2).map { case (_, cs) =>
+      (cs.size, cs.keys.toSeq.map(c => cells(c)).sum)
+    }.toSet
+    val got = SimilarityQueries.qDbscanGrid(spark, sf).collect()
+      .filter(_.getLong(0) != -1L)
+      .map(r => (r.getLong(1).toInt, r.getLong(2))).toSet
+    assert(got === expected,
+      "cluster (n_cells, n_core_pts) census must equal the flood-fill replay")
+  }
+}
