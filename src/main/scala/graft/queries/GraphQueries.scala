@@ -909,6 +909,77 @@ object GraphQueries {
       s"FROM h$HitsIters h JOIN a$HitsIters a ON h.node = a.node"
   }
 
+  // ── Deterministic random-walk corpus (node2vec-style) ─────────────────
+  // The walk-generation stage of every graph-embedding pipeline
+  // (DeepWalk/node2vec, KDD'14/'16): fixed-length uniform random walks
+  // from a seed set over the undirected co-purchase graph, emitted as a
+  // (seed, step, node) corpus ready for skip-gram training. The walk is
+  // DERANDOMIZED with the repo's one shared hash: at step t from node v
+  // on seed s's walk, the next hop is nbrs[hash60("s:t:v") mod deg] over
+  // the ascending-sorted neighbor list — reproducible bit-for-bit across
+  // engines, executors, and runs (the md5 discipline every approximate
+  // operator here uses, and the standard trick for replayable sampling).
+  // Plan shape: adjacency lists build once (one keyed shuffle, arrays
+  // bounded by degree), each of the 8 steps is ONE equi-join of the
+  // walk frontier against the adjacency table — walk state is (seed,
+  // node), never a path array, so a step shuffles O(#seeds) rows
+  // regardless of walk length. Seeds are the node%10=0 slice (a dial;
+  // any predicate works). Dead ends cannot occur: co-purchase nodes have
+  // degree ≥ 1 by construction.
+  private val WalkSteps = 8
+
+  def qRandomWalks(s: SparkSession, d: String): DataFrame = {
+    val adj = coEdges(s, d)
+      .select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(coEdges(s, d).select(col("dst"), col("src")))
+      .groupBy(col("a").as("node"))
+      .agg(sort_array(collect_list(col("b"))).as("nbrs"),
+        count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var frontier = adj.filter(col("node") % 10 === 0)
+      .select(col("node").as("seed"), col("node"))
+    var out = frontier.select(col("seed"), lit(0L).as("step"), col("node"))
+    for (t <- 1 to WalkSteps) {
+      val idx = pmod(graft.functions.Md5Bits.hash60(
+        concat_ws(":", col("seed"), lit(t), col("node"))), col("deg"))
+      frontier = frontier.join(adj, Seq("node"))
+        .select(col("seed"),
+          element_at(col("nbrs"), (idx + 1).cast("int")).as("node"))
+      out = out.unionAll(
+        frontier.select(col("seed"), lit(t.toLong).as("step"), col("node")))
+    }
+    out
+  }
+
+  val qRandomWalksSql: String = {
+    def step(t: Int): String = {
+      val p = if (t == 1) "w0" else s"w${t - 1}"
+      val h = Md5Bits60(s"CAST(w.seed AS VARCHAR) || ':$t:' || " +
+        "CAST(w.node AS VARCHAR)")
+      s"w$t AS MATERIALIZED (SELECT w.seed, " +
+        s"a.nbrs[CAST($h % a.deg + 1 AS BIGINT)] AS node " +
+        s"FROM $p w JOIN adj a ON a.node = w.node)"
+    }
+    "WITH e AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst " +
+      "FROM lineitem a JOIN lineitem b " +
+      "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+      "GROUP BY 1, 2), " +
+      "sym AS (SELECT src AS a, dst AS b FROM e " +
+      "UNION ALL SELECT dst, src FROM e), " +
+      "adj AS MATERIALIZED (SELECT a AS node, list(b ORDER BY b) AS nbrs, " +
+      "CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1), " +
+      "w0 AS (SELECT node AS seed, node FROM adj WHERE node % 10 = 0), " +
+      (1 to WalkSteps).map(step).mkString(", ") + " " +
+      "SELECT seed, CAST(0 AS BIGINT) AS step, node FROM w0 " +
+      (1 to WalkSteps).map(t =>
+        s"UNION ALL SELECT seed, CAST($t AS BIGINT), node FROM w$t")
+        .mkString(" ")
+  }
+
+  /** DuckDB spelling of hash60 — local alias to keep the walk SQL legible. */
+  private def Md5Bits60(e: String): String =
+    graft.functions.Md5Bits.sqlHash60(e)
+
   // ── Temporal edge novelty (graph drift monitor) ────────────────────────
   // Per month: how many distinct co-purchase edges are appearing for the
   // FIRST time vs recurring — the drift signal an incremental dedup/
@@ -1678,6 +1749,7 @@ object GraphQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hits"         -> qHits _,
+    "q_random_walks" -> qRandomWalks _,
     "q_communities"  -> qCommunities _,
     "q_communities_leiden" -> qCommunitiesLeiden _,
     "q_betweenness"  -> qBetweenness _,
@@ -1706,6 +1778,7 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "q_hits"         -> qHitsSql,
+    "q_random_walks" -> qRandomWalksSql,
     "q_communities"  -> qCommunitiesSql,
     "q_communities_leiden" -> qCommunitiesLeidenSql,
     "q_betweenness"  -> qBetweennessSql,

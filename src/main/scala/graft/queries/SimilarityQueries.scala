@@ -1472,6 +1472,65 @@ object SimilarityQueries {
       s"FROM v$PcaIters v CROSS JOIN ray CROSS JOIN rdd CROSS JOIN trc"
   }
 
+  // ── Embedding outliers: exact diagonal-Mahalanobis distance ───────────
+  // The vector-space twin of q_outliers/q_mad_outliers: score every
+  // embedding by its variance-normalized squared distance to the corpus
+  // mean — Σ_i z_i² with z_i = (x_i − μ_i)/σ_i — and report the top-20
+  // most anomalous vectors, the standard embedding-level quality filter
+  // a curation pipeline runs before ANN indexing (broken encoders and
+  // corrupt rows land far from the mean in normalized space). Exactness:
+  // with u in micro-units, z_i² = (n·u_i − Σu)² / (n·Σu² − (Σu)²) — the
+  // n² cancels, so each ppm term is one exact integer division:
+  // numerator and denominator live in DECIMAL(38,0)/HUGEINT and the
+  // 1e6-scaled quotient truncates identically in both engines.
+  // Zero-variance dimensions carry no signal and are excluded (den > 0)
+  // rather than dividing by zero. Plan shape: the 64-row stats frame
+  // broadcasts onto one exploded corpus scan (the corpus itself never
+  // shuffles — the per-vector sum partial-aggregates in place), then
+  // TakeOrdered keeps 20 rows.
+  private val OutlierTopK = 20
+
+  def qEmbedOutliers(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val u = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"),
+        round(col("x").cast("double") * 1e6, 0).cast("long").as("u"))
+    val stats = u.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("u")).as("su"),
+        sum(col("u").cast(dec) * col("u").cast(dec)).as("squ"))
+      .select(col("dim"), col("n"), col("su").cast(dec).as("su"),
+        (col("n").cast(dec) * col("squ") -
+          col("su").cast(dec) * col("su").cast(dec)).as("den"))
+      .filter(col("den") > 0)
+    val md2 = u.join(broadcast(stats), Seq("dim"))
+      .select(col("vec_id"), expr(
+        "((CAST(n AS DECIMAL(38,0)) * u - su) * " +
+          "(CAST(n AS DECIMAL(38,0)) * u - su) * 1000000) div den")
+        .as("term"))
+      .groupBy(col("vec_id")).agg(sum(col("term")).as("md2_ppm"))
+    md2.orderBy(col("md2_ppm").desc, col("vec_id").asc).limit(OutlierTopK)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("md2_ppm").desc, col("vec_id").asc)).cast("long"))
+  }
+
+  val qEmbedOutliersSql: String =
+    "WITH u AS MATERIALIZED (SELECT vec_id, CAST(pos - 1 AS BIGINT) AS dim, " +
+      "CAST(round(CAST(embedding[pos] AS DOUBLE) * 1e6, 0) AS BIGINT) AS u " +
+      "FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(pos)), " +
+      "st AS (SELECT dim, count(*) AS n, CAST(sum(u) AS HUGEINT) AS su, " +
+      "sum(CAST(u AS HUGEINT) * u) AS squ FROM u GROUP BY 1), " +
+      "st2 AS MATERIALIZED (SELECT dim, n, su, " +
+      "CAST(n AS HUGEINT) * squ - su * su AS den FROM st), " +
+      "md AS (SELECT u.vec_id, " +
+      "SUM(((CAST(s.n AS HUGEINT) * u.u - s.su) * " +
+      "(CAST(s.n AS HUGEINT) * u.u - s.su) * 1000000) // s.den) AS md2_ppm " +
+      "FROM u JOIN st2 s ON s.dim = u.dim AND s.den > 0 GROUP BY 1) " +
+      "SELECT vec_id, CAST(md2_ppm AS BIGINT) AS md2_ppm, " +
+      "CAST(row_number() OVER (ORDER BY md2_ppm DESC, vec_id ASC) AS BIGINT) AS rnk " +
+      "FROM (SELECT * FROM md ORDER BY md2_ppm DESC, vec_id ASC " +
+      s"LIMIT $OutlierTopK) x"
+
   // ── Grid DBSCAN: density-based clustering with noise ──────────────────
   // The density-based family next to KMeans (centroid) and Louvain
   // (graph): cluster = maximal set of connected DENSE grid cells, with
@@ -1603,6 +1662,7 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pca"           -> qPca _,
     "q_dbscan_grid"   -> qDbscanGrid _,
+    "q_embed_outliers" -> qEmbedOutliers _,
     "q_feature_scale" -> qFeatureScale _,
     "q_rrf"           -> qRrf _,
     "q_spatial_join"  -> qSpatialJoin _,
@@ -1629,6 +1689,7 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "q_pca"            -> qPcaSql,
     "q_dbscan_grid"    -> qDbscanGridSql,
+    "q_embed_outliers" -> qEmbedOutliersSql,
     "q_feature_scale"  -> qFeatureScaleSql,
     "q_rrf"            -> qRrfSql,
     "q_spatial_join"   -> qSpatialJoinSql,

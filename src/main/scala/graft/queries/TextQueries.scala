@@ -1438,7 +1438,71 @@ object TextQueries {
       "AS expected_draws " +
       "FROM totals CROSS JOIN w"
 
+  // ── c-TF-IDF topic terms (BERTopic-style cluster labeling) ─────────────
+  // The topic-extraction step of the modern embedding-clustering pipeline
+  // (BERTopic, Grootendorst 2022): given a cluster assignment over the
+  // corpus — here the embeddings' label column via the shared doc_id =
+  // vec_id id space; any clustering output (KMeans cells, DBSCAN, Leiden
+  // communities) plugs in identically — score every term per cluster by
+  // class-based TF-IDF: ctfidf(t,c) = tf(t,c)/w_c · ln(1 + A/f_t), where
+  // all docs of a cluster count as ONE class document, w_c is the class
+  // token mass, f_t the corpus frequency, A the average class mass. The
+  // top-5 terms per cluster are its human-readable topic signature.
+  // Parity discipline: tf/w_c/f_t/A are exact integer counts off one
+  // tokenized scan; the idf takes ONE rounded libm log per distinct term
+  // (micro-nats, the qLmScore/qPmi rule); the final score is the integer
+  // tf·idf_micro div w_c, so ranking and output are exact. Plan: one
+  // (cluster, term) keyed count shuffle; f_t folds out of the class
+  // counts (no second scan); A rides a one-row broadcast; the only
+  // window partitions by cluster over vocab-bounded rows.
+  private val TopicTopK = 5
+
+  def qTopicTerms(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val labels = Tables.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"), col("label").cast("long").as("c"))
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .join(labels, Seq("doc_id"))
+      .groupBy(col("c"), col("term")).agg(count(lit(1)).as("tf"))
+    val wc = tf.groupBy(col("c")).agg(sum(col("tf")).cast("long").as("wc"))
+    val ft = tf.groupBy(col("term")).agg(sum(col("tf")).cast("long").as("ft"))
+    val a = wc.agg((sum(col("wc")) / count(lit(1))).cast("double").as("am"))
+    val idf = ft.crossJoin(broadcast(a))
+      .select(col("term"),
+        round(log(lit(1.0) + col("am") / col("ft").cast("double")) *
+          lit(1000000.0)).cast("long").as("idf_micro"))
+    val scored = tf.join(idf, Seq("term")).join(broadcast(wc), Seq("c"))
+      .select(col("c").as("cluster"), col("term"),
+        expr("(tf * idf_micro) div wc").as("ctfidf_micro"))
+    scored
+      .withColumn("rnk", row_number().over(W.partitionBy(col("cluster"))
+        .orderBy(col("ctfidf_micro").desc, col("term").asc)).cast("long"))
+      .filter(col("rnk") <= TopicTopK)
+  }
+
+  val qTopicTermsSql: String =
+    "WITH tf AS MATERIALIZED (SELECT e.label AS c, t.term, " +
+      "CAST(count(*) AS BIGINT) AS tf FROM " +
+      s"(SELECT doc_id, unnest($sqlToks) AS term FROM documents) t " +
+      "JOIN embeddings e ON e.vec_id = t.doc_id GROUP BY 1, 2), " +
+      "wc AS MATERIALIZED (SELECT c, CAST(sum(tf) AS BIGINT) AS wc " +
+      "FROM tf GROUP BY 1), " +
+      "ft AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ft FROM tf GROUP BY 1), " +
+      "a AS (SELECT CAST(sum(wc) AS DOUBLE) / count(*) AS am FROM wc), " +
+      "idf AS MATERIALIZED (SELECT term, " +
+      "CAST(round(ln(1 + am / CAST(ft AS DOUBLE)) * 1000000, 0) AS BIGINT) " +
+      "AS idf_micro FROM ft CROSS JOIN a), " +
+      "scored AS (SELECT CAST(tf.c AS BIGINT) AS cluster, tf.term, " +
+      "(tf.tf * i.idf_micro) // w.wc AS ctfidf_micro " +
+      "FROM tf JOIN idf i ON i.term = tf.term JOIN wc w ON w.c = tf.c) " +
+      "SELECT cluster, term, CAST(ctfidf_micro AS BIGINT) AS ctfidf_micro, " +
+      "rnk FROM (SELECT *, CAST(row_number() OVER (PARTITION BY cluster " +
+      "ORDER BY ctfidf_micro DESC, term ASC) AS BIGINT) AS rnk " +
+      s"FROM scored) x WHERE rnk <= $TopicTopK"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topic_terms"     -> qTopicTerms _,
     "q_mix_temperature" -> qMixTemperature _,
     "q_split"          -> qSplit _,
     "q_bm25"           -> qBm25 _,
@@ -1473,6 +1537,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_topic_terms"     -> qTopicTermsSql,
     "q_mix_temperature" -> qMixTemperatureSql,
     "q_split"           -> qSplitSql,
     "q_bm25"            -> qBm25Sql,

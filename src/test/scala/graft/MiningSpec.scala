@@ -101,6 +101,102 @@ class MiningSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).max >= 500000L)
   }
 
+  // ── embedding outliers ─────────────────────────────────────────────────
+
+  test("qEmbedOutliers equals an exact BigInt driver replay") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x =>
+          BigInt(math.round(x.toDouble * 1e6))).toArray)
+    val d = 64
+    val n = BigInt(vecs.length)
+    val su = Array.tabulate(d)(i => vecs.map(_._2(i)).sum)
+    val squ = Array.tabulate(d)(i => vecs.map(v => v._2(i) * v._2(i)).sum)
+    val den = Array.tabulate(d)(i => n * squ(i) - su(i) * su(i))
+    val md2 = vecs.map { case (id, v) =>
+      id -> (0 until d).filter(den(_) > 0).map { i =>
+        val num = n * v(i) - su(i)
+        (num * num * BigInt(1000000)) / den(i)
+      }.sum
+    }
+    val expected = md2.sortBy { case (id, m) => (-m, id) }.take(20)
+      .map { case (id, m) => (id, m.toLong) }.toSeq
+    val got = SimilarityQueries.qEmbedOutliers(spark, sf)
+      .orderBy(col("rnk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === expected)
+  }
+
+  // ── random walks ───────────────────────────────────────────────────────
+
+  test("qRandomWalks emits valid, hash-replayable walks over real edges") {
+    // rebuild the co-purchase adjacency driver-side from the fixture
+    val pairs = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.flatMap { rows =>
+        val ps = rows.map(_._2).sorted
+        for (i <- ps.indices; j <- i + 1 until ps.length if ps(i) != ps(j))
+          yield (ps(i), ps(j))
+      }.toSet
+    val adj = (pairs.toSeq ++ pairs.toSeq.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, vs) =>
+        k -> vs.map(_._2).distinct.sorted.toArray }
+    val expected = adj.keys.filter(_ % 10 == 0).toSeq.flatMap { seed =>
+      var cur = seed
+      (seed, 0L, seed) +: (1 to 8).map { t =>
+        val nbrs = adj(cur)
+        val h = graft.functions.Md5Bits.hash60(s"$seed:$t:$cur")
+        cur = nbrs((h % nbrs.length).toInt)
+        (seed, t.toLong, cur)
+      }
+    }.toSet
+    val got = GraphQueries.qRandomWalks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    // every consecutive hop is a real undirected co-purchase edge
+    val byWalk = got.groupBy(_._1)
+    for ((_, rows) <- byWalk) {
+      val path = rows.toSeq.sortBy(_._2).map(_._3)
+      assert(path.length === 9)
+      for (Seq(a, b) <- path.sliding(2))
+        assert(pairs(if (a < b) (a, b) else (b, a)),
+          s"hop $a -> $b is not an edge")
+    }
+  }
+
+  // ── c-TF-IDF topic terms ───────────────────────────────────────────────
+
+  test("qTopicTerms equals an exact driver-side c-TF-IDF replay") {
+    val labels = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val tf = scala.collection.mutable.Map.empty[(Long, String), Long]
+      .withDefaultValue(0L)
+    for ((id, text) <- docs; c <- labels.get(id);
+         t <- text.toLowerCase(java.util.Locale.ROOT)
+           .split("[^a-z0-9]+") if t.nonEmpty)
+      tf((c, t)) += 1
+    val wc = tf.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val ft = tf.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val am = wc.values.sum.toDouble / wc.size
+    val idf = ft.map { case (t, f) =>
+      t -> math.round(math.log(1.0 + am / f.toDouble) * 1e6) }
+    val expected = tf.keys.groupBy(_._1).flatMap { case (c, keys) =>
+      keys.toSeq.map { case (_, t) => (t, tf((c, t)) * idf(t) / wc(c)) }
+        .sortBy { case (t, sc) => (-sc, t) }.take(5).zipWithIndex
+        .map { case ((t, sc), i) => (c, t, sc, i + 1L) }
+    }.toSet
+    val got = graft.queries.TextQueries.qTopicTerms(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expected)
+  }
+
   // ── grid DBSCAN ────────────────────────────────────────────────────────
 
   test("qDbscanGrid conserves points and emits exactly one noise row") {
