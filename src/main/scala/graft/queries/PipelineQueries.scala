@@ -203,6 +203,61 @@ object PipelineQueries {
       s"CAST(sum(CASE WHEN g < $AnonK THEN g ELSE 0 END) AS BIGINT) AS rows_at_risk " +
       "FROM g"
 
+  // ── Differentially private release (derandomized Laplace) ─────────────
+  // The release mechanism the k-anon/l-div/t-closeness audits gate FOR:
+  // per-segment counts published under ε-DP Laplace noise (sensitivity 1
+  // per count; two releases at ε = 0.5 compose to a total ε = 1 budget,
+  // reported alongside). The noise is DERANDOMIZED with the shared md5
+  // hash60 — u = hash60('dp:…') / 2⁶⁰, noise = −(1/ε)·sign(u−½)·
+  // ln(1 − 2|u−½|) (inverse-CDF Laplace) — so the released table is
+  // bit-reproducible across engines and runs while remaining a valid DP
+  // draw for any adversary without the release key (the keyed-PRF
+  // Laplace standard in deployed DP systems). One rounded libm log per
+  // group, milli-quantized before the integer add; one keyed partial-agg
+  // shuffle over bounded groups.
+  private val DpEpsMilli = 500L // ε = 0.5 per release
+
+  def qDpCounts(s: SparkSession, d: String): DataFrame = {
+    def lap(tag: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val u = graft.functions.Md5Bits.hash60(tag).cast("double") /
+        lit(1152921504606846976.0) // 2^60
+      val v = u - lit(0.5)
+      // greatest(…, 1e-18) guards the measure-zero h = 0 draw (ln 0)
+      round(lit(-1000.0) * lit(1000.0 / DpEpsMilli) * signum(v) *
+        log(greatest(lit(1e-18), lit(1.0) - lit(2.0) * abs(v))), 0)
+        .cast("long")
+    }
+    Tables.customer(s, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("c_acctbal") < 0, 1L).otherwise(0L)).as("nneg"))
+      .select(col("c_mktsegment"),
+        (col("n") * 1000 +
+          lap(concat(lit("dp:n:"), col("c_mktsegment")))).as("noisy_n_milli"),
+        (col("nneg") * 1000 +
+          lap(concat(lit("dp:neg:"), col("c_mktsegment"))))
+          .as("noisy_neg_milli"),
+        lit(2 * DpEpsMilli).as("total_eps_milli"))
+  }
+
+  val qDpCountsSql: String = {
+    def lap(tag: String): String = {
+      val h = graft.functions.Md5Bits.sqlHash60(tag)
+      s"CAST(round(-1000.0 * ${1000.0 / DpEpsMilli} * " +
+        s"sign(CAST($h AS DOUBLE) / 1152921504606846976.0 - 0.5) * " +
+        s"ln(greatest(1e-18, 1.0 - 2.0 * " +
+        s"abs(CAST($h AS DOUBLE) / 1152921504606846976.0 - 0.5))), 0) " +
+        "AS BIGINT)"
+    }
+    "WITH g AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS nneg FROM customer GROUP BY 1) " +
+      "SELECT c_mktsegment, " +
+      s"n * 1000 + ${lap("'dp:n:' || c_mktsegment")} AS noisy_n_milli, " +
+      s"nneg * 1000 + ${lap("'dp:neg:' || c_mktsegment")} AS noisy_neg_milli, " +
+      s"CAST(${2 * DpEpsMilli} AS BIGINT) AS total_eps_milli FROM g"
+  }
+
   // ── l-diversity audit (the k-anonymity companion) ──────────────────────
   // k-anonymity alone still leaks when a lookalike group is homogeneous
   // in the SENSITIVE attribute (everyone in the group shares it, so
@@ -306,6 +361,7 @@ object PipelineQueries {
       "FROM tvd"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dp_counts"     -> qDpCounts _,
     "q_t_closeness"   -> qTCloseness _,
     "q_k_anonymity"   -> qKAnonymity _,
     "q_l_diversity"   -> qLDiversity _,
@@ -315,6 +371,7 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dp_counts"     -> qDpCountsSql,
     "q_t_closeness"   -> qTClosenessSql,
     "q_k_anonymity"   -> qKAnonymitySql,
     "q_l_diversity"   -> qLDiversitySql,

@@ -1531,6 +1531,121 @@ object SimilarityQueries {
       "FROM (SELECT * FROM md ORDER BY md2_ppm DESC, vec_id ASC " +
       s"LIMIT $OutlierTopK) x"
 
+  // ── k-center coreset selection (greedy farthest-point) ────────────────
+  // Coreset selection for data-efficient training (Sener & Savarese,
+  // ICLR'18 use exactly this greedy k-center rule): pick 32 maximally
+  // spread representative vectors, then report each representative's
+  // basin — how many corpus vectors it covers and the covering radius.
+  // The selection reuses the PROVEN KMeans init contract (md5-ordered
+  // 128-row oversample via TakeOrdered — never a global sort — then
+  // greedy farthest-point with the min-hash start and id tie-break,
+  // driver-side over the bounded pool); coverage is ONE broadcast scan
+  // scoring every vector against 32 center literals with the
+  // c·c − 2·v·c fold (the corpus never shuffles before its keyed
+  // 32-group census). Float parity: identical fold order and round-6
+  // radius on both engines; the oracle replays oversample, all 32
+  // greedy selections, assignment, and census as CTEs.
+  private val CoresetK = 32
+  private val CoresetPool = 128
+
+  def qCoreset(s: SparkSession, d: String): DataFrame = {
+    DotProduct.register(s)
+    import s.implicits._
+    val v = vecs(s, d).select(col("vec_id").as("id"), col("v"))
+    val sample = v
+      .select(graft.functions.Md5Bits.hash60(col("id")).as("h"),
+        col("id"), col("v"))
+      .orderBy(col("h"), col("id")).limit(CoresetPool)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      .sortBy(t => (t._1, t._2)).map(t => (t._2, t._3))
+    require(sample.nonEmpty, "coreset needs a non-empty corpus")
+    // |a-b|² with the same three left folds as the SQL spelling
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var aa = 0.0; var ab = 0.0; var bb = 0.0
+      var i = 0
+      while (i < a.length) { aa += a(i) * a(i); i += 1 }
+      i = 0
+      while (i < a.length) { ab += a(i) * b(i); i += 1 }
+      i = 0
+      while (i < b.length) { bb += b(i) * b(i); i += 1 }
+      aa - 2 * ab + bb
+    }
+    val kEff = math.min(CoresetK, sample.length)
+    val chosen = scala.collection.mutable.ArrayBuffer(sample.head)
+    val minD = Array.fill(sample.length)(Double.MaxValue)
+    while (chosen.length < kEff) {
+      val last = chosen.last._2
+      var bi = -1
+      for (i <- sample.indices) {
+        val dd = d2(sample(i)._2, last)
+        if (dd < minD(i)) minD(i) = dd
+        if (bi < 0 || minD(i) > minD(bi) ||
+          (minD(i) == minD(bi) && sample(i)._1 < sample(bi)._1)) bi = i
+      }
+      chosen += sample(bi)
+    }
+    val centers = chosen.toSeq.zipWithIndex
+      .map { case ((id, cv), j) => (j.toLong, id, cv) }
+    val scoredC = centers.map { case (j, _, cv) =>
+      val cc = cv.foldLeft(0.0)((a, x) => a + x * x)
+      struct((lit(cc) - lit(2.0) *
+        DotProduct.dot(col("v"), typedlit(cv.toSeq))).as("d"),
+        lit(j).as("c"))
+    }
+    val best = least(scoredC: _*)
+    v.select(col("id"),
+        best.getField("c").as("center"),
+        (DotProduct.dot(col("v"), col("v")) + best.getField("d")).as("dd"))
+      .groupBy(col("center"))
+      .agg(count(lit(1)).as("n_assigned"), max(col("dd")).as("maxd2"))
+      .join(broadcast(centers.map(c => (c._1, c._2))
+        .toDF("center", "center_id")), Seq("center"))
+      .select(col("center"), col("center_id"), col("n_assigned"),
+        round(sqrt(greatest(col("maxd2"), lit(0.0))), 6).as("radius_r"))
+  }
+
+  val qCoresetSql: String = {
+    val m = CoresetPool
+    val k = CoresetK
+    def dot(a: String, b: String) = sqlDot(a, b)
+    def d2(a: String, b: String) =
+      s"${dot(a, a)} - 2*${dot(a, b)} + ${dot(b, b)}"
+    val sb = new StringBuilder
+    sb ++= "WITH vs AS MATERIALIZED (SELECT vec_id AS id, " +
+      "CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    sb ++= "smp AS MATERIALIZED (SELECT id, v, " +
+      graft.functions.Md5Bits.sqlHash60("CAST(id AS VARCHAR)") +
+      s" AS h FROM vs ORDER BY h, id LIMIT $m), "
+    sb ++= "ch0 AS MATERIALIZED (SELECT id, v FROM smp ORDER BY h, id LIMIT 1), "
+    sb ++= s"md0 AS MATERIALIZED (SELECT s.id, s.v, ${d2("s.v", "c.v")} " +
+      "AS mind FROM smp s, ch0 c), "
+    for (j <- 1 until k) {
+      sb ++= s"ch$j AS MATERIALIZED (SELECT id, v FROM md${j - 1} " +
+        "ORDER BY mind DESC, id ASC LIMIT 1), "
+      if (j < k - 1)
+        sb ++= s"md$j AS MATERIALIZED (SELECT m.id, m.v, " +
+          s"least(m.mind, ${d2("m.v", "c.v")}) AS mind " +
+          s"FROM md${j - 1} m, ch$j c), "
+    }
+    sb ++= (0 until k)
+      .map(j => s"SELECT $j AS center, id AS center_id, v FROM ch$j")
+      .mkString("cent AS MATERIALIZED (", " UNION ALL ", "), ")
+    sb ++= "asg AS MATERIALIZED (SELECT id, v, center FROM (" +
+      "SELECT e.id, e.v, c.center, row_number() OVER (PARTITION BY e.id " +
+      s"ORDER BY ${sqlScore("e.v", "c.v")} ASC, c.center ASC) AS rn " +
+      "FROM vs e, cent c) x WHERE rn = 1) "
+    // aa + (cc − 2·ab): the exact add order the engine uses (v·v plus the
+    // struct score) — NOT the init chain's ((aa − 2ab) + bb) grouping
+    val ddCensus = s"${dot("a.v", "a.v")} + " +
+      s"(${dot("c.v", "c.v")} - 2*${dot("a.v", "c.v")})"
+    sb ++= "SELECT a.center, CAST(max(c.center_id) AS BIGINT) AS center_id, " +
+      "CAST(count(*) AS BIGINT) AS n_assigned, " +
+      s"round(sqrt(greatest(max($ddCensus), 0.0)), 6) AS radius_r " +
+      "FROM asg a JOIN cent c ON c.center = a.center GROUP BY 1"
+    sb.toString
+  }
+
   // ── Grid DBSCAN: density-based clustering with noise ──────────────────
   // The density-based family next to KMeans (centroid) and Louvain
   // (graph): cluster = maximal set of connected DENSE grid cells, with
@@ -1663,6 +1778,7 @@ object SimilarityQueries {
     "q_pca"           -> qPca _,
     "q_dbscan_grid"   -> qDbscanGrid _,
     "q_embed_outliers" -> qEmbedOutliers _,
+    "q_coreset"       -> qCoreset _,
     "q_feature_scale" -> qFeatureScale _,
     "q_rrf"           -> qRrf _,
     "q_spatial_join"  -> qSpatialJoin _,
@@ -1690,6 +1806,7 @@ object SimilarityQueries {
     "q_pca"            -> qPcaSql,
     "q_dbscan_grid"    -> qDbscanGridSql,
     "q_embed_outliers" -> qEmbedOutliersSql,
+    "q_coreset"        -> qCoresetSql,
     "q_feature_scale"  -> qFeatureScaleSql,
     "q_rrf"            -> qRrfSql,
     "q_spatial_join"   -> qSpatialJoinSql,

@@ -166,6 +166,52 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  // ── differentially private release ─────────────────────────────────────
+
+  test("qDpCounts noise equals the keyed-PRF Laplace replay, budget reported") {
+    val truth = Tables.customer(spark, sf)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("c_acctbal") < 0, 1L).otherwise(0L)).as("nneg"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def lap(tag: String): Long = {
+      val u = graft.functions.Md5Bits.hash60(tag).toDouble / math.pow(2, 60)
+      val v = u - 0.5
+      math.round(-1000.0 * 2.0 * math.signum(v) *
+        math.log(math.max(1e-18, 1.0 - 2.0 * math.abs(v))))
+    }
+    val rows = graft.queries.PipelineQueries.qDpCounts(spark, sf).collect()
+    assert(rows.length === truth.size)
+    for (r <- rows) {
+      val seg = r.getString(0)
+      val (n, nneg) = truth(seg)
+      assert(r.getLong(1) === n * 1000 + lap(s"dp:n:$seg"))
+      assert(r.getLong(2) === nneg * 1000 + lap(s"dp:neg:$seg"))
+      assert(r.getLong(3) === 1000L) // composed ε budget in milli
+      // a Laplace(2) draw beyond ±42 units is below the 2^-60 PRF floor
+      assert(math.abs(r.getLong(1) - n * 1000) <= 84000L)
+    }
+  }
+
+  // ── k-center coreset ───────────────────────────────────────────────────
+
+  test("qCoreset partitions the corpus among 32 spread representatives") {
+    val rows = graft.queries.SimilarityQueries.qCoreset(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_._2).distinct.length === rows.length,
+      "representatives must be distinct vectors")
+    assert(rows.map(_._3).sum === nVecs,
+      "every corpus vector must be assigned to exactly one center")
+    assert(rows.forall(_._4 >= 0.0))
+    // greedy farthest-point spread: no center may sit inside another's
+    // basin closer than it is to its own members at selection time —
+    // weak but hand-checkable form: all 32 centers distinct => nonzero
+    // pairwise distance, and at least one basin has > 1 member when
+    // corpus > k
+    if (nVecs > rows.length) assert(rows.exists(_._3 > 1))
+  }
+
   // ── c-TF-IDF topic terms ───────────────────────────────────────────────
 
   test("qTopicTerms equals an exact driver-side c-TF-IDF replay") {
