@@ -2294,7 +2294,143 @@ object EventQueries {
       "AND a.event_type <> b.event_type AND a.first_ts < b.last_ts " +
       "GROUP BY 1, 2"
 
+  // ── Markov-chain attribution with removal effects ──────────────────────
+  // The data-driven attribution model (Anderl et al. 2016) that replaces
+  // last-click: user journeys become a first-order Markov chain over
+  // channel states (START → view/click/signup/error → CONV|NULL; a
+  // converter's journey is everything strictly before their first
+  // purchase, a non-converter's is everything), and each channel's
+  // credit is its REMOVAL EFFECT — how much the START→CONV absorption
+  // probability drops when that channel's transitions redirect to NULL.
+  // Exactness: the transition matrix is exact integer counts off one
+  // per-user window pass; the absorption solve is 24 Jacobi iterations
+  // in ppm fixed point (num = cnt·p sums, ONE truncating division by the
+  // unchanged row total per state per round), run on the driver over the
+  // BOUNDED 6-state matrix (collected like PCA's d×d Gram — state count,
+  // not data, bounds it) and replayed CTE-for-CTE by the oracle for all
+  // five variants (full + 4 removals). Counts are BIGINT-safe to ~9·10¹²
+  // journeys per state.
+  private val AttrChannels = Seq("view", "click", "signup", "error")
+  private val AttrIters = 24
+
+  def qAttributionMarkov(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val firstP = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("fp"))
+    val j = ev.join(firstP, Seq("user_id"), "left")
+      .filter(col("event_type") =!= "purchase" &&
+        (col("fp").isNull || struct(col("ts"), col("event_id")) < col("fp")))
+    val w = W.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val seq = j.select(col("user_id"), col("event_type").as("st"),
+      row_number().over(w).as("rn"),
+      lead(col("event_type"), 1).over(w).as("nxt"), col("fp"))
+    val mid = seq.select(col("st"), coalesce(col("nxt"),
+      when(col("fp").isNotNull, lit("CONV")).otherwise(lit("NULL"))).as("nx"))
+    val firstCh = seq.filter(col("rn") === 1)
+      .select(lit("START").as("st"), col("st").as("nx"))
+    val emptyConv = firstP
+      .join(seq.select(col("user_id")).distinct(), Seq("user_id"), "left_anti")
+      .select(lit("START").as("st"), lit("CONV").as("nx"))
+    val cnt = mid.unionAll(firstCh).unionAll(emptyConv)
+      .groupBy(col("st"), col("nx")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap.withDefaultValue(0L)
+    val states = "START" +: AttrChannels
+    val total = states.map(st =>
+      st -> cnt.collect { case ((a, _), v) if a == st => v }.sum).toMap
+    def solve(removed: Option[String]): Long = {
+      var p = states.map(_ -> 0L).toMap
+      for (_ <- 1 to AttrIters)
+        p = states.map { st =>
+          val tot = total(st)
+          st -> (if (tot == 0L) 0L
+          else {
+            val acc = AttrChannels.filterNot(removed.contains)
+              .map(c => cnt((st, c)) * p(c)).sum
+            (cnt((st, "CONV")) * 1000000L + acc) / tot
+          })
+        }.toMap
+      p("START")
+    }
+    val pFull = solve(None)
+    val removals = AttrChannels.map(c => (c, solve(Some(c))))
+    val totRem = removals.map { case (_, pr) => pFull - pr }.sum
+    def tdiv(x: Long, k: Long): Long = if (x < 0) -((-x) / k) else x / k
+    import s.implicits._
+    removals.map { case (c, pr) =>
+      val rem = pFull - pr
+      (c, pFull, pr, rem,
+        if (totRem == 0L) null
+        else long2Long(tdiv(rem * 1000000L, totRem)))
+    }.toDF("channel", "p_full_ppm", "p_removed_ppm", "removal_ppm",
+      "share_ppm")
+      .select(col("channel"), col("p_full_ppm"), col("p_removed_ppm"),
+        col("removal_ppm"), col("share_ppm").cast("long"))
+  }
+
+  val qAttributionMarkovSql: String = {
+    val chans = AttrChannels
+    def steps(v: String, removed: Option[String]): String = {
+      val excl = ("'CONV'" :: "'NULL'" ::
+        removed.map(c => s"'$c'").toList).mkString(", ")
+      (1 to AttrIters).map { t =>
+        val prev = if (t == 1) s"p${v}0" else s"p$v${t - 1}"
+        s"p$v$t AS MATERIALIZED (SELECT s.st, " +
+          "CASE WHEN s.tot = 0 THEN CAST(0 AS HUGEINT) " +
+          "ELSE (s.c6 + COALESCE(x.acc, 0)) // s.tot END AS p " +
+          "FROM stot s LEFT JOIN (SELECT tr.st, SUM(tr.cnt * p.p) AS acc " +
+          s"FROM tr JOIN $prev p ON p.st = tr.nx " +
+          s"WHERE tr.nx NOT IN ($excl) GROUP BY tr.st) x ON x.st = s.st)"
+      }.mkString(", ")
+    }
+    val variants = ("full", None) +: chans.map(c => (s"rm_$c", Some(c)))
+    "WITH fp AS MATERIALIZED (SELECT user_id, min(ROW(ts, event_id)) AS f " +
+      "FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
+      "j AS MATERIALIZED (SELECT e.user_id, e.ts, e.event_id, " +
+      "e.event_type AS st, f.f IS NOT NULL AS conv FROM events e " +
+      "LEFT JOIN fp f ON f.user_id = e.user_id " +
+      "WHERE e.event_type <> 'purchase' " +
+      "AND (f.f IS NULL OR ROW(e.ts, e.event_id) < f.f)), " +
+      "sq AS MATERIALIZED (SELECT st, conv, " +
+      "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn, " +
+      "lead(st) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt " +
+      "FROM j), " +
+      "tr AS MATERIALIZED (SELECT st, nx, CAST(count(*) AS BIGINT) AS cnt " +
+      "FROM (SELECT st, COALESCE(nxt, CASE WHEN conv THEN 'CONV' " +
+      "ELSE 'NULL' END) AS nx FROM sq " +
+      "UNION ALL SELECT 'START', st FROM sq WHERE rn = 1 " +
+      "UNION ALL SELECT 'START', 'CONV' FROM fp WHERE user_id NOT IN " +
+      "(SELECT DISTINCT user_id FROM j)) z GROUP BY 1, 2), " +
+      "stot AS MATERIALIZED (SELECT st, SUM(cnt) AS tot, " +
+      "CAST(1000000 AS HUGEINT) * " +
+      "COALESCE(SUM(CASE WHEN nx = 'CONV' THEN cnt END), 0) AS c6 " +
+      "FROM tr GROUP BY 1), " +
+      variants.map { case (v, _) =>
+        s"p${v}0 AS (SELECT st, CAST(0 AS HUGEINT) AS p FROM stot)"
+      }.mkString(", ") + ", " +
+      variants.map { case (v, r) => steps(v, r) }.mkString(", ") + ", " +
+      variants.map { case (v, _) =>
+        s"s$v AS (SELECT p FROM p$v$AttrIters WHERE st = 'START')"
+      }.mkString(", ") + ", " +
+      "rems AS MATERIALIZED (" +
+      chans.map(c =>
+        s"SELECT '$c' AS channel, sfull.p AS pf, srm_$c.p AS pr " +
+          s"FROM sfull, srm_$c").mkString(" UNION ALL ") + "), " +
+      "trem AS (SELECT SUM(pf - pr) AS t FROM rems) " +
+      "SELECT channel, CAST(pf AS BIGINT) AS p_full_ppm, " +
+      "CAST(pr AS BIGINT) AS p_removed_ppm, " +
+      "CAST(pf - pr AS BIGINT) AS removal_ppm, " +
+      "CAST(CASE WHEN t = 0 THEN NULL WHEN pf - pr < 0 " +
+      "THEN -(((pr - pf) * 1000000) // t) " +
+      "ELSE ((pf - pr) * 1000000) // t END AS BIGINT) AS share_ppm " +
+      "FROM rems, trem"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution_markov" -> qAttributionMarkov _,
     "q_seq_patterns"     -> qSeqPatterns _,
     "q_conversion_lag"   -> qConversionLag _,
     "q_decompose"        -> qDecompose _,
@@ -2356,6 +2492,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_attribution_markov" -> qAttributionMarkovSql,
     "q_seq_patterns"     -> qSeqPatternsSql,
     "q_conversion_lag"   -> qConversionLagSql,
     "q_decompose"        -> qDecomposeSql,

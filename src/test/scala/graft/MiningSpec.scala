@@ -243,6 +243,57 @@ class MiningSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  // ── Markov attribution ─────────────────────────────────────────────────
+
+  test("qAttributionMarkov equals an independent driver-side chain solve") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byUser = evs.groupBy(_._1)
+    val chans = Seq("view", "click", "signup", "error")
+    val cnt = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    for ((_, rows) <- byUser) {
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      val firstP = ordered.find(_._4 == "purchase")
+      val journey = firstP match {
+        case Some(p) => ordered.takeWhile(r => (r._2, r._3) != ((p._2, p._3)))
+          .filter(_._4 != "purchase")
+        case None => ordered.filter(_._4 != "purchase")
+      }
+      val terminal = if (firstP.isDefined) "CONV" else "NULL"
+      val path = "START" +: journey.map(_._4).toSeq :+ terminal
+      for (Seq(a, b) <- path.sliding(2)) cnt((a, b)) += 1
+    }
+    val states = "START" +: chans
+    val total = states.map(st =>
+      st -> cnt.collect { case ((a, _), v) if a == st => v }.sum).toMap
+    def solve(removed: Option[String]): Long = {
+      var p = states.map(_ -> 0L).toMap
+      for (_ <- 1 to 24) p = states.map { st =>
+        val tot = total(st)
+        st -> (if (tot == 0L) 0L
+        else (cnt((st, "CONV")) * 1000000L +
+          chans.filterNot(removed.contains)
+            .map(c => cnt((st, c)) * p(c)).sum) / tot)
+      }.toMap
+      p("START")
+    }
+    val pFull = solve(None)
+    val rems = chans.map(c => (c, pFull - solve(Some(c))))
+    val trem = rems.map(_._2).sum
+    val expected = rems.map { case (c, r) =>
+      (c, pFull, pFull - r, r, r * 1000000L / trem) }.toSet
+    val got = graft.queries.EventQueries.qAttributionMarkov(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got === expected)
+    // removal effects are nonnegative and p_full sits in (0, 1e6]
+    assert(rems.forall(_._2 >= 0) && pFull > 0 && pFull <= 1000000L)
+  }
+
   // ── grid DBSCAN ────────────────────────────────────────────────────────
 
   test("qDbscanGrid conserves points and emits exactly one noise row") {
