@@ -100,6 +100,87 @@ object DedupQueries {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ── Asymmetric containment (subset-duplicate detection) ────────────────
+  // The near-dup case symmetric Jaccard structurally misses: a short doc
+  // fully quoted inside a much longer one scores J = |A|/|B| ≈ 0 but
+  // containment |A∩B|/|A| ≈ 1 — the quote/boilerplate/excerpt duplicates
+  // a curation pipeline must still catch (this is why dedup surveys track
+  // containment separately from resemblance, Broder 1997). Same exact-
+  // verification architecture as qNgramJaccard, with the ONE-SIDED prefix
+  // bound: containment ≥ t of A in B forces a shared shingle inside A's
+  // p = n − ceil(t·n) + 1 rarest shingles, and only n_b ≥ ceil(t·n_a)
+  // survives (shared ≤ n_b) — both filters LOSSLESS, so the result set
+  // equals the naive ordered-pair join (spec-asserted) and the oracle
+  // replays the naive spelling. The candidate side joins A-prefixes to
+  // the full inverted index (no size-ratio symmetric filter exists for
+  // containment — rarity of prefix shingles is what bounds the volume).
+  private val ContainT = 0.9
+
+  def qContainment(s: SparkSession, d: String): DataFrame =
+    containmentPrefix(shingleIndex(s, d), threshold = ContainT)
+
+  def containmentPrefix(sh: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    val tDec = new java.math.BigDecimal(threshold.toString)
+    val ranked = sh.join(df, "sh")
+      .withColumn("rk", row_number().over(byRarity))
+      .join(sizes, "doc_id")
+      .withColumn("p", (col("n") - ceil(lit(tDec) * col("n")) + 1).cast("int"))
+    val prefix = ranked.filter(col("rk") <= col("p"))
+      .select(col("doc_id"), col("sh"), col("n"))
+    val indexed = sh.as("b")
+      .join(sizes.as("sb"), col("b.doc_id") === col("sb.doc_id"))
+      .select(col("b.doc_id").as("doc_b"), col("b.sh").as("sh"),
+        col("sb.n").as("nb"))
+    val cands = prefix.join(indexed, Seq("sh"))
+      .filter(col("doc_id") =!= col("doc_b") &&
+        col("nb") >= ceil(lit(tDec) * col("n")))
+      .select(col("doc_id").as("doc_a"), col("doc_b"), col("n").as("na"))
+      .distinct()
+    val inter = cands
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sc"),
+        col("doc_b") === col("sc.doc_id") && col("sa.sh") === col("sc.sh"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"))
+      .agg(count(lit(1)).as("shared"))
+    inter
+      .filter(col("shared").cast("double") / col("na") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        round(col("shared").cast("double") / col("na"), 6)
+          .as("containment_r"))
+  }
+
+  /** Naive ordered-pair spelling — the reference for the equivalence
+    * spec and the shape the oracle replays. */
+  private[graft] def containmentNaive(sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared.join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .filter(col("shared").cast("double") / col("sa.n") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        round(col("shared").cast("double") / col("sa.n"), 6)
+          .as("containment_r"))
+  }
+
+  lazy val qContainmentSql: String =
+    s"WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents), " +
+      s"sh AS (SELECT doc_id, unnest($sqlShingles) AS sh FROM toks), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+      "shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "count(*) AS shared FROM sh a JOIN sh b " +
+      "ON a.sh = b.sh AND a.doc_id <> b.doc_id GROUP BY 1, 2) " +
+      "SELECT doc_a, doc_b, shared, " +
+      "round(CAST(shared AS DOUBLE) / sa.n, 6) AS containment_r " +
+      "FROM shared JOIN sizes sa ON doc_a = sa.doc_id " +
+      s"WHERE CAST(shared AS DOUBLE) / sa.n >= $ContainT"
+
   /** The naive all-shingles spelling, kept as the reference
     * implementation for the prefix-filter equivalence spec. */
   private[graft] def ngramJaccardNaive(sh: DataFrame, threshold: Double): DataFrame = {
@@ -827,6 +908,7 @@ object DedupQueries {
       "FROM stats"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_containment"   -> qContainment _,
     "q_minhash_error" -> qMinhashError _,
     "q_hll_error"     -> qHllError _,
     "q_dedup_canonical" -> qDedupCanonical _,
@@ -846,6 +928,7 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_containment"   -> qContainmentSql,
     "q_minhash_error" -> qMinhashErrorSql,
     "q_hll_error"     -> qHllErrorSql,
     "q_dedup_canonical" -> qDedupCanonicalSql,

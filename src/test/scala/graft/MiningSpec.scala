@@ -243,6 +243,37 @@ class MiningSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  // ── asymmetric containment ─────────────────────────────────────────────
+
+  test("containment prefix filter is lossless vs the naive ordered join") {
+    import graft.queries.DedupQueries
+    graft.functions.Shingles.register(spark)
+    val sh = Tables.documents(spark, sf).select(col("doc_id"),
+      explode(graft.functions.Shingles.shingles(col("text"), 3)).as("sh"))
+    val fast = DedupQueries.containmentPrefix(sh, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val naive = DedupQueries.containmentNaive(sh, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fast === naive)
+  }
+
+  test("containment catches a subset-dup that symmetric Jaccard misses") {
+    import graft.queries.DedupQueries
+    // doc 100 = first 4 tokens of doc 200's 40 tokens: containment(A in B)
+    // = 1.0 but Jaccard ≈ 2/38 — the quote/excerpt case
+    val a = "alpha beta gamma delta"
+    val b = ("alpha beta gamma delta " +
+      (1 to 36).map(i => s"w$i").mkString(" "))
+    val sh = Seq((100L, a), (200L, b)).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        explode(graft.functions.Shingles.shingles(col("text"), 3)).as("sh"))
+    val got = DedupQueries.containmentPrefix(sh, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(got.toSeq === Seq((100L, 200L, 1.0)))
+    val jac = DedupQueries.ngramJaccardPrefix(sh, 0.8).collect()
+    assert(jac.isEmpty)
+  }
+
   // ── Markov attribution ─────────────────────────────────────────────────
 
   test("qAttributionMarkov equals an independent driver-side chain solve") {
