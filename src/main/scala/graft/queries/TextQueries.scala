@@ -1501,8 +1501,92 @@ object TextQueries {
       "ORDER BY ctfidf_micro DESC, term ASC) AS BIGINT) AS rnk " +
       s"FROM scored) x WHERE rnk <= $TopicTopK"
 
+  // ── TextRank keyword extraction ────────────────────────────────────────
+  // The graph-based keyword extractor (Mihalcea & Tarau, EMNLP'04) next
+  // to qTopicTerms' frequency-based one: words are nodes, adjacent
+  // tokens co-occur (window 2, both directions, multiplicity = weight),
+  // and keyword salience is weighted PageRank over that graph — a term
+  // matters because it neighbors other mattering terms, not because it
+  // is frequent. Exact fixed-point discipline: scores in ppm integers,
+  // each round PR'(v) = 150 000 + Σ_u (w(u,v)·850·PR(u)) div (1000·W(u))
+  // — the damped-walk update with ONE truncating division PER EDGE TERM,
+  // so the per-v sum is an order-independent integer and round T is
+  // bit-identical in Spark and the oracle's unrolled CTEs. Each round is
+  // one keyed O(|E|) join+sum shuffle over the vocab-bounded graph
+  // (never a corpus rescan — the graph builds once). Top-20 keywords via
+  // TakeOrdered. BIGINT bound: w·850·PR ≤ ~9·10¹⁸ holds while
+  // vocab·weight < 10¹⁰ — vocabulary, not corpus, is the dial.
+  private val TrIters = 8
+  private val TrTopK = 20
+
+  def qTextrank(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.IterCheckpoint.IterCheckpointOps
+    val adj = Tables.documents(s, d)
+      .select(tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"))
+        .as("p"))
+      .filter(col("p.a") =!= col("p.b"))
+    val e = adj.select(col("p.a").as("u"), col("p.b").as("v"))
+      .unionAll(adj.select(col("p.b").as("u"), col("p.a").as("v")))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wdeg = e.groupBy(col("u")).agg(sum(col("w")).cast("long").as("wd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ew = e.join(wdeg, Seq("u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var pr = wdeg.select(col("u").as("word"), lit(1000000L).as("pr"))
+    for (_ <- 1 to TrIters) {
+      val contrib = ew.join(pr.withColumnRenamed("word", "u"), Seq("u"))
+        .select(col("v"), expr("(w * 850 * pr) div (1000 * wd)").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("sc"))
+      pr = wdeg.select(col("u").as("word"))
+        .join(contrib.withColumnRenamed("v", "word"), Seq("word"), "left")
+        .select(col("word"),
+          (lit(150000L) + coalesce(col("sc"), lit(0L))).as("pr"))
+        .iterCheckpoint()
+    }
+    val out = pr.orderBy(col("pr").desc, col("word").asc).limit(TrTopK)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("pr").desc, col("word").asc)).cast("long"))
+      .select(col("word"), col("pr").as("pr_ppm"), col("rnk"))
+    e.unpersist(); wdeg.unpersist(); ew.unpersist()
+    out
+  }
+
+  lazy val qTextrankSql: String = {
+    def round(t: Int): String = {
+      val p = if (t == 1) "r0" else s"r${t - 1}"
+      s"r$t AS MATERIALIZED (SELECT n.u AS word, " +
+        "150000 + COALESCE(x.sc, 0) AS pr FROM wdeg n LEFT JOIN (" +
+        "SELECT e.v, SUM((e.w * 850 * p.pr) // (1000 * e.wd)) AS sc " +
+        s"FROM ew e JOIN $p p ON p.word = e.u GROUP BY e.v) x ON x.v = n.u)"
+    }
+    s"WITH toks AS (SELECT $sqlToks AS t FROM documents), " +
+      "pairs AS MATERIALIZED (SELECT t[i] AS a, t[i + 1] AS b " +
+      "FROM toks, unnest(generate_series(1, len(t) - 1)) AS s(i) " +
+      "WHERE len(t) >= 2 AND t[i] <> t[i + 1]), " +
+      "e AS MATERIALIZED (SELECT u, v, CAST(count(*) AS BIGINT) AS w " +
+      "FROM (SELECT a AS u, b AS v FROM pairs " +
+      "UNION ALL SELECT b, a FROM pairs) z GROUP BY 1, 2), " +
+      "wdeg AS MATERIALIZED (SELECT u, CAST(SUM(w) AS BIGINT) AS wd " +
+      "FROM e GROUP BY 1), " +
+      "ew AS MATERIALIZED (SELECT e.u, e.v, e.w, d.wd FROM e " +
+      "JOIN wdeg d ON d.u = e.u), " +
+      "r0 AS (SELECT u AS word, CAST(1000000 AS HUGEINT) AS pr FROM wdeg), " +
+      (1 to TrIters).map(round).mkString(", ") + " " +
+      "SELECT word, CAST(pr AS BIGINT) AS pr_ppm, " +
+      "CAST(row_number() OVER (ORDER BY pr DESC, word ASC) AS BIGINT) AS rnk " +
+      s"FROM (SELECT * FROM r$TrIters ORDER BY pr DESC, word ASC " +
+      s"LIMIT $TrTopK) f"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_topic_terms"     -> qTopicTerms _,
+    "q_textrank"        -> qTextrank _,
     "q_mix_temperature" -> qMixTemperature _,
     "q_split"          -> qSplit _,
     "q_bm25"           -> qBm25 _,
@@ -1538,6 +1622,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q_topic_terms"     -> qTopicTermsSql,
+    "q_textrank"        -> qTextrankSql,
     "q_mix_temperature" -> qMixTemperatureSql,
     "q_split"           -> qSplitSql,
     "q_bm25"            -> qBm25Sql,

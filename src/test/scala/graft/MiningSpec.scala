@@ -274,6 +274,35 @@ class MiningSpec extends AnyFunSuite {
     assert(jac.isEmpty)
   }
 
+  // ── TextRank keywords ──────────────────────────────────────────────────
+
+  test("qTextrank equals an exact integer driver replay of weighted PageRank") {
+    val docs = Tables.documents(spark, sf).select(col("text")).collect()
+      .map(_.getString(0))
+    val w = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    for (text <- docs) {
+      val t = text.toLowerCase(java.util.Locale.ROOT)
+        .split("[^a-z0-9]+").filter(_.nonEmpty)
+      for (i <- 0 until t.length - 1 if t(i) != t(i + 1)) {
+        w((t(i), t(i + 1))) += 1; w((t(i + 1), t(i))) += 1
+      }
+    }
+    val wd = w.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    var pr = wd.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 8) {
+      val sc = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      for (((u, v), wt) <- w) sc(v) += wt * 850 * pr(u) / (1000 * wd(u))
+      pr = wd.keys.map(k => k -> (150000L + sc(k))).toMap
+    }
+    val expected = pr.toSeq.sortBy { case (k, p) => (-p, k) }.take(20)
+      .zipWithIndex.map { case ((k, p), i) => (k, p, i + 1L) }.toSet
+    val got = graft.queries.TextQueries.qTextrank(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+  }
+
   // ── Markov attribution ─────────────────────────────────────────────────
 
   test("qAttributionMarkov equals an independent driver-side chain solve") {
