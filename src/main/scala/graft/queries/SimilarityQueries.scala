@@ -1372,6 +1372,17 @@ object SimilarityQueries {
   private val PcaIters = 80
 
   def qPca(s: SparkSession, d: String): DataFrame = {
+    val (v, share) = pcaSolve(s, d)
+    import s.implicits._
+    (0 until PcaDim)
+      .map(i => (i.toLong, v(i).toLong, share.map(long2Long).orNull))
+      .toDF("dim", "pc1_q", "ev_share_ppm")
+      .select(col("dim"), col("pc1_q"), col("ev_share_ppm").cast("long"))
+  }
+
+  /** The distributed-Gram + driver-BigInt eigensolve shared by qPca and
+    * qPcaProject: returns (pc1 in 1e6 fixed point, explained-share ppm). */
+  private def pcaSolve(s: SparkSession, d: String): (Array[BigInt], Option[Long]) = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val dd = PcaDim
     // one scan: quantized vector → (slot, term) pairs for the upper
@@ -1421,14 +1432,53 @@ object SimilarityQueries {
     val share =
       if (rd * tr == 0) None
       else Some(tdiv(rn * BigInt(1000000L), rd * tr).toLong)
-    import s.implicits._
-    (0 until dd)
-      .map(i => (i.toLong, v(i).toLong, share.map(long2Long).orNull))
-      .toDF("dim", "pc1_q", "ev_share_ppm")
-      .select(col("dim"), col("pc1_q"), col("ev_share_ppm").cast("long"))
+    (v, share)
   }
 
-  val qPcaSql: String = {
+  // ── PCA projection: the fit applied (per-class separation on PC1) ─────
+  // The apply half of the fit/apply pair (like q_ann_serve for IVF-PQ):
+  // every embedding's coordinate along qPca's eigenvector, rolled up per
+  // label — n, mean, min, max of the projection — the one-look check of
+  // how much class structure the leading component captures. The
+  // projection is exact integer arithmetic (micro-quantized components ×
+  // the 1e6 fixed-point eigenvector, folded per row inside codegen), the
+  // rollup one keyed partial-agg shuffle over ≤10 label groups; sums ride
+  // DECIMAL(38,0)/HUGEINT (a BIGINT sum would overflow near ~10⁵ rows).
+  // The oracle re-runs the full unrolled eigensolve, then the same
+  // projection join and rollup.
+  def qPcaProject(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val (v, _) = pcaSolve(s, d)
+    val q = transform(col("embedding"),
+      x => round(x.cast("double") * 1e6, 0).cast("long"))
+    val proj = aggregate(
+      zip_with(q, typedlit(v.map(_.toLong).toSeq), (x, c) => x * c),
+      lit(0L), (acc, t) => acc + t)
+    Tables.embeddings(s, d)
+      .select(col("label").cast("long").as("label"), proj.as("p"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("p").cast(dec)).as("sp"),
+        min(col("p")).as("min_p"), max(col("p")).as("max_p"))
+      .select(col("label"), col("n"),
+        expr("CAST(sp div n AS BIGINT)").as("mean_p"),
+        col("min_p"), col("max_p"))
+  }
+
+  lazy val qPcaProjectSql: String =
+    pcaChainSql + ", " +
+      "pr AS (SELECT x.vec_id, SUM(x.xq * v.v) AS p " +
+      s"FROM x JOIN v$PcaIters v ON v.i = x.i GROUP BY 1) " +
+      "SELECT CAST(e.label AS BIGINT) AS label, " +
+      "CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(SUM(pr.p) // count(*) AS BIGINT) AS mean_p, " +
+      "CAST(MIN(pr.p) AS BIGINT) AS min_p, " +
+      "CAST(MAX(pr.p) AS BIGINT) AS max_p " +
+      "FROM pr JOIN embeddings e ON e.vec_id = pr.vec_id GROUP BY 1"
+
+  /** The oracle's shared eigensolve chain: CTEs through `v{PcaIters}`
+    * (the converged fixed-point eigenvector) plus the `x`/`m` tables —
+    * qPcaSql appends the report, qPcaProjectSql the projection. */
+  private lazy val pcaChainSql: String = {
     val dd = PcaDim
     def step(t: Int): String = {
       val p = if (t == 1) "v0" else s"v${t - 1}"
@@ -1458,7 +1508,11 @@ object SimilarityQueries {
       "UNION ALL SELECT j, i, c FROM mu WHERE i < j), " +
       s"v0 AS (SELECT CAST(range AS BIGINT) AS i, " +
       s"CAST(1000000 AS HUGEINT) AS v FROM range($dd)), " +
-      (1 to PcaIters).map(step).mkString(", ") + ", " +
+      (1 to PcaIters).map(step).mkString(", ")
+  }
+
+  lazy val qPcaSql: String =
+    pcaChainSql + ", " +
       s"wf AS (SELECT m.i AS i, SUM(m.c * v.v) AS w " +
       s"FROM m JOIN v$PcaIters v ON m.j = v.i GROUP BY m.i), " +
       s"ray AS (SELECT SUM(v.v * w.w) AS rn FROM v$PcaIters v " +
@@ -1470,7 +1524,6 @@ object SimilarityQueries {
       "WHEN rn < 0 THEN -(((-rn) * 1000000) // (rd * tr)) " +
       "ELSE (rn * 1000000) // (rd * tr) END AS BIGINT) AS ev_share_ppm " +
       s"FROM v$PcaIters v CROSS JOIN ray CROSS JOIN rdd CROSS JOIN trc"
-  }
 
   // ── Embedding outliers: exact diagonal-Mahalanobis distance ───────────
   // The vector-space twin of q_outliers/q_mad_outliers: score every
@@ -1776,6 +1829,7 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pca"           -> qPca _,
+    "q_pca_project"   -> qPcaProject _,
     "q_dbscan_grid"   -> qDbscanGrid _,
     "q_embed_outliers" -> qEmbedOutliers _,
     "q_coreset"       -> qCoreset _,
@@ -1804,6 +1858,7 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "q_pca"            -> qPcaSql,
+    "q_pca_project"    -> qPcaProjectSql,
     "q_dbscan_grid"    -> qDbscanGridSql,
     "q_embed_outliers" -> qEmbedOutliersSql,
     "q_coreset"        -> qCoresetSql,

@@ -56,6 +56,26 @@ class MiningSpec extends AnyFunSuite {
     assert(cos > 0.999, s"cosine to true eigenvector was $cos")
   }
 
+  test("qPcaProject rolls up exact per-label PC1 projections") {
+    val pc1 = SimilarityQueries.qPca(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).map(_._2)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => r.getInt(0).toLong ->
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1e6)).toArray)
+    val projs = vecs.map { case (l, u) =>
+      l -> (0 until 64).map(i => BigInt(u(i)) * BigInt(pc1(i))).sum }
+    val expected = projs.groupBy(_._1).map { case (l, ps) =>
+      val vals = ps.map(_._2)
+      (l, vals.length.toLong, (vals.sum / vals.length).toLong,
+        vals.min.toLong, vals.max.toLong)
+    }.toSet
+    val got = SimilarityQueries.qPcaProject(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got === expected)
+  }
+
   test("qPca is deterministic across runs") {
     val a = SimilarityQueries.qPca(spark, sf).collect().toSeq
     val b = SimilarityQueries.qPca(spark, sf).collect().toSeq
