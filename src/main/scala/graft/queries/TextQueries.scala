@@ -1584,7 +1584,49 @@ object TextQueries {
       s"LIMIT $TrTopK) f"
   }
 
+  // ── Weighted sample WITHOUT replacement (Efraimidis–Spirakis A-ES) ────
+  // The missing member of the sampling family: q_sample_weighted keeps
+  // each doc independently (Bernoulli — sample size varies), while A-ES
+  // (Efraimidis & Spirakis 2006) draws a FIXED k with inclusion
+  // probability proportional to weight and no replacement: key_i =
+  // ln(u_i)/w_i, keep the k largest keys. Weights here are n_chars
+  // (longer docs proportionally likelier). Derandomized u from the
+  // shared md5 hash60 (+1 so u ∈ (2⁻⁶⁰, 1]); the key is the identical
+  // double expression on both engines, so the order — and therefore the
+  // exact sample — reproduces bit-for-bit. Plan: a pure scan +
+  // TakeOrdered(k); zero shuffle, and on a cluster the per-partition
+  // heaps merge on the driver — the distributed one-pass weighted
+  // sampler (this is how reservoir-style weighted sampling is done at
+  // 100 TB).
+  private val EsK = 50
+
+  def qSampleEs(s: SparkSession, d: String): DataFrame = {
+    val u = (graft.functions.Md5Bits.hash60(
+      concat(lit("es:"), col("doc_id"))).cast("double") + lit(1.0)) /
+      lit(1152921504606846976.0)
+    val key = log(u) / col("n_chars").cast("double")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), key.as("k"))
+      .orderBy(col("k").desc, col("doc_id").asc).limit(EsK)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("k").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("n_chars"),
+        round(col("k") * 1e9, 3).as("key_nano"), col("rnk"))
+  }
+
+  val qSampleEsSql: String = {
+    val h = graft.functions.Md5Bits.sqlHash60("'es:' || CAST(doc_id AS VARCHAR)")
+    s"WITH keyed AS (SELECT doc_id, n_chars, " +
+      s"ln((CAST($h AS DOUBLE) + 1.0) / 1152921504606846976.0) " +
+      "/ CAST(n_chars AS DOUBLE) AS k FROM documents) " +
+      "SELECT doc_id, n_chars, round(k * 1e9, 3) AS key_nano, " +
+      "CAST(row_number() OVER (ORDER BY k DESC, doc_id ASC) AS BIGINT) AS rnk " +
+      s"FROM (SELECT * FROM keyed ORDER BY k DESC, doc_id ASC LIMIT $EsK) x"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_es"       -> qSampleEs _,
     "q_topic_terms"     -> qTopicTerms _,
     "q_textrank"        -> qTextrank _,
     "q_mix_temperature" -> qMixTemperature _,
@@ -1621,6 +1663,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sample_es"       -> qSampleEsSql,
     "q_topic_terms"     -> qTopicTermsSql,
     "q_textrank"        -> qTextrankSql,
     "q_mix_temperature" -> qMixTemperatureSql,

@@ -263,6 +263,27 @@ class MiningSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  // ── A-ES weighted sample without replacement ───────────────────────────
+
+  test("qSampleEs draws the exact top-k A-ES keys, fixed size, no repeats") {
+    val rows = graft.queries.TextQueries.qSampleEs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(rows.length === 50)
+    assert(rows.map(_._1).distinct.length === 50) // without replacement
+    // exact replay of the derandomized key rule
+    val keyed = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val u = (graft.functions.Md5Bits.hash60(s"es:$id").toDouble + 1.0) /
+          math.pow(2, 60)
+        (id, r.getLong(1), math.log(u) / r.getLong(1).toDouble)
+      }
+    val expected = keyed.sortBy(t => (-t._3, t._1)).take(50)
+      .zipWithIndex.map { case ((id, n, _), i) => (id, n, i + 1L) }.toSeq
+    assert(rows.sortBy(_._3).toSeq === expected)
+  }
+
   // ── asymmetric containment ─────────────────────────────────────────────
 
   test("containment prefix filter is lossless vs the naive ordered join") {
