@@ -723,4 +723,30 @@ class PlanSpec extends AnyFunSuite {
     assert(ah.contains("user_id"),
       s"history windows must key on user_id:\n$ah")
   }
+  test("round-10 mining plans: broadcast stats, TakeOrdered tops, no cartesian") {
+    // embedding outliers: 64-row stats broadcast onto the scan; the
+    // corpus reaches the driver only as the 20-row TakeOrdered result
+    val eo = plan("q_embed_outliers")
+    assert(eo.contains("BroadcastHashJoin") || eo.contains("BroadcastNestedLoop") ||
+      eo.contains("broadcast"), s"stats must broadcast:\n$eo")
+    assert(eo.contains("TakeOrderedAndProject"),
+      s"top-20 must be TakeOrdered, not a global sort:\n$eo")
+    // A-ES sample: pure scan + TakeOrdered — no Exchange at all before it
+    val es = plan("q_sample_es")
+    assert(es.contains("TakeOrderedAndProject"),
+      s"A-ES top-k must be TakeOrdered:\n$es")
+    // TextRank keywords: final top-20 is TakeOrdered, never a vocab sort
+    val tr = plan("q_textrank")
+    assert(tr.contains("TakeOrderedAndProject"),
+      s"keyword top-k must be TakeOrdered:\n$tr")
+    // c-TF-IDF: the per-cluster stats join broadcasts (bounded frames);
+    // no cartesian anywhere
+    val tt = plan("q_topic_terms")
+    assert(!tt.contains("CartesianProduct"),
+      s"topic scoring must not go cartesian:\n$tt")
+    // grid DBSCAN: adjacency is an equi-join on shifted integer keys
+    val db = plan("q_dbscan_grid")
+    assert(!db.contains("CartesianProduct") && !db.contains("BroadcastNestedLoop"),
+      s"cell adjacency must stay an equi-join:\n$db")
+  }
 }
