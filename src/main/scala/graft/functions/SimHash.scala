@@ -42,12 +42,23 @@ case class SimHashExpression(child: Expression) extends UnaryExpression {
 
 object SimHash {
 
-  /** Fingerprint width: 60 bits (= Md5Bits.hash60 width), banded as 4
-    * blocks of [[BlockBits]] for the pigeonhole candidate generator. */
+  /** Fingerprint width: 60 bits (= Md5Bits.hash60 width), banded as 6
+    * blocks of [[BlockBits]] for the pigeonhole candidate generator.
+    * Hamming distance <= 3 flips at most 3 blocks, so at least 3 of the 6
+    * stay intact and some [[BlockCombos]] 3-subset matches exactly. Keying
+    * buckets on block TRIPLES (Manku/Jain/Sarma, "Detecting Near-Duplicates
+    * for Web Crawling", WWW 2007 §3) gives a 30-bit key space: expected
+    * spurious collisions scale as 20·N²/2³⁰ instead of the 4·N²/2¹⁵ a
+    * single-block key costs — the difference between a linear and a
+    * quadratic candidate stage on a 10⁸-document corpus. */
   val Bits = 60
-  val Blocks = 4
-  val BlockBits: Int = Bits / Blocks // 15
+  val Blocks = 6
+  val BlockBits: Int = Bits / Blocks // 10
   val BlockMask: Long = (1L << BlockBits) - 1
+
+  /** All C(6,3)=20 block triples — one bucket table per combo. */
+  val BlockCombos: Seq[Seq[Int]] =
+    (0 until Blocks).combinations(3).map(_.toSeq).toSeq
 
   /** SimHash over lowercase-alphanumeric tokens (the shared
     * TextFunctions.tokenize rule — Locale.ROOT, so identical on every

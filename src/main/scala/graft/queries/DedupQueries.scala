@@ -86,13 +86,22 @@ object DedupQueries {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .distinct()
-    // exact verification: true intersection count for candidates only
+    // exact verification: true intersection count for candidates only —
+    // against per-doc shingle ARRAYS, so each candidate pair costs one
+    // O(na+nb) array_intersect instead of fanning back through the
+    // inverted index. Closed-vocabulary corpora (like the synthetic
+    // fixture) make even prefix shingles non-rare: at sf1 the index
+    // fan-out was ~350M intermediate rows for 6.5M candidates, while the
+    // array spelling is two doc_id hash joins of the candidate table. At
+    // 100 TB the doc-array table is just the corpus re-keyed — linear,
+    // hash-partitioned, never collected.
+    val docSets = sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("sh"))).as("ss"))
     val inter = cands
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"),
-        col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("shared"))
+      .join(docSets.select(col("doc_id").as("doc_a"), col("ss").as("sa")), Seq("doc_a"))
+      .join(docSets.select(col("doc_id").as("doc_b"), col("ss").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("shared"))
     inter
       .select(col("doc_a"), col("doc_b"), col("shared"),
         (col("shared").cast("double") /
@@ -140,12 +149,16 @@ object DedupQueries {
         col("nb") >= ceil(lit(tDec) * col("n")))
       .select(col("doc_id").as("doc_a"), col("doc_b"), col("n").as("na"))
       .distinct()
+    // same array-based exact verification as ngramJaccardPrefix (see the
+    // rationale there): one array_intersect per candidate, no second
+    // inverted-index fan-out
+    val docSets = sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("sh"))).as("ss"))
     val inter = cands
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sc"),
-        col("doc_b") === col("sc.doc_id") && col("sa.sh") === col("sc.sh"))
-      .groupBy(col("doc_a"), col("doc_b"), col("na"))
-      .agg(count(lit(1)).as("shared"))
+      .join(docSets.select(col("doc_id").as("doc_a"), col("ss").as("sa")), Seq("doc_a"))
+      .join(docSets.select(col("doc_id").as("doc_b"), col("ss").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("na"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("shared"))
     inter
       .filter(col("shared").cast("double") / col("na") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("shared"),
@@ -286,20 +299,28 @@ object DedupQueries {
   }
 
   // ── SimHash fingerprints + Hamming near-dup pairs ──────────────────────
-  // Fingerprinting is one codegen'd scan (no shuffle). Pairing at scale
-  // uses the same banding idea: split the 60-bit fingerprint into 4
-  // 15-bit blocks; Hamming distance <= 3 guarantees at least one block
-  // matches exactly, so block-equality buckets are a complete candidate
-  // generator (pigeonhole) with O(docs × 4) shuffle.
+  // Fingerprinting is one codegen'd scan (no shuffle). Pairing at scale is
+  // Manku et al.'s block-combination bucketing (WWW 2007): split the
+  // 60-bit fingerprint into 6 blocks of 10 bits; Hamming distance <= 3
+  // flips at most 3 blocks, so at least 3 stay intact and some triple of
+  // blocks matches exactly — bucket keys are the C(6,3)=20 block TRIPLES
+  // (30-bit key space). Still a complete pigeonhole generator, but the
+  // spurious-collision volume is 20·N²/2³⁰ instead of the 4·N²/2¹⁵ a
+  // single-block key costs: the sf1 bench showed the 15-bit variant going
+  // quadratic (0.75 s → 30 s for 10× docs) exactly as that formula
+  // predicts, while triples keep the candidate stage output-bound.
   def qSimhashPairs(s: SparkSession, d: String): DataFrame = {
     SimHash.register(s)
     val fp = Tables.documents(s, d)
       .select(col("doc_id"), SimHash.simhash(col("text")).as("fp"))
+    def block(b: Int) =
+      shiftrightunsigned(col("fp"), b * SimHash.BlockBits)
+        .bitwiseAND(lit(SimHash.BlockMask))
     val blocks = fp.select(col("doc_id"), col("fp"),
-      explode(array((0 until SimHash.Blocks).map { b =>
-        struct(lit(b).as("block"),
-          shiftrightunsigned(col("fp"), b * SimHash.BlockBits)
-            .bitwiseAND(lit(SimHash.BlockMask)).as("key"))
+      explode(array(SimHash.BlockCombos.zipWithIndex.map { case (combo, i) =>
+        struct(lit(i).as("combo"),
+          combo.foldLeft(lit(0L))((acc, b) =>
+            shiftleft(acc, SimHash.BlockBits).bitwiseOR(block(b))).as("key"))
       }: _*)).as("bk"))
     blocks.as("x")
       .join(blocks.as("y"),

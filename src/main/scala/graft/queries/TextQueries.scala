@@ -1015,10 +1015,11 @@ object TextQueries {
   // per round, all comparisons exact BIGINT), M-step — re-score pieces
   // from their usage counts (unused pieces get a floor cost, keeping the
   // vocab fixed and coverage guaranteed since every char stays present).
-  // The per-word DP runs entirely inside array expressions (aggregate/
-  // transform/filter over a match list) — corpus-keyed, zero shuffle
-  // beyond the word-frequency and count aggregations, vocab-sized state
-  // broadcast as a map literal (the KMeans bounded-collect precedent).
+  // The per-word DP is the native UnigramSegment expression (imperative
+  // Viterbi, microseconds per word) — corpus-keyed, zero shuffle beyond
+  // the word-frequency and count aggregations, vocab-sized state
+  // broadcast as a foldable map literal (the KMeans bounded-collect
+  // precedent).
   // Viterbi ties break deterministically by encoding (cost, start) into
   // one BIGINT: key = cost*16 + s (s < 16 — words are capped at
   // UlmMaxWLen=12 chars), so min(key) prefers the LONGER piece on equal
@@ -1040,48 +1041,22 @@ object TextQueries {
       .groupBy(col("word")).agg(count(lit(1)).as("wfreq"))
 
   /** One Viterbi E-step: segment every word under `vocab` (piece →
-    * integer micro-nat cost) and return (piece, cnt) usage counts. */
-  private def ulmEStep(words: DataFrame, vocab: Map[String, Long]): DataFrame =
+    * integer micro-nat cost) and return (piece, cnt) usage counts.
+    * Segmentation is the native [[graft.functions.UnigramSegment]]
+    * expression (imperative DP, microseconds per word); the original
+    * nested aggregate/transform column-algebra spelling was interpreted
+    * AND got cloned into a pushed-down filter by InferFiltersFromGenerate,
+    * landing >20 minutes of single-task work at sf1 — see the
+    * expression's scaladoc. The oracle SQL below still replays the
+    * identical DP (same costs, same ·16+s tie-break). */
+  private def ulmEStep(words: DataFrame, vocab: Map[String, Long]): DataFrame = {
+    graft.functions.UnigramSegment.register(words.sparkSession)
     words
-      .withColumn("vm", typedlit(vocab))
-      // candidate matches (s, e, cost) — singles guarantee coverage
-      .selectExpr("word", "wfreq",
-        s"""filter(transform(flatten(transform(
-           sequence(0, length(word) - 1), s ->
-             transform(sequence(s + 1, least(s + $UlmMaxPiece, length(word))),
-               e -> named_struct('s', s, 'e', e)))),
-           pe -> named_struct('s', pe.s, 'e', pe.e,
-             'cost', try_element_at(vm, substring(word, pe.s + 1, pe.e - pe.s)))),
-           m -> m.cost IS NOT NULL) AS ms""")
-      // forward DP: best(p) = min cost of segmenting the first p chars
-      .selectExpr("word", "wfreq", "ms",
-        s"""aggregate(sequence(1, length(word)),
-           concat(array(CAST(0 AS BIGINT)),
-             array_repeat(CAST($UlmInf AS BIGINT), length(word))),
-           (acc, p) -> transform(acc, (v, i) -> CASE WHEN i = p THEN
-             coalesce(array_min(transform(filter(ms, m -> m.e = p),
-               m -> element_at(acc, m.s + 1) + m.cost)),
-               CAST($UlmInf AS BIGINT)) ELSE v END)) AS best""")
-      // backtrace: walk from the end choosing min (cost*16 + s) — the
-      // deterministic tie-break shared with the oracle
-      .selectExpr("word", "wfreq",
-        s"""aggregate(sequence(1, length(word)),
-           named_struct('pos', length(word),
-             'ps', CAST(array() AS ARRAY<STRING>)),
-           (st, x) -> CASE WHEN st.pos > 0 THEN named_struct(
-             'pos', CAST(array_min(transform(filter(ms, m -> m.e = st.pos),
-               m -> (element_at(best, m.s + 1) + m.cost) * 16 + m.s)) % 16
-               AS INT),
-             'ps', array_append(st.ps, substring(word,
-               CAST(array_min(transform(filter(ms, m -> m.e = st.pos),
-                 m -> (element_at(best, m.s + 1) + m.cost) * 16 + m.s)) % 16
-                 AS INT) + 1,
-               st.pos - CAST(array_min(transform(filter(ms, m -> m.e = st.pos),
-                 m -> (element_at(best, m.s + 1) + m.cost) * 16 + m.s)) % 16
-                 AS INT))))
-             ELSE st END).ps AS pieces""")
-      .select(col("wfreq"), explode(col("pieces")).as("piece"))
+      .select(col("wfreq"), explode(
+        graft.functions.UnigramSegment.segment(col("word"), vocab, UlmMaxPiece))
+        .as("piece"))
       .groupBy(col("piece")).agg(sum(col("wfreq")).cast("long").as("cnt"))
+  }
 
   /** Quantized score table from counts: cost = round(−ln(cnt/tot)·1e6)
     * computed IN SPARK (bounded vocab-sized result, then collected). */
@@ -1095,7 +1070,14 @@ object TextQueries {
     df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
   def qUnigramLm(s: SparkSession, d: String): DataFrame = {
-    val words = ulmWords(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The word table is tiny on disk but every E-step row carries DP work,
+    // so don't let AQE's size-based coalescing funnel the segmentation into
+    // 1-2 tasks: an explicit repartition to full parallelism keeps the
+    // compute (not the bytes) balanced. (AQE honors an explicit-count
+    // repartition — it never coalesces REPARTITION_BY_NUM shuffles.)
+    val words = ulmWords(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // seed: all substrings ≤ UlmMaxPiece chars weighted by word freq
     val seed = words
       .select(col("word"), col("wfreq"), explode(expr(
@@ -1112,12 +1094,20 @@ object TextQueries {
     var vocab = collectVocab(ulmScore(vsel))
     var counts: DataFrame = null
     for (_ <- 1 to UlmEmRounds) {
+      val prev = counts
+      // persist: each round's counts are vocab-sized (hundreds of rows),
+      // and the M-step collect below materializes the cache — so the
+      // returned plan reads the FINAL round's cached counts instead of
+      // replaying the whole corpus segmentation twice more (the agg
+      // broadcast side and the main side each re-derive `counts`)
       counts = ulmEStep(words, vocab)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // M-step: rescore used pieces, floor the unused (vocab stays fixed)
       val rescored = vsel.select(col("piece"))
         .join(ulmScore(counts).withColumnRenamed("cost", "c2"), Seq("piece"), "left")
         .select(col("piece"), coalesce(col("c2"), lit(UlmFloor)).as("cost"))
       vocab = collectVocab(rescored)
+      if (prev != null) prev.unpersist(false)
     }
     val out = counts
       .crossJoin(broadcast(counts.agg(sum(col("cnt")).as("tot"))))
@@ -1125,6 +1115,10 @@ object TextQueries {
         round(-log(col("cnt").cast("double") / col("tot").cast("double")) *
           lit(1000000.0)).cast("long").as("lp_micro"))
       .orderBy(col("n_uses").desc, col("piece").asc).limit(UlmTop)
+    // safe: the final round's counts cache is already materialized (the
+    // M-step collect forced it), so `out` never re-reads words. The final
+    // counts cache itself is vocab-sized (hundreds of rows) and must stay
+    // live for the caller's consumption of `out`.
     words.unpersist(false)
     out
   }

@@ -224,19 +224,22 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("simhash block-banding is a complete candidate generator for d<=3") {
-    // pigeonhole: hamming<=3 over 4 blocks of 15 bits → >=1 block equal
+    // pigeonhole: hamming<=3 over 6 blocks of 10 bits → >=3 blocks equal,
+    // so at least one of the C(6,3) block-triple bucket keys matches
+    def blockEq(a: Long, b: Long, i: Int): Boolean =
+      ((a >>> (i * SimHash.BlockBits)) & SimHash.BlockMask) ==
+        ((b >>> (i * SimHash.BlockBits)) & SimHash.BlockMask)
     val r = new scala.util.Random(7)
     (1 to 200).foreach { _ =>
       val a = r.nextLong() & ((1L << SimHash.Bits) - 1)
       var b = a
       val flips = r.nextInt(4) // 0..3 bit flips
       (1 to flips).foreach(_ => b ^= (1L << r.nextInt(SimHash.Bits)))
-      val blocksEqual = (0 until SimHash.Blocks).count { i =>
-        ((a >>> (i * SimHash.BlockBits)) & SimHash.BlockMask) ==
-          ((b >>> (i * SimHash.BlockBits)) & SimHash.BlockMask)
-      }
-      assert(blocksEqual >= 1)
+      val tripleMatches = SimHash.BlockCombos.count(c =>
+        c.forall(i => blockEq(a, b, i)))
+      assert(tripleMatches >= 1)
     }
+    assert(SimHash.BlockCombos.size === 20)
   }
 
   test("dup-span fraction: planted duplicates score 1, unique text scores 0") {
