@@ -76,13 +76,30 @@ object DedupQueries {
       .join(sizes, "doc_id")
       .withColumn("p", (col("n") - ceil(lit(tDec) * col("n")) + 1).cast("int"))
     val prefix = ranked.filter(col("rk") <= col("p"))
-      .select(col("doc_id"), col("sh"), col("n"))
-    // candidates: prefix-overlap + size-ratio compatibility
+      .select(col("doc_id"), col("sh"), col("n"), col("rk"))
+    // required overlap α = ceil(t·(na+nb)/(1+t)) in EXACT integer
+    // arithmetic: t = num/10^s (decimal) → α = ceil(num·(na+nb)/(10^s+num))
+    // = (num·(na+nb) + D − 1) div D. Doubles could round the boundary.
+    val tNum = tDec.unscaledValue.longValueExact
+    val tDen = java.math.BigDecimal.ONE.movePointRight(tDec.scale)
+      .longValueExact + tNum
+    def alpha(na: String, nb: String): Column =
+      expr(s"($tNum * ($na + $nb) + ${tDen - 1}) div $tDen")
+    // candidates: prefix-overlap + size-ratio compatibility + PPJoin's
+    // positional filter (Xiao/Wang/Lin/Yu, WWW 2008): for the FIRST
+    // shared shingle (canonical df-order) at ranks (i, j), every other
+    // shared shingle ranks after both, so overlap ≤ 1 + min(na−i, nb−j);
+    // pairs whose match positions cannot reach α are pruned LOSSLESSLY
+    // before the distinct — on closed-vocabulary corpora (where nothing
+    // is rare and the plain prefix join floods) this is the filter that
+    // keeps the candidate stage output-bound.
     val cands = prefix.as("a")
       .join(prefix.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       // decimal threshold here too: double t*max can round one ulp above
       // an exact integer product and prune a true boundary pair
       .filter(least(col("a.n"), col("b.n")) >= lit(tDec) * greatest(col("a.n"), col("b.n")))
+      .filter(lit(1) + least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk")) >=
+        alpha("a.n", "b.n"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .distinct()
@@ -139,14 +156,26 @@ object DedupQueries {
       .join(sizes, "doc_id")
       .withColumn("p", (col("n") - ceil(lit(tDec) * col("n")) + 1).cast("int"))
     val prefix = ranked.filter(col("rk") <= col("p"))
-      .select(col("doc_id"), col("sh"), col("n"))
-    val indexed = sh.as("b")
-      .join(sizes.as("sb"), col("b.doc_id") === col("sb.doc_id"))
-      .select(col("b.doc_id").as("doc_b"), col("b.sh").as("sh"),
-        col("sb.n").as("nb"))
+      .select(col("doc_id"), col("sh"), col("n"), col("rk"))
+    // the full inverted index, but carrying each shingle's rank in the
+    // SAME global canonical order — what the positional filter needs
+    val indexed = ranked
+      .select(col("doc_id").as("doc_b"), col("sh"),
+        col("n").as("nb"), col("rk").as("rkb"))
+    // positional filter (PPJoin, one-sided): the FIRST shared shingle at
+    // ranks (i in A, j in B) bounds overlap ≤ 1 + min(na−i, nb−j), and
+    // containment ≥ t needs overlap ≥ ceil(t·na) — prunes pairs whose
+    // match positions cannot carry the bound, LOSSLESSLY (the
+    // prefix==naive equivalence spec covers it). Without it the
+    // prefix × full-index join floods on closed-vocabulary corpora
+    // (85 s at sf1; the b-side match can sit anywhere in B, so no
+    // size-ratio filter exists for containment — position is the only
+    // lever).
     val cands = prefix.join(indexed, Seq("sh"))
       .filter(col("doc_id") =!= col("doc_b") &&
-        col("nb") >= ceil(lit(tDec) * col("n")))
+        col("nb") >= ceil(lit(tDec) * col("n")) &&
+        lit(1) + least(col("n") - col("rk"), col("nb") - col("rkb")) >=
+          ceil(lit(tDec) * col("n")))
       .select(col("doc_id").as("doc_a"), col("doc_b"), col("n").as("na"))
       .distinct()
     // same array-based exact verification as ngramJaccardPrefix (see the

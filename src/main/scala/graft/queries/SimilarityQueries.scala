@@ -233,14 +233,20 @@ object SimilarityQueries {
   }
 
   // ── SRP estimator accuracy audit ───────────────────────────────────────
-  // The fourth sketch audit (MinHash, CMS, HLL, now SRP): on every
-  // banded-collision pair, the 16-bit sign-random-projection estimate
-  // cos(π·hamming/16) against the TRUE cosine — the bits-vs-error
-  // measurement behind any SRP banding choice. The estimate takes only
-  // 17 possible values (hamming ∈ 0..16), rounded to 6dp before the
-  // error terms; error magnitudes micro-quantize before summing, so the
-  // one-row report is accumulation-order-free. Candidate generation is
-  // the proven band-bucket join — never all pairs.
+  // The fourth sketch audit (MinHash, CMS, HLL, now SRP): on the banded-
+  // collision pairs OF THE PROBE SET (the anchor side is the same
+  // `vec_id < NumQueries` probe set q_ann_lsh serves), the 16-bit
+  // sign-random-projection estimate cos(π·hamming/16) against the TRUE
+  // cosine — the bits-vs-error measurement behind any SRP banding
+  // choice, measured exactly where it matters: on the serving path's
+  // candidate pairs. Anchoring one side keeps the audit LINEAR in the
+  // corpus (probes × bucket-mates); the earlier all-vs-all banded
+  // self-join was Θ(N²/2^bandBits) — 31× the wall time for 10× vectors
+  // at sf1, the fixed 16-value band-key space making it structural.
+  // The estimate takes only 17 possible values (hamming ∈ 0..16),
+  // rounded to 6dp before the error terms; error magnitudes
+  // micro-quantize before summing, so the one-row report is
+  // accumulation-order-free.
   def qSrpError(s: SparkSession, d: String): DataFrame = {
     val nBits = 16
     val bands = 4
@@ -257,7 +263,8 @@ object SimilarityQueries {
       }: _*)).as("bk"))
     val pairs = banded.as("a")
       .join(banded.as("b"),
-        col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
+        col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id") &&
+          col("a.vec_id") < NumQueries)
       .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
         col("a.v").as("va"), col("b.v").as("vb"),
         (col("a.nrm") * col("b.nrm")).as("denom"),
@@ -296,7 +303,7 @@ object SimilarityQueries {
       "pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib, " +
       "round(cos(pi() * CAST(bit_count(xor(a.sk, b.sk)) AS DOUBLE) / 16), 6) AS est, " +
       "list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS tru " +
-      "FROM sk a JOIN sk b ON a.vec_id < b.vec_id " +
+      s"FROM sk a JOIN sk b ON a.vec_id < b.vec_id AND a.vec_id < $NumQueries " +
       "AND a.nrm > 0 AND b.nrm > 0 " +
       "AND EXISTS (SELECT 1 FROM range(0, 4) t(bb) " +
       "WHERE ((a.sk >> (bb*4)) & 15) = ((b.sk >> (bb*4)) & 15))), " +
