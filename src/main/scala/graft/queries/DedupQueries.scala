@@ -373,21 +373,68 @@ object DedupQueries {
   // unrelated docs in a small vocabulary and quadratically flood the
   // self-join — 12-char grams keep matches meaningful (guarantee: any
   // shared run of >= 19 normalized chars still yields a shared print).
+  // Candidate generation follows the prefix-filter architecture the
+  // Jaccard/containment ops use, adapted to the min-denominator
+  // threshold: overlap >= ceil(n_small/2) forces a shared print among
+  // the SMALLER doc's p = n_small - ceil(n_small/2) + 1 rarest prints
+  // (global df-order), so the anchor side joins only those prints to the
+  // full index, PPJoin's positional bound 1 + min(na-i, nb-j) >= alpha
+  // prunes position-incompatible matches losslessly, and the true shared
+  // count comes from one array_intersect per surviving pair. The naive
+  // print self-join measured 163 s at sf1 (closed-vocabulary fixture:
+  // print df grows with the corpus, so matched rows grow quadratically);
+  // this plan is output-bound. Anchor = (n, doc_id)-lexicographic
+  // smaller side, so each unordered pair generates from exactly one
+  // anchor and the emitted (doc_a < doc_b by id) rows match the naive
+  // spelling row-for-row (spec-asserted).
   def qWinnowOverlap(s: SparkSession, d: String): DataFrame = {
     Winnow.register(s)
     val fp = Tables.documents(s, d)
       .select(col("doc_id"), explode(Winnow.winnow(col("text"), 12, 8)).as("h"))
+    winnowOverlapPrefix(fp, num = 1, den = 2)
+  }
+
+  /** Exact threshold overlap (shared >= ceil(num·min(na,nb)/den)) over a
+    * (doc_id, h) fingerprint table — prefix + positional candidates from
+    * the smaller side, array_intersect verification. */
+  private[graft] def winnowOverlapPrefix(fp: DataFrame, num: Int, den: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val df = fp.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val sizes = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val shared = fp.as("a")
-      .join(fp.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+    val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val ranked = fp.join(df, "h")
+      .withColumn("rk", row_number().over(byRarity))
+      .join(sizes, "doc_id")
+    // alpha(ns) = ceil(num·ns/den) in exact integer arithmetic
+    def alphaOf(n: String) = s"(($num * $n + ${den - 1}) div $den)"
+    val prefix = ranked
+      .filter(expr(s"rk <= n - ${alphaOf("n")} + 1"))
+      .select(col("doc_id").as("id_s"), col("h"),
+        col("n").as("ns"), col("rk").as("rks"))
+    val indexed = ranked.select(col("doc_id").as("id_l"), col("h"),
+      col("n").as("nl"), col("rk").as("rkl"))
+    val cands = prefix.join(indexed, Seq("h"))
+      // anchor strictly (n, doc_id)-smaller: one generator per pair
+      .filter(col("ns") < col("nl") ||
+        (col("ns") === col("nl") && col("id_s") < col("id_l")))
+      // positional: the first shared print bounds the total overlap
+      .filter(lit(1) + least(col("ns") - col("rks"), col("nl") - col("rkl")) >=
+        expr(alphaOf("ns")))
+      .select(col("id_s"), col("id_l"), col("ns"))
+      .distinct()
+    val docSets = fp.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+    cands
+      .join(docSets.select(col("doc_id").as("id_s"), col("hs").as("ha")), Seq("id_s"))
+      .join(docSets.select(col("doc_id").as("id_l"), col("hs").as("hb")), Seq("id_l"))
+      .select(
+        least(col("id_s"), col("id_l")).as("doc_a"),
+        greatest(col("id_s"), col("id_l")).as("doc_b"),
+        size(array_intersect(col("ha"), col("hb"))).cast("long").as("shared"),
+        col("ns"))
       .select(col("doc_a"), col("doc_b"), col("shared"),
-        (col("shared").cast("double") / least(col("sa.n"), col("sb.n"))).as("overlap"))
-      .filter(col("overlap") >= 0.5)
+        (col("shared").cast("double") / col("ns")).as("overlap"))
+      .filter(col("overlap") >= num.toDouble / den)
   }
 
   // ── DuckDB oracles for the approximate family ──────────────────────────

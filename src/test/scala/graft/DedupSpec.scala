@@ -145,6 +145,30 @@ class DedupSpec extends AnyFunSuite {
     out.collect().foreach(r => assert(r.getAs[Double]("overlap") >= 0.5))
   }
 
+  test("prefix-filtered winnow overlap equals the naive print self-join") {
+    // the naive spelling the oracle replays: count shared prints per
+    // ordered pair, threshold on the smaller doc's print count
+    graft.functions.Winnow.register(spark)
+    val fp = Tables.documents(spark, sf)
+      .select($"doc_id",
+        explode(graft.functions.Winnow.winnow($"text", 12, 8)).as("h"))
+    val sizes = fp.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val naive = fp.as("a")
+      .join(fp.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .filter(col("shared").cast("double") / least(col("sa.n"), col("sb.n")) >= 0.5)
+      .select($"doc_a", $"doc_b", $"shared").as[(Long, Long, Long)]
+      .collect().toSet
+    val fast = DedupQueries.winnowOverlapPrefix(fp, num = 1, den = 2)
+      .select($"doc_a", $"doc_b", $"shared").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(fast === naive)
+    assert(fast.nonEmpty)
+  }
+
   test("simhash: deterministic, near-dup-stable, codegen-evaluable") {
     SimHash.register(spark)
     val fp = docs.select($"doc_id", SimHash.simhash($"text").as("fp"))
