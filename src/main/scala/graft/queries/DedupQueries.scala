@@ -126,6 +126,128 @@ object DedupQueries {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ── PartEnum exact Jaccard (closed-vocabulary-proof candidates) ────────
+  // The prefix filter's candidate volume is Σ df² over prefix shingles —
+  // provably minimal for any inverted-INDEX join, but on a CLOSED
+  // vocabulary (every shingle's df grows with the corpus) that floor is
+  // itself quadratic: the sf3 fixture measured q_ngram_jaccard at 51 s
+  // for a 25-pair answer. PartEnum (Arasu/Ganti/Kaushik, "Efficient
+  // Exact Set-Similarity Joins", VLDB 2006) keys candidates on PART
+  // SUBSETS instead of single shingles: J ≥ t bounds the symmetric
+  // difference by floor((1−t)/t·n_small), so hashing the shingle UNIVERSE
+  // into p > maxdiff parts forces some part where the two docs' subsets
+  // are IDENTICAL — equal md5 of the sorted part content. Collisions now
+  // require agreeing on a whole ~4-shingle slice, not one popular
+  // shingle, so candidate volume is output-bound regardless of df.
+  // Size handling: integer geometric bands T_{k+1} = ceil(T_k/t); a
+  // J ≥ t pair's sizes are within 1/t, hence same or adjacent bands —
+  // each doc emits its part grid for its own band (anchor role) and the
+  // band below (partner role), and the (n, doc_id)-smaller side anchors,
+  // so each pair is generated exactly once at band(n_small). Every part
+  // index 0..p−1 emits a row (empty parts hash the empty string —
+  // dropping them would lose pairs whose difference-free part is empty
+  // on both sides). Verification is the shared array_intersect plan.
+  // Same output, row-for-row, as q_ngram_jaccard (spec-asserted); the
+  // oracle replays the same naive join.
+  def qJaccardPartEnum(s: SparkSession, d: String): DataFrame =
+    jaccardPartEnum(shingleIndex(s, d), num = 4, den = 5) // t = 4/5
+
+  private[graft] def jaccardPartEnum(sh: DataFrame, num: Int, den: Int): DataFrame = {
+    val s = sh.sparkSession
+    import s.implicits._
+    // integer size bands [T_k, T_{k+1}) with T_{k+1} = ceil(T_k·den/num);
+    // p_k = floor((den−num)·(T_{k+1}−1)/num) + 1 > any pair's symmetric
+    // difference when the smaller doc sits in band k
+    val thresholds = Iterator.iterate(1L)(t => (t * den + num - 1) / num)
+      .takeWhile(_ < (1L << 40)).toSeq
+    // p = maxdiff + 1 (the minimal pigeonhole count). MEASURED trade-off
+    // on the synthetic fixture (53-shingle docs, t = 0.8 → maxdiff ≈ 13):
+    // minimal p gives ~3.5-shingle parts whose empty-part rows (both-empty
+    // parts must still key-match — see emptyRows below) collide
+    // info-free at 29.5 s sf1 / 94 s sf3; p = 2·maxdiff+1 (which lets the
+    // empty channel be restricted to docs occupying ≤ maxdiff parts —
+    // essentially none) shrinks parts to ~1.7 shingles, whose SINGLETON
+    // subset hashes degenerate to per-shingle keys and re-inherit the
+    // df² flood: 39.5 s sf1 / 114 s sf3. Net: at this |set|/maxdiff
+    // operating point the prefix+positional join (q_ngram_jaccard,
+    // 10.5 s sf1) wins; PartEnum's regime is |set| ≫ diff budget, where
+    // parts stay multi-element and selective. Kept registered as the
+    // measured alternative exact engine.
+    val bands = thresholds.zipWithIndex.map { case (lo, k) =>
+      val hi = if (k + 1 < thresholds.size) thresholds(k + 1) else Long.MaxValue
+      val p = ((den - num) * (hi - 1) / num + 1).min(1L << 20)
+      (k, lo, hi, p)
+    }
+    val bandsDf = bands.toDF("band", "lo", "hi", "p")
+    val prevDf = bands.collect { case (k, _, _, _) if k > 0 =>
+      (k, bands(k - 1)._1, bands(k - 1)._4)
+    }.toDF("band", "kb_prev", "p_prev")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val withBand = sizes.join(broadcast(bandsDf),
+      col("n") >= col("lo") && col("n") < col("hi"))
+      .select(col("doc_id"), col("n"), col("band"), col("p"))
+    // role rows: anchor grid at own band; partner grid also at band−1
+    val roles = withBand
+      .select(col("doc_id"), col("n"), col("band").as("kb"), col("p"))
+      .unionByName(withBand.join(broadcast(prevDf), Seq("band"))
+        .select(col("doc_id"), col("n"),
+          col("kb_prev").as("kb"), col("p_prev").as("p")))
+      .distinct()
+    // part-content hashes: md5 of the sorted shingles landing in each part
+    val content = roles.join(sh, Seq("doc_id"))
+      .select(col("doc_id"), col("n"), col("kb"), col("p"),
+        pmod(Md5Bits.hash60(col("sh")), col("p")).as("part"), col("sh"))
+      .groupBy(col("doc_id"), col("n"), col("kb"), col("p"), col("part"))
+      .agg(md5(concat_ws("|", sort_array(collect_list(col("sh"))))).as("ph"))
+    // full grid: EVERY part index emits (empty parts hash "") — with the
+    // minimal p, the single guaranteed diff-free part may be empty in
+    // both docs, so dropping empty rows would lose pairs
+    val grid = roles
+      .select(col("doc_id"), col("n"), col("kb"),
+        explode(expr("sequence(0, CAST(p - 1 AS INT))")).as("part"))
+      .join(content.select(col("doc_id"), col("kb"), col("part"), col("ph")),
+        Seq("doc_id", "kb", "part"), "left")
+      .select(col("doc_id"), col("n"), col("kb"), col("part"),
+        coalesce(col("ph"), lit(md5Empty)).as("ph"))
+    // anchors are grids at the doc's OWN band
+    val anchorKeys = withBand.select(col("doc_id").as("a_id"), col("band"))
+    val anchors = anchorKeys.alias("ak")
+      .join(grid.alias("g"),
+        col("ak.a_id") === col("g.doc_id") && col("ak.band") === col("g.kb"))
+      .select(col("g.doc_id").as("id_a"), col("g.n").as("na"),
+        col("g.kb").as("kb"), col("g.part").as("part"), col("g.ph").as("ph"))
+    val partner = grid.alias("g2").select(
+      col("g2.doc_id").as("id_b"), col("g2.n").as("nb"),
+      col("g2.kb").as("kb"), col("g2.part").as("part"), col("g2.ph").as("ph"))
+    val cands = anchors.alias("an")
+      .join(partner.alias("pr"),
+        col("an.kb") === col("pr.kb") && col("an.part") === col("pr.part") &&
+          col("an.ph") === col("pr.ph"))
+      // (n, doc_id)-lexicographic anchor + exact-integer size ratio
+      .filter((col("na") < col("nb") ||
+        (col("na") === col("nb") && col("id_a") < col("id_b"))) &&
+        lit(num) * col("nb") <= lit(den) * col("na"))
+      .select(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .distinct()
+    val docSets = sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("sh"))).as("ss"))
+    cands
+      .join(docSets.select(col("doc_id").as("id_a"), col("ss").as("sa")), Seq("id_a"))
+      .join(docSets.select(col("doc_id").as("id_b"), col("ss").as("sb")), Seq("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"),
+        col("na"), col("nb"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("shared"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        (col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared"))).as("jaccard"))
+      .filter(col("jaccard") >= num.toDouble / den)
+  }
+
+  private val md5Empty =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(Array.empty[Byte]).map("%02x".format(_)).mkString
+
   // ── Asymmetric containment (subset-duplicate detection) ────────────────
   // The near-dup case symmetric Jaccard structurally misses: a short doc
   // fully quoted inside a much longer one scores J = |A|/|B| ≈ 0 but
@@ -1018,6 +1140,7 @@ object DedupQueries {
     "q_winnow_overlap" -> qWinnowOverlap _,
     "q_dedup_exact"   -> qDedupExact _,
     "q_ngram_jaccard" -> qNgramJaccard _,
+    "q_jaccard_partenum" -> qJaccardPartEnum _,
     "q_minhash_lsh"   -> qMinhashLsh _,
     "q_dedup_report"  -> qDedupReport _,
     "q_simhash_pairs" -> qSimhashPairs _,
@@ -1037,6 +1160,10 @@ object DedupQueries {
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_dedup_exact"    -> qDedupExactSql,
     "q_ngram_jaccard"  -> qNgramJaccardSql,
+    // PartEnum is result-identical to the prefix-filtered join BY
+    // CONSTRUCTION (lossless candidate generation, same verification),
+    // so the same naive-join oracle replays it — the qAnnServe precedent
+    "q_jaccard_partenum" -> qNgramJaccardSql,
     "q_minhash_lsh"    -> qMinhashLshSql,
     "q_dedup_report"   -> qDedupReportSql,
     "q_simhash_pairs"  -> qSimhashPairsSql,

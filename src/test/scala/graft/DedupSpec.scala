@@ -89,6 +89,40 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("PartEnum jaccard equals the prefix-filtered and naive joins exactly") {
+    graft.functions.Shingles.register(spark)
+    val sh = Tables.documents(spark, sf)
+      .select($"doc_id",
+        explode(graft.functions.Shingles.shingles($"text", 3)).as("sh"))
+    val pe = DedupQueries.jaccardPartEnum(sh, num = 4, den = 5)
+      .select($"doc_a", $"doc_b", $"shared").as[(Long, Long, Long)]
+      .collect().toSet
+    val naive = DedupQueries.ngramJaccardNaive(sh, 0.8)
+      .select($"doc_a", $"doc_b", $"shared").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(pe === naive)
+    assert(pe.nonEmpty)
+  }
+
+  test("PartEnum pigeonhole: diff-bounded pairs always share a part subset") {
+    // property form of the completeness argument: random set pairs with
+    // symmetric difference <= floor((1-t)/t * min) must collide on at
+    // least one (part, subset-hash) key when p > maxdiff
+    val r = new scala.util.Random(11)
+    (1 to 100).foreach { _ =>
+      val base = (1 to 40 + r.nextInt(20)).map(_ => r.nextInt(100000)).distinct
+      val nDrop = r.nextInt(1 + base.size / 8)
+      val b = base.drop(nDrop) ++ (1 to r.nextInt(4)).map(_ => 100000 + r.nextInt(100))
+      val diff = (base.toSet -- b.toSet).size + (b.toSet -- base.toSet).size
+      val p = diff + 1 + r.nextInt(4)
+      def parts(xs: Set[Int]) =
+        (0 until p).map(k => k -> xs.filter(x => math.floorMod(x, p) == k)).toMap
+      val (pa, pb) = (parts(base.toSet), parts(b.toSet))
+      assert((0 until p).exists(k => pa(k) == pb(k)),
+        s"no equal part: diff=$diff p=$p")
+    }
+  }
+
   test("ngram jaccard on real data only reports pairs above threshold") {
     val out = DedupQueries.qNgramJaccard(spark, sf).collect()
     assert(out.nonEmpty) // testdata plants near-duplicates
