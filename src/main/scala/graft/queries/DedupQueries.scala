@@ -153,8 +153,6 @@ object DedupQueries {
     jaccardPartEnum(shingleIndex(s, d), num = 4, den = 5) // t = 4/5
 
   private[graft] def jaccardPartEnum(sh: DataFrame, num: Int, den: Int): DataFrame = {
-    val s = sh.sparkSession
-    import s.implicits._
     // integer size bands [T_k, T_{k+1}) with T_{k+1} = ceil(T_k·den/num);
     // p_k = floor((den−num)·(T_{k+1}−1)/num) + 1 > any pair's symmetric
     // difference when the smaller doc sits in band k
@@ -178,20 +176,22 @@ object DedupQueries {
       val p = ((den - num) * (hi - 1) / num + 1).min(1L << 20)
       (k, lo, hi, p)
     }
-    val bandsDf = bands.toDF("band", "lo", "hi", "p")
-    val prevDf = bands.collect { case (k, _, _, _) if k > 0 =>
-      (k, bands(k - 1)._1, bands(k - 1)._4)
-    }.toDF("band", "kb_prev", "p_prev")
+    // band assignment as a pure expression (no range join): band(n) =
+    // #thresholds <= n − 1, a codegen'd indicator sum over the ~120-entry
+    // threshold ladder; p looked up from an array literal
+    val bandCol = thresholds.map(t =>
+      when(col("n") >= t, 1).otherwise(0)).reduce(_ + _) - lit(1)
+    val pArr = array(bands.map(b => lit(b._4)): _*)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val withBand = sizes.join(broadcast(bandsDf),
-      col("n") >= col("lo") && col("n") < col("hi"))
-      .select(col("doc_id"), col("n"), col("band"), col("p"))
+    val withBand = sizes
+      .withColumn("band", bandCol)
+      .withColumn("p", element_at(pArr, col("band").cast("int") + 1))
     // role rows: anchor grid at own band; partner grid also at band−1
     val roles = withBand
       .select(col("doc_id"), col("n"), col("band").as("kb"), col("p"))
-      .unionByName(withBand.join(broadcast(prevDf), Seq("band"))
-        .select(col("doc_id"), col("n"),
-          col("kb_prev").as("kb"), col("p_prev").as("p")))
+      .unionByName(withBand.filter(col("band") > 0)
+        .select(col("doc_id"), col("n"), (col("band") - 1).as("kb"),
+          element_at(pArr, col("band").cast("int")).as("p")))
       .distinct()
     // part-content hashes: md5 of the sorted shingles landing in each part
     val content = roles.join(sh, Seq("doc_id"))

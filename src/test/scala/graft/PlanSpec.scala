@@ -72,7 +72,7 @@ class PlanSpec extends AnyFunSuite {
     // join on band buckets, not an all-pairs product (q_cos_neardup is
     // the one deliberate, size-guarded exception)
     for (q <- Seq("q_minhash_lsh", "q_simhash_pairs", "q_winnow_overlap",
-        "q_ann_lsh")) {
+        "q_ann_lsh", "q_jaccard_partenum", "q_containment")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"),
