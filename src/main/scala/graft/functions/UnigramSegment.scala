@@ -4,7 +4,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, MapData}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.{call_function, typedlit}
@@ -31,9 +31,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - candidates at position e are the vocab pieces word[s, e), s >= e-maxPiece;
   *  - forward: best(p) = min over candidates of best(s) + cost, or the
   *    10^15 infinity when no candidate reaches p;
-  *  - backtrace from the end picks min (best(s) + cost)·16 + s — the
-  *    encoded tie-break that prefers the LONGER piece on equal cost
-  *    (words are capped at < 16 chars so s fits the low nibble);
+  *  - backtrace from the end picks the min-cost candidate, smallest
+  *    start s on ties (= the LONGER piece wins). This is the explicit
+  *    two-key argmin of the oracle's encoded (best(s) + cost)·16 + s
+  *    tie-break — identical for every s < 16, i.e. for all words the
+  *    oracle ever replays (UlmMaxWLen = 12), and, unlike the nibble
+  *    encoding, collision-free for arbitrarily long words handed to the
+  *    session-registered SQL function by external callers;
   *  - pieces are emitted in backtrace order (end → start), matching the
   *    array_append walk the oracle's recursive CTE replays.
   *
@@ -42,7 +46,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * broadcast with the plan, never joined against the corpus.
   */
 case class UnigramSegmentExpression(word: Expression, vocabExpr: Expression,
-    maxPiece: Int) extends BinaryExpression with CodegenFallback {
+    maxPiece: Int) extends BinaryExpression {
 
   override def left: Expression = word
   override def right: Expression = vocabExpr
@@ -84,6 +88,23 @@ case class UnigramSegmentExpression(word: Expression, vocabExpr: Expression,
     UnigramSegmentExpression.compute(
       w.asInstanceOf[UTF8String].toString, vocab, maxPiece)
 
+  /** Entry point for generated code: same per-executor cached vocab, same
+    * imperative DP as the interpreted path (spec-pinned equal). */
+  def computeForCodegen(w: UTF8String): ArrayData =
+    UnigramSegmentExpression.compute(w.toString, vocab, maxPiece)
+
+  /** Native codegen: evaluate the word child inside whole-stage codegen
+    * and dispatch to the imperative DP through a plan reference — no
+    * per-row InternalRow boxing, no interpreted child eval (the previous
+    * CodegenFallback cost on the corpus-side E-step). The DP itself stays
+    * a JVM method call: a few µs of imperative Scala that JIT compiles,
+    * which is the part worth keeping out of Janino-generated source. */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ulmSeg", this,
+      classOf[UnigramSegmentExpression].getName)
+    defineCodeGen(ctx, ev, (w, _) => s"$ref.computeForCodegen($w)")
+  }
+
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): UnigramSegmentExpression =
     copy(word = newLeft, vocabExpr = newRight)
@@ -116,25 +137,30 @@ object UnigramSegmentExpression {
       best(p) = if (m == Long.MaxValue) Inf else m
       p += 1
     }
-    // backtrace: min (best(s) + cost)·16 + s per step — longer piece wins ties
+    // backtrace: per step, min cost with smallest s on ties (longer piece
+    // wins). Ascending s + strict < keeps the smallest tying s for free.
+    // This is the explicit spelling of the oracle's (best(s)+cost)·16 + s
+    // encoded argmin — identical whenever s < 16, and collision-free for
+    // words of any length (the encoding wrapped s into the cost field at
+    // s >= 16, silently mis-segmenting 17+-char words for SQL callers).
     val out = new ArrayBuffer[Any](len)
     var pos = len
     while (pos > 0) {
-      var k = Long.MaxValue
+      var kCost = Long.MaxValue
+      var kS = -1
       var s = math.max(0, pos - maxPiece)
       while (s < pos) {
         val c = vocab.get(word.substring(s, pos))
         if (c != null) {
-          val cand = (best(s) + c.longValue()) * 16 + s
-          if (cand < k) k = cand
+          val cand = best(s) + c.longValue()
+          if (cand < kCost) { kCost = cand; kS = s }
         }
         s += 1
       }
-      if (k == Long.MaxValue) pos = 0 // unreachable while singles cover every char
+      if (kS < 0) pos = 0 // unreachable while singles cover every char
       else {
-        val ns = (k % 16).toInt
-        out += UTF8String.fromString(word.substring(ns, pos))
-        pos = ns
+        out += UTF8String.fromString(word.substring(kS, pos))
+        pos = kS
       }
     }
     new GenericArrayData(out.toArray)

@@ -171,9 +171,19 @@ object DedupQueries {
     // 10.5 s sf1) wins; PartEnum's regime is |set| ≫ diff budget, where
     // parts stay multi-element and selective. Kept registered as the
     // measured alternative exact engine.
+    // p computed in BigInt — (den−num)·(hi−1) overflows Long for the top
+    // band (hi = Long.MaxValue) whenever den−num > 1. Bands whose exact p
+    // would exceed 2²⁰ parts are marked INVALID (−1) instead of silently
+    // truncated: a truncated p < maxdiff breaks the pigeonhole guarantee
+    // and would drop true pairs, contradicting the exactness contract.
+    // At t = 4/5 the cap binds only for docs with > ~4.2 M shingles —
+    // the operating-size bound of this engine; the runtime check below
+    // fails loudly if such a doc ever appears (use the prefix join then).
+    val PCap = 1L << 20
     val bands = thresholds.zipWithIndex.map { case (lo, k) =>
       val hi = if (k + 1 < thresholds.size) thresholds(k + 1) else Long.MaxValue
-      val p = ((den - num) * (hi - 1) / num + 1).min(1L << 20)
+      val pBig = BigInt(den - num) * BigInt(hi - 1) / num + 1
+      val p = if (pBig > PCap) -1L else pBig.toLong
       (k, lo, hi, p)
     }
     // band assignment as a pure expression (no range join): band(n) =
@@ -183,9 +193,17 @@ object DedupQueries {
       when(col("n") >= t, 1).otherwise(0)).reduce(_ + _) - lit(1)
     val pArr = array(bands.map(b => lit(b._4)): _*)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // raise_error is threaded INTO the p column (not a droppable side
+    // column) so the optimizer cannot prune the completeness check
     val withBand = sizes
       .withColumn("band", bandCol)
-      .withColumn("p", element_at(pArr, col("band").cast("int") + 1))
+      .withColumn("p", {
+        val p0 = element_at(pArr, col("band").cast("int") + 1)
+        when(p0 > 0, p0).otherwise(raise_error(concat(
+          lit(s"PartEnum: doc with "), col("n"),
+          lit(s" shingles needs > $PCap parts at t=$num/$den; " +
+            "exactness cap exceeded — use the prefix join engine"))).cast("long"))
+      })
     // role rows: anchor grid at own band; partner grid also at band−1
     val roles = withBand
       .select(col("doc_id"), col("n"), col("band").as("kb"), col("p"))

@@ -203,18 +203,21 @@ object PipelineQueries {
       s"CAST(sum(CASE WHEN g < $AnonK THEN g ELSE 0 END) AS BIGINT) AS rows_at_risk " +
       "FROM g"
 
-  // ── Differentially private release (derandomized Laplace) ─────────────
+  // ── Differentially private release (mechanism-shape benchmark) ────────
   // The release mechanism the k-anon/l-div/t-closeness audits gate FOR:
-  // per-segment counts published under ε-DP Laplace noise (sensitivity 1
-  // per count; two releases at ε = 0.5 compose to a total ε = 1 budget,
-  // reported alongside). The noise is DERANDOMIZED with the shared md5
-  // hash60 — u = hash60('dp:…') / 2⁶⁰, noise = −(1/ε)·sign(u−½)·
-  // ln(1 − 2|u−½|) (inverse-CDF Laplace) — so the released table is
-  // bit-reproducible across engines and runs while remaining a valid DP
-  // draw for any adversary without the release key (the keyed-PRF
-  // Laplace standard in deployed DP systems). One rounded libm log per
-  // group, milli-quantized before the integer add; one keyed partial-agg
-  // shuffle over bounded groups.
+  // per-segment counts with Laplace-shaped noise (sensitivity 1 per
+  // count; two releases at ε = 0.5 compose to a reported ε = 1 budget).
+  // The noise is DERANDOMIZED with the shared md5 hash60 of a PUBLIC tag
+  // — u = hash60('dp:…') / 2⁶⁰, noise = −(1/ε)·sign(u−½)·ln(1 − 2|u−½|)
+  // (inverse-CDF Laplace) — so the released table is bit-reproducible
+  // across engines and runs. THIS IS A MECHANISM-SHAPE BENCHMARK, NOT A
+  // PRIVACY GUARANTEE: because the tag is public, anyone can recompute
+  // and subtract the noise exactly (MiningSpec does precisely that as a
+  // parity check). A production deployment MUST replace the public tag
+  // with a keyed PRF (secret release key) — a substitution that changes
+  // only the hash input, not the plan shape or cost being measured here.
+  // One rounded libm log per group, milli-quantized before the integer
+  // add; one keyed partial-agg shuffle over bounded groups.
   private val DpEpsMilli = 500L // ε = 0.5 per release
 
   def qDpCounts(s: SparkSession, d: String): DataFrame = {

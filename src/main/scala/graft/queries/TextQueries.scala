@@ -1020,10 +1020,11 @@ object TextQueries {
   // the word-frequency and count aggregations, vocab-sized state
   // broadcast as a foldable map literal (the KMeans bounded-collect
   // precedent).
-  // Viterbi ties break deterministically by encoding (cost, start) into
-  // one BIGINT: key = cost*16 + s (s < 16 — words are capped at
-  // UlmMaxWLen=12 chars), so min(key) prefers the LONGER piece on equal
-  // cost; the oracle's backtrace uses the same encoding. At 100 TB the
+  // Viterbi ties break deterministically: min cost, then smallest start
+  // s (= LONGER piece wins). The oracle's backtrace encodes that same
+  // argmin as one BIGINT key = cost*16 + s — identical because s < 16
+  // for every replayed word (UlmMaxWLen=12); the native expression uses
+  // the explicit two-key comparison, safe for any word length. At 100 TB the
   // plan is one token-count shuffle + per-round (projection + vocab-
   // sized aggregation) — model state never grows with the corpus.
   private val UlmMaxWLen = 12
@@ -1508,8 +1509,9 @@ object TextQueries {
   // bit-identical in Spark and the oracle's unrolled CTEs. Each round is
   // one keyed O(|E|) join+sum shuffle over the vocab-bounded graph
   // (never a corpus rescan — the graph builds once). Top-20 keywords via
-  // TakeOrdered. BIGINT bound: w·850·PR ≤ ~9·10¹⁸ holds while
-  // vocab·weight < 10¹⁰ — vocabulary, not corpus, is the dial.
+  // TakeOrdered. The per-edge product w·850·PR is computed in
+  // DECIMAL(38,0) (matching the oracle's HUGEINT) so the chain cannot
+  // wrap silently in Long past the vocab·weight ≈ 10¹⁰ point.
   private val TrIters = 8
   private val TrTopK = 20
 
@@ -1533,8 +1535,14 @@ object TextQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var pr = wdeg.select(col("u").as("word"), lit(1000000L).as("pr"))
     for (_ <- 1 to TrIters) {
+      // per-edge product in DECIMAL(38,0): the oracle runs this chain in
+      // HUGEINT, so a LongType w·850·pr that wraps past 2⁶³ would diverge
+      // silently instead of erroring; decimal `div` truncates identically
+      // for these all-positive terms and returns BIGINT
       val contrib = ew.join(pr.withColumnRenamed("word", "u"), Seq("u"))
-        .select(col("v"), expr("(w * 850 * pr) div (1000 * wd)").as("c"))
+        .select(col("v"), expr(
+          "(CAST(w AS DECIMAL(38,0)) * 850 * CAST(pr AS DECIMAL(38,0)))" +
+            " div (1000 * wd)").as("c"))
         .groupBy(col("v")).agg(sum(col("c")).as("sc"))
       pr = wdeg.select(col("u").as("word"))
         .join(contrib.withColumnRenamed("v", "word"), Seq("word"), "left")

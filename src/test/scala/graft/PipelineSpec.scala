@@ -294,4 +294,66 @@ class PipelineSpec extends AnyFunSuite {
     // a TVD is a distance: in [0, 1]
     assert(tvds.forall(t => t._2 >= 0.0 && t._2 <= 1.0))
   }
+
+  test("UnigramSegment handles 17+-char words (no nibble collision) and matches a two-key DP") {
+    // The retired (best+cost)*16+s encoding decoded start = k%16, so any
+    // chosen s >= 16 produced a bogus piece boundary. Craft a 20-char word
+    // whose optimal final piece starts at s = 17.
+    import graft.functions.UnigramSegmentExpression
+    val word = "abcdefghijklmnopqrst" // len 20
+    val vocab = new java.util.HashMap[String, java.lang.Long]()
+    word.foreach(c => vocab.put(c.toString, 10L))
+    vocab.put(word.substring(17, 20), 5L) // "rst", cheaper than r+s+t
+    val got = UnigramSegmentExpression.compute(word, vocab, maxPiece = 4)
+    val pieces = (0 until got.numElements())
+      .map(i => got.getUTF8String(i).toString)
+    // backtrace order is end -> start; every piece must be a real vocab
+    // entry and reassemble the word
+    assert(pieces.forall(vocab.containsKey), s"non-vocab piece in $pieces")
+    assert(pieces.reverse.mkString === word)
+    assert(pieces.head === "rst", s"optimal tail piece lost: $pieces")
+    // reference: explicit (cost, smallest-s) DP over the same vocab
+    def ref(w: String): Seq[String] = {
+      val Inf = Long.MaxValue / 4
+      val L = w.length
+      val best = Array.fill(L + 1)(Inf); best(0) = 0L
+      for (p <- 1 to L; s <- math.max(0, p - 4) until p)
+        Option(vocab.get(w.substring(s, p))).foreach { c =>
+          best(p) = math.min(best(p), best(s) + c)
+        }
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var pos = L
+      while (pos > 0) {
+        val s = (math.max(0, pos - 4) until pos)
+          .filter(s => vocab.get(w.substring(s, pos)) != null)
+          .minBy(s => (best(s) + vocab.get(w.substring(s, pos)).longValue, s))
+        out += w.substring(s, pos); pos = s
+      }
+      out.toSeq
+    }
+    assert(pieces === ref(word))
+  }
+
+  test("UnigramSegment codegen path equals the interpreted DP") {
+    import graft.functions.{UnigramSegment, UnigramSegmentExpression}
+    // no CodegenFallback: the expression must implement doGenCode itself
+    assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+      .isAssignableFrom(classOf[UnigramSegmentExpression]))
+    val vocab = Map("a" -> 10L, "b" -> 10L, "c" -> 10L, "ab" -> 15L,
+      "bc" -> 12L, "abc" -> 40L)
+    val words = Seq("abcabc", "aabbcc", "cab", "", "abcdefghijklmnopqrst")
+      .toDF("word")
+    UnigramSegment.register(spark)
+    val viaPlan = words
+      .select($"word", UnigramSegment.segment($"word", vocab, 3).as("p"))
+      .as[(String, Seq[String])].collect().toMap
+    val jm = new java.util.HashMap[String, java.lang.Long]()
+    vocab.foreach { case (k, v) => jm.put(k, v) }
+    words.as[String].collect().foreach { w =>
+      val direct = UnigramSegmentExpression.compute(w, jm, 3)
+      val ds = (0 until direct.numElements())
+        .map(i => direct.getUTF8String(i).toString)
+      assert(viaPlan(w) === ds, s"codegen != interpreted for '$w'")
+    }
+  }
 }
