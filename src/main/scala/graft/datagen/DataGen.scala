@@ -8,14 +8,18 @@ import org.apache.spark.sql.functions._
   * repo's "100 TB-safe" plan audits into measured scale curves (sf0.01 →
   * 0.1 → 1 → …) without touching the read-only `/root/testdata`.
   *
-  * Same schemas, row-count rules, and value distributions as the driver's
-  * fixtures (FIXTURES.md / TESTDATA.md; distributions probed from the
-  * sf0.1 parquet): TPC-H-ish `region nation customer supplier part orders
-  * lineitem` + an `events` stream table + `documents`/`embeddings` for the
-  * LLM-pipeline operators. The byte stream is NOT identical to the
-  * driver's (different RNG), and does not need to be: every oracle is
-  * dual-engine over whatever files both engines read, so correctness
-  * checks stay engine-independent on generated data too.
+  * Same schemas and row-count rules as the driver's fixtures (FIXTURES.md
+  * / TESTDATA.md; distributions probed from the sf0.1 parquet): TPC-H-ish
+  * `region nation customer supplier part orders lineitem` + an `events`
+  * stream table + `documents`/`embeddings` for the LLM-pipeline
+  * operators. Value distributions match the driver's EXCEPT
+  * `documents.text`, which deliberately upgrades the driver's closed
+  * 31-word vocabulary to an open Zipf/Heaps one (see the HeadWords note)
+  * — the closed vocabulary made every exact-dedup scale slope quadratic
+  * by construction. The byte stream is NOT identical to the driver's
+  * (different RNG), and does not need to be: every oracle is dual-engine
+  * over whatever files both engines read, so correctness checks stay
+  * engine-independent on generated data too.
   *
   * Generation is itself scale-shaped: every column is a pure Catalyst
   * expression over `spark.range(n)` (xxhash64-derived uniforms — a
@@ -55,12 +59,54 @@ object DataGen {
   private val PAdjs = Seq("large", "hot", "blue", "red", "green", "small", "dark", "light")
   private val PNouns = Seq("ring", "bolt", "screw", "nut", "washer", "gear", "cap", "rod")
   private val RegionNames = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
-  /** The driver corpus' exact 31-token vocabulary (probed from sf0.1). */
-  private val Vocab = Seq(
-    "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
-    "filter", "group", "hash", "join", "key", "line", "merge", "order",
-    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
-    "stream", "table", "the", "value", "vector", "window")
+
+  // ── Open-vocabulary document text ─────────────────────────────────────
+  // The driver fixture draws doc tokens from a CLOSED 31-word vocabulary.
+  // That is fine for the oracle gate (dual-engine — any text checks) but
+  // poisonous for dedup scale measurement: with a closed vocabulary every
+  // shingle's document frequency grows linearly with the corpus, so the
+  // candidate floor Σ df² of ANY exact inverted-index join is quadratic
+  // BY CONSTRUCTION — the measured sf3 slopes said nothing about real
+  // corpora (round-10 verdict, top finding). Generated fixtures instead
+  // use the empirical shape of real text:
+  //  - Zipf(1) token ranks via inverse CDF (rank = floor(V^u));
+  //  - a vocabulary that GROWS with the corpus (Heaps' law,
+  //    V = 20·sqrt(expected tokens)), so tail words — and therefore most
+  //    shingles — stay rare at every scale;
+  //  - the top 32 ranks are language-specific function words (the head
+  //    mass real corpora put on stopwords), keyed to the doc's lang label
+  //    so the language-ID and quality-gate operators see real signal;
+  //  - open-tail words spell their rank in base 36 ("x" + digits) —
+  //    pure-alphanumeric, ≤ 6 chars, inside every tokenizer's word cap.
+  // Planted exact duplicates (the ~1/625 dupOf rule) are unchanged.
+  private val HeadWords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "for", "on",
+      "it", "as", "at", "by", "be", "or", "an", "we", "you", "this",
+      "that", "with", "from", "data", "query", "table", "row", "join",
+      "key", "value", "stream", "batch", "spark"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+      "zu", "den", "von", "mit", "auf", "im", "sich", "des", "dem", "er",
+      "sie", "es", "auch", "an", "werden", "aus", "bei", "nach", "wie",
+      "wir", "nur", "oder", "um", "aber"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une", "du",
+      "de", "en", "que", "qui", "dans", "pour", "il", "au", "sur", "se",
+      "pas", "plus", "par", "avec", "son", "ne", "ce", "vous", "sont",
+      "mais", "nous", "comme", "ou"),
+    "es" -> Seq("el", "los", "que", "de", "y", "es", "la", "en", "un",
+      "una", "del", "las", "se", "por", "con", "no", "su", "para", "al",
+      "lo", "como", "mas", "pero", "sus", "le", "ya", "o", "este", "si",
+      "porque", "esta", "entre"),
+    "zh" -> Seq("shi", "bu", "wo", "ni", "ta", "men", "zhe", "na", "hao",
+      "ma", "ge", "zai", "you", "mei", "hen", "dou", "le", "he", "ren",
+      "shang", "zhong", "xia", "da", "xiao", "lai", "qu", "shuo", "kan",
+      "xiang", "dui", "hui", "neng"))
+  private val HeadSize = 32
+  require(HeadWords.values.forall(_.size == HeadSize))
+
+  /** Heaps-law vocabulary size for a corpus of `docs` documents
+    * (avg 55 tokens/doc): V = max(512, ceil(20·sqrt(tokens))). */
+  private[graft] def vocabSize(docs: Long): Long =
+    math.max(512L, math.ceil(20.0 * math.sqrt(docs * 55.0)).toLong)
 
   /** Row-count rules per scale factor (probed across sf0.001/0.01/0.1). */
   final case class Sizes(sf: Double) {
@@ -156,25 +202,39 @@ object DataGen {
       concat(lit("{\"k\": "), ui("e_k", 100, col("id")), lit("}")).as("props"))
   }
 
-  /** 10–100 tokens from the 31-word vocab; ~1/625 of docs are planted
-    * exact duplicates of an earlier doc (probed: 8 dup texts per 5000),
-    * which the dedup family needs at every sf. */
+  /** 10–100 Zipf-drawn tokens over the Heaps-growing open vocabulary (see
+    * the header note above HeadWords); ~1/625 of docs are planted exact
+    * duplicates of an earlier doc (probed: 8 dup texts per 5000), which
+    * the dedup family needs at every sf. Every random stream is keyed on
+    * `dupOf`, so a planted duplicate reproduces its source byte-for-byte. */
   def documents(s: SparkSession, sz: Sizes): DataFrame = {
     val dupOf = when(
       ui("d_dup", 625, col("id")) === 0 && col("id") >= 317, col("id") - 317)
       .otherwise(col("id"))
     val ntok = (ui("d_ntok", 91, dupOf) + 10).cast("int")
-    val text = array_join(
-      transform(sequence(lit(1), ntok),
-        p => pick(Vocab, pmod(xxhash64(lit("d_tok"), dupOf, p), lit(31)))),
-      " ")
     val langIdx = ui("d_lang", 100, dupOf)
+    val lang = when(langIdx < 40, "en").when(langIdx < 55, "fr")
+      .when(langIdx < 70, "es").when(langIdx < 85, "de")
+      .otherwise("zh")
+    val v = vocabSize(sz.documents)
+    // Zipf(1) rank by inverse CDF: rank = floor(V^u) ∈ [1, V); P(rank=r)
+    // ≈ ln((r+1)/r)/ln V ∝ 1/r. Head mass P(rank ≤ 32) = ln(33)/ln V —
+    // ~43% function words at sf0.01, ~33% at sf1 (realistic stopword load)
+    def word(p: Column): Column = {
+      val r = floor(pow(lit(v.toDouble), u("d_zipf", dupOf, p))).cast("long")
+      val tail = concat(lit("x"), lower(conv(r.cast("string"), 10, 36)))
+      val head = HeadWords.toSeq.foldLeft(lit(null).cast("string")) {
+        case (acc, (lg, ws)) =>
+          when(lang === lg,
+            element_at(array(ws.map(lit): _*), r.cast("int"))).otherwise(acc)
+      }
+      when(r <= HeadSize, head).otherwise(tail)
+    }
+    val text = array_join(transform(sequence(lit(1), ntok), p => word(p)), " ")
     s.range(sz.documents).select(
       col("id").as("doc_id"),
       text.as("text"),
-      when(langIdx < 40, "en").when(langIdx < 55, "fr")
-        .when(langIdx < 70, "es").when(langIdx < 85, "de")
-        .otherwise("zh").as("lang"),
+      lang.as("lang"),
       concat(lit("src"), col("id") % 20).as("source"),
       length(text).cast("long").as("n_chars"))
   }
@@ -203,11 +263,14 @@ object DataGen {
   /** Write every table as a single `<outDir>/<name>.parquet` FILE (the
     * driver's layout — DuckDB oracle views read files, not directories),
     * with 16 MB row groups so scans still parallelize. */
-  def generate(s: SparkSession, sf: Double, outDir: String): Unit = {
+  def generate(s: SparkSession, sf: Double, outDir: String,
+      only: Set[String] = Set.empty): Unit = {
     val sz = Sizes(sf)
     val out = new java.io.File(outDir)
     out.mkdirs()
-    tables(s, sz).foreach { case (name, df) =>
+    tables(s, sz)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, df) =>
       val tmp = s"$outDir/.tmp_$name"
       df.coalesce(1).write.mode("overwrite")
         .option("parquet.block.size", 16 * 1024 * 1024)
@@ -222,9 +285,10 @@ object DataGen {
     }
   }
 
-  /** `DataGen <sf> <outDir>` — e.g. `DataGen 1.0 bench-data/sf1`. */
+  /** `DataGen <sf> <outDir> [table,table,…]` — e.g.
+    * `DataGen 1.0 bench-data/sf1` or `DataGen 3.0 bench-data/sf3 documents`. */
   def main(args: Array[String]): Unit = {
-    val Array(sf, outDir) = args
+    val (Array(sf, outDir), only) = (args.take(2), args.drop(2))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -233,7 +297,8 @@ object DataGen {
       .appName("graft-datagen")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, sf.toDouble, outDir)
+    generate(spark, sf.toDouble, outDir,
+      only.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty).toSet)
     spark.stop()
   }
 }

@@ -378,7 +378,8 @@ object SimilarityQueries {
     * (`prefix + ", x AS (...) SELECT ..."`). Both the IVF search and the
     * SemDeDup oracle build on this so the training replay cannot drift
     * between them. */
-  private def kmeansCellsSql(k: Int, iters: Int): String = {
+  private def kmeansCellsSql(k: Int, iters: Int, baseWhere: String = null,
+      encodeSrc: String = "vs"): String = {
     val m = 4 * k
     def dot(a: String, b: String) = sqlDot(a, b)
     def d2(a: String, b: String) = s"${dot(a, a)} - 2*${dot(a, b)} + ${dot(b, b)}"
@@ -391,7 +392,14 @@ object SimilarityQueries {
     // MATERIALIZED: the corpus CTE is referenced by every Lloyd round —
     // inlining it would re-open the parquet per reference (observed:
     // fd exhaustion) and rescan ~20×
-    sb ++= "WITH vs AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    // baseWhere (upsert replay): training draws from the `vs` SUBSET,
+    // while `vsall` stays available for encode/query CTEs (encodeSrc)
+    if (baseWhere == null)
+      sb ++= "WITH vs AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    else {
+      sb ++= "WITH vsall AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+      sb ++= s"vs AS MATERIALIZED (SELECT id, v FROM vsall WHERE $baseWhere), "
+    }
     sb ++= "smp AS MATERIALIZED (SELECT id, v, " +
       graft.functions.Md5Bits.sqlHash60("CAST(id AS VARCHAR)") +
       s" AS h FROM vs ORDER BY h, id LIMIT $m), "
@@ -416,7 +424,7 @@ object SimilarityQueries {
       sb ++= s"cent$t AS MATERIALIZED (SELECT p.cluster, coalesce(n.v, p.v) AS v " +
         s"FROM cent${t - 1} p LEFT JOIN n$t n USING (cluster)), "
     }
-    sb ++= assignCte("cellsa", "vs", s"cent$iters") + ", "
+    sb ++= assignCte("cellsa", encodeSrc, s"cent$iters") + ", "
     sb ++= s"cells AS (SELECT id, v, cluster, sqrt(${dot("v", "v")}) AS nrm FROM cellsa)"
     sb.toString
   }
@@ -804,11 +812,14 @@ object SimilarityQueries {
     * matching KMeans.fitProduct's sample size, independent of whatever
     * sample the coarse-quantizer replay drew) plus `e$j`, `lut$j`,
     * `codes`. */
-  private def pqTrainEncodeSql: String = {
+  private def pqTrainEncodeSql(encodeSrc: String = "vs"): String = {
     def dot(a: String, b: String) = s"list_dot_product($a, $b)"
     def d2(a: String, b: String) = s"${dot(a, a)} - 2*${dot(a, b)} + ${dot(b, b)}"
     def score(v: String, c: String) = s"${dot(c, c)} - 2*${dot(v, c)}"
     def sliced(e: String, j: Int) = s"$e[${j * PqSub + 1}:${(j + 1) * PqSub}]"
+    // training always slices `vs` (the base corpus); encode + query LUTs
+    // slice encodeSrc — distinct CTEs only when the two differ (upsert)
+    def encJ(j: Int) = if (encodeSrc == "vs") s"vs$j" else s"va$j"
     val sb = new StringBuilder
     sb ++= "pqsmp AS MATERIALIZED (SELECT id, v, " +
       graft.functions.Md5Bits.sqlHash60("CAST(id AS VARCHAR)") +
@@ -816,6 +827,8 @@ object SimilarityQueries {
     for (j <- 0 until PqM) {
       sb ++= s"s$j AS MATERIALIZED (SELECT id, ${sliced("v", j)} AS v, h FROM pqsmp), "
       sb ++= s"vs$j AS MATERIALIZED (SELECT id, ${sliced("v", j)} AS v FROM vs), "
+      if (encodeSrc != "vs")
+        sb ++= s"va$j AS MATERIALIZED (SELECT id, ${sliced("v", j)} AS v FROM $encodeSrc), "
       sb ++= s"ch${j}_0 AS MATERIALIZED (SELECT id, v FROM s$j ORDER BY h, id LIMIT 1), "
       sb ++= s"md${j}_0 AS MATERIALIZED (SELECT s.id, s.v, ${d2("s.v", "c.v")} AS mind FROM s$j s, ch${j}_0 c), "
       for (i <- 1 until PqK) {
@@ -861,7 +874,7 @@ object SimilarityQueries {
     sb ++= "WITH vs AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
     // pqTrainEncodeSql draws its own shared oversample (pqsmp: ids are
     // subspace-independent), sliced per codebook
-    sb ++= pqTrainEncodeSql + ", "
+    sb ++= pqTrainEncodeSql() + ", "
     sb ++= "cand AS (SELECT l0.qid, e.id AS nid, pd0 + pd1 + pd2 + pd3 AS adist " +
       "FROM codes e " +
       "JOIN lut0 l0 ON l0.c0 = e.c0 " +
@@ -961,18 +974,18 @@ object SimilarityQueries {
       .select(col("qid"), col("nid"), col("rnk"), round(col("d2"), 6).as("dist_r"))
   }
 
-  val qAnnIvfPqSql: String = {
+  /** The IVF-PQ serve-path SQL tail (probes → LUT candidate join → ADC
+    * shortlist → exact refine) over query/refine source CTE `src` —
+    * shared by the in-query-training, persisted-serve, and upsert
+    * oracles so the replay cannot drift between them. */
+  private def ivfPqServeSqlTail(src: String): String = {
     def dot(a: String, b: String) = s"list_dot_product($a, $b)"
     def score(v: String, c: String) = s"${dot(c, c)} - 2*${dot(v, c)}"
     val sb = new StringBuilder
-    // coarse k-means replay (defines vs, smp, …, cells) + the PQ block
-    // (consumes the same vs/smp; defines e$j, lut$j, codes)
-    sb ++= kmeansCellsSql(IvfK, IvfIters) + ", "
-    sb ++= pqTrainEncodeSql + ", "
     sb ++= "pprobes AS (SELECT qid, cluster FROM (" +
       "SELECT q.id AS qid, c.cluster, row_number() OVER (PARTITION BY q.id " +
       s"ORDER BY ${score("q.v", "c.v")} ASC, c.cluster ASC) AS rn " +
-      s"FROM vs q, cent$IvfIters c WHERE q.id < $NumQueries) " +
+      s"FROM $src q, cent$IvfIters c WHERE q.id < $NumQueries) " +
       s"WHERE rn <= $IvfProbe), "
     sb ++= "pcand AS (SELECT p.qid, e.id AS nid, pd0 + pd1 + pd2 + pd3 AS adist " +
       "FROM pprobes p JOIN cells cl ON cl.cluster = p.cluster " +
@@ -988,13 +1001,19 @@ object SimilarityQueries {
       s"WHERE crk <= $PqC), "
     sb ++= s"pexact AS (SELECT s.qid, s.nid, " +
       s"${dot("q.v", "q.v")} - 2*${dot("q.v", "n.v")} + ${dot("n.v", "n.v")} AS d2 " +
-      "FROM pshort s JOIN vs q ON q.id = s.qid JOIN vs n ON n.id = s.nid) "
+      s"FROM pshort s JOIN $src q ON q.id = s.qid JOIN $src n ON n.id = s.nid) "
     sb ++= "SELECT qid, nid, rnk, round(d2, 6) AS dist_r FROM (" +
       "SELECT qid, nid, d2, row_number() OVER (" +
       "PARTITION BY qid ORDER BY d2 ASC, nid ASC) AS rnk FROM pexact) " +
       s"WHERE rnk <= $K"
     sb.toString
   }
+
+  val qAnnIvfPqSql: String =
+    // coarse k-means replay (defines vs, smp, …, cells) + the PQ block
+    // (consumes the same vs/smp; defines e$j, lut$j, codes) + shared tail
+    kmeansCellsSql(IvfK, IvfIters) + ", " +
+      pqTrainEncodeSql() + ", " + ivfPqServeSqlTail("vs")
 
   // ── Persisted-index ANN serving (fit once, serve forever) ──────────────
   // Production ANN never retrains per query: FAISS fits an index once and

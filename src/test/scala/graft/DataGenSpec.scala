@@ -87,6 +87,57 @@ class DataGenSpec extends AnyFunSuite {
     assert(nrm.getInt(2) === 64 && nrm.getInt(3) === 64)
   }
 
+  test("document text is open-vocabulary: Zipf head, Heaps growth, lang-keyed function words") {
+    import graft.functions.TextFunctions
+    val docs01 = DataGen.documents(spark, Sizes(0.01)).cache()
+    val words01 = docs01.select(explode(TextFunctions.tokens($"text")).as("w"))
+    // Heaps growth: the distinct-word count must GROW with the corpus
+    // (the closed 31-word vocabulary this generator replaced could not)
+    val v01 = words01.agg(countDistinct($"w")).as[Long].head()
+    val v10 = DataGen.documents(spark, Sizes(0.1))
+      .select(explode(TextFunctions.tokens($"text")).as("w"))
+      .agg(countDistinct($"w")).as[Long].head()
+    assert(v01 > 1000L, s"sf0.01 vocab should be open (>1000 words), got $v01")
+    assert(v10 > 2L * v01, s"vocab must grow with the corpus: $v01 -> $v10")
+    // Zipf head: the single most frequent token dominates (rank-1 mass
+    // ~ 1/ln V of all tokens); top token must be an en head word since
+    // en is the most common lang
+    val top = words01.groupBy($"w").count()
+      .orderBy($"count".desc).limit(1).as[(String, Long)].head()
+    assert(top._1 === "the", s"Zipf rank 1 should be 'the', got $top")
+    // lang-keyed heads: en markers appear in nearly all en docs and no
+    // non-en docs (the language-ID operators need this signal)
+    val hits = docs01.select($"lang",
+      (TextFunctions.markerHits(TextFunctions.tokens($"text"),
+        TextFunctions.enMarkers) > 0).as("hit"))
+      .groupBy($"lang").agg(avg($"hit".cast("double")).as("r"))
+      .as[(String, Double)].collect().toMap
+    assert(hits("en") > 0.9, s"en docs must hit en markers: $hits")
+    assert(Seq("de", "fr", "es", "zh").forall(l => hits.getOrElse(l, 0.0) === 0.0),
+      s"non-en docs must not hit en markers: $hits")
+    docs01.unpersist()
+  }
+
+  test("open vocabulary keeps shingle document frequencies sublinear") {
+    // the property the closed vocab destroyed: Σ df² over each doc's
+    // rarest (prefix) shingles is the candidate floor of every exact
+    // inverted-index join. With Zipf/Heaps text, the MEDIAN 3-gram
+    // shingle df must stay O(1) as the corpus grows 10x.
+    import graft.functions.TextFunctions
+    def medianDf(sz: Sizes): Double = {
+      val df = DataGen.documents(spark, sz)
+        .select($"doc_id", explode(array_distinct(
+          TextFunctions.shingles($"text", 3))).as("sh"))
+        .groupBy($"sh").count()
+      df.stat.approxQuantile("count", Array(0.5), 0.001).head
+    }
+    val m01 = medianDf(Sizes(0.01))
+    val m10 = medianDf(Sizes(0.1))
+    assert(m01 <= 2.0, s"median shingle df at sf0.01 should be ~1, got $m01")
+    assert(m10 <= 2.0 * m01 + 1.0,
+      s"median shingle df must not scale with the corpus: $m01 -> $m10")
+  }
+
   test("documents plant exact duplicates at the fixture rate (~1/625)") {
     // at 5000 docs the driver fixture shows 8 duplicate texts; the
     // hash-planted rule lands in the same regime
