@@ -76,8 +76,15 @@ object DataGen {
   //  - the top 32 ranks are language-specific function words (the head
   //    mass real corpora put on stopwords), keyed to the doc's lang label
   //    so the language-ID and quality-gate operators see real signal;
-  //  - open-tail words spell their rank in base 36 ("x" + digits) —
-  //    pure-alphanumeric, ≤ 6 chars, inside every tokenizer's word cap.
+  //  - open-tail words spell their rank in base 36 ("x0" + digits) —
+  //    pure-alphanumeric, ≤ 8 chars, inside every tokenizer's word cap.
+  //    The "x0" prefix keeps tails DISJOINT from every head word: with a
+  //    bare "x" prefix, zh heads "xia"/"xiao"/"xiang" aliased tail ranks
+  //    658/23712/853612 ("ia"/"iao"/"iang" are valid base36 numerals), so
+  //    non-zh docs emitted zh marker words at tail-rank frequency and
+  //    diluted the language-ID head signal (round-11 advice). No head
+  //    word starts with "x0" (asserted below), and no tail word can ever
+  //    equal a head word.
   // Planted exact duplicates (the ~1/625 dupOf rule) are unchanged.
   private val HeadWords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "for", "on",
@@ -102,6 +109,9 @@ object DataGen {
       "xiang", "dui", "hui", "neng"))
   private val HeadSize = 32
   require(HeadWords.values.forall(_.size == HeadSize))
+  // tail words are "x0" + base36(rank); heads must never collide
+  require(HeadWords.values.flatten.forall(!_.startsWith("x0")),
+    "head words must be disjoint from the x0-prefixed open tail")
 
   /** Heaps-law vocabulary size for a corpus of `docs` documents
     * (avg 55 tokens/doc): V = max(512, ceil(20·sqrt(tokens))). */
@@ -222,7 +232,7 @@ object DataGen {
     // ~43% function words at sf0.01, ~33% at sf1 (realistic stopword load)
     def word(p: Column): Column = {
       val r = floor(pow(lit(v.toDouble), u("d_zipf", dupOf, p))).cast("long")
-      val tail = concat(lit("x"), lower(conv(r.cast("string"), 10, 36)))
+      val tail = concat(lit("x0"), lower(conv(r.cast("string"), 10, 36)))
       val head = HeadWords.toSeq.foldLeft(lit(null).cast("string")) {
         case (acc, (lg, ws)) =>
           when(lang === lg,
@@ -266,9 +276,15 @@ object DataGen {
   def generate(s: SparkSession, sf: Double, outDir: String,
       only: Set[String] = Set.empty): Unit = {
     val sz = Sizes(sf)
+    val all = tables(s, sz)
+    // a misspelled `only` name must FAIL, not silently generate nothing
+    val unknown = only -- all.keySet
+    require(unknown.isEmpty,
+      s"unknown table(s) ${unknown.mkString(", ")}; " +
+        s"valid: ${all.keys.toSeq.sorted.mkString(", ")}")
     val out = new java.io.File(outDir)
     out.mkdirs()
-    tables(s, sz)
+    all
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, df) =>
       val tmp = s"$outDir/.tmp_$name"

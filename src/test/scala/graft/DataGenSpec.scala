@@ -115,6 +115,19 @@ class DataGenSpec extends AnyFunSuite {
     assert(hits("en") > 0.9, s"en docs must hit en markers: $hits")
     assert(Seq("de", "fr", "es", "zh").forall(l => hits.getOrElse(l, 0.0) === 0.0),
       s"non-en docs must not hit en markers: $hits")
+    // zh heads whose suffix is a valid base36 numeral ("xia"/"xiao"/
+    // "xiang") used to alias open-tail ranks under the bare-"x" encoding,
+    // leaking zh markers into non-zh docs; the x0 tail prefix makes heads
+    // and tails disjoint — pin it from the zh side too
+    val zhAliasRisk = Seq("xia", "xiao", "xiang")
+    val zhHits = docs01.select($"lang",
+      (TextFunctions.markerHits(TextFunctions.tokens($"text"),
+        zhAliasRisk) > 0).as("hit"))
+      .groupBy($"lang").agg(avg($"hit".cast("double")).as("r"))
+      .as[(String, Double)].collect().toMap
+    assert(zhHits("zh") > 0.5, s"zh docs should hit zh head words: $zhHits")
+    assert(Seq("en", "de", "fr", "es").forall(l => zhHits.getOrElse(l, 0.0) === 0.0),
+      s"non-zh docs must never emit zh head words: $zhHits")
     docs01.unpersist()
   }
 
