@@ -853,15 +853,17 @@ object SimilarityQueries {
         sb ++= s"cent${j}_$t AS MATERIALIZED (SELECT p.cluster, coalesce(n.v, p.v) AS v " +
           s"FROM cent${j}_${t - 1} p LEFT JOIN n${j}_$t n USING (cluster)), "
       }
-      // encode this subspace (same argmin rule as the assign CTEs)
+      // encode this subspace (same argmin rule as the assign CTEs) —
+      // over encJ, so an upsert replay encodes the FULL corpus while
+      // training stayed on the base subset
       sb ++= s"e$j AS MATERIALIZED (SELECT id, cluster AS c$j FROM (" +
         s"SELECT e.id, c.cluster, row_number() OVER (PARTITION BY e.id " +
         s"ORDER BY ${score("e.v", "c.v")} ASC, c.cluster ASC) AS rn " +
-        s"FROM vs$j e, cent${j}_$PqIters c) WHERE rn = 1), "
-      // per-subspace LUT over query slices
+        s"FROM ${encJ(j)} e, cent${j}_$PqIters c) WHERE rn = 1), "
+      // per-subspace LUT over query slices (queries live in encJ too)
       sb ++= s"lut$j AS MATERIALIZED (SELECT q.id AS qid, c.cluster AS c$j, " +
         s"${dot("c.v", "c.v")} - 2*${dot("q.v", "c.v")} + ${dot("q.v", "q.v")} AS pd$j " +
-        s"FROM vs$j q, cent${j}_$PqIters c WHERE q.id < $NumQueries), "
+        s"FROM ${encJ(j)} q, cent${j}_$PqIters c WHERE q.id < $NumQueries), "
     }
     sb ++= "codes AS (SELECT e0.id, c0, c1, c2, c3 FROM e0 " +
       "JOIN e1 USING (id) JOIN e2 USING (id) JOIN e3 USING (id))"
@@ -1031,7 +1033,7 @@ object SimilarityQueries {
   // instead of serving stale artifacts. At 100 TB the serve-side scan
   // reads (cell, 4 code bytes, id) per vector — the 16×-compressed
   // inverted file — and raw vectors only for the ~PqC shortlisted rows.
-  private def annIndexDir(d: String): java.nio.file.Path = {
+  private def annIndexDir(d: String, suffix: String = ""): java.nio.file.Path = {
     val src = java.nio.file.Paths.get(d, "embeddings.parquet")
     val files: Seq[java.nio.file.Path] =
       if (java.nio.file.Files.isDirectory(src)) {
@@ -1046,12 +1048,16 @@ object SimilarityQueries {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString
     java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_ann_index_$h")
+      sys.props("java.io.tmpdir"), s"graft_ann_index_$h$suffix")
   }
 
   /** Train + persist the IVF-PQ index artifacts under `dir`. */
-  def fitAnnIndex(s: SparkSession, d: String, dir: String): Unit = {
-    val v = vecs(s, d).select(col("vec_id").as("id"), col("v"))
+  def fitAnnIndex(s: SparkSession, d: String, dir: String): Unit =
+    fitAnnIndexOn(vecs(s, d).select(col("vec_id").as("id"), col("v")), dir)
+
+  /** The same fit + persist over any (id, v) frame — the upsert path
+    * trains on the BASE slice only. */
+  private def fitAnnIndexOn(v: DataFrame, dir: String): Unit = {
     val centroids = graft.operators.KMeans.fit(v, k = IvfK, iterations = IvfIters)
     val cells = graft.operators.KMeans.assign(v, centroids)
     val books = graft.operators.KMeans.fitProduct(
@@ -1083,6 +1089,62 @@ object SimilarityQueries {
   /** Hash-equal to qAnnIvfPq by construction, so the oracle is the same
     * full train+serve replay. */
   val qAnnServeSql: String = qAnnIvfPqSql
+
+  // ── ANN index maintenance: upsert without refit ────────────────────────
+  // Production indexes grow daily, and refitting the coarse quantizer +
+  // codebooks per ingest batch is a full-corpus k-means. The standard play
+  // (FAISS `add()`) is re-encode-not-refit: keep the trained quantizers,
+  // encode ONLY the new vectors with the STORED centroids/codebooks (the
+  // same literal-argmin projections the fit path uses), append their codes
+  // to the inverted file and their raw vectors to the refine store, and
+  // serve the union. Recall then degrades only with distribution drift,
+  // which a scheduled (not per-batch) refit absorbs. The base/delta split
+  // is derived from the corpus itself — base = id < 4·max(id)/5 — so the
+  // exact rule replays at any scale factor on both engines. At 100 TB the
+  // served plan reads the persisted base artifacts (16×-compressed codes)
+  // plus ONLY the delta slice of the source table: the range predicate is
+  // pushed to the parquet scan, so base embeddings are never rescanned
+  // (spec-pinned).
+  private def upsertSplit(s: SparkSession, d: String): Long =
+    guardProbe(s, d + "#annsplit") {
+      val maxId = Tables.embeddings(s, d)
+        .agg(max(col("vec_id"))).head().getLong(0)
+      4L * maxId / 5L
+    }
+
+  def qAnnUpsert(s: SparkSession, d: String): DataFrame = {
+    DotProduct.register(s)
+    val split = upsertSplit(s, d)
+    val dir = annIndexDir(d, suffix = s"_base$split")
+    if (!java.nio.file.Files.exists(dir.resolve("codes").resolve("_SUCCESS")))
+      fitAnnIndexOn(vecs(s, d).filter(col("vec_id") < split)
+        .select(col("vec_id").as("id"), col("v")), dir.toString)
+    val centroids = s.read.parquet(s"$dir/centroids")
+    val books = (0 until PqM).map(j => s.read.parquet(s"$dir/book$j"))
+    val baseCodes = s.read.parquet(s"$dir/codes")
+    val baseVecs = s.read.parquet(s"$dir/vectors")
+    // the ONLY source-table scan in the served plan: the delta slice,
+    // with the range predicate pushed down to the parquet reader
+    val delta = Tables.embeddings(s, d).filter(col("vec_id") >= split)
+      .select(col("vec_id").as("id"), asDouble(col("embedding")).as("v"))
+    val deltaCodes = graft.operators.KMeans.assign(delta, centroids).select(
+      col("id") +: col("cluster") +: (0 until PqM).map(j =>
+        graft.operators.KMeans.argminCluster(
+          slice(col("v"), j * PqSub + 1, PqSub), books(j)).as(s"c$j")): _*)
+    ivfPqServe(baseVecs.union(delta), baseCodes.union(deltaCodes),
+      centroids, books)
+  }
+
+  /** The upsert replay: train on the base subset (`baseWhere`), encode +
+    * serve the FULL corpus (`encodeSrc = vsall`) — the round-11 oracle
+    * hooks exercised with non-default arguments. DuckDB `//` is integer
+    * floor division, matching Scala Long division on the non-negative ids
+    * here. */
+  val qAnnUpsertSql: String =
+    kmeansCellsSql(IvfK, IvfIters,
+      baseWhere = "id < 4 * (SELECT max(id) FROM vsall) // 5",
+      encodeSrc = "vsall") + ", " +
+      pqTrainEncodeSql(encodeSrc = "vsall") + ", " + ivfPqServeSqlTail("vsall")
 
   // ── int8 scalar quantization under the oracle gate ─────────────────────
   // The 4× storage/scan compression for a 100 TB embedding corpus
@@ -1871,6 +1933,7 @@ object SimilarityQueries {
     "q_knn_classify" -> qKnnClassify _,
     "q_ann_ivfpq"      -> qAnnIvfPq _,
     "q_ann_serve"      -> qAnnServe _,
+    "q_ann_upsert"     -> qAnnUpsert _,
     "q_ivfpq_recall"   -> qIvfPqRecall _,
     "q_ann_pq"      -> qAnnPq _,
     "q_centroids"   -> qCentroids _,
@@ -1907,6 +1970,7 @@ object SimilarityQueries {
     "q_knn_classify" -> qKnnClassifySql,
     "q_ann_ivfpq"      -> qAnnIvfPqSql,
     "q_ann_serve"      -> qAnnServeSql,
+    "q_ann_upsert"     -> qAnnUpsertSql,
     "q_ivfpq_recall"   -> qIvfPqRecallSql,
     "q_ann_pq"      -> qAnnPqSql,
   )

@@ -422,4 +422,40 @@ class SimilaritySpec extends AnyFunSuite {
         (r.getAs[Long]("nid"), r.getAs[Double]("dist_r"))).toMap
     assert(got === exp, "served top-k differs from the trained-in-query top-k")
   }
+
+  test("ANN upsert: re-encode-not-refit serves base+delta, never rescanning base embeddings") {
+    val up = graft.queries.SimilarityQueries.qAnnUpsert(spark, sf)
+    val plan = up.queryExecution.executedPlan.toString
+    // the served plan reads the PERSISTED base artifacts…
+    assert(plan.contains("graft_ann_index_"),
+      "upsert plan should scan the persisted base index")
+    // …and touches the source table only for the delta slice: every
+    // embeddings scan must carry the pushed range predicate
+    val embScans = plan.split("FileScan").filter(_.contains("embeddings.parquet"))
+    assert(embScans.nonEmpty, "delta slice should come from the source table")
+    embScans.foreach(sc => assert(sc.contains("GreaterThanOrEqual(vec_id"),
+      "an embeddings scan without the delta range filter rescans the base"))
+    // upserted vectors BECOME CANDIDATES (the failure mode a dead
+    // encodeSrc parameter would cause): sf0.001 has 500 vectors, split
+    // 4·499/5 = 399, and the delta is 20% of the corpus — some top-k
+    // neighbor must be a delta id (deterministic fixture, fixed plan)
+    val split = 4L * 499 / 5
+    val rows = up.collect()
+    assert(rows.exists(_.getAs[Long]("nid") >= split),
+      s"no neighbor with id >= $split: upserted vectors never became candidates")
+    // valid ranked top-k per query
+    rows.groupBy(_.getAs[Long]("qid")).values.foreach { rs =>
+      assert(rs.length <= 5)
+      val ds = rs.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("dist_r"))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b + 1e-9 })
+    }
+    // oracle replay exercises the round-11 hooks with NON-default args:
+    // training on the base subset, encode + LUT + serve over vsall (the
+    // encJ fix — a regression back to vs$j would silently drop deltas)
+    val sql = graft.queries.SimilarityQueries.oracles("q_ann_upsert")
+    assert(sql.contains("vsall AS MATERIALIZED"))
+    assert(sql.contains("// 5"))
+    assert(sql.contains("FROM va0 e") && sql.contains("FROM va3 q"),
+      "PQ encode/LUT CTEs must slice encodeSrc, not the base vs")
+  }
 }
