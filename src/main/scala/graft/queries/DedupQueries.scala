@@ -1044,6 +1044,83 @@ object DedupQueries {
       "FROM documents d LEFT JOIN pd USING (doc_id)"
   }
 
+  // ── Exact-substring dedup as an ACTION (emit the deduplicated corpus) ──
+  // q_dup_spans MEASURES Lee et al.'s duplicated-span fraction; this is
+  // the operator that APPLIES it: every recurring SpanW-token span keeps
+  // exactly its FIRST occurrence (min doc_id, then min position — the
+  // deterministic owner rule the whole dedup family uses) and later
+  // occurrences are trimmed by dropping every token position they cover.
+  // The emitted text is the kept tokens rejoined — the tokenizer's
+  // canonical form, which is what a training pipeline feeds downstream
+  // anyway and the only form both engines can reproduce byte-for-byte.
+  // Planted exact-duplicate docs collapse to empty text (their owner is
+  // the earlier copy at every span position); docs with no recurring
+  // spans are conserved verbatim (spec-pinned). Scale shape: one window
+  // over the span-text key, one distinct on (doc_id, token-pos), one
+  // rebuild aggregation keyed by doc_id — no pairwise stage anywhere,
+  // same discipline as qDupSpans.
+  def qDedupSpansApply(s: SparkSession, d: String): DataFrame =
+    dedupSpansApply(Tables.documents(s, d))
+
+  /** The same plan over any (doc_id, text) frame — spec entry point. */
+  def dedupSpansApply(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Shingles.register(docs.sparkSession)
+    val spans = docs.select(col("doc_id"),
+      posexplode(Shingles.shinglesAll(col("text"), SpanW)).as(Seq("p0", "sh")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("sh"))
+    // first occurrence owns the span; every later occurrence is a drop
+    val bySpan = Window.partitionBy(col("sh"))
+      .orderBy(col("doc_id").asc, col("pos").asc)
+    val drops = spans.withColumn("rn", row_number().over(bySpan))
+      .filter(col("rn") > 1)
+    val droppedPos = drops.select(col("doc_id"),
+      explode(sequence(col("pos"), col("pos") + (SpanW - 1))).as("tp"))
+      .distinct()
+    val toks = docs.select(col("doc_id"),
+      posexplode(graft.functions.TextFunctions.tokens(col("text")))
+        .as(Seq("t0", "tok")))
+      .select(col("doc_id"), (col("t0") + 1).as("tp"), col("tok"))
+    val kept = toks.join(droppedPos, Seq("doc_id", "tp"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        // order-deterministic rebuild: sort the (tp, tok) structs, join
+        array_join(transform(
+          array_sort(collect_list(struct(col("tp"), col("tok")))),
+          x => x.getField("tok")), " ").as("kept_text"))
+    docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).as("n_tok"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+  val qDedupSpansApplySql: String = {
+    val cat = (0 until SpanW)
+      .map(j => if (j == 0) "t[i]" else s"t[i+$j]").mkString(" || ' ' || ")
+    s"WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents), " +
+      "tok AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS tp, " +
+      "unnest(t) AS tok FROM toks), " +
+      "sp AS (SELECT doc_id, " +
+      s"unnest(generate_series(1, greatest(len(t) - ${SpanW - 1}, 0))) AS pos, " +
+      s"unnest(list_transform(generate_series(1, greatest(len(t) - ${SpanW - 1}, 0)), " +
+      s"i -> $cat)) AS sh FROM toks), " +
+      "dr AS (SELECT doc_id, pos FROM (SELECT doc_id, pos, " +
+      "row_number() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rn " +
+      "FROM sp) WHERE rn > 1), " +
+      "dp AS (SELECT DISTINCT doc_id, tp FROM (SELECT doc_id, " +
+      s"unnest(generate_series(pos, pos + ${SpanW - 1})) AS tp FROM dr)), " +
+      "kept AS (SELECT t.doc_id, count(*) AS n_kept, " +
+      "string_agg(t.tok, ' ' ORDER BY t.tp) AS kept_text FROM tok t " +
+      "WHERE NOT EXISTS (SELECT 1 FROM dp " +
+      "WHERE dp.doc_id = t.doc_id AND dp.tp = t.tp) GROUP BY 1) " +
+      "SELECT d.doc_id, len(d.t) AS n_tok, " +
+      "coalesce(k.n_kept, 0) AS n_kept, " +
+      "coalesce(k.kept_text, '') AS kept_text " +
+      "FROM toks d LEFT JOIN kept k USING (doc_id)"
+  }
+
   // ── Canonical (near-exact) dedup ───────────────────────────────────────
   // The stage between exact dedup and MinHash: normalize away the
   // differences that never matter (case, punctuation, whitespace runs)
@@ -1150,6 +1227,7 @@ object DedupQueries {
     "q_hll_error"     -> qHllError _,
     "q_dedup_canonical" -> qDedupCanonical _,
     "q_dup_spans"     -> qDupSpans _,
+    "q_dedup_spans_apply" -> qDedupSpansApply _,
     "q_entity_resolution" -> qEntityResolution _,
     "q_fuzzy_match"   -> qFuzzyMatch _,
     "q_jaro_winkler"  -> qJaroWinkler _,
@@ -1171,6 +1249,7 @@ object DedupQueries {
     "q_hll_error"     -> qHllErrorSql,
     "q_dedup_canonical" -> qDedupCanonicalSql,
     "q_dup_spans"      -> qDupSpansSql,
+    "q_dedup_spans_apply" -> qDedupSpansApplySql,
     "q_entity_resolution" -> qEntityResolutionSql,
     "q_fuzzy_match"    -> qFuzzyMatchSql,
     "q_jaro_winkler"   -> qJaroWinklerSql,

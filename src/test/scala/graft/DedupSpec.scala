@@ -332,4 +332,48 @@ class DedupSpec extends AnyFunSuite {
     assert(real.join(expected, "doc_id")
       .filter($"n_spans" =!= $"want").count() === 0)
   }
+
+  test("dedup-spans apply: owner keeps, later occurrences trimmed, clean text conserved") {
+    val fixture = Seq(
+      (1L, "a b c d e f g h"),   // owner of every span → conserved
+      (2L, "a b c d e f g h"),   // exact twin → fully trimmed
+      (3L, "p q r a b c d e"),   // shares only its last span with doc 1
+      (4L, "u w m n o"),         // unique → conserved
+    ).toDF("doc_id", "text")
+    val out = DedupQueries.dedupSpansApply(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tok"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("kept_text"))).toMap
+    assert(out(1L) === ((8L, 8L, "a b c d e f g h")))
+    assert(out(2L) === ((8L, 0L, "")))
+    // doc 3's drop span "a b c d e" (owner: doc 1, pos 1) covers its
+    // token positions 4-8; the first three tokens survive
+    assert(out(3L) === ((8L, 3L, "p q r")))
+    assert(out(4L) === ((5L, 5L, "u w m n o")))
+    // the survivor corpus is span-clean at the audited width
+    val survivors = out.toSeq.map { case (id, (_, _, t)) => (id, t) }
+      .toDF("doc_id", "text")
+    val residual = DedupQueries.dupSpans(survivors)
+      .agg(sum($"dup_spans")).head().getLong(0)
+    assert(residual === 0L, s"survivor corpus still has $residual dup spans")
+
+    // registered query on real data: every doc keeps a row; docs that
+    // q_dup_spans scores 0 are conserved token-for-token, and the apply
+    // strictly reduces the corpus-wide dup-span count
+    val applied = DedupQueries.qDedupSpansApply(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    assert(applied.count() === docs.count())
+    val clean = DedupQueries.qDupSpans(spark, sf)
+      .filter(coalesce($"dup_frac", lit(0.0)) === 0.0).select($"doc_id")
+    val conserved = applied.join(clean, "doc_id")
+      .filter($"n_kept" =!= $"n_tok").count()
+    assert(conserved === 0L, "a doc with no dup spans lost tokens")
+    val before = DedupQueries.qDupSpans(spark, sf)
+      .agg(sum($"dup_spans")).head().getLong(0)
+    val after = DedupQueries.dupSpans(
+      applied.select($"doc_id", $"kept_text".as("text")))
+      .agg(sum($"dup_spans")).head().getLong(0)
+    assert(before > 0L, "fixture should contain dup spans to trim")
+    assert(after < before, s"apply must reduce dup spans: $before -> $after")
+  }
 }
