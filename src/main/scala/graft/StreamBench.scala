@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.streaming.{EventStreams, StreamMetrics}
+
+/** Streaming THROUGHPUT bench — the rate evidence behind the 100 TB
+  * streaming claim (correctness parity is the 18 oracle-checked
+  * `q_stream_*` backfills; this measures rows/s and batch latency).
+  *
+  * Shape: the fixture's events table is split into `NFiles` time-ordered
+  * parquet files in a temp dir; each stateful query streams them under a
+  * `Trigger.ProcessingTime(0)` live trigger with `maxFilesPerTrigger`
+  * rate-limiting, on the RocksDB state store (the production provider),
+  * writing to the noop sink so only source+state+plan cost is measured.
+  * Per-batch trigger durations come from the StreamMetrics listener —
+  * one progress record per micro-batch, cost independent of volume.
+  *
+  * Queries: the heaviest custom-keyed-state op (SCD2 attribute history),
+  * the per-window top-k leaderboard, and a watermarked stream-stream
+  * interval join — the three stateful families with materially different
+  * state shapes (record-per-key, map-per-window, buffered-both-sides).
+  *
+  * Prints ONE JSON line:
+  * {"metric":"stream_rows_per_sec", "value":<min over queries>, ...,
+  *  "queries":{name:{rows,batches,rows_per_sec,p95_batch_ms}}}
+  */
+object StreamBench {
+
+  private val NFiles = 32
+  private val FilesPerTrigger = 4
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val stateParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    val spark = Tuning.withClusterDefaults(SparkSession.builder())
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", stateParts)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // time-ordered multi-file source: range-partitioned by (ts, event_id)
+    // so file path order tracks event time (the file source breaks mtime
+    // ties by path) — the live-feed shape the backfills symlink away
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_streambench")
+    Tables.events(spark, sfDir)
+      .repartitionByRange(NFiles, col("ts"), col("event_id"))
+      .write.mode("overwrite").parquet(srcDir.toString)
+
+    def stream(): DataFrame = EventStreams.readEventStream(
+      spark, srcDir.toString, maxFilesPerTrigger = Some(FilesPerTrigger))
+
+    def measure(name: String, plan: DataFrame, mode: OutputMode): StreamMetrics.QueryStats = {
+      val metrics = StreamMetrics.attach(spark)
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft_sb_ckpt_$name")
+      val q = plan.writeStream.format("noop").queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.ProcessingTime(0))
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally { q.stop(); q.awaitTermination() }
+      spark.streams.removeListener(metrics)
+      val st = metrics.statsFor(name)
+        .getOrElse(sys.error(s"no progress recorded for $name"))
+      st
+    }
+
+    val runs = Seq[(String, () => (DataFrame, OutputMode))](
+      ("scd", () => (EventStreams.attrHistory(
+        stream().as[EventStreams.Event]).toDF(), OutputMode.Update())),
+      ("topk", () => (EventStreams.hourlyTopK(stream(), 3).toDF(),
+        OutputMode.Update())),
+      ("join", () => {
+        val s1 = stream().filter(col("event_type") === "click")
+        val s2 = stream().filter(col("event_type") === "purchase")
+        (EventStreams.clickToPurchase(s1, s2,
+          withinMinutes = 60, watermark = "40 days"), OutputMode.Append())
+      }))
+
+    val results = runs.map { case (name, mk) =>
+      val (plan, mode) = mk()
+      val st = measure(name, plan, mode)
+      (name, st)
+    }
+    def r1(v: Double) = math.rint(v * 10) / 10
+    val qjson = results.map { case (n, st) =>
+      s""""$n":{"rows":${st.inputRows},"batches":${st.nBatches},""" +
+        s""""rows_per_sec":${r1(st.rowsPerSec)},"p95_batch_ms":${st.p95BatchMs}}"""
+    }.mkString("{", ",", "}")
+    val headline = r1(results.map(_._2.rowsPerSec).min)
+    println(s"""{"metric":"stream_rows_per_sec","value":$headline,""" +
+      s""""unit":"rows/s","sf":"$sfDir","state_store":"rocksdb",""" +
+      s""""files_per_trigger":$FilesPerTrigger,"queries":$qjson}""")
+    spark.stop()
+  }
+}

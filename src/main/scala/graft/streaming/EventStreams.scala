@@ -40,12 +40,17 @@ object EventStreams {
     * constructs, declaring the TIMESTAMP(MICROS) form, which is what
     * every current producer writes; a nanos backfill landing later would
     * need the stream restarted after files exist. */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+  def readEventStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val nanosTs =
       try spark.read.parquet(dir).schema("ts").dataType ==
         org.apache.spark.sql.types.LongType
       catch { case _: org.apache.spark.sql.AnalysisException => false }
-    val df = spark.readStream
+    val reader = spark.readStream
+    // source rate limit: bounds each micro-batch to k files, the knob a
+    // live deployment (and StreamBench) uses to shape batch sizes
+    maxFilesPerTrigger.foreach(k => reader.option("maxFilesPerTrigger", k))
+    val df = reader
       .schema(if (nanosTs)
         "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
           "event_type STRING, value DOUBLE, props STRING"

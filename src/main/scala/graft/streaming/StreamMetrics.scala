@@ -49,12 +49,23 @@ final class StreamMetrics extends StreamingQueryListener {
     val prev = stats.getOrElse(key, QueryStats())
     val watermark = Option(p.eventTime)
       .flatMap(m => Option(m.get("watermark"))).getOrElse(prev.lastWatermark)
+    // per-batch trigger wall time for DATA batches (rows > 0) — the
+    // series behind throughput (Σrows/Σsecs) and p95 batch latency;
+    // capped so a long-lived listener can never grow unboundedly
+    val dur = Option(p.durationMs).flatMap(m => Option(m.get("triggerExecution")))
+      .map(_.longValue).getOrElse(0L)
+    val durs =
+      if (p.numInputRows > 0 &&
+        prev.batchMs.length < StreamMetrics.MaxBatchSamples)
+        prev.batchMs :+ dur
+      else prev.batchMs
     stats.update(key, QueryStats(
       nBatches = prev.nBatches + 1,
       inputRows = prev.inputRows + p.numInputRows,
       maxBatchRows = math.max(prev.maxBatchRows, p.numInputRows),
       lastWatermark = watermark,
-      terminated = prev.terminated))
+      terminated = prev.terminated,
+      batchMs = durs))
   }
 
   override def onQueryTerminated(
@@ -69,12 +80,33 @@ final class StreamMetrics extends StreamingQueryListener {
 
 object StreamMetrics {
 
+  /** Per-listener cap on retained per-batch duration samples. */
+  val MaxBatchSamples = 8192
+
   final case class QueryStats(
       nBatches: Long = 0L,
       inputRows: Long = 0L,
       maxBatchRows: Long = 0L,
       lastWatermark: String = "",
-      terminated: Boolean = false)
+      terminated: Boolean = false,
+      batchMs: Vector[Long] = Vector.empty) {
+
+    /** Steady-state throughput over the data batches: Σ rows / Σ trigger
+      * seconds (batches that saw no input are excluded on both sides). */
+    def rowsPerSec: Double = {
+      val secs = batchMs.sum / 1000.0
+      if (secs <= 0) 0.0 else inputRows / secs
+    }
+
+    /** p95 trigger latency (ms) over the data batches — nearest-rank. */
+    def p95BatchMs: Long =
+      if (batchMs.isEmpty) 0L
+      else {
+        val sorted = batchMs.sorted
+        sorted(math.min(sorted.length - 1,
+          math.ceil(0.95 * sorted.length).toInt - 1))
+      }
+  }
 
   /** Attach a fresh meter to the session; caller removes it when done
     * (`spark.streams.removeListener`). */

@@ -649,6 +649,24 @@ class StreamingSpec extends AnyFunSuite {
       assert(st.lastWatermark.nonEmpty, s"watermark must progress: $st")
       assert(st.terminated, s"named query's terminate event must resolve " +
         s"through the id recorded at start: $st")
+      // throughput series: one duration sample per DATA batch, and the
+      // derived rate/latency stats are internally consistent
+      assert(st.batchMs.length >= 2 && st.batchMs.length <= st.nBatches,
+        s"data batches must record trigger durations: $st")
+      assert(st.rowsPerSec >= 0.0)
+      assert(st.p95BatchMs >= st.batchMs.min && st.p95BatchMs <= st.batchMs.max)
     } finally spark.streams.removeListener(meter)
+  }
+
+  test("QueryStats throughput math: rows/sec and nearest-rank p95") {
+    import graft.streaming.StreamMetrics.QueryStats
+    val st = QueryStats(nBatches = 5, inputRows = 3000,
+      batchMs = Vector(100L, 200L, 300L, 400L, 500L))
+    assert(math.abs(st.rowsPerSec - 3000 / 1.5) < 1e-9)
+    assert(st.p95BatchMs === 500L) // ceil(0.95·5)=5 → 5th of 5
+    assert(QueryStats().rowsPerSec === 0.0 && QueryStats().p95BatchMs === 0L)
+    val twenty = QueryStats(inputRows = 20,
+      batchMs = Vector.tabulate(20)(i => (i + 1) * 10L))
+    assert(twenty.p95BatchMs === 190L) // ceil(0.95·20)=19 → 19th of 20
   }
 }
