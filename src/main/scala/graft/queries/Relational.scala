@@ -771,10 +771,12 @@ object Relational {
   // (one fact shuffle, then everything operates on ~2.4k rows at any
   // volume); each lag is one equi-join of the series against its shifted
   // self. Moment sums follow the q_corr discipline: products of integer
-  // cents in BIGINT, summed in DECIMAL(38,0) (daily cents ~1e9 ⇒ squared
-  // products ~1e18 per row — a BIGINT sum would overflow within a few
-  // thousand days), doubles only in the final correlation, computed in
-  // the same operation order on both engines and rounded at 6dp.
+  // cents formed in DECIMAL (Spark) / HUGEINT (DuckDB), summed in
+  // DECIMAL(38,0), doubles only in the final correlation, computed in
+  // the same operation order on both engines and rounded at 6dp. The
+  // PRODUCT itself must not run in BIGINT: daily cents reach ~1.5e10 at
+  // sf1, so a squared term is ~2e20 — past Long range (this overflowed
+  // in the round-12 sf1 sweep; sf0.1's ~2e18 squares only just fit).
   private val AutocorrLags = Seq(1, 7, 14)
 
   def qAutocorr(s: SparkSession, d: String): DataFrame = {
@@ -791,12 +793,16 @@ object Relational {
       .withColumn("shifted", expr("date_add(day, lag)"))
       .join(daily.select(col("day").as("day2"), col("cents").as("cents2")),
         col("shifted") === col("day2"))
+    // widen BEFORE multiplying — the (19,0)×(19,0) decimal product lands
+    // in (38,0) exactly; a long×long product overflows at sf≥1
+    val xw = col("cents").cast(DecimalType(19, 0))
+    val yw = col("cents2").cast(DecimalType(19, 0))
     val m = joined.groupBy(col("lag")).agg(
       count(lit(1)).as("n_pairs"),
       d38(col("cents")).as("sx"), d38(col("cents2")).as("sy"),
-      d38(col("cents") * col("cents2")).as("sxy"),
-      d38(col("cents") * col("cents")).as("sxx"),
-      d38(col("cents2") * col("cents2")).as("syy"))
+      d38(xw * yw).as("sxy"),
+      d38(xw * xw).as("sxx"),
+      d38(yw * yw).as("syy"))
     def dd(c: Column) = c.cast("double")
     val num = dd(col("n_pairs")) * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))
     val den = sqrt((dd(col("n_pairs")) * dd(col("sxx")) - dd(col("sx")) * dd(col("sx"))) *
@@ -813,9 +819,9 @@ object Relational {
       "JOIN daily b ON a.day + CAST(l.lag AS INTEGER) = b.day), " +
       "m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs, " +
       "sum(CAST(x AS DECIMAL(38,0))) AS sx, sum(CAST(y AS DECIMAL(38,0))) AS sy, " +
-      "sum(CAST(x * y AS DECIMAL(38,0))) AS sxy, " +
-      "sum(CAST(x * x AS DECIMAL(38,0))) AS sxx, " +
-      "sum(CAST(y * y AS DECIMAL(38,0))) AS syy FROM j GROUP BY 1) " +
+      "sum(CAST(CAST(x AS HUGEINT) * y AS DECIMAL(38,0))) AS sxy, " +
+      "sum(CAST(CAST(x AS HUGEINT) * x AS DECIMAL(38,0))) AS sxx, " +
+      "sum(CAST(CAST(y AS HUGEINT) * y AS DECIMAL(38,0))) AS syy FROM j GROUP BY 1) " +
       "SELECT lag, n_pairs, round(" +
       "(CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
       "sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
