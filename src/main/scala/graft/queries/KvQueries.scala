@@ -98,8 +98,19 @@ object KvQueries {
     * same directory instead of leaking a full table copy per invocation. */
   private val rtDirs = new java.util.concurrent.ConcurrentHashMap[String, String]
   private def rtDir(tag: String, d: String): String =
-    rtDirs.computeIfAbsent(s"$tag|$d", _ =>
-      java.nio.file.Files.createTempDirectory(s"graft_${tag}_rt").toString)
+    rtDirs.computeIfAbsent(s"$tag|$d", _ => {
+      val p = java.nio.file.Files.createTempDirectory(s"graft_${tag}_rt")
+      // round-trip sinks are scratch: delete at JVM exit so repeated
+      // Verify/Bench runs don't accumulate multi-MB /tmp litter (observed:
+      // 27 leaked dirs × 78 MB after a round of sf1 sweeps)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .reverseIterator.foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }))
+      p.toString
+    })
 
   /** Plain-text sink → source round-trip — the A13 text-object path
     * under the gate (reference S3 line-oriented reads,
