@@ -30,7 +30,11 @@ import graft.streaming.{EventStreams, StreamMetrics}
 object StreamBench {
 
   private val NFiles = 32
-  private val FilesPerTrigger = 4
+  // batch-size dial (SPARK_GRAFT_STREAM_FILES_PER_TRIGGER): rows/s rises
+  // with batch size as the fixed per-batch state-commit cost amortizes —
+  // measure at 4 (default, 8 batches) and 16 (2 batches) to see the curve
+  private val FilesPerTrigger =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES_PER_TRIGGER", "4").toInt
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -151,6 +151,16 @@ class DataGenSpec extends AnyFunSuite {
       s"median shingle df must not scale with the corpus: $m01 -> $m10")
   }
 
+  test("generate rejects unknown table names in the only-filter") {
+    val e = intercept[IllegalArgumentException] {
+      DataGen.generate(spark, 0.001,
+        java.nio.file.Files.createTempDirectory("graft_dg_bad").toString,
+        only = Set("documnets"))
+    }
+    assert(e.getMessage.contains("documnets"))
+    assert(e.getMessage.contains("documents")) // the valid-names hint
+  }
+
   test("documents plant exact duplicates at the fixture rate (~1/625)") {
     // at 5000 docs the driver fixture shows 8 duplicate texts; the
     // hash-planted rule lands in the same regime
