@@ -72,9 +72,20 @@ object StreamBench {
         .option("checkpointLocation", ckpt.toString)
         .start()
       try { q.processAllAvailable() } finally { q.stop(); q.awaitTermination() }
+      // listener events ride an ASYNC bus: the final micro-batch's
+      // progress (or, on a fast run, all of them) may not be delivered
+      // yet when stop() returns. The bus is ordered, so the terminate
+      // event — posted after every progress event — doubles as the
+      // all-progress-delivered barrier: poll for it before reading.
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!metrics.statsFor(name).exists(_.terminated) &&
+        System.nanoTime() < deadline) Thread.sleep(20)
       spark.streams.removeListener(metrics)
       val st = metrics.statsFor(name)
         .getOrElse(sys.error(s"no progress recorded for $name"))
+      require(st.terminated, s"listener bus never delivered $name's " +
+        "terminate event within 30 s — stats would be partial")
+      deleteRecursively(ckpt)
       st
     }
 
@@ -105,5 +116,18 @@ object StreamBench {
       s""""unit":"rows/s","sf":"$sfDir","state_store":"rocksdb",""" +
       s""""files_per_trigger":$FilesPerTrigger,"queries":$qjson}""")
     spark.stop()
+    deleteRecursively(srcDir) // multi-MB /tmp litter otherwise
+  }
+
+  /** Best-effort recursive delete of a bench temp dir (walk stream
+    * closed via try/finally — leaked directory handles otherwise). */
+  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
+    import scala.util.Try
+    Try {
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Try(java.nio.file.Files.deleteIfExists(p)))
+      finally walk.close()
+    }
   }
 }

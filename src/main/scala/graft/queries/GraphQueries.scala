@@ -764,7 +764,7 @@ object GraphQueries {
   // (see operators/StronglyConnectedComponents.scala). Edge derivation is
   // ONE shuffle: per-order struct arrays sorted in codegen, adjacent
   // pairs expanded — no window, no self-join re-shuffle of the fact table.
-  private def purchasePathEdges(s: SparkSession, d: String): DataFrame =
+  private[graft] def purchasePathEdges(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_list(struct(

@@ -97,19 +97,28 @@ object KvQueries {
     * writes mode("overwrite"), so repeated bench/verify runs replace the
     * same directory instead of leaking a full table copy per invocation. */
   private val rtDirs = new java.util.concurrent.ConcurrentHashMap[String, String]
+  // round-trip sinks are scratch: delete at JVM exit so repeated
+  // Verify/Bench runs don't accumulate multi-MB /tmp litter (observed:
+  // 27 leaked dirs × 78 MB after a round of sf1 sweeps). ONE hook for
+  // all entries (not one thread per dir), and the walk stream is closed
+  // via try/finally — an unclosed Files.walk leaks a directory handle
+  // for every dir swept during JVM shutdown.
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      rtDirs.values.forEach { dir =>
+        val p = java.nio.file.Paths.get(dir)
+        if (java.nio.file.Files.exists(p)) {
+          val walk = java.nio.file.Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+          finally walk.close()
+        }
+      }
+    }))
   private def rtDir(tag: String, d: String): String =
     rtDirs.computeIfAbsent(s"$tag|$d", _ => {
-      val p = java.nio.file.Files.createTempDirectory(s"graft_${tag}_rt")
-      // round-trip sinks are scratch: delete at JVM exit so repeated
-      // Verify/Bench runs don't accumulate multi-MB /tmp litter (observed:
-      // 27 leaked dirs × 78 MB after a round of sf1 sweeps)
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import scala.jdk.CollectionConverters._
-        if (java.nio.file.Files.exists(p))
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq
-            .reverseIterator.foreach(f => java.nio.file.Files.deleteIfExists(f))
-      }))
-      p.toString
+      cleanupHook
+      java.nio.file.Files.createTempDirectory(s"graft_${tag}_rt").toString
     })
 
   /** Plain-text sink → source round-trip — the A13 text-object path

@@ -138,6 +138,18 @@ object SimilarityQueries {
   private val NearDupSample = 5000
 
   def qCosNearDup(s: SparkSession, d: String): DataFrame = {
+    // NOT silent when the gate binds: callers used to get a loud refusal
+    // past MaxExactRows and now get a sample-restricted pair set — warn
+    // once per (session, dataset) so an incomplete near-dup set is never
+    // mistaken for the full one. guardProbe caches the count, so bench
+    // re-invocations don't re-pay the probe job.
+    val n = guardProbe(s, d)(vecs(s, d).count())
+    if (n > NearDupSample)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"q_cos_neardup: corpus has $n vectors > sample gate " +
+          s"$NearDupSample — returning pairs over the deterministic " +
+          "md5 sample only (an accuracy oracle, not the full near-dup " +
+          "set); use q_ann_lsh for complete coverage at scale")
     // the 5000 smallest md5-hash(vec_id) rows — TakeOrderedAndProject
     // (per-partition heap + driver merge), never a global sort; the
     // SAME seed-free sample rule as the k-means oversample, replayable

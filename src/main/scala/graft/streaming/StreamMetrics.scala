@@ -54,9 +54,9 @@ final class StreamMetrics extends StreamingQueryListener {
     // capped so a long-lived listener can never grow unboundedly
     val dur = Option(p.durationMs).flatMap(m => Option(m.get("triggerExecution")))
       .map(_.longValue).getOrElse(0L)
+    val isData = p.numInputRows > 0
     val durs =
-      if (p.numInputRows > 0 &&
-        prev.batchMs.length < StreamMetrics.MaxBatchSamples)
+      if (isData && prev.batchMs.length < StreamMetrics.MaxBatchSamples)
         prev.batchMs :+ dur
       else prev.batchMs
     stats.update(key, QueryStats(
@@ -65,7 +65,12 @@ final class StreamMetrics extends StreamingQueryListener {
       maxBatchRows = math.max(prev.maxBatchRows, p.numInputRows),
       lastWatermark = watermark,
       terminated = prev.terminated,
-      batchMs = durs))
+      batchMs = durs,
+      // running sum over ALL data batches, independent of the capped
+      // sample vector — rowsPerSec divides cumulative rows by THIS, so
+      // throughput stays honest after MaxBatchSamples is hit (the vector
+      // only bounds p95's memory, not the rate's denominator)
+      dataMsTotal = prev.dataMsTotal + (if (isData) dur else 0L)))
   }
 
   override def onQueryTerminated(
@@ -89,12 +94,16 @@ object StreamMetrics {
       maxBatchRows: Long = 0L,
       lastWatermark: String = "",
       terminated: Boolean = false,
-      batchMs: Vector[Long] = Vector.empty) {
+      batchMs: Vector[Long] = Vector.empty,
+      dataMsTotal: Long = 0L) {
 
     /** Steady-state throughput over the data batches: Σ rows / Σ trigger
-      * seconds (batches that saw no input are excluded on both sides). */
+      * seconds (batches that saw no input are excluded on both sides).
+      * The denominator is the UNCAPPED running sum — not the sample
+      * vector, which stops at MaxBatchSamples and would inflate the
+      * rate without bound on long-lived queries. */
     def rowsPerSec: Double = {
-      val secs = batchMs.sum / 1000.0
+      val secs = dataMsTotal / 1000.0
       if (secs <= 0) 0.0 else inputRows / secs
     }
 

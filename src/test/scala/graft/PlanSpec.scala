@@ -80,6 +80,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("span-dedup apply selects owners via partial aggregation, no Window") {
+    // first-occurrence ownership must be min(struct(doc_id,pos)) — a
+    // partial→final HashAggregate with map-side combine — never a
+    // row_number window over Window.partitionBy(sh): a boilerplate span
+    // recurring 10⁷ times on a real crawl is a single hot-key sort task
+    // under the window spelling
+    val p = plan("q_dedup_spans_apply")
+    assert(!p.contains("Window"), s"owner stage went through a window:\n$p")
+    assert(p.contains("partial_min"), s"owner min not partially aggregated:\n$p")
+  }
+
   test("kmeans assign is one projection: no Exchange of any kind") {
     import spark.implicits._
     val vecs = (0L until 100L).map(i => (i, Seq.fill(8)(i.toDouble % 7)))

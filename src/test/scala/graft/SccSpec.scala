@@ -8,60 +8,10 @@ class SccSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
 
-  /** Plain-Scala Tarjan as the reference implementation. */
-  private def tarjan(edges: Seq[(Long, Long)]): Map[Long, Long] = {
-    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
-    var index = Map.empty[Long, Int]
-    var low = Map.empty[Long, Int]
-    var onStack = Set.empty[Long]
-    var stack = List.empty[Long]
-    var counter = 0
-    var result = Map.empty[Long, Long]
-    def strongConnect(v0: Long): Unit = {
-      // iterative DFS with explicit work stack (node, next-child index)
-      var work = List((v0, 0))
-      while (work.nonEmpty) {
-        val (v, pi) = work.head
-        if (pi == 0) {
-          index += v -> counter; low += v -> counter; counter += 1
-          stack ::= v; onStack += v
-        }
-        val children = adj.getOrElse(v, Seq.empty)
-        var recursed = false
-        var i = pi
-        while (i < children.size && !recursed) {
-          val w = children(i)
-          if (!index.contains(w)) {
-            work = (w, 0) :: (v, i + 1) :: work.tail
-            recursed = true
-          } else {
-            if (onStack(w)) low += v -> math.min(low(v), index(w))
-            i += 1
-          }
-        }
-        if (!recursed) {
-          if (low(v) == index(v)) {
-            var comp = List.empty[Long]
-            var done = false
-            while (!done) {
-              val w = stack.head; stack = stack.tail; onStack -= w
-              comp ::= w
-              if (w == v) done = true
-            }
-            val id = comp.min
-            comp.foreach(n => result += n -> id)
-          }
-          work = work.tail
-          work.headOption.foreach { case (p, _) =>
-            low += p -> math.min(low(p), low(v))
-          }
-        }
-      }
-    }
-    nodes.foreach(v => if (!index.contains(v)) strongConnect(v))
-    result
-  }
+  /** Plain-Scala Tarjan as the reference implementation — shared with
+    * the sf1 fixture audit (TarjanRef / SccAudit). */
+  private def tarjan(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    TarjanRef.tarjan(edges)
 
   private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
     StronglyConnectedComponents.components(edges.toDF("src", "dst"))

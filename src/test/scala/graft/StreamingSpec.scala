@@ -661,12 +661,18 @@ class StreamingSpec extends AnyFunSuite {
   test("QueryStats throughput math: rows/sec and nearest-rank p95") {
     import graft.streaming.StreamMetrics.QueryStats
     val st = QueryStats(nBatches = 5, inputRows = 3000,
-      batchMs = Vector(100L, 200L, 300L, 400L, 500L))
+      batchMs = Vector(100L, 200L, 300L, 400L, 500L), dataMsTotal = 1500L)
     assert(math.abs(st.rowsPerSec - 3000 / 1.5) < 1e-9)
     assert(st.p95BatchMs === 500L) // ceil(0.95·5)=5 → 5th of 5
     assert(QueryStats().rowsPerSec === 0.0 && QueryStats().p95BatchMs === 0L)
     val twenty = QueryStats(inputRows = 20,
       batchMs = Vector.tabulate(20)(i => (i + 1) * 10L))
     assert(twenty.p95BatchMs === 190L) // ceil(0.95·20)=19 → 19th of 20
+    // past the sample cap the rate must use the UNCAPPED duration sum:
+    // 1000 rows over 10 s of data batches is 100 rows/s even if only
+    // 2 s of samples were retained for p95
+    val capped = QueryStats(inputRows = 1000,
+      batchMs = Vector(1000L, 1000L), dataMsTotal = 10000L)
+    assert(math.abs(capped.rowsPerSec - 100.0) < 1e-9)
   }
 }
