@@ -59,6 +59,13 @@ final class StreamMetrics extends StreamingQueryListener {
       if (isData && prev.batchMs.length < StreamMetrics.MaxBatchSamples)
         prev.batchMs :+ dur
       else prev.batchMs
+    // latest state-store footprint across the batch's stateful operators
+    // (rows + provider-reported memory) — the context that says whether a
+    // rows/s figure was measured against a trivial or a grown state
+    val ops = Option(p.stateOperators).getOrElse(Array.empty)
+    val (stRows, stBytes) =
+      if (ops.isEmpty) (prev.stateRows, prev.stateBytes)
+      else (ops.map(_.numRowsTotal).sum, ops.map(_.memoryUsedBytes).sum)
     stats.update(key, QueryStats(
       nBatches = prev.nBatches + 1,
       inputRows = prev.inputRows + p.numInputRows,
@@ -70,7 +77,9 @@ final class StreamMetrics extends StreamingQueryListener {
       // sample vector — rowsPerSec divides cumulative rows by THIS, so
       // throughput stays honest after MaxBatchSamples is hit (the vector
       // only bounds p95's memory, not the rate's denominator)
-      dataMsTotal = prev.dataMsTotal + (if (isData) dur else 0L)))
+      dataMsTotal = prev.dataMsTotal + (if (isData) dur else 0L),
+      stateRows = stRows,
+      stateBytes = stBytes))
   }
 
   override def onQueryTerminated(
@@ -95,7 +104,9 @@ object StreamMetrics {
       lastWatermark: String = "",
       terminated: Boolean = false,
       batchMs: Vector[Long] = Vector.empty,
-      dataMsTotal: Long = 0L) {
+      dataMsTotal: Long = 0L,
+      stateRows: Long = 0L,
+      stateBytes: Long = 0L) {
 
     /** Steady-state throughput over the data batches: Σ rows / Σ trigger
       * seconds (batches that saw no input are excluded on both sides).
