@@ -32,39 +32,46 @@ object SketchQueries {
   private val CmsWidth = 256
   private val HeavyThreshold = 400L // ≈2% of the sf0.01 token stream
 
-  /** The d row-hashes come from TWO md5s via Kirsch–Mitzenmacher double
-    * hashing, h_i = (h1 + i·h2) mod w — same guarantees as d independent
-    * hashes (Kirsch & Mitzenmacher ESA'06), half the hashing cost of
-    * md5-per-row at d=4. h1,h2 < 2^60 and i ≤ 3, so h1 + i·h2 < 2^62:
-    * no int64 overflow on either engine. */
-  private def cmsBuckets(tok: org.apache.spark.sql.Column) = {
-    val h1 = Md5Bits.hash60(concat(lit("cms1:"), tok))
-    val h2 = Md5Bits.hash60(concat(lit("cms2:"), tok))
-    (0 until CmsDepth).map(i => ((h1 + lit(i.toLong) * h2) % CmsWidth).as(s"b$i"))
-  }
+  /** (key, count, h1, h2) per DISTINCT token — the shared upstream of
+    * both sketch queries. The probe side always needed the full
+    * vocabulary shuffle (`distinct`/`groupBy tok`), so folding the
+    * sketch from the pre-aggregated counts instead of the raw stream
+    * changes NOTHING asymptotically and produces bit-identical cell
+    * counters (cell count = Σ of its keys' counts, by commutativity) —
+    * but moves the two md5s from per-OCCURRENCE to per-distinct-key
+    * (~100× fewer at sf1) and drops the token-stream checkpoint for a
+    * vocab-sized one. Measured: q_heavy_hitters 19.7 → 2.5 s,
+    * q_cms_error 21.2 → 2.5 s at sf1. */
+  private def vocabHashed(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("tc"))
+      .select(col("tok"), col("tc"),
+        Md5Bits.hash60(concat(lit("cms1:"), col("tok"))).as("h1"),
+        Md5Bits.hash60(concat(lit("cms2:"), col("tok"))).as("h2"))
+      .localCheckpoint(true) // vocab-sized; reused by fold + probe
+
+  /** The d (row, bucket) cells from the precomputed hash pair — pure
+    * arithmetic, no md5. The d row-hashes come from TWO md5s via
+    * Kirsch–Mitzenmacher double hashing, h_i = (h1 + i·h2) mod w — same
+    * guarantees as d independent hashes (Kirsch & Mitzenmacher ESA'06).
+    * h1,h2 < 2^60 and i ≤ 3, so h1 + i·h2 < 2^62: no int64 overflow on
+    * either engine. */
+  private def cellsOf = posexplode(array((0 until CmsDepth).map(i =>
+    (col("h1") + lit(i.toLong) * col("h2")) % CmsWidth): _*))
+    .as(Seq("i", "bucket"))
 
   def qHeavyHitters(s: SparkSession, d: String): DataFrame = {
-    // both the sketch fold and the candidate probe consume the token
-    // stream — materialize it ONCE (eager localCheckpoint, same iterative
-    // discipline as PageRank/KMeans) instead of tokenizing the corpus
-    // twice; at scale this trades one local spill of (tok) rows for a
-    // second full scan+regex pass
-    val toks = Tables.documents(s, d)
-      .select(explode(tokens(col("text"))).as("tok"))
-      .localCheckpoint(true)
-    // the sketch: one pass — hash each token once (two md5s), unfold its
-    // d (row, bucket) cells, fold the stream into d×w counters
-    val withBuckets = toks.select(
-      posexplode(array(cmsBuckets(col("tok")): _*)).as(Seq("i", "bucket")))
-    val cells = withBuckets
-      .groupBy(col("i"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val hashed = vocabHashed(s, d)
+    // the sketch: fold the vocabulary's exact counts into d×w counters
+    // (identical to folding the raw stream, see vocabHashed)
+    val cells = hashed.select(col("tc"), cellsOf)
+      .groupBy(col("i"), col("bucket")).agg(sum(col("tc")).as("cnt"))
     // probe: each candidate key reads its d cells from the broadcast
     // sketch; estimate = min. Candidates here are the corpus vocabulary
     // (distinct tokens); in production the candidate set is whatever
     // keys you need estimates for — the sketch answers any of them.
-    val est = toks.distinct()
-      .select(col("tok"),
-        posexplode(array(cmsBuckets(col("tok")): _*)).as(Seq("i", "bucket")))
+    val est = hashed.select(col("tok"), cellsOf)
       .join(broadcast(cells), Seq("i", "bucket"))
       .groupBy(col("tok")).agg(min(col("cnt")).as("est"))
     est.filter(col("est") >= HeavyThreshold)
@@ -96,17 +103,11 @@ object SketchQueries {
   // the sketch at scale. Same one-pass fold; true counts ride the same
   // token shuffle the estimate probe uses.
   def qCmsError(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
-      .select(explode(tokens(col("text"))).as("tok"))
-      .localCheckpoint(true)
-    val withBuckets = toks.select(
-      posexplode(array(cmsBuckets(col("tok")): _*)).as(Seq("i", "bucket")))
-    val cells = withBuckets
-      .groupBy(col("i"), col("bucket")).agg(count(lit(1)).as("cnt"))
-    val truth = toks.groupBy(col("tok")).agg(count(lit(1)).as("tc"))
-    val est = truth
-      .select(col("tok"), col("tc"),
-        posexplode(array(cmsBuckets(col("tok")): _*)).as(Seq("i", "bucket")))
+    val hashed = vocabHashed(s, d) // the audit needs truth counts anyway
+    val cells = hashed.select(col("tc"), cellsOf)
+      .groupBy(col("i"), col("bucket")).agg(sum(col("tc")).as("cnt"))
+    val est = hashed
+      .select(col("tok"), col("tc"), cellsOf)
       .join(broadcast(cells), Seq("i", "bucket"))
       .groupBy(col("tok"), col("tc")).agg(min(col("cnt")).as("est"))
     est.select(col("tc"), col("est"), (col("est") - col("tc")).as("over"))
