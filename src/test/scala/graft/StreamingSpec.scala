@@ -567,6 +567,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(rocksStats.inputRows === baseStats.inputRows)
     assert(rocksStats.maxBatchRows === baseStats.maxBatchRows)
     assert(rocksStats.terminated && baseStats.terminated)
+    // state-size context (round 13): the LOGICAL state row count is
+    // provider-independent (one entry per user key), while the byte
+    // footprint is provider-specific — both must be recorded so a
+    // throughput figure carries the state it was measured against
+    assert(rocksStats.stateRows === baseStats.stateRows)
+    assert(rocksStats.stateRows > 0L, "state row count must be metered")
+    assert(rocksStats.stateBytes > 0L && baseStats.stateBytes > 0L,
+      "state byte footprint must be metered")
   }
 
   test("live ProcessingTime trigger: results match AvailableNow and get metered") {
