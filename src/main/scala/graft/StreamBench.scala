@@ -110,7 +110,9 @@ object StreamBench {
     val qjson = results.map { case (n, st) =>
       s""""$n":{"rows":${st.inputRows},"batches":${st.nBatches},""" +
         s""""rows_per_sec":${r1(st.rowsPerSec)},"p95_batch_ms":${st.p95BatchMs},""" +
-        s""""state_rows":${st.stateRows},"state_mb":${r1(st.stateBytes / 1e6)}}"""
+        s""""state_rows":${st.stateRows},"state_mb":${r1(st.stateBytes / 1e6)},""" +
+        s""""peak_state_rows":${st.peakStateRows},""" +
+        s""""peak_state_mb":${r1(st.peakStateBytes / 1e6)}}"""
     }.mkString("{", ",", "}")
     val headline = r1(results.map(_._2.rowsPerSec).min)
     println(s"""{"metric":"stream_rows_per_sec","value":$headline,""" +

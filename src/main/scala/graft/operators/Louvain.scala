@@ -129,8 +129,18 @@ object Louvain {
     * supergraph, project back. Returns (node, comm) for every node of
     * the input graph; comm ids are node ids of the input graph (the
     * label a community's supernode ended up in). */
-  def cluster(we: DataFrame, rounds: Int = 4): DataFrame = {
-    val l1 = localMove(we, rounds).persist(StorageLevel.MEMORY_AND_DISK)
+  def cluster(we: DataFrame, rounds: Int = 4): DataFrame =
+    clusterFromL1(we, localMove(we, rounds), rounds)
+
+  /** [[cluster]]'s tail over ALREADY-COMPUTED level-1 labels — lets
+    * callers that run both Louvain and Leiden over the same graph share
+    * the level-1 move rounds (the dominant cost: 4 rounds × 3 keyed
+    * shuffles over the FULL edge set; level 2 runs on the much smaller
+    * supergraph). `l1` must be the (node, comm) output of
+    * `localMove(we, rounds)` — determinism makes a persisted copy
+    * bit-identical to an in-query run. */
+  def clusterFromL1(we: DataFrame, l1In: DataFrame, rounds: Int): DataFrame = {
+    val l1 = l1In.persist(StorageLevel.MEMORY_AND_DISK)
     val l2 = localMove(aggregateGraph(we, l1), rounds)
     // materialize the projection join eagerly so l1's cache can be
     // released here instead of lingering for the session lifetime
@@ -177,8 +187,15 @@ object Louvain {
     * (LouvainSpec asserts it; full Leiden's randomized γ-sampled merge
     * step is replaced by the deterministic parity local-move rule so the
     * SQL oracle replays bit-for-bit). */
-  def clusterLeiden(we: DataFrame, rounds: Int = 4): DataFrame = {
-    val l1 = refine(we, localMove(we, rounds))
+  def clusterLeiden(we: DataFrame, rounds: Int = 4): DataFrame =
+    clusterLeidenFromL1(we, localMove(we, rounds), rounds)
+
+  /** [[clusterLeiden]]'s tail over already-computed RAW level-1 labels
+    * (pre-refinement — the same artifact [[clusterFromL1]] takes, so one
+    * persisted level-1 run feeds both the Louvain and the Leiden query). */
+  def clusterLeidenFromL1(we: DataFrame, l1Raw: DataFrame, rounds: Int)
+      : DataFrame = {
+    val l1 = refine(we, l1Raw)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val l2 = localMove(aggregateGraph(we, l1), rounds)
     val merged = l1.join(

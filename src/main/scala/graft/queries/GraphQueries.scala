@@ -119,6 +119,12 @@ object GraphQueries {
       .filter(col("n") >= minSupport)
       .select(col("src"), col("dst"))
 
+  /** Spec-only accessor: the default-support co-purchase edge set, so
+    * LouvainSpec can rebuild the community queries' input graph when
+    * pinning the shared-L1 tails against the monolithic spellings. */
+  def supportedEdgesForSpec(s: SparkSession, d: String): DataFrame =
+    supportedEdges(s, d, MinSupport)
+
   def qComponents(s: SparkSession, d: String): DataFrame = {
     val labels = graft.operators.ConnectedComponents
       .components(supportedEdges(s, d, MinSupport), maxIterations = CcRounds)
@@ -1700,9 +1706,28 @@ object GraphQueries {
   // baseline.
   private val LouvainRounds = 4
 
+  /** Level-1 Louvain local-move labels over the co-purchase graph, fit
+    * once per fixture and persisted (fingerprint-keyed on the source
+    * lineitem parquet, the [[graft.ArtifactCache]] discipline): the
+    * level-1 moves are 4 rounds × 3 keyed shuffles over the FULL edge set
+    * and are byte-identical between q_communities and
+    * q_communities_leiden (Leiden only diverges AFTER level 1, at the
+    * refinement), so the two queries share one training run instead of
+    * each replaying it. Determinism of the parity-move rule makes the
+    * persisted copy bit-identical to an in-query run (LouvainSpec pins
+    * the shared-L1 tails against the monolithic spellings). */
+  private def louvainL1(s: SparkSession, d: String, we: DataFrame): DataFrame = {
+    val dir = graft.ArtifactCache.dir(d, "lineitem", "louvain_l1")
+    if (!graft.ArtifactCache.ready(dir))
+      graft.operators.Louvain.localMove(we, rounds = LouvainRounds)
+        .write.mode("overwrite").parquet(dir.toString)
+    s.read.parquet(dir.toString)
+  }
+
   def qCommunities(s: SparkSession, d: String): DataFrame = {
     val we = supportedEdges(s, d, MinSupport).withColumn("w", lit(1L))
-    graft.operators.Louvain.cluster(we, rounds = LouvainRounds)
+    graft.operators.Louvain.clusterFromL1(we, louvainL1(s, d, we),
+        rounds = LouvainRounds)
       .groupBy(col("comm").as("community"))
       .agg(count(lit(1)).as("n_nodes"))
   }
@@ -1731,7 +1756,8 @@ object GraphQueries {
   // output like q_communities so the oracle hash pins the partition.
   def qCommunitiesLeiden(s: SparkSession, d: String): DataFrame = {
     val we = supportedEdges(s, d, MinSupport).withColumn("w", lit(1L))
-    graft.operators.Louvain.clusterLeiden(we, rounds = LouvainRounds)
+    graft.operators.Louvain.clusterLeidenFromL1(we, louvainL1(s, d, we),
+        rounds = LouvainRounds)
       .groupBy(col("comm").as("community"))
       .agg(count(lit(1)).as("n_nodes"))
   }

@@ -764,6 +764,19 @@ object SimilarityQueries {
   private val PqC = 50    // ADC candidates re-ranked exactly per query
 
   def qAnnPq(s: SparkSession, d: String): DataFrame = {
+    // Serves from the persisted index (fit once per corpus, shared with
+    // the IVF-PQ family): the stored codes were encoded with the SAME
+    // deterministic codebooks this query used to train in-query, so the
+    // result is identical (spec-pinned) while the corpus-sized training
+    // scans drop out of the per-query plan. The PQ-only variant ignores
+    // the coarse `cluster` column — every code row is a candidate.
+    val (v, codesFull, _, books) = annIndex(s, d)
+    pqServe(v, codesFull.drop("cluster"), books)
+  }
+
+  /** The in-query-training spelling of [[qAnnPq]] (train + encode + serve
+    * in one plan) — spec-only, pinning persisted-serve == fresh-train. */
+  def qAnnPqTrained(s: SparkSession, d: String): DataFrame = {
     val v = vecs(s, d).select(col("vec_id").as("id"), col("v"))
     // all four codebooks train together: one corpus scan per Lloyd round
     // (fitProduct), not one per (round, subspace)
@@ -774,6 +787,14 @@ object SimilarityQueries {
       col("id") +: (0 until PqM).map(j =>
         graft.operators.KMeans.argminCluster(
           slice(col("v"), j * PqSub + 1, PqSub), books(j)).as(s"c$j")): _*)
+    pqServe(v, codes, books)
+  }
+
+  /** The PQ-ADC SERVING path (LUT build → candidate join → ADC shortlist
+    * → exact refine) over an already-encoded corpus `codes(id, c0..c3)` —
+    * shared by [[qAnnPq]] (persisted index) and [[qAnnPqTrained]]. */
+  private def pqServe(v: DataFrame, codes: DataFrame,
+      books: Seq[DataFrame]): DataFrame = {
     // Per-subspace LUT: (qid, code) → cc − 2·q·c + q·q, the full partial
     // squared distance (the q·q term is rank-neutral but keeps the
     // reported ADC value a true squared-distance estimate).
@@ -938,6 +959,19 @@ object SimilarityQueries {
   // IvfK and PqK may be dialed independently) plus the probed
   // candidate join.
   def qAnnIvfPq(s: SparkSession, d: String): DataFrame = {
+    // Serves from the fingerprint-keyed persisted index (fit once per
+    // corpus, shared with qAnnServe / qAnnPq / qIvfPqRecall) — the
+    // in-query-training spelling below is retained as the spec's
+    // bit-for-bit cross-check of the persisted path.
+    val (v, codes, centroids, books) = annIndex(s, d)
+    ivfPqServe(v, codes, centroids, books)
+  }
+
+  /** The in-query-training spelling of [[qAnnIvfPq]] — trains the coarse
+    * quantizer + codebooks from the raw embeddings on every call. Kept
+    * (spec-only) so SimilaritySpec can pin that the persisted-index serve
+    * path equals a fresh train+serve bit-for-bit. */
+  def qAnnIvfPqTrained(s: SparkSession, d: String): DataFrame = {
     val v = vecs(s, d).select(col("vec_id").as("id"), col("v"))
     val centroids = graft.operators.KMeans.fit(v, k = IvfK, iterations = IvfIters)
     val cells = graft.operators.KMeans.assign(v, centroids)
@@ -1056,22 +1090,24 @@ object SimilarityQueries {
   // instead of serving stale artifacts. At 100 TB the serve-side scan
   // reads (cell, 4 code bytes, id) per vector — the 16×-compressed
   // inverted file — and raw vectors only for the ~PqC shortlisted rows.
-  private def annIndexDir(d: String, suffix: String = ""): java.nio.file.Path = {
-    val src = java.nio.file.Paths.get(d, "embeddings.parquet")
-    val files: Seq[java.nio.file.Path] =
-      if (java.nio.file.Files.isDirectory(src)) {
-        val s = java.nio.file.Files.list(src)
-        try { import scala.jdk.CollectionConverters._; s.iterator.asScala.toSeq }
-        finally s.close()
-      } else Seq(src)
-    val fp = files.sortBy(_.toString).map { f =>
-      s"$f:${java.nio.file.Files.size(f)}:" +
-        java.nio.file.Files.getLastModifiedTime(f).toMillis
-    }.mkString("|")
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_ann_index_$h$suffix")
+  private def annIndexDir(d: String, suffix: String = ""): java.nio.file.Path =
+    graft.ArtifactCache.dir(d, "embeddings", "ann_index", suffix)
+
+  /** Ensure the persisted IVF-PQ index for fixture `d` exists (fit once,
+    * fingerprint-keyed), then return the read-back artifact frames
+    * (vectors, codes, centroids, books). ALL IVF-PQ/PQ queries serve from
+    * these — the production fit-once discipline — so the coarse quantizer
+    * and the 4 PQ codebooks train exactly once per corpus instead of once
+    * per query; determinism of the fit keeps every consumer's result
+    * identical to its in-query-training spelling (spec-pinned). */
+  private def annIndex(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, IndexedSeq[DataFrame]) = {
+    val dir = annIndexDir(d)
+    if (!graft.ArtifactCache.ready(dir, "codes"))
+      fitAnnIndex(s, d, dir.toString)
+    (s.read.parquet(s"$dir/vectors"), s.read.parquet(s"$dir/codes"),
+      s.read.parquet(s"$dir/centroids"),
+      (0 until PqM).map(j => s.read.parquet(s"$dir/book$j")))
   }
 
   /** Train + persist the IVF-PQ index artifacts under `dir`. */
@@ -1097,16 +1133,10 @@ object SimilarityQueries {
   }
 
   def qAnnServe(s: SparkSession, d: String): DataFrame = {
-    val dir = annIndexDir(d)
-    if (!java.nio.file.Files.exists(dir.resolve("codes").resolve("_SUCCESS")))
-      fitAnnIndex(s, d, dir.toString)
     // the RETURNED plan reads only the persisted index tables — no
     // embeddings scan, no training stage (PlanSpec pins this)
-    ivfPqServe(
-      s.read.parquet(s"$dir/vectors"),
-      s.read.parquet(s"$dir/codes"),
-      s.read.parquet(s"$dir/centroids"),
-      (0 until PqM).map(j => s.read.parquet(s"$dir/book$j")))
+    val (v, codes, centroids, books) = annIndex(s, d)
+    ivfPqServe(v, codes, centroids, books)
   }
 
   /** Hash-equal to qAnnIvfPq by construction, so the oracle is the same
@@ -1496,6 +1526,12 @@ object SimilarityQueries {
   private def pcaSolve(s: SparkSession, d: String): (Array[BigInt], Option[Long]) = {
     import s.implicits._
     val dd = PcaDim
+    // the eigensolve collects a d×d Gram matrix to the driver — bounded
+    // by construction at d=64, but fail loudly (not OOM) if the dimension
+    // is ever raised past what a driver-side BigInt matrix can carry
+    require(dd <= 1024,
+      s"pcaSolve collects a $dd×$dd Gram matrix to the driver; dimensions " +
+        "past 1024 need a distributed eigensolve, not a bigger driver")
     // one scan: quantized vector → the GramSumAgg typed aggregate (slot
     // = i·d+j for the upper triangle, d²+i linear sums, d²+d count) —
     // a single Long-lane multiply-add per slot per row inside the
@@ -1505,7 +1541,15 @@ object SimilarityQueries {
     // vectors; GramSumSpec pins sum-for-sum equality incl. spill paths).
     val q = transform(col("embedding"),
       x => round(x.cast("double") * 1e6, 0).cast("long"))
-    val bytes = Tables.embeddings(s, d).select(q.as("q"))
+    // null rows/elements would throw inside the typed aggregate's
+    // encoder/require where the old explode-based spelling silently
+    // dropped them — filter them out up front so a corpus with missing
+    // embeddings degrades the same way on both paths (the fixture has
+    // none, so the oracle replay is unchanged)
+    val bytes = Tables.embeddings(s, d)
+      .filter(col("embedding").isNotNull)
+      .select(q.as("q"))
+      .filter(!exists(col("q"), _.isNull))
       .as[Array[Long]]
       .select(graft.functions.GramSumAgg(dd).toColumn)
       .head()

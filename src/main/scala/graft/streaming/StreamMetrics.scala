@@ -79,7 +79,12 @@ final class StreamMetrics extends StreamingQueryListener {
       // only bounds p95's memory, not the rate's denominator)
       dataMsTotal = prev.dataMsTotal + (if (isData) dur else 0L),
       stateRows = stRows,
-      stateBytes = stBytes))
+      stateBytes = stBytes,
+      // peak alongside latest: state can SHRINK near the end (watermark
+      // eviction), and the latest-only figure would understate the
+      // largest state the measured rate actually ran against
+      peakStateRows = math.max(prev.peakStateRows, stRows),
+      peakStateBytes = math.max(prev.peakStateBytes, stBytes)))
   }
 
   override def onQueryTerminated(
@@ -106,7 +111,9 @@ object StreamMetrics {
       batchMs: Vector[Long] = Vector.empty,
       dataMsTotal: Long = 0L,
       stateRows: Long = 0L,
-      stateBytes: Long = 0L) {
+      stateBytes: Long = 0L,
+      peakStateRows: Long = 0L,
+      peakStateBytes: Long = 0L) {
 
     /** Steady-state throughput over the data batches: Σ rows / Σ trigger
       * seconds (batches that saw no input are excluded on both sides).

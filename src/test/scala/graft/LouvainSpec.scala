@@ -194,6 +194,57 @@ class LouvainSpec extends AnyFunSuite {
       assert(members.keySet.contains(comm), s"label $comm not a member") }
   }
 
+  test("shared level-1 labels: parquet round-trip feeds both tails bit-for-bit") {
+    // q_communities / q_communities_leiden share ONE persisted level-1
+    // run (GraphQueries.louvainL1); this pins that a parquet round-trip
+    // of the labels leaves both tails identical to the monolithic
+    // spellings — schema/nullability drift through the write would break
+    // the joins silently otherwise
+    val we = twoCliques.toDF("src", "dst", "w")
+    val dir = java.nio.file.Files.createTempDirectory("graft_l1_spec")
+    try {
+      Louvain.localMove(we, rounds = 4)
+        .write.mode("overwrite").parquet(dir.toString)
+      val l1 = spark.read.parquet(dir.toString)
+      assert(Louvain.clusterFromL1(we, l1, rounds = 4)
+        .as[(Long, Long)].collect().toMap ===
+        Louvain.cluster(we, rounds = 4).as[(Long, Long)].collect().toMap)
+      assert(Louvain.clusterLeidenFromL1(we, l1, rounds = 4)
+        .as[(Long, Long)].collect().toMap ===
+        Louvain.clusterLeiden(we, rounds = 4).as[(Long, Long)].collect().toMap)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder()).iterator.asScala
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
+  test("community queries share one persisted level-1 run (fit once per fixture)") {
+    // the returned plans checkpoint-truncate their lineage, so the pin is
+    // at the artifact level: running either community query materializes
+    // the fingerprint-keyed level-1 label store, and the shared-L1 census
+    // equals the monolithic spelling exactly
+    val sf = "/root/testdata/sf0.001"
+    val gotL = graft.queries.GraphQueries.qCommunities(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val dir = ArtifactCache.dir(sf, "lineitem", "louvain_l1")
+    assert(ArtifactCache.ready(dir),
+      s"level-1 label store $dir should exist after a community query")
+    val we = graft.queries.GraphQueries.supportedEdgesForSpec(spark, sf)
+      .withColumn("w", lit(1L))
+    val expL = Louvain.cluster(we, rounds = 4)
+      .groupBy(col("comm")).count().as[(Long, Long)].collect().toMap
+    assert(gotL === expL, "shared-L1 census differs from monolithic Louvain")
+    val gotLeiden = graft.queries.GraphQueries.qCommunitiesLeiden(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val expLeiden = Louvain.clusterLeiden(we, rounds = 4)
+      .groupBy(col("comm")).count().as[(Long, Long)].collect().toMap
+    assert(gotLeiden === expLeiden,
+      "shared-L1 census differs from monolithic Leiden")
+  }
+
   test("self-loops from aggregation carry their volume (m2 invariant)") {
     // aggregate the two-clique graph by a coarse labeling and check the
     // supergraph's total volume equals the original

@@ -417,10 +417,40 @@ class SimilaritySpec extends AnyFunSuite {
       (r.getAs[Long]("qid"), r.getAs[Int]("rnk"))
     val got = serve.collect().map(r => key(r) ->
       (r.getAs[Long]("nid"), r.getAs[Double]("dist_r"))).toMap
-    val exp = graft.queries.SimilarityQueries.qAnnIvfPq(spark, sf)
+    val exp = graft.queries.SimilarityQueries.qAnnIvfPqTrained(spark, sf)
       .collect().map(r => key(r) ->
         (r.getAs[Long]("nid"), r.getAs[Double]("dist_r"))).toMap
     assert(got === exp, "served top-k differs from the trained-in-query top-k")
+  }
+
+  test("ANN audit queries serve from the persisted index, never retraining") {
+    // the fit-once discipline (VERDICT r13 #2): q_ann_ivfpq and q_ann_pq
+    // read ONLY the persisted index artifacts — no source-embeddings scan,
+    // no KMeans training stage in the served plan
+    for (q <- Seq(graft.queries.SimilarityQueries.qAnnIvfPq(spark, sf),
+                  graft.queries.SimilarityQueries.qAnnPq(spark, sf))) {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_ann_index_"),
+        "audit plan should scan the persisted index")
+      assert(!plan.contains("embeddings.parquet"),
+        "audit plan must not rescan the source embeddings")
+    }
+    // the recall audit's ANN half reads the index too (its brute-force
+    // ground-truth half necessarily scans the raw embeddings)
+    val recallPlan = graft.queries.SimilarityQueries.qIvfPqRecall(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(recallPlan.contains("graft_ann_index_"),
+      "recall audit's ANN side should serve from the persisted index")
+    // and the persisted-serve PQ result equals a fresh train+encode+serve
+    def keyPq(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("qid"), r.getAs[Int]("rnk"))
+    val got = graft.queries.SimilarityQueries.qAnnPq(spark, sf).collect()
+      .map(r => keyPq(r) -> (r.getAs[Long]("nid"), r.getAs[Double]("dist_r")))
+      .toMap
+    val exp = graft.queries.SimilarityQueries.qAnnPqTrained(spark, sf).collect()
+      .map(r => keyPq(r) -> (r.getAs[Long]("nid"), r.getAs[Double]("dist_r")))
+      .toMap
+    assert(got === exp, "persisted-serve PQ differs from trained-in-query PQ")
   }
 
   test("ANN upsert: re-encode-not-refit serves base+delta, never rescanning base embeddings") {

@@ -575,6 +575,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(rocksStats.stateRows > 0L, "state row count must be metered")
     assert(rocksStats.stateBytes > 0L && baseStats.stateBytes > 0L,
       "state byte footprint must be metered")
+    // peak-vs-latest (round 14): the peak can only be >= the final
+    // footprint, and must be populated whenever any state was metered —
+    // the recorded context for queries whose state shrinks near the end
+    // (watermark eviction) is the PEAK the rate actually ran against
+    assert(rocksStats.peakStateRows >= rocksStats.stateRows &&
+      rocksStats.peakStateRows > 0L, "peak state rows must be metered")
+    assert(rocksStats.peakStateBytes >= rocksStats.stateBytes &&
+      baseStats.peakStateBytes >= baseStats.stateBytes)
   }
 
   test("live ProcessingTime trigger: results match AvailableNow and get metered") {

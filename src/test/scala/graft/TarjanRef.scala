@@ -93,8 +93,15 @@ object SccAudit {
     val got = SparkEntry.queries("q_scc")(spark, d).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val tEngine = (System.nanoTime() - t0) / 1e9
-    val edges = graft.queries.GraphQueries.purchasePathEdges(spark, d)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // AUDIT-ONLY single-JVM step: the edge list is collected to the
+    // driver for the in-JVM Tarjan. Bounded at fixture scale (sf1:
+    // 92k edges) — fail loudly, not OOM, if the fixture ever outgrows it.
+    val edgesDf = graft.queries.GraphQueries.purchasePathEdges(spark, d)
+    val nEdges = edgesDf.count()
+    require(nEdges <= 10000000L,
+      s"SccAudit collects the edge list to the driver ($nEdges edges): " +
+        "past 10M edges, audit a sampled subgraph instead")
+    val edges = edgesDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val t1 = System.nanoTime()
     val want = TarjanRef.tarjan(edges)
     val tRef = (System.nanoTime() - t1) / 1e9
