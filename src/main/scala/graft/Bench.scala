@@ -54,8 +54,12 @@ object Bench {
     // (with "metric"/"value") gets cut and the line never parses
     // (BENCH_r04.json: parsed=null). The stdout contract line stays small
     // enough to survive the tail capture intact.
+    // cold_fits: training runs actually executed inside this window (0 =
+    // every ArtifactCache-backed query served a warm persisted artifact;
+    // >0 = the window paid that many fits — not comparable to a warm one)
+    val coldFits = graft.ArtifactCache.coldFits
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"failed":$failed,"sf":"$sfDir","queries":${jmap(results.map(r => r._1 -> r._2))},"spread":${jmap(results.map(r => r._1 -> (if (r._2 < 0) -1.0 else r._3 - r._2)))},"total_sec":$total}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"failed":$failed,"cold_fits":$coldFits,"sf":"$sfDir","queries":${jmap(results.map(r => r._1 -> r._2))},"spread":${jmap(results.map(r => r._1 -> (if (r._2 < 0) -1.0 else r._3 - r._2)))},"total_sec":$total}"""
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
     java.nio.file.Files.write(fullPath, (fullJson + "\n").getBytes("UTF-8"))
     // stdout line: headline totals + the heaviest queries, greedily added
@@ -69,7 +73,7 @@ object Bench {
       if (len + entryLen <= budget) { kept += (r._1 -> r._2); len += entryLen }
     }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"queries_full":"${fullPath.toAbsolutePath}","queries":${jmap(kept.toSeq)},"total_sec":$total}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"failed":$failed,"cold_fits":$coldFits,"sf":"$sfDir","n_queries":${results.size},"queries_full":"${fullPath.toAbsolutePath}","queries":${jmap(kept.toSeq)},"total_sec":$total}"""
     println(line)
     spark.stop()
   }

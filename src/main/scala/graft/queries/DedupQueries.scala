@@ -619,6 +619,13 @@ object DedupQueries {
 
   private def sqlHash60(e: String) = Md5Bits.sqlHash60(e)
 
+  // Candidate generation replays the ENGINE's banded equi-join (hash join
+  // on the 4-slice band keys + distinct), the exact treatment
+  // qMinhashErrorSql got in r13 — same pair set by construction (∃band
+  // with equal slices ⟺ some band-key join row exists). The old
+  // `sig a JOIN sig b ON a.doc_id < b.doc_id WHERE EXISTS(range(0,8)...)`
+  // spelling was O(n²) list comparisons and infeasible in DuckDB at sf3
+  // (killed at 40 CPU-min); this one is output-bound like the engine.
   val qMinhashLshSql: String =
     s"WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents), " +
       s"sh AS (SELECT doc_id, unnest($sqlShingles) AS sh FROM toks), " +
@@ -627,11 +634,15 @@ object DedupQueries {
       s"min((((i * 2654435761) % ${MinhashP - 1} + 1) * x + (i * 97531) % $MinhashP) % $MinhashP) AS mh " +
       "FROM hx, range(0, 32) r(i) GROUP BY 1, 2), " +
       "sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY 1), " +
-      "cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "bk AS (SELECT doc_id, sig, bb, sig[bb*4+1 : bb*4+4] AS bucket " +
+      "FROM sig, range(0, 8) t(bb)), " +
+      "cand0 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      "FROM bk a JOIN bk b ON a.bb = b.bb AND a.bucket = b.bucket " +
+      "AND a.doc_id < b.doc_id), " +
+      "cand AS (SELECT doc_a, doc_b, " +
       "CAST(len(list_filter(range(1, 33), j -> a.sig[j] = b.sig[j])) AS DOUBLE) / 32 AS est_jaccard " +
-      "FROM sig a JOIN sig b ON a.doc_id < b.doc_id " +
-      "WHERE EXISTS (SELECT 1 FROM range(0, 8) t(bb) " +
-      "WHERE a.sig[bb*4+1 : bb*4+4] = b.sig[bb*4+1 : bb*4+4])) " +
+      "FROM cand0 JOIN sig a ON a.doc_id = doc_a " +
+      "JOIN sig b ON b.doc_id = doc_b) " +
       "SELECT doc_a, doc_b, est_jaccard FROM cand WHERE est_jaccard >= 0.8"
 
   // ── Dedup report: near-dup cluster census over the LSH pair graph ──────

@@ -1719,8 +1719,10 @@ object GraphQueries {
   private def louvainL1(s: SparkSession, d: String, we: DataFrame): DataFrame = {
     val dir = graft.ArtifactCache.dir(d, "lineitem", "louvain_l1")
     if (!graft.ArtifactCache.ready(dir))
-      graft.operators.Louvain.localMove(we, rounds = LouvainRounds)
-        .write.mode("overwrite").parquet(dir.toString)
+      graft.ArtifactCache.publish(dir) { tmp =>
+        graft.operators.Louvain.localMove(we, rounds = LouvainRounds)
+          .write.mode("overwrite").parquet(tmp.toString)
+      }
     s.read.parquet(dir.toString)
   }
 

@@ -1104,7 +1104,7 @@ object SimilarityQueries {
       : (DataFrame, DataFrame, DataFrame, IndexedSeq[DataFrame]) = {
     val dir = annIndexDir(d)
     if (!graft.ArtifactCache.ready(dir, "codes"))
-      fitAnnIndex(s, d, dir.toString)
+      graft.ArtifactCache.publish(dir)(tmp => fitAnnIndex(s, d, tmp.toString))
     (s.read.parquet(s"$dir/vectors"), s.read.parquet(s"$dir/codes"),
       s.read.parquet(s"$dir/centroids"),
       (0 until PqM).map(j => s.read.parquet(s"$dir/book$j")))
@@ -1169,9 +1169,11 @@ object SimilarityQueries {
     DotProduct.register(s)
     val split = upsertSplit(s, d)
     val dir = annIndexDir(d, suffix = s"_base$split")
-    if (!java.nio.file.Files.exists(dir.resolve("codes").resolve("_SUCCESS")))
-      fitAnnIndexOn(vecs(s, d).filter(col("vec_id") < split)
-        .select(col("vec_id").as("id"), col("v")), dir.toString)
+    if (!graft.ArtifactCache.ready(dir, "codes"))
+      graft.ArtifactCache.publish(dir) { tmp =>
+        fitAnnIndexOn(vecs(s, d).filter(col("vec_id") < split)
+          .select(col("vec_id").as("id"), col("v")), tmp.toString)
+      }
     val centroids = s.read.parquet(s"$dir/centroids")
     val books = (0 until PqM).map(j => s.read.parquet(s"$dir/book$j"))
     val baseCodes = s.read.parquet(s"$dir/codes")

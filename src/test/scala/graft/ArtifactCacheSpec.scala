@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Atomic-publish discipline for fingerprint-keyed artifacts: a reader
+  * must never observe a half-written directory (fits go to a tmp sibling
+  * and rename into place), concurrent fitters must race safely (one
+  * winner, losers cleaned up), and every executed fit is metered so a
+  * bench window can report cold_fits honestly. */
+class ArtifactCacheSpec extends AnyFunSuite {
+
+  private def freshDir(tag: String): java.nio.file.Path =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_spec_${tag}_${java.util.UUID.randomUUID}")
+
+  private def writeArtifact(dir: java.nio.file.Path, marker: String): Unit = {
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve("payload"), marker)
+    java.nio.file.Files.writeString(dir.resolve("_SUCCESS"), "")
+  }
+
+  private def tmpSiblings(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = java.nio.file.Files.list(dir.getParent)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator.asScala.filter(_.getFileName.toString
+        .startsWith(dir.getFileName.toString + ".tmp.")).toSeq
+    } finally s.close()
+  }
+
+  test("publish renames a complete tmp into place and meters one cold fit") {
+    val dir = freshDir("atomic")
+    val before = ArtifactCache.coldFits
+    ArtifactCache.publish(dir) { tmp =>
+      // the destination must not exist while the fit is in flight — a
+      // reader polling ready() during the fit sees nothing half-written
+      assert(!java.nio.file.Files.exists(dir),
+        "fit ran against the destination dir, not a tmp sibling")
+      writeArtifact(tmp, "fit-1")
+    }
+    assert(ArtifactCache.ready(dir))
+    assert(java.nio.file.Files.readString(dir.resolve("payload")) == "fit-1")
+    assert(ArtifactCache.coldFits == before + 1)
+    assert(tmpSiblings(dir).isEmpty, "tmp sibling leaked after publish")
+  }
+
+  test("publish replaces a torn pre-atomic dir (exists but never ready)") {
+    val dir = freshDir("torn")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve("payload"), "torn")
+    assert(!ArtifactCache.ready(dir)) // no _SUCCESS: a crashed writer
+    ArtifactCache.publish(dir)(writeArtifact(_, "refit"))
+    assert(ArtifactCache.ready(dir))
+    assert(java.nio.file.Files.readString(dir.resolve("payload")) == "refit")
+  }
+
+  test("concurrent fitters race safely: one winner, losers drop their tmp") {
+    val dir = freshDir("race")
+    val fitters = 4
+    val gate = new java.util.concurrent.CyclicBarrier(fitters)
+    val before = ArtifactCache.coldFits
+    val threads = (1 to fitters).map { i =>
+      val t = new Thread(() =>
+        ArtifactCache.publish(dir) { tmp =>
+          gate.await() // all fits in flight simultaneously
+          writeArtifact(tmp, s"fit-$i")
+        })
+      t.start(); t
+    }
+    threads.foreach(_.join(60000))
+    assert(threads.forall(!_.isAlive))
+    // exactly one complete artifact won the rename; never a torn mix
+    assert(ArtifactCache.ready(dir))
+    val marker = java.nio.file.Files.readString(dir.resolve("payload"))
+    assert((1 to fitters).map(i => s"fit-$i").contains(marker))
+    // every fit that ran is metered, even the losers
+    assert(ArtifactCache.coldFits == before + fitters)
+    assert(tmpSiblings(dir).isEmpty, "a losing fitter leaked its tmp dir")
+  }
+}
