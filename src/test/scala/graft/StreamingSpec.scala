@@ -585,6 +585,89 @@ class StreamingSpec extends AnyFunSuite {
       baseStats.peakStateBytes >= baseStats.stateBytes)
   }
 
+  test("RocksDB changelog checkpointing: dual-mode parity + changelog files committed") {
+    // the large-state deployment increasingly defaults to RocksDB with
+    // CHANGELOG checkpointing (per-batch delta files instead of full
+    // snapshot uploads — the commit path stops scaling with state size).
+    // Run attrHistory under RocksDB in both checkpoint modes and assert
+    // byte-identical results + StreamMetrics parity, with filesystem
+    // evidence that changelog mode actually committed *.changelog deltas.
+    implicit val sqlCtx = spark.sqlContext
+    val feed = Seq(
+      Seq(Event(2L, t(20), 1L, "view", 0.0, "{}"),
+        Event(0L, t(0), 1L, "click", 0.0, "{}"),
+        Event(1L, t(10), 1L, "click", 0.0, "{}"),
+        Event(3L, t(5), 2L, "click", 0.0, "{}")),
+      Seq(Event(4L, t(30), 1L, "purchase", 0.0, "{}"),
+        Event(5L, t(40), 2L, "click", 0.0, "{}")))
+    def checkpointFiles(ckpt: java.nio.file.Path): Seq[String] = {
+      val s = java.nio.file.Files.walk(ckpt)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator.asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(_.getFileName.toString).toSeq
+      } finally s.close()
+    }
+    def runOnce(qname: String, changelog: Boolean)
+        : (Map[(Long, Long), (String, Timestamp, Timestamp)],
+           graft.streaming.StreamMetrics.QueryStats, Seq[String]) = {
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft_ckpt_$qname")
+      val clKey = "spark.sql.streaming.stateStore.rocksdb." +
+        "changelogCheckpointing.enabled"
+      spark.conf.set(clKey, changelog.toString)
+      val meter = graft.streaming.StreamMetrics.attach(spark)
+      val mem = MemoryStream[Event]
+      val q = EventStreams.attrHistory(mem.toDS()).toDF()
+        .writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("update").start()
+      try feed.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      finally { q.stop(); spark.conf.unset(clKey) }
+      val deadline = System.currentTimeMillis() + 30000
+      while (!meter.statsFor(qname).exists(_.terminated) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      spark.streams.removeListener(meter)
+      val rows = spark.table(qname)
+        .groupBy($"user_id", $"version_no")
+        .agg(max(struct($"valid_to".isNotNull.as("closed"), $"valid_to",
+          $"event_type", $"valid_from")).as("m"))
+        .select($"user_id", $"version_no", $"m.event_type", $"m.valid_from",
+          $"m.valid_to")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getString(2), r.getTimestamp(3), r.getTimestamp(4)))).toMap
+      (rows, meter.statsFor(qname).get, checkpointFiles(ckpt))
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ((snapRows, snapStats, snapFiles), (clRows, clStats, clFiles)) =
+      try (runOnce("scd_ckpt_snapshot", changelog = false),
+           runOnce("scd_ckpt_changelog", changelog = true))
+      finally prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    // mode engagement: changelog mode commits per-batch *.changelog
+    // deltas; snapshot mode never writes any
+    assert(clFiles.exists(_.endsWith(".changelog")),
+      s"changelog mode committed no .changelog files: $clFiles")
+    assert(!snapFiles.exists(_.endsWith(".changelog")),
+      s"snapshot mode unexpectedly wrote .changelog files: $snapFiles")
+    // results and metering are checkpoint-mode-independent
+    assert(clRows === snapRows,
+      "attrHistory results must be checkpoint-mode-independent")
+    assert(clRows.nonEmpty && clRows((1L, 3L))._1 === "purchase")
+    assert(clStats.inputRows === snapStats.inputRows)
+    assert(clStats.maxBatchRows === snapStats.maxBatchRows)
+    assert(clStats.stateRows === snapStats.stateRows)
+    assert(clStats.stateRows > 0L && clStats.stateBytes > 0L)
+    assert(clStats.peakStateRows >= clStats.stateRows &&
+      snapStats.peakStateRows >= snapStats.stateRows)
+    assert(clStats.terminated && snapStats.terminated)
+  }
+
   test("live ProcessingTime trigger: results match AvailableNow and get metered") {
     // every other streaming row verifies via backfill
     // (processAllAvailable); this drives a genuinely LIVE query — a
