@@ -56,9 +56,16 @@ object PipelineQueries {
 
   // ── Registered queries ─────────────────────────────────────────────────
 
+  // quality_r spelling: floor(q·1e6 + 0.5)/1e6, NOT round(q, 6) — the two
+  // engines' round() libraries disagree exactly at values whose double
+  // product q·1e6 lands on a representable .5 (Spark rounds the decimal
+  // expansion of q, DuckDB's vectorized path rounds the product;
+  // doc 90682 at sf3: q = 0.56781249999999994, q·1e6 = 567812.5 exactly
+  // → 0.567812 vs 0.567813). The floor spelling is plain IEEE arithmetic
+  // computed identically on both sides, so it cannot diverge.
   def qPipelineExact(s: SparkSession, d: String): DataFrame =
     cleanExact(s, d).select(col("doc_id"), col("n_tokens"),
-      round(col("quality"), 6).as("quality_r"))
+      (floor(col("quality") * 1e6 + 0.5) / 1e6).as("quality_r"))
 
   val qPipelineExactSql: String =
     "WITH scored AS (SELECT doc_id, text, lang, len(t) AS n_tokens, " +
@@ -66,7 +73,7 @@ object PipelineQueries {
       s"FROM (SELECT doc_id, text, lang, n_chars, $sqlTokens AS t FROM documents) a), " +
       s"gated AS (SELECT * FROM scored WHERE lang = 'en' AND quality >= $QualityFloor), " +
       "surv AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)) " +
-      "SELECT doc_id, n_tokens, round(quality, 6) AS quality_r FROM gated " +
+      "SELECT doc_id, n_tokens, floor(quality * 1e6 + 0.5) / 1e6 AS quality_r FROM gated " +
       "WHERE doc_id IN (SELECT doc_id FROM surv)"
 
   /** Full pipeline incl. LSH clustering. */

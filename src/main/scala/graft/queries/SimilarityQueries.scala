@@ -348,16 +348,22 @@ object SimilarityQueries {
     Tables.embeddings(s, d)
       .select(col("label"), posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
       .groupBy(col("label"), col("dim"))
-      // final round(6): the decimal sum is exact/order-independent, but
-      // each float summand's double→DECIMAL(28,12) TIE rounding can
+      // final quantize to 1e-6: the decimal sum is exact/order-independent,
+      // but each float summand's double→DECIMAL(28,12) TIE rounding can
       // differ between engines (observed: one cell off by 2e-14 under
-      // DuckDB 1.0.0) — rounding the quotient absorbs that last-ulp noise
-      .agg(round(sum(col("x").cast("decimal(28,12)")).cast("double") /
-        count(col("x")), 6).as("c"))
+      // DuckDB 1.0.0) — quantizing the quotient absorbs that last-ulp
+      // noise. Spelled floor(q·1e6 + 0.5)/1e6, NOT round(q, 6): the
+      // engines' round() libraries disagree when q·1e6 lands on a
+      // representable .5, and a tiny negative mean rounds to -0.0 on one
+      // engine and 0.0 on the other ('-0' vs '0' in the hash canon —
+      // caught at sf3). The floor spelling is plain IEEE arithmetic
+      // computed identically on both sides and never emits -0.0.
+      .agg((floor(sum(col("x").cast("decimal(28,12)")).cast("double") /
+        count(col("x")) * 1e6 + 0.5) / 1e6).as("c"))
 
   val qCentroidsSql: String =
     "SELECT label, pos - 1 AS dim, " +
-      "round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(x), 6) AS c " +
+      "floor(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(x) * 1e6 + 0.5) / 1e6 AS c " +
       "FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x, " +
       "generate_subscripts(embedding, 1) AS pos FROM embeddings) t " +
       "GROUP BY 1, 2"
