@@ -40,6 +40,14 @@ object StreamBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val stateParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    // checkpoint-mode dial (SPARK_GRAFT_STREAM_CHANGELOG=true): RocksDB
+    // changelog checkpointing commits per-batch delta files instead of
+    // full snapshot uploads — the large-state deployment default, whose
+    // commit cost stops scaling with state size. StreamingSpec pins the
+    // two modes result- and metering-identical; this dial measures the
+    // RATE side of the trade on the same three stateful families.
+    val changelog =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_CHANGELOG", "false").toBoolean
     val spark = Tuning.withClusterDefaults(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", stateParts)
@@ -47,6 +55,8 @@ object StreamBench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb." +
+        "changelogCheckpointing.enabled", changelog.toString)
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -117,6 +127,7 @@ object StreamBench {
     val headline = r1(results.map(_._2.rowsPerSec).min)
     println(s"""{"metric":"stream_rows_per_sec","value":$headline,""" +
       s""""unit":"rows/s","sf":"$sfDir","state_store":"rocksdb",""" +
+      s""""changelog_checkpointing":$changelog,""" +
       s""""files_per_trigger":$FilesPerTrigger,"queries":$qjson}""")
     spark.stop()
     deleteRecursively(srcDir) // multi-MB /tmp litter otherwise
