@@ -54,6 +54,32 @@ class ArtifactCacheSpec extends AnyFunSuite {
     assert(java.nio.file.Files.readString(dir.resolve("payload")) == "refit")
   }
 
+  test("fingerprint tracks the source parquet: same bytes+mtime reuse, any change refits") {
+    val fixture = java.nio.file.Files.createTempDirectory("graft_spec_fixture")
+    val src = fixture.resolve("tbl.parquet")
+    java.nio.file.Files.writeString(src, "payload-v1")
+    java.nio.file.Files.setLastModifiedTime(src,
+      java.nio.file.attribute.FileTime.fromMillis(1700000000000L))
+    val d1 = ArtifactCache.dir(fixture.toString, "tbl", "spec")
+    val d2 = ArtifactCache.dir(fixture.toString, "tbl", "spec")
+    assert(d1 == d2, "identical source must key the identical artifact dir")
+    // an mtime bump alone (regenerated fixture, same bytes) must refit —
+    // the staleness guarantee the scaladoc promises
+    java.nio.file.Files.setLastModifiedTime(src,
+      java.nio.file.attribute.FileTime.fromMillis(1700000001000L))
+    val d3 = ArtifactCache.dir(fixture.toString, "tbl", "spec")
+    assert(d3 != d1, "mtime change must change the fingerprint")
+    // a size change must refit too
+    java.nio.file.Files.writeString(src, "payload-v2-longer")
+    java.nio.file.Files.setLastModifiedTime(src,
+      java.nio.file.attribute.FileTime.fromMillis(1700000001000L))
+    val d4 = ArtifactCache.dir(fixture.toString, "tbl", "spec")
+    assert(d4 != d3 && d4 != d1, "size change must change the fingerprint")
+    // distinct tags/suffixes never collide on the same source
+    assert(ArtifactCache.dir(fixture.toString, "tbl", "other") != d4)
+    assert(ArtifactCache.dir(fixture.toString, "tbl", "spec", "_x") != d4)
+  }
+
   test("concurrent fitters race safely: one winner, losers drop their tmp") {
     val dir = freshDir("race")
     val fitters = 4
