@@ -311,10 +311,26 @@ object Relational {
   // countDistinct: mergeable fixed-size state instead of a full shuffle
   // of distinct values). HLL implementations differ per engine → no SQL
   // oracle; accuracy vs exact is asserted in RelationalSpec.
+  // Audit shape (round 15): Spark's native HLL++ sketch cannot be
+  // replayed engine-agnostically (q_hll_distinct is the portable md5-HLL
+  // twin with full oracle parity), so the registered output pins what IS
+  // exact — the per-group distinct count — plus the 5%-accuracy verdict
+  // on the HLL++ estimate. That makes the row hash-checkable (an
+  // estimate drifting past 5% flips the boolean and breaks the hash)
+  // instead of the registry's one rows-only declaration; the same
+  // candidates-anchored audit shape the seven sketch-accuracy audits use.
   def qApproxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+      .agg(countDistinct(col("l_orderkey")).as("n_exact"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx"))
+      .select(col("l_returnflag"), col("n_exact"),
+        (abs(col("approx") - col("n_exact")).cast("double") /
+          col("n_exact") <= 0.05).as("hllpp_within_5pct"))
+
+  val qApproxDistinctSql: String =
+    "SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact, " +
+      "TRUE AS hllpp_within_5pct FROM lineitem GROUP BY 1"
 
   // ── CPU-bound kernel (reference tasks 9-11: fib inside a Q2 shape) ─────
   // graft_fib is a codegen Expression — the kernel stays inside
@@ -2055,8 +2071,10 @@ object Relational {
     "q_intersect"       -> qIntersectSql,
     "q_except"          -> qExceptSql,
     "q_cube"            -> qCubeSql,
-    // q_approx_distinct: intentionally no oracle (HLL sketches are
-    // engine-specific); driver records the rows-only check.
+    // q_approx_distinct (round 15): audit-shaped — the oracle pins the
+    // exact counts + the expected within-5% verdict; the HLL++ estimate
+    // itself stays engine-specific and is bounded, not replayed.
+    "q_approx_distinct" -> qApproxDistinctSql,
     "q1_filter_project" -> q1Sql,
     "q2_substr_agg"     -> q2Sql,
     "q2b_join_agg"      -> q2bSql,

@@ -46,8 +46,9 @@ class RegistrySpec extends AnyFunSuite {
     "LakehouseQueries" -> LakehouseQueries.oracles)
 
   /** Queries DECLARED oracle-free (driver records a rows-only check).
-    * Keep this list tiny and intentional. */
-  private val declaredRowsOnly = Set("q_approx_distinct")
+    * Keep this list tiny and intentional — EMPTY since round 15, when
+    * q_approx_distinct gained its audit-shaped oracle. */
+  private val declaredRowsOnly = Set.empty[String]
 
   private def duplicates(fams: Seq[(String, Map[String, _])]): Map[String, Seq[String]] =
     fams.iterator

