@@ -51,27 +51,44 @@ object ArtifactCache {
   /** Fit-and-publish atomically: `fit` writes the artifact into a fresh
     * process-unique tmp sibling, which is then renamed into place in one
     * atomic filesystem move — a reader can NEVER observe a half-written
-    * `dir`, and two concurrent fitters race safely: rename is
-    * all-or-nothing, the loser deletes its tmp and serves the winner's
-    * artifact (equivalent by determinism of every fit this cache holds).
-    * A pre-existing dir that failed `ready()` (a torn write from a
-    * crashed pre-atomic writer) is cleared before the move. On a cluster
-    * the same shape is the job-commit protocol against shared storage;
-    * this is its local-filesystem spelling. Counts one cold fit per
-    * training run actually executed. */
-  def publish(dir: java.nio.file.Path)(fit: java.nio.file.Path => Unit): Unit = {
+    * `dir`, and once `ready(dir)` has returned true the artifact is
+    * never deleted or replaced, so a reader that passed the readiness
+    * check cannot have the dir vanish mid-read. Concurrent fitters race
+    * safely: after its fit, each re-checks `ready(dir, part)` — if a
+    * rival already published a complete artifact, the loser drops its
+    * tmp and serves the winner's (equivalent by determinism of every fit
+    * this cache holds). Only a pre-existing dir that FAILS `ready()`
+    * (a torn write from a crashed pre-atomic writer) is cleared before
+    * the move, so the delete→move gap can only occur on an
+    * already-broken dir. On a cluster the same shape is the job-commit
+    * protocol against shared storage; this is its local-filesystem
+    * spelling. Counts one cold fit per training run actually executed.
+    * `part` names the readiness sub-dir for multi-part artifacts (same
+    * meaning as in `ready`). */
+  def publish(dir: java.nio.file.Path, part: String = "")
+      (fit: java.nio.file.Path => Unit): Unit = {
     val tmp = dir.resolveSibling(dir.getFileName.toString + ".tmp." +
       ProcessHandle.current.pid + "." + java.util.UUID.randomUUID)
     fit(tmp)
     coldFitCounter.incrementAndGet()
-    try {
-      if (java.nio.file.Files.exists(dir)) deleteRecursively(dir)
-      java.nio.file.Files.move(tmp, dir,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    } catch {
-      // a concurrent fitter renamed first between our delete and move —
-      // its artifact is complete (rename is atomic); drop ours
-      case _: java.nio.file.FileSystemException => deleteRecursively(tmp)
+    if (ready(dir, part)) {
+      // lost the race cleanly: a rival's complete artifact is in place
+      deleteRecursively(tmp)
+    } else {
+      try {
+        if (java.nio.file.Files.exists(dir)) deleteRecursively(dir)
+        java.nio.file.Files.move(tmp, dir,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        // a concurrent fitter renamed first between our check and move —
+        // rename is atomic, so if the destination is now complete the
+        // rival's artifact serves; anything else is a real failure
+        // (non-atomic filesystem, half-deleted destination) and must
+        // surface rather than silently dropping the fitted artifact
+        case e: java.nio.file.FileSystemException =>
+          deleteRecursively(tmp)
+          if (!ready(dir, part)) throw e
+      }
     }
   }
 

@@ -1110,7 +1110,8 @@ object SimilarityQueries {
       : (DataFrame, DataFrame, DataFrame, IndexedSeq[DataFrame]) = {
     val dir = annIndexDir(d)
     if (!graft.ArtifactCache.ready(dir, "codes"))
-      graft.ArtifactCache.publish(dir)(tmp => fitAnnIndex(s, d, tmp.toString))
+      graft.ArtifactCache.publish(dir, part = "codes")(tmp =>
+        fitAnnIndex(s, d, tmp.toString))
     (s.read.parquet(s"$dir/vectors"), s.read.parquet(s"$dir/codes"),
       s.read.parquet(s"$dir/centroids"),
       (0 until PqM).map(j => s.read.parquet(s"$dir/book$j")))
@@ -1176,7 +1177,7 @@ object SimilarityQueries {
     val split = upsertSplit(s, d)
     val dir = annIndexDir(d, suffix = s"_base$split")
     if (!graft.ArtifactCache.ready(dir, "codes"))
-      graft.ArtifactCache.publish(dir) { tmp =>
+      graft.ArtifactCache.publish(dir, part = "codes") { tmp =>
         fitAnnIndexOn(vecs(s, d).filter(col("vec_id") < split)
           .select(col("vec_id").as("id"), col("v")), tmp.toString)
       }

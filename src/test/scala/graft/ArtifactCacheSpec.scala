@@ -80,11 +80,45 @@ class ArtifactCacheSpec extends AnyFunSuite {
     assert(ArtifactCache.dir(fixture.toString, "tbl", "spec", "_x") != d4)
   }
 
-  test("concurrent fitters race safely: one winner, losers drop their tmp") {
+  test("publish never replaces an already-ready artifact (losers serve the winner)") {
+    val dir = freshDir("noreplace")
+    ArtifactCache.publish(dir)(writeArtifact(_, "winner"))
+    assert(ArtifactCache.ready(dir))
+    // a late fitter (e.g. one that raced past the caller's ready() check)
+    // must drop its fit and leave the published artifact untouched
+    ArtifactCache.publish(dir)(writeArtifact(_, "late-loser"))
+    assert(java.nio.file.Files.readString(dir.resolve("payload")) == "winner")
+    assert(tmpSiblings(dir).isEmpty, "the late loser leaked its tmp dir")
+  }
+
+  test("concurrent fitters race safely: one winner, losers drop their tmp, " +
+      "and a reader that saw ready() never loses the artifact") {
     val dir = freshDir("race")
     val fitters = 4
     val gate = new java.util.concurrent.CyclicBarrier(fitters)
     val before = ArtifactCache.coldFits
+    // the no-torn-reads contract: once ready(dir) returns true, the
+    // artifact is never deleted or replaced — a reader polling through
+    // the whole race must never hit a missing/partial payload afterwards
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readerFailure = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val reader = new Thread(() => {
+      var sawMarker: String = null
+      while (!stop.get && readerFailure.get == null) {
+        if (ArtifactCache.ready(dir)) {
+          try {
+            val m = java.nio.file.Files.readString(dir.resolve("payload"))
+            if (sawMarker == null) sawMarker = m
+            else if (m != sawMarker)
+              readerFailure.set(s"artifact changed under a reader: $sawMarker -> $m")
+          } catch {
+            case e: java.io.IOException =>
+              readerFailure.set(s"ready() artifact vanished mid-read: $e")
+          }
+        }
+      }
+    })
+    reader.start()
     val threads = (1 to fitters).map { i =>
       val t = new Thread(() =>
         ArtifactCache.publish(dir) { tmp =>
@@ -95,6 +129,9 @@ class ArtifactCacheSpec extends AnyFunSuite {
     }
     threads.foreach(_.join(60000))
     assert(threads.forall(!_.isAlive))
+    stop.set(true)
+    reader.join(60000)
+    assert(readerFailure.get == null, String.valueOf(readerFailure.get))
     // exactly one complete artifact won the rename; never a torn mix
     assert(ArtifactCache.ready(dir))
     val marker = java.nio.file.Files.readString(dir.resolve("payload"))
