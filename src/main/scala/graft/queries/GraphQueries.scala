@@ -1302,20 +1302,88 @@ object GraphQueries {
       "(PARTITION BY src ORDER BY sim DESC, dst) AS rn FROM sim) " +
       "SELECT src, dst, round(sim, 6) AS sim_r, rn FROM r WHERE rn <= 3"
 
-  val qSccSql: String =
-    "WITH RECURSIVE seq AS (SELECT l_orderkey, l_partkey, " +
+  /** One unrolled min-label-reach fixpoint with pointer jumping, as
+    * (hop, jump) materialized-CTE pairs — the DuckDB replay of
+    * `StronglyConnectedComponents.minReach`. Labels start at self; each
+    * round takes m := min(m, min over out-neighbors' m) then
+    * m := min(m, m(m)) (m(v) is reachable from v, so the jump is sound),
+    * covering reach distance 2^rounds. Converged labels are a fixed
+    * point, so surplus rounds are no-ops — the same argument every other
+    * unrolled graph oracle in this file leans on. Returns (ctes, final). */
+  private def sccReachCtes(tag: String, edges: String, initNodes: String,
+      rounds: Int, reverse: Boolean): (String, String) = {
+    val (s, d) = if (reverse) ("dst", "src") else ("src", "dst")
+    val b = new StringBuilder(
+      s"${tag}0 AS MATERIALIZED (SELECT node, node AS m FROM ($initNodes) t)")
+    var prev = s"${tag}0"
+    for (i <- 1 to rounds) {
+      val hop = s"${tag}h$i"
+      b.append(s", $hop AS MATERIALIZED (SELECT l.node, " +
+        s"least(l.m, coalesce(h.hm, l.m)) AS m FROM $prev l " +
+        s"LEFT JOIN (SELECT e.$s AS node, min(x.m) AS hm FROM $edges e " +
+        s"JOIN $prev x ON e.$d = x.node GROUP BY 1) h USING (node))")
+      b.append(s", $tag$i AS MATERIALIZED (SELECT l.node, " +
+        s"least(l.m, coalesce(j.m, l.m)) AS m FROM $hop l " +
+        s"LEFT JOIN $hop j ON l.m = j.node)")
+      prev = s"$tag$i"
+    }
+    (b.toString, prev)
+  }
+
+  // The sf3-feasible FW-BW replay (r16): unrolls the engine's own outer
+  // coloring rounds — forward min-reach F, same-color edge restriction,
+  // backward min-reach G on the transpose, settle F = G, recurse on the
+  // open same-color subgraph, open-but-edgeless nodes settle as
+  // singletons — exactly StronglyConnectedComponents.components. The
+  // fixtures converge in ≤3 outer rounds (sf0.01: 2, sf0.1: 3, sf1: 3,
+  // sf3: 3; tools/scc_oracle_probe.py) and the inner fixpoints converge
+  // well inside 16 jumping rounds (14 ≡ 16 node-for-node at sf3);
+  // surplus rounds of either kind run on empty/fixed-point state and
+  // are no-ops. Replaces the r1 transitive-closure spelling that was
+  // quadratic in reachability and timed out (>2400 s) at sf3 — this
+  // replay runs in ~11 s there and matched the engine node-for-node at
+  // sf0.01 and sf3 during bring-up.
+  private val SccOuterRounds = 8  // mirrors the engine's maxOuterRounds
+  private val SccPropRounds = 16  // 2^16 reach ≫ any fixture diameter
+
+  val qSccSql: String = {
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    parts += "seq AS MATERIALIZED (SELECT l_orderkey, l_partkey, " +
       "lead(l_partkey) OVER (PARTITION BY l_orderkey " +
-      "ORDER BY l_linenumber, l_partkey) AS nxt FROM lineitem), " +
-      "e AS (SELECT DISTINCT l_partkey AS src, nxt AS dst FROM seq " +
-      "WHERE nxt IS NOT NULL AND l_partkey % 7 = 0 AND nxt % 7 = 0 " +
-      "AND l_partkey <> nxt), " +
-      "reach(src, dst) AS (SELECT src, dst FROM e " +
-      "UNION SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src), " +
-      "nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e), " +
-      "mutual AS (SELECT r1.src AS v, r1.dst AS u FROM reach r1 " +
-      "JOIN reach r2 ON r1.src = r2.dst AND r1.dst = r2.src) " +
-      "SELECT n.v AS node, least(n.v, coalesce(min(m.u), n.v)) AS scc " +
-      "FROM nodes n LEFT JOIN mutual m ON n.v = m.v GROUP BY n.v"
+      "ORDER BY l_linenumber, l_partkey) AS nxt FROM lineitem)"
+    parts += "ed0 AS MATERIALIZED (SELECT DISTINCT l_partkey AS src, " +
+      "nxt AS dst FROM seq WHERE nxt IS NOT NULL AND l_partkey % 7 = 0 " +
+      "AND nxt % 7 = 0 AND l_partkey <> nxt)"
+    val settled = scala.collection.mutable.ArrayBuffer[String]()
+    for (o <- 0 until SccOuterRounds) {
+      val ed = s"ed$o"
+      val (fCtes, fFin) = sccReachCtes(s"f${o}_", ed,
+        s"SELECT $ed.src AS node FROM $ed UNION SELECT $ed.dst FROM $ed",
+        SccPropRounds, reverse = false)
+      parts += fCtes
+      parts += s"c$o AS MATERIALIZED (SELECT e.src, e.dst FROM $ed e " +
+        s"JOIN $fFin fs ON e.src = fs.node " +
+        s"JOIN $fFin fd ON e.dst = fd.node WHERE fs.m = fd.m)"
+      val (gCtes, gFin) = sccReachCtes(s"g${o}_", s"c$o",
+        s"SELECT c$o.src AS node FROM c$o UNION SELECT c$o.dst FROM c$o",
+        SccPropRounds, reverse = true)
+      parts += gCtes
+      // nodes with no same-color edge never enter the backward fixpoint:
+      // G defaults to self, matching the engine's coalesce(g, node)
+      parts += s"v$o AS MATERIALIZED (SELECT f.node, f.m AS f, " +
+        s"coalesce(g.m, f.node) AS g FROM $fFin f " +
+        s"LEFT JOIN $gFin g USING (node))"
+      settled += s"SELECT node, f AS scc FROM v$o WHERE f = g"
+      parts += s"op$o AS MATERIALIZED (SELECT node FROM v$o WHERE f <> g)"
+      parts += s"ed${o + 1} AS MATERIALIZED (SELECT c.src, c.dst FROM c$o c " +
+        s"WHERE c.src IN (SELECT node FROM op$o) " +
+        s"AND c.dst IN (SELECT node FROM op$o))"
+      settled += s"SELECT node, node AS scc FROM op$o " +
+        s"WHERE node NOT IN (SELECT src FROM ed${o + 1}) " +
+        s"AND node NOT IN (SELECT dst FROM ed${o + 1})"
+    }
+    "WITH " + parts.mkString(", ") + " " + settled.mkString(" UNION ALL ")
+  }
 
   // ── Closeness / harmonic centrality from pivot seeds ───────────────────
   // The centrality class PageRank doesn't cover: distance-based. From
