@@ -1285,12 +1285,16 @@ object EventQueries {
         sum(lit(1L) - col("is_base")).as("n2"))
       .filter(col("n1") > 0 && col("n2") > 0)
     val tot = cells.agg(sum(col("n1")).as("nn1"), sum(col("n2")).as("nn2"))
+    // floor(x·1e6 + 0.5)/1e6, NOT round(x, 6): a PSI term can be a tiny
+    // NEGATIVE that round() turns into -0.0 ('-0' vs '0' under %.10g);
+    // the floor spelling never produces -0.0 (r16 float-canon audit)
     cells.crossJoin(broadcast(tot))
       .select(col("bucket"), col("n1"), col("n2"),
-        round((col("n2").cast("double") / col("nn2").cast("double") -
+        (floor((col("n2").cast("double") / col("nn2").cast("double") -
           col("n1").cast("double") / col("nn1").cast("double")) *
           log(col("n2").cast("double") * col("nn1").cast("double") /
-            (col("n1").cast("double") * col("nn2").cast("double"))), 6)
+            (col("n1").cast("double") * col("nn2").cast("double"))) * 1e6
+          + 0.5) / 1e6)
           .as("psi_term_r"))
   }
 
@@ -1302,8 +1306,8 @@ object EventQueries {
       "FROM events GROUP BY 1 HAVING n1 > 0 AND n2 > 0), " +
       "tot AS (SELECT CAST(sum(n1) AS BIGINT) AS nn1, CAST(sum(n2) AS BIGINT) AS nn2 FROM cells) " +
       "SELECT bucket, n1, n2, " +
-      "round((CAST(n2 AS DOUBLE) / CAST(nn2 AS DOUBLE) - CAST(n1 AS DOUBLE) / CAST(nn1 AS DOUBLE)) " +
-      "* ln(CAST(n2 AS DOUBLE) * CAST(nn1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(nn2 AS DOUBLE))), 6) AS psi_term_r " +
+      "floor((CAST(n2 AS DOUBLE) / CAST(nn2 AS DOUBLE) - CAST(n1 AS DOUBLE) / CAST(nn1 AS DOUBLE)) " +
+      "* ln(CAST(n2 AS DOUBLE) * CAST(nn1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(nn2 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS psi_term_r " +
       "FROM cells, tot"
 
   // ── Rolling 7-day distinct users (exact WAU) ───────────────────────────

@@ -79,7 +79,11 @@ object MRQueries {
       .select($"o_orderkey".cast("string"), concat(lit("o|"), $"o_custkey")).as[(String, String)]
     val lines = Tables.lineitem(s, d)
       .select($"l_orderkey".cast("string"),
-        concat(lit("l|"), round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100).cast("long")))
+        // floor(x + 0.5), NOT round(x): the 4-decimal price*(1-disc)
+        // product times 100 lands EXACTLY on .5 half-cents where the
+        // engines' round() legally disagree; prices are positive, so
+        // floor(x+0.5) is HALF_UP exactly (r16 float-canon audit)
+        concat(lit("l|"), floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100 + 0.5).cast("long")))
       .as[(String, String)]
     // phase-1 reduce: stitch the unique order record with its line items
     val stitched = MRPipeline.fromDataset(orders)
@@ -110,7 +114,7 @@ object MRQueries {
   // cents arithmetic spelled identically for the oracle
   val qMrQ3Sql: String =
     "SELECT o_custkey, " +
-      "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_rev " +
+      "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_rev " +
       "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
       "WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
       "GROUP BY o_custkey ORDER BY total_rev DESC, o_custkey ASC LIMIT 1"

@@ -429,7 +429,11 @@ object MediaQueries {
     import s.implicits._
     featurize(s, d).toDF()
       .select(col("media_id"), col("n_bytes"),
-        round(col("mean_byte"), 6).as("mean_byte_r"), col("max_byte"))
+        // floor(x·1e6 + 0.5)/1e6, NOT round(x, 6): byte means are dyadic
+        // rationals (sum/2^k), so x·1e6 lands EXACTLY on .5 boundaries
+        // where the engines' round() legally disagree (r16 audit)
+        (floor(col("mean_byte") * 1e6 + 0.5) / 1e6).as("mean_byte_r"),
+        col("max_byte"))
   }
 
   // DuckDB recomputes mean/max over the UTF-8 code units: the fixture
@@ -438,7 +442,7 @@ object MediaQueries {
   // coalesce mirrors the stub's explicit 0.0/0 for empty payloads.
   val qMediaFeaturesSql: String =
     "SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes, " +
-      "coalesce(round(list_avg(list_transform(string_split(text, ''), c -> ord(c))), 6), 0.0) AS mean_byte_r, " +
+      "coalesce(floor(list_avg(list_transform(string_split(text, ''), c -> ord(c))) * 1e6 + 0.5) / 1e6, 0.0) AS mean_byte_r, " +
       "coalesce(CAST(list_max(list_transform(string_split(text, ''), c -> ord(c))) AS INT), 0) AS max_byte " +
       "FROM documents"
 

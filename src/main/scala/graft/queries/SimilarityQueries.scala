@@ -732,7 +732,12 @@ object SimilarityQueries {
         sum(col("cnt")).as("n_members"))
       .select(col("cluster"), col("n_members"),
         col("top.label").as("top_label"), col("top.cnt").as("n_top"),
-        round(col("top.cnt").cast("double") / col("n_members"), 6).as("purity_r"))
+        // floor(x·1e6 + 0.5)/1e6, NOT round(x, 6): purity is an integer
+        // ratio with power-of-two-friendly denominators, so x·1e6 lands
+        // EXACTLY on .5 (e.g. 142/1280 at sf1) where the engines' round()
+        // legally disagree (r16 float-canon audit)
+        (floor(col("top.cnt").cast("double") / col("n_members") * 1e6 + 0.5)
+          / 1e6).as("purity_r"))
   }
 
   val qClusterPuritySql: String =
@@ -743,7 +748,7 @@ object SimilarityQueries {
       "row_number() OVER (PARTITION BY cluster ORDER BY cnt DESC, label DESC) AS rn, " +
       "CAST(sum(cnt) OVER (PARTITION BY cluster) AS BIGINT) AS n_members FROM lc) " +
       "SELECT CAST(cluster AS BIGINT) AS cluster, n_members, label AS top_label, " +
-      "cnt AS n_top, round(CAST(cnt AS DOUBLE) / n_members, 6) AS purity_r " +
+      "cnt AS n_top, floor(CAST(cnt AS DOUBLE) / n_members * 1e6 + 0.5) / 1e6 AS purity_r " +
       "FROM r WHERE rn = 1"
 
   // ── PQ-ADC ANN: product quantization + asymmetric distance ─────────────
@@ -1548,8 +1553,12 @@ object SimilarityQueries {
     // Replaces the d(d+1)/2-terms-per-row struct explode + DECIMAL hash
     // aggregate (measured 28.9 s → sub-second Gram stage at sf1's 20 k
     // vectors; GramSumSpec pins sum-for-sum equality incl. spill paths).
+    // floor(x·1e6 + 0.5), NOT round(x·1e6): float components are dyadic
+    // rationals, so x·1e6 lands EXACTLY on .5 constantly — the one class
+    // where the engines' round() implementations legally disagree, and a
+    // basis-cell flip cascades through every projection (r16 audit)
     val q = transform(col("embedding"),
-      x => round(x.cast("double") * 1e6, 0).cast("long"))
+      x => floor(x.cast("double") * 1e6 + 0.5).cast("long"))
     // null rows/elements would throw inside the typed aggregate's
     // encoder/require where the old explode-based spelling silently
     // dropped them — filter them out up front so a corpus with missing
@@ -1612,7 +1621,7 @@ object SimilarityQueries {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val (v, _) = pcaSolve(s, d)
     val q = transform(col("embedding"),
-      x => round(x.cast("double") * 1e6, 0).cast("long"))
+      x => floor(x.cast("double") * 1e6 + 0.5).cast("long"))
     val proj = aggregate(
       zip_with(q, typedlit(v.map(_.toLong).toSeq), (x, c) => x * c),
       lit(0L), (acc, t) => acc + t)
@@ -1651,7 +1660,7 @@ object SimilarityQueries {
         s"ELSE w // k END AS v FROM w$t, k$t)"
     }
     s"WITH x AS MATERIALIZED (SELECT vec_id, CAST(pos - 1 AS BIGINT) AS i, " +
-      "CAST(round(CAST(embedding[pos] AS DOUBLE) * 1e6, 0) AS BIGINT) AS xq " +
+      "CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS xq " +
       "FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(pos)), " +
       "nn AS (SELECT count(DISTINCT vec_id) AS n FROM x), " +
       "sv AS (SELECT i, CAST(sum(xq) AS HUGEINT) AS s FROM x GROUP BY 1), " +

@@ -356,7 +356,11 @@ object TextQueries {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= TfIdfTopK)
       .select(col("doc_id"), col("term"), col("tf"), col("df_docs"),
-        round(col("score"), 6).as("score_r"), col("rnk"))
+        // floor(x·1e6 + 0.5)/1e6, NOT round(x, 6): integer-ratio scores
+        // are often dyadic (df+1 a power of two), so x·1e6 can land
+        // EXACTLY on .5 where Spark's decimal HALF_UP and DuckDB's
+        // product round legally disagree (r16 float-canon audit)
+        (floor(col("score") * 1e6 + 0.5) / 1e6).as("score_r"), col("rnk"))
   }
 
   val qTfIdfSql: String =
@@ -364,7 +368,7 @@ object TextQueries {
         tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
         df AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY 1),
         n AS (SELECT count(*) AS n_docs FROM documents)
-        SELECT doc_id, term, tf, df_docs, round(score, 6) AS score_r, rnk
+        SELECT doc_id, term, tf, df_docs, floor(score * 1e6 + 0.5) / 1e6 AS score_r, rnk
         FROM (SELECT doc_id, term, tf, df_docs,
                      tf * (n_docs + 1.0) / (df_docs + 1) AS score,
                      row_number() OVER (PARTITION BY doc_id
@@ -655,16 +659,19 @@ object TextQueries {
     val c1 = c2
       .groupBy(element_at(split(col("bg"), " "), 1).as("w1"))
       .agg(sum(col("c2")).cast("long").as("c1"))
+    // both quantizations spelled floor(x·10ⁿ + 0.5)/10ⁿ, NOT round():
+    // micro-nat ratios land exactly on .5 boundaries where the engines'
+    // round() implementations legally disagree (r16 float-canon audit)
     val model = c2
       .join(c1, element_at(split(col("bg"), " "), 1) === col("w1"))
       .select(col("bg"),
-        round(log(col("c2").cast("double") / col("c1").cast("double")) *
-          lit(1000000.0)).cast("long").as("sm"))
+        floor(log(col("c2").cast("double") / col("c1").cast("double")) *
+          lit(1000000.0) + 0.5).cast("long").as("sm"))
     sh.join(model, Seq("bg"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("sm")).cast("long").as("ssum"))
       .select(col("doc_id"), col("n_bigrams"),
-        round(col("ssum").cast("double") / col("n_bigrams") / lit(1000000.0), 6)
+        (floor(col("ssum").cast("double") / col("n_bigrams") + 0.5) / 1e6)
           .as("lm_score"))
   }
 
@@ -676,12 +683,12 @@ object TextQueries {
       "c2 AS (SELECT bg, count(*) AS c2 FROM sh GROUP BY 1), " +
       "c1 AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(c2) AS BIGINT) AS c1 " +
       "FROM c2 GROUP BY 1), " +
-      "model AS (SELECT bg, CAST(round(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) " +
-      "* 1000000.0) AS BIGINT) AS sm FROM c2 JOIN c1 ON string_split(bg, ' ')[1] = w1), " +
+      "model AS (SELECT bg, CAST(floor(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) " +
+      "* 1000000.0 + 0.5) AS BIGINT) AS sm FROM c2 JOIN c1 ON string_split(bg, ' ')[1] = w1), " +
       "agg AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(sm) AS BIGINT) AS ssum " +
       "FROM sh JOIN model USING (bg) GROUP BY 1) " +
       "SELECT doc_id, n_bigrams, " +
-      "round(CAST(ssum AS DOUBLE) / n_bigrams / 1000000.0, 6) AS lm_score FROM agg"
+      "floor(CAST(ssum AS DOUBLE) / n_bigrams + 0.5) / 1e6 AS lm_score FROM agg"
 
   // ── PMI word association (embedding-prep co-occurrence scores) ─────────
   // Pointwise mutual information over document-level co-occurrence — the
