@@ -1285,16 +1285,15 @@ object EventQueries {
         sum(lit(1L) - col("is_base")).as("n2"))
       .filter(col("n1") > 0 && col("n2") > 0)
     val tot = cells.agg(sum(col("n1")).as("nn1"), sum(col("n2")).as("nn2"))
-    // floor(x·1e6 + 0.5)/1e6, NOT round(x, 6): a PSI term can be a tiny
-    // NEGATIVE that round() turns into -0.0 ('-0' vs '0' under %.10g);
-    // the floor spelling never produces -0.0 (r16 float-canon audit)
+    // Canon.qround, NOT round(x, 6): a PSI term can be a tiny NEGATIVE
+    // that round() turns into -0.0 ('-0' vs '0' under %.10g); the floor
+    // spelling never produces -0.0 (r16 float-canon audit)
     cells.crossJoin(broadcast(tot))
       .select(col("bucket"), col("n1"), col("n2"),
-        (floor((col("n2").cast("double") / col("nn2").cast("double") -
+        Canon.qround((col("n2").cast("double") / col("nn2").cast("double") -
           col("n1").cast("double") / col("nn1").cast("double")) *
           log(col("n2").cast("double") * col("nn1").cast("double") /
-            (col("n1").cast("double") * col("nn2").cast("double"))) * 1e6
-          + 0.5) / 1e6)
+            (col("n1").cast("double") * col("nn2").cast("double"))), 6)
           .as("psi_term_r"))
   }
 

@@ -79,11 +79,11 @@ object MRQueries {
       .select($"o_orderkey".cast("string"), concat(lit("o|"), $"o_custkey")).as[(String, String)]
     val lines = Tables.lineitem(s, d)
       .select($"l_orderkey".cast("string"),
-        // floor(x + 0.5), NOT round(x): the 4-decimal price*(1-disc)
-        // product times 100 lands EXACTLY on .5 half-cents where the
-        // engines' round() legally disagree; prices are positive, so
-        // floor(x+0.5) is HALF_UP exactly (r16 float-canon audit)
-        concat(lit("l|"), floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100 + 0.5).cast("long")))
+        // Canon.qlong (floor(x·100 + 0.5)), NOT round(x·100): the
+        // 4-decimal price*(1-disc) product times 100 lands EXACTLY on .5
+        // half-cents where the engines' round() legally disagree; prices
+        // are positive, so it is HALF_UP exactly (r16 float-canon audit)
+        concat(lit("l|"), Canon.qlong($"l_extendedprice" * (lit(1.0) - $"l_discount"), 100)))
       .as[(String, String)]
     // phase-1 reduce: stitch the unique order record with its line items
     val stitched = MRPipeline.fromDataset(orders)

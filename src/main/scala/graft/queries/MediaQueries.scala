@@ -429,10 +429,10 @@ object MediaQueries {
     import s.implicits._
     featurize(s, d).toDF()
       .select(col("media_id"), col("n_bytes"),
-        // floor(x·1e6 + 0.5)/1e6, NOT round(x, 6): byte means are dyadic
-        // rationals (sum/2^k), so x·1e6 lands EXACTLY on .5 boundaries
-        // where the engines' round() legally disagree (r16 audit)
-        (floor(col("mean_byte") * 1e6 + 0.5) / 1e6).as("mean_byte_r"),
+        // Canon.qround, NOT round(x, 6): byte means are dyadic rationals
+        // (sum/2^k), so x·1e6 lands EXACTLY on .5 boundaries where the
+        // engines' round() legally disagree (r16 audit)
+        Canon.qround(col("mean_byte"), 6).as("mean_byte_r"),
         col("max_byte"))
   }
 

@@ -732,12 +732,12 @@ object SimilarityQueries {
         sum(col("cnt")).as("n_members"))
       .select(col("cluster"), col("n_members"),
         col("top.label").as("top_label"), col("top.cnt").as("n_top"),
-        // floor(x·1e6 + 0.5)/1e6, NOT round(x, 6): purity is an integer
-        // ratio with power-of-two-friendly denominators, so x·1e6 lands
-        // EXACTLY on .5 (e.g. 142/1280 at sf1) where the engines' round()
-        // legally disagree (r16 float-canon audit)
-        (floor(col("top.cnt").cast("double") / col("n_members") * 1e6 + 0.5)
-          / 1e6).as("purity_r"))
+        // Canon.qround, NOT round(x, 6): purity is an integer ratio with
+        // power-of-two-friendly denominators, so x·1e6 lands EXACTLY on
+        // .5 (e.g. 142/1280 at sf1) where the engines' round() legally
+        // disagree (r16 float-canon audit)
+        Canon.qround(col("top.cnt").cast("double") / col("n_members"), 6)
+          .as("purity_r"))
   }
 
   val qClusterPuritySql: String =
@@ -1553,12 +1553,13 @@ object SimilarityQueries {
     // Replaces the d(d+1)/2-terms-per-row struct explode + DECIMAL hash
     // aggregate (measured 28.9 s → sub-second Gram stage at sf1's 20 k
     // vectors; GramSumSpec pins sum-for-sum equality incl. spill paths).
-    // floor(x·1e6 + 0.5), NOT round(x·1e6): float components are dyadic
-    // rationals, so x·1e6 lands EXACTLY on .5 constantly — the one class
-    // where the engines' round() implementations legally disagree, and a
-    // basis-cell flip cascades through every projection (r16 audit)
+    // Canon.qlong (floor(x·1e6 + 0.5)), NOT round(x·1e6): float
+    // components are dyadic rationals, so x·1e6 lands EXACTLY on .5
+    // constantly — the one class where the engines' round() legally
+    // disagrees, and a basis-cell flip cascades through every
+    // projection (r16 float-canon audit)
     val q = transform(col("embedding"),
-      x => floor(x.cast("double") * 1e6 + 0.5).cast("long"))
+      x => Canon.qlong(x.cast("double"), 1e6))
     // null rows/elements would throw inside the typed aggregate's
     // encoder/require where the old explode-based spelling silently
     // dropped them — filter them out up front so a corpus with missing
@@ -1621,7 +1622,7 @@ object SimilarityQueries {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val (v, _) = pcaSolve(s, d)
     val q = transform(col("embedding"),
-      x => floor(x.cast("double") * 1e6 + 0.5).cast("long"))
+      x => Canon.qlong(x.cast("double"), 1e6))
     val proj = aggregate(
       zip_with(q, typedlit(v.map(_.toLong).toSeq), (x, c) => x * c),
       lit(0L), (acc, t) => acc + t)

@@ -356,11 +356,10 @@ object TextQueries {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= TfIdfTopK)
       .select(col("doc_id"), col("term"), col("tf"), col("df_docs"),
-        // floor(x·1e6 + 0.5)/1e6, NOT round(x, 6): integer-ratio scores
-        // are often dyadic (df+1 a power of two), so x·1e6 can land
-        // EXACTLY on .5 where Spark's decimal HALF_UP and DuckDB's
-        // product round legally disagree (r16 float-canon audit)
-        (floor(col("score") * 1e6 + 0.5) / 1e6).as("score_r"), col("rnk"))
+        // Canon.qround, NOT round(x, 6): integer-ratio scores are often
+        // dyadic (df+1 a power of two), so x·1e6 can land EXACTLY on .5
+        // where the engines' round() legally disagree (r16 audit)
+        Canon.qround(col("score"), 6).as("score_r"), col("rnk"))
   }
 
   val qTfIdfSql: String =
@@ -659,14 +658,14 @@ object TextQueries {
     val c1 = c2
       .groupBy(element_at(split(col("bg"), " "), 1).as("w1"))
       .agg(sum(col("c2")).cast("long").as("c1"))
-    // both quantizations spelled floor(x·10ⁿ + 0.5)/10ⁿ, NOT round():
+    // both quantizations via Canon (floor(x·10ⁿ + 0.5)), NOT round():
     // micro-nat ratios land exactly on .5 boundaries where the engines'
     // round() implementations legally disagree (r16 float-canon audit)
     val model = c2
       .join(c1, element_at(split(col("bg"), " "), 1) === col("w1"))
       .select(col("bg"),
-        floor(log(col("c2").cast("double") / col("c1").cast("double")) *
-          lit(1000000.0) + 0.5).cast("long").as("sm"))
+        Canon.qlong(log(col("c2").cast("double") / col("c1").cast("double")),
+          1000000.0).as("sm"))
     sh.join(model, Seq("bg"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("sm")).cast("long").as("ssum"))
