@@ -99,17 +99,58 @@ object StreamBench {
       st
     }
 
-    val runs = Seq[(String, () => (DataFrame, OutputMode))](
-      ("scd", () => (EventStreams.attrHistory(
-        stream().as[EventStreams.Event]).toDF(), OutputMode.Update())),
-      ("topk", () => (EventStreams.hourlyTopK(stream(), 3).toDF(),
-        OutputMode.Update())),
-      ("join", () => {
-        val s1 = stream().filter(col("event_type") === "click")
-        val s2 = stream().filter(col("event_type") === "purchase")
-        (EventStreams.clickToPurchase(s1, s2,
-          withinMinutes = 60, watermark = "40 days"), OutputMode.Append())
-      }))
+    // wide-state dial (SPARK_GRAFT_STREAM_PAD_BYTES=N): carry an N-byte
+    // deterministic payload through BOTH buffered sides of the interval
+    // join (wide rows survive pruning because they ride the output), so
+    // RocksDB state reaches the GB scale where changelog vs snapshot
+    // checkpointing can actually diverge — at the default narrow rows the
+    // two modes measure at parity (BENCH_STREAM_SF3_r15) because
+    // tens-of-MB snapshots never bottleneck the commit. This is the
+    // "join full event payloads" production profile, not an artificial
+    // shape. When set, only the wide join runs.
+    val padBytes = sys.env.getOrElse("SPARK_GRAFT_STREAM_PAD_BYTES", "0").toInt
+    // pad = CONCATENATED DISTINCT md5 blocks, not one block repeated:
+    // RocksDB block compression flattens repetitive payloads ~8x, which
+    // silently shrinks the on-disk state the dial exists to grow
+    def padded(df: DataFrame, side: String): DataFrame =
+      df.withColumn("pad", concat_ws("", transform(
+        sequence(lit(1), lit((padBytes + 31) / 32)),
+        i => md5(concat(col("event_id").cast("string"), lit(side), i)))))
+
+    val wideJoin: (String, () => (DataFrame, OutputMode))  =
+      ("join_wide", () => {
+        val wm = "40 days"
+        val c = padded(stream().filter(col("event_type") === "click"), "c")
+          .withWatermark("ts", wm)
+          .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+            col("event_id").as("click_id"), col("pad").as("c_pad"))
+        val p = padded(stream().filter(col("event_type") === "purchase"), "p")
+          .withWatermark("ts", wm)
+          .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+            col("event_id").as("purchase_id"), col("pad").as("p_pad"))
+        (c.join(p,
+          col("c_user") === col("p_user") &&
+            col("click_ts") <= col("purchase_ts") &&
+            col("click_ts") >= col("purchase_ts") - expr("INTERVAL 60 MINUTES"),
+          "inner")
+          .select(col("c_user"), col("click_id"), col("purchase_id"),
+            (length(col("c_pad")) + length(col("p_pad"))).as("pad_len")),
+          OutputMode.Append())
+      })
+
+    val runs: Seq[(String, () => (DataFrame, OutputMode))] =
+      if (padBytes > 0) Seq(wideJoin)
+      else Seq(
+        ("scd", () => (EventStreams.attrHistory(
+          stream().as[EventStreams.Event]).toDF(), OutputMode.Update())),
+        ("topk", () => (EventStreams.hourlyTopK(stream(), 3).toDF(),
+          OutputMode.Update())),
+        ("join", () => {
+          val s1 = stream().filter(col("event_type") === "click")
+          val s2 = stream().filter(col("event_type") === "purchase")
+          (EventStreams.clickToPurchase(s1, s2,
+            withinMinutes = 60, watermark = "40 days"), OutputMode.Append())
+        }))
 
     val results = runs.map { case (name, mk) =>
       val (plan, mode) = mk()
@@ -127,7 +168,7 @@ object StreamBench {
     val headline = r1(results.map(_._2.rowsPerSec).min)
     println(s"""{"metric":"stream_rows_per_sec","value":$headline,""" +
       s""""unit":"rows/s","sf":"$sfDir","state_store":"rocksdb",""" +
-      s""""changelog_checkpointing":$changelog,""" +
+      s""""changelog_checkpointing":$changelog,"pad_bytes":$padBytes,""" +
       s""""files_per_trigger":$FilesPerTrigger,"queries":$qjson}""")
     spark.stop()
     deleteRecursively(srcDir) // multi-MB /tmp litter otherwise

@@ -427,8 +427,12 @@ object GraphQueries {
       .join(broadcast(itemOrders.select(col("item").as("dst"), col("item_orders").as("dst_orders"))), Seq("dst"))
       .crossJoin(broadcast(baskets))
       .select(col("src"), col("dst"), col("pair_orders"),
-        round(col("pair_orders") / col("src_orders"), 6).as("confidence_r"),
-        round(col("pair_orders") * col("n_baskets") /
+        // Canon.qround, NOT round(x, 6): confidence/lift are integer
+        // ratios, so x·1e6 lands EXACTLY on .5 (lift 6902.8953125 at
+        // sf3) where the engines' round() legally disagree (r16 audit)
+        Canon.qround(col("pair_orders") / col("src_orders"), 6)
+          .as("confidence_r"),
+        Canon.qround(col("pair_orders") * col("n_baskets") /
           (col("src_orders") * col("dst_orders")), 6).as("lift_r"))
       .orderBy(col("pair_orders").desc, col("src").asc, col("dst").asc)
       .limit(ItemsetTopK)
@@ -443,8 +447,8 @@ object GraphQueries {
       "FROM lineitem GROUP BY 1), " +
       "nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM lineitem) " +
       "SELECT src, dst, pair_orders, " +
-      "round(pair_orders / s.item_orders, 6) AS confidence_r, " +
-      "round(pair_orders * n_baskets / (s.item_orders * t.item_orders), 6) AS lift_r " +
+      "floor(pair_orders / s.item_orders * 1e6 + 0.5) / 1e6 AS confidence_r, " +
+      "floor(pair_orders * n_baskets / (s.item_orders * t.item_orders) * 1e6 + 0.5) / 1e6 AS lift_r " +
       "FROM po JOIN io s ON po.src = s.item JOIN io t ON po.dst = t.item CROSS JOIN nb " +
       s"ORDER BY pair_orders DESC, src, dst LIMIT $ItemsetTopK"
 
