@@ -31,8 +31,11 @@ object Bench {
     // warmup (r15 driver re-runs read q1/q2 at ~3x their isolated floors
     // even under min-of-3 — all three runs land inside the young-JVM
     // window). entry() alone doesn't exercise their exact codegen paths.
+    // NonFatal only: an OOM/LinkageError in warmup leaves the JVM in an
+    // undefined state — recording a window after one would be a lie
     ordered.take(3).foreach { case (name, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try fn(spark, sfDir).count()
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     // cold_fits is reported as a WINDOW DELTA: fits paid during warmup
     // (or any earlier work in this JVM) are excluded, so the field means

@@ -111,11 +111,15 @@ object StreamBench {
     val padBytes = sys.env.getOrElse("SPARK_GRAFT_STREAM_PAD_BYTES", "0").toInt
     // pad = CONCATENATED DISTINCT md5 blocks, not one block repeated:
     // RocksDB block compression flattens repetitive payloads ~8x, which
-    // silently shrinks the on-disk state the dial exists to grow
+    // silently shrinks the on-disk state the dial exists to grow. The
+    // concat is truncated to EXACTLY padBytes so the per-side payload is
+    // the length the JSON contract line reports (the untrimmed ceil-block
+    // concat ran up to 31 bytes over what pad_bytes claimed).
     def padded(df: DataFrame, side: String): DataFrame =
-      df.withColumn("pad", concat_ws("", transform(
+      df.withColumn("pad", substring(concat_ws("", transform(
         sequence(lit(1), lit((padBytes + 31) / 32)),
-        i => md5(concat(col("event_id").cast("string"), lit(side), i)))))
+        i => md5(concat(col("event_id").cast("string"), lit(side), i)))),
+        1, padBytes))
 
     val wideJoin: (String, () => (DataFrame, OutputMode))  =
       ("join_wide", () => {

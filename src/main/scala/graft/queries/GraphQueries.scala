@@ -1341,14 +1341,19 @@ object GraphQueries {
   // singletons — exactly StronglyConnectedComponents.components. The
   // fixtures converge in ≤3 outer rounds (sf0.01: 2, sf0.1: 3, sf1: 3,
   // sf3: 3; tools/scc_oracle_probe.py) and the inner fixpoints converge
-  // well inside 16 jumping rounds (14 ≡ 16 node-for-node at sf3);
-  // surplus rounds of either kind run on empty/fixed-point state and
-  // are no-ops. Replaces the r1 transitive-closure spelling that was
+  // well inside the unrolled jumping rounds (14 ≡ 16 node-for-node at
+  // sf3); surplus rounds of either kind run on empty/fixed-point state
+  // and are no-ops. Replaces the r1 transitive-closure spelling that was
   // quadratic in reachability and timed out (>2400 s) at sf3 — this
   // replay runs in ~11 s there and matched the engine node-for-node at
   // sf0.01 and sf3 during bring-up.
   private val SccOuterRounds = 8  // mirrors the engine's maxOuterRounds
-  private val SccPropRounds = 16  // 2^16 reach ≫ any fixture diameter
+  // MUST equal StronglyConnectedComponents.components' maxPropRounds
+  // default (20): a fixture whose min-reach needed rounds 17–20 would
+  // converge in the engine but not in a shorter-unrolled oracle. Surplus
+  // rounds are fixed-point no-ops, so matching the engine's bound costs
+  // only oracle runtime, never correctness.
+  private val SccPropRounds = 20  // == engine maxPropRounds; 2^20 reach
 
   val qSccSql: String = {
     val parts = scala.collection.mutable.ArrayBuffer[String]()

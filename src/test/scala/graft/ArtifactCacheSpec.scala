@@ -140,4 +140,60 @@ class ArtifactCacheSpec extends AnyFunSuite {
     assert(ArtifactCache.coldFits == before + fitters)
     assert(tmpSiblings(dir).isEmpty, "a losing fitter leaked its tmp dir")
   }
+
+  test("concurrent fitters over a TORN pre-existing dir: the clear→move " +
+      "sequence is serialized, no loser ever deletes a ready artifact") {
+    // The r16 TOCTOU: fitter A sees ready()=false and starts clearing the
+    // torn dir while fitter B renames its complete artifact into place —
+    // A then deleted a READY artifact. publish() now serializes
+    // check→clear→move per target path, so across many rounds a reader
+    // that passed ready() must never see the payload vanish or change.
+    val rounds = 20
+    for (r <- 1 to rounds) {
+      val dir = freshDir(s"torn_race_$r")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve("payload"), "torn")
+      assert(!ArtifactCache.ready(dir))
+      val fitters = 4
+      val gate = new java.util.concurrent.CyclicBarrier(fitters)
+      val failure =
+        new java.util.concurrent.atomic.AtomicReference[String](null)
+      val threads = (1 to fitters).map { i =>
+        val t = new Thread(() => {
+          ArtifactCache.publish(dir) { tmp =>
+            gate.await()
+            writeArtifact(tmp, s"fit-$i")
+          }
+          // publish() has returned: the artifact MUST be ready and stay
+          // readable — this thread doubles as the post-ready reader
+          try {
+            if (!ArtifactCache.ready(dir))
+              failure.set(s"round $r: dir not ready after publish returned")
+            else {
+              val m = java.nio.file.Files.readString(dir.resolve("payload"))
+              if (!m.startsWith("fit-"))
+                failure.set(s"round $r: torn payload survived: $m")
+            }
+          } catch {
+            case e: java.io.IOException =>
+              failure.set(s"round $r: ready artifact vanished mid-read: $e")
+          }
+        })
+        t.start(); t
+      }
+      threads.foreach(_.join(60000))
+      assert(threads.forall(!_.isAlive))
+      assert(failure.get == null, String.valueOf(failure.get))
+      assert(ArtifactCache.ready(dir))
+      assert(tmpSiblings(dir).isEmpty, "a losing fitter leaked its tmp dir")
+      // the move-aside never leaks a .torn. sibling either
+      val s = java.nio.file.Files.list(dir.getParent)
+      val torn = try {
+        import scala.jdk.CollectionConverters._
+        s.iterator.asScala.filter(_.getFileName.toString
+          .startsWith(dir.getFileName.toString + ".torn.")).toSeq
+      } finally s.close()
+      assert(torn.isEmpty, s"move-aside leaked: $torn")
+    }
+  }
 }
