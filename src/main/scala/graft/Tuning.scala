@@ -21,6 +21,20 @@ import org.apache.spark.sql.SparkSession
   *  - 64 MiB broadcast threshold: dimensions of the star schema stay
   *    broadcast even as they grow past the 10 MiB default; the planner
   *    still falls back to shuffle joins beyond it.
+  *
+  * Streaming checkpoint-mode dial (per-query, not a session default —
+  * set `spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing
+  * .enabled`): prefer CHANGELOG checkpointing once buffered state
+  * exceeds ~100 MB per state partition; below that the modes measure at
+  * parity. Measured basis, both on the sf3 interval join under identical
+  * interleaved runs: at tens-of-MB total state the two modes are within
+  * noise (BENCH_STREAM_SF3_r15.json), while at ~1.3 GB of incompressible
+  * buffered join state (1 KiB payloads both sides) changelog commits
+  * per-batch deltas instead of re-uploading full snapshots and wins
+  * +30% rows/s with -20% p95 batch latency (BENCH_STREAM_WIDE_r16.json).
+  * Snapshot mode's one advantage — fewer files to replay on restart —
+  * only matters for very long-lived queries with tiny state, exactly the
+  * regime where it costs nothing anyway.
   */
 object Tuning {
 

@@ -1376,13 +1376,29 @@ object SimilarityQueries {
       .select(col("pid_a"), col("pid_b"), round(sqrt(d2), 6).as("dist_r"))
   }
 
+  // Oracle mirrors the engine's grid-bucketed candidate generation (cells
+  // of width ε via the bit-identical IEEE expression floor(x * 100.0),
+  // 3×3 neighbor offsets, equi-join on the cell) instead of the r12
+  // all-pairs theta join, which is O(N²) in DuckDB and infeasible at sf10
+  // (200k points ⇒ 2·10¹⁰ pairs; >40 min before it was retired). The
+  // exact-distance WHERE is unchanged, so the two spellings emit the same
+  // rows wherever both run — hash-verified against the all-pairs form at
+  // sf0.01–sf3 (r12–r16 sweeps) and re-verified for the grid form at
+  // sf0.01/0.1 on switch (r17). Each qualifying pair matches exactly one
+  // (dx,dy) offset, so no DISTINCT is needed.
   val qSpatialJoinSql: String =
     "WITH p AS (SELECT CAST(vec_id AS BIGINT) AS pid, " +
       "CAST(embedding[1] AS DOUBLE) AS x, CAST(embedding[2] AS DOUBLE) AS y " +
-      "FROM embeddings) " +
+      "FROM embeddings), " +
+      "c AS (SELECT pid, x, y, CAST(floor(x * 100.0) AS BIGINT) AS cx, " +
+      "CAST(floor(y * 100.0) AS BIGINT) AS cy FROM p), " +
+      "o AS (SELECT dx.v AS dx, dy.v AS dy FROM (VALUES (-1), (0), (1)) " +
+      "dx(v), (VALUES (-1), (0), (1)) dy(v)), " +
+      "ac AS (SELECT c.pid, c.x, c.y, c.cx + o.dx AS cx, c.cy + o.dy AS cy " +
+      "FROM c CROSS JOIN o) " +
       "SELECT a.pid AS pid_a, b.pid AS pid_b, " +
       "round(sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)), 6) AS dist_r " +
-      "FROM p a JOIN p b ON a.pid < b.pid " +
+      "FROM ac a JOIN c b ON a.cx = b.cx AND a.cy = b.cy AND a.pid < b.pid " +
       "WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 1e-4"
 
   // ── Reciprocal-rank fusion (hybrid retrieval) ──────────────────────────

@@ -592,6 +592,14 @@ class StreamingSpec extends AnyFunSuite {
     // Run attrHistory under RocksDB in both checkpoint modes and assert
     // byte-identical results + StreamMetrics parity, with filesystem
     // evidence that changelog mode actually committed *.changelog deltas.
+    //
+    // Mode-selection guidance (measured, see Tuning's scaladoc): the two
+    // modes are at parity up to tens-of-MB state
+    // (BENCH_STREAM_SF3_r15.json) and diverge at GB-scale buffered state
+    // where changelog wins +30% rows/s / -20% p95
+    // (BENCH_STREAM_WIDE_r16.json) — prefer changelog above ~100 MB of
+    // state per partition. This spec pins only CORRECTNESS parity: the
+    // results must be byte-identical in both modes.
     implicit val sqlCtx = spark.sqlContext
     val feed = Seq(
       Seq(Event(2L, t(20), 1L, "view", 0.0, "{}"),
