@@ -584,18 +584,29 @@ object SimilarityQueries {
   // (max pair ≈ 0.51); a production text-embedding corpus runs ~0.9.
   private val SemTau = 0.35
 
+  /** SemDeDup's k auto-scales with the corpus so the within-cell
+    * quadratic piece stays BOUNDED: k = IvfK·⌈n / MaxExactRows⌉ — the
+    * demo k=16 up to 100k vectors (so every oracle tier through sf3 is
+    * byte-identical to the fixed-k spelling), +16 per further 100k.
+    * Average cell size stays ≈ MaxExactRows/IvfK ≈ 6k rows, so pair
+    * volume grows LINEARLY in n — the paper's k ≈ n/10k recipe (Abbas
+    * et al. 2023 §3; k ≈ 11k for LAION) rather than a refusal. The
+    * registered static oracle SQL is the k=16 spelling (exact wherever
+    * n ≤ MaxExactRows); past that, generate the matching-k replay with
+    * `graft.OracleGen semdedup <k>` — round 17 verified k=32 hash-green
+    * at sf10 (200k vectors). At corpus sizes where the O(n·k) Lloyd fit
+    * itself dominates, production swaps the inline fit for the
+    * fingerprint-keyed persisted artifact the ANN family already uses
+    * (fit once per corpus, serve warm). */
+  private[graft] def semK(n: Long): Int =
+    (IvfK * ((n + MaxExactRows - 1) / MaxExactRows)).toInt
+
   def qSemdedup(s: SparkSession, d: String): DataFrame = {
-    // Same guard discipline as the exact all-pairs oracle: at the fixed
-    // demo k, cell size grows with the corpus and the within-cell join
-    // would go quadratic — a real corpus must raise k (paper: k ≈ n/10k)
-    // so cells stay bounded; the refusal names the dial.
-    val probe = guardProbe(s, d)(
-      Tables.embeddings(s, d).limit(MaxExactRows.toInt + 1).count())
-    require(probe <= MaxExactRows,
-      s"q_semdedup runs the demo k=$IvfK (corpus > $MaxExactRows rows): raise k " +
-        "so cells stay bounded before pointing a real corpus at it")
+    // Bounded-cell discipline: k scales with the corpus (see semK) so
+    // the within-cell dominance join never goes quadratic in n.
+    val n = guardProbe(s, d + "#semn")(vecs(s, d).count())
     val v = vecs(s, d).select(col("vec_id").as("id"), col("v"))
-    val centroids = graft.operators.KMeans.fit(v, k = IvfK, iterations = IvfIters)
+    val centroids = graft.operators.KMeans.fit(v, k = semK(n), iterations = IvfIters)
     val a = graft.operators.KMeans.assign(v, centroids)
       .withColumn("nrm", sqrt(DotProduct.dot(col("v"), col("v"))))
     val right = a.select(col("cluster"), col("id").as("id2"),
@@ -612,8 +623,11 @@ object SimilarityQueries {
         when(col("is_dropped").isNull, 1L).otherwise(0L).as("kept"))
   }
 
-  val qSemdedupSql: String =
-    kmeansCellsSql(IvfK, IvfIters) + ", " +
+  /** The SemDeDup replay at an explicit k — the registered oracle is the
+    * k=IvfK instance (exact wherever the corpus ≤ MaxExactRows); larger
+    * tiers regenerate the spelling at semK(n) via `graft.OracleGen`. */
+  def qSemdedupSqlFor(k: Int): String =
+    kmeansCellsSql(k, IvfIters) + ", " +
       "dom AS (SELECT DISTINCT b.id AS id FROM cells a JOIN cells b " +
       "ON a.cluster = b.cluster AND a.id < b.id " +
       "AND a.nrm > 0 AND b.nrm > 0 " +
@@ -621,6 +635,8 @@ object SimilarityQueries {
       "SELECT c.id, CAST(c.cluster AS BIGINT) AS cluster, " +
       "CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept " +
       "FROM cells c LEFT JOIN dom d USING (id)"
+
+  val qSemdedupSql: String = qSemdedupSqlFor(IvfK)
 
   // ── SemDeDup with the paper's keep policy ──────────────────────────────
   // The variant above keeps the lowest id per near-dup group; the paper
@@ -634,13 +650,10 @@ object SimilarityQueries {
   // distance rides a 16-row broadcast join; every fold order matches the
   // SQL replay exactly, so the cross-row score comparisons agree.
   def qSemdedupKeep(s: SparkSession, d: String): DataFrame = {
-    val probe = guardProbe(s, d)(
-      Tables.embeddings(s, d).limit(MaxExactRows.toInt + 1).count())
-    require(probe <= MaxExactRows,
-      s"q_semdedup_keep runs the demo k=$IvfK (corpus > $MaxExactRows rows): " +
-        "raise k so cells stay bounded before pointing a real corpus at it")
+    // Same bounded-cell discipline as qSemdedup: k = semK(n).
+    val n = guardProbe(s, d + "#semn")(vecs(s, d).count())
     val v = vecs(s, d).select(col("vec_id").as("id"), col("v"))
-    val centroids = graft.operators.KMeans.fit(v, k = IvfK, iterations = IvfIters)
+    val centroids = graft.operators.KMeans.fit(v, k = semK(n), iterations = IvfIters)
     val a = graft.operators.KMeans.assign(v, centroids)
       .join(broadcast(centroids.select(col("cluster"), col("c"))), Seq("cluster"))
       .withColumn("nrm", sqrt(DotProduct.dot(col("v"), col("v"))))
@@ -663,8 +676,9 @@ object SimilarityQueries {
         when(col("is_dropped").isNull, 1L).otherwise(0L).as("kept"))
   }
 
-  val qSemdedupKeepSql: String =
-    kmeansCellsSql(IvfK, IvfIters) + ", " +
+  /** Keep-farthest replay at an explicit k (see qSemdedupSqlFor). */
+  def qSemdedupKeepSqlFor(k: Int): String =
+    kmeansCellsSql(k, IvfIters) + ", " +
       s"sc AS (SELECT c.id, c.v, c.cluster, c.nrm, " +
       s"${sqlDot("ct.v", "ct.v")} - 2*${sqlDot("c.v", "ct.v")} + ${sqlDot("c.v", "c.v")} AS score " +
       s"FROM cells c JOIN cent$IvfIters ct USING (cluster)), " +
@@ -676,6 +690,8 @@ object SimilarityQueries {
       "SELECT s.id, CAST(s.cluster AS BIGINT) AS cluster, " +
       "CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept " +
       "FROM sc s LEFT JOIN dom d USING (id)"
+
+  val qSemdedupKeepSql: String = qSemdedupKeepSqlFor(IvfK)
 
   // ── k-NN label classification (embedding-quality evaluation) ───────────
   // The standard embedding probe: predict each query vector's label by

@@ -347,6 +347,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.exists(_._3 == 0L) && out.count(_._3 == 1L) > out.length / 2)
   }
 
+  test("semdedup k auto-scales: demo k through the oracle tiers, linear past it") {
+    // ≤ 100k vectors (every tier through sf3) runs the demo k=16, so the
+    // registered static oracle stays byte-exact there; past the bound k
+    // steps +16 per 100k — average cell size stays ≈ 6k rows and the
+    // within-cell pair volume grows linearly in n, never quadratically
+    assert(SimilarityQueries.semK(1) === 16)
+    assert(SimilarityQueries.semK(100000) === 16)
+    assert(SimilarityQueries.semK(100001) === 32)
+    assert(SimilarityQueries.semK(200000) === 32) // sf10's corpus
+    assert(SimilarityQueries.semK(1000000) === 160)
+    // the registered oracle SQL is exactly the demo-k instance of the
+    // parameterized generator OracleGen prints for larger tiers
+    assert(SimilarityQueries.qSemdedupSql ===
+      SimilarityQueries.qSemdedupSqlFor(16))
+    assert(SimilarityQueries.qSemdedupKeepSql ===
+      SimilarityQueries.qSemdedupKeepSqlFor(16))
+  }
+
   test("knn classification equals a driver-side majority vote over the knn rows") {
     val labels = Tables.embeddings(spark, sf)
       .select($"vec_id", $"label".cast("long")).as[(Long, Long)].collect().toMap
