@@ -28,9 +28,14 @@ object ConnectedComponents {
     * exceeds it — raise the cap for long chain-shaped clusters). */
   def components(edges: DataFrame, maxIterations: Int = 10): DataFrame = {
     val e = edges.toDF("src", "dst")
-    // undirected: propagate both ways
+    // undirected: propagate both ways; hash-partitioned by the per-round
+    // join key ONCE — the cached layout is reused by every round's
+    // neighbor-min join, so only the V-sized label side ever shuffles
+    // (the E-sized per-round exchange is gone; guide §2.4)
     val sym = e.union(e.select(col("dst"), col("src")))
-      .toDF("a", "b").persist(StorageLevel.MEMORY_AND_DISK)
+      .toDF("a", "b")
+      .transform(IterCheckpoint.keyedForReuse(_, col("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // init fused with the first propagation round: every node starts at
     // min(self, neighbors) — one aggregation over sym replaces both the
     // distinct-nodes pass and the first loop round (any labeling between

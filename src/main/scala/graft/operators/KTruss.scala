@@ -24,6 +24,7 @@ object KTruss {
     * @return surviving canonical edges with their in-truss support. */
   def trussEdges(edges: DataFrame, k: Int, maxIterations: Int = 12): DataFrame = {
     var cur = edges.toDF("a", "b").iterCheckpoint()
+    var lastWithSupport: DataFrame = null
     var prevCount = -1L
     var converged = false
     var iter = 0
@@ -43,16 +44,24 @@ object KTruss {
       val curCount = obs.get("m").asInstanceOf[Long]
       converged = curCount == prevCount || curCount == 0L
       prevCount = curCount
+      lastWithSupport = next
       cur = next.select(col("a"), col("b"))
       iter += 1
     }
-    // final support over the converged edge set
-    val sym = cur.union(cur.select(col("b"), col("a"))).toDF("n", "m")
-    val adj = sym.groupBy(col("n")).agg(sort_array(collect_list(col("m"))).as("nbrs"))
-    cur
-      .join(adj.select(col("n").as("a"), col("nbrs").as("na")), Seq("a"))
-      .join(adj.select(col("n").as("b"), col("nbrs").as("nb")), Seq("b"))
-      .select(col("a"), col("b"),
-        size(array_intersect(col("na"), col("nb"))).cast("long").as("support"))
+    // Converged exit: the last round kept the SAME edge set it scored
+    // (|S_i| = |S_{i-1}| and S_i ⊆ S_{i-1} force S_i = S_{i-1}), so its
+    // checkpointed (a, b, support) IS the final support — returning it
+    // skips a whole adjacency-build + double-join pass. Only a capped-out
+    // non-converged loop still needs the recompute over the final set.
+    if (converged && lastWithSupport != null) lastWithSupport
+    else {
+      val sym = cur.union(cur.select(col("b"), col("a"))).toDF("n", "m")
+      val adj = sym.groupBy(col("n")).agg(sort_array(collect_list(col("m"))).as("nbrs"))
+      cur
+        .join(adj.select(col("n").as("a"), col("nbrs").as("na")), Seq("a"))
+        .join(adj.select(col("n").as("b"), col("nbrs").as("nb")), Seq("b"))
+        .select(col("a"), col("b"),
+          size(array_intersect(col("na"), col("nb"))).cast("long").as("support"))
+    }
   }
 }

@@ -26,7 +26,9 @@ object LabelPropagation {
     *         labeled node is within `rounds` hops. */
   def spread(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     val e = edges.toDF("src", "dst")
+    // partitioned once by the per-round message-join key (guide §2.4)
     val sym = e.union(e.select(col("dst"), col("src"))).toDF("a", "b")
+      .transform(IterCheckpoint.keyedForReuse(_, col("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sd = seeds.toDF("node", "lab")
     var labels = sym.select(col("a").as("node")).distinct()

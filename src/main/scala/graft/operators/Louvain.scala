@@ -43,9 +43,10 @@ import graft.operators.IterCheckpoint.IterCheckpointOps
 object Louvain {
 
   /** Weighted degree per node: incident edge weight + 2× self-loop
-    * weight (self-loops appear once in `we` as src==dst rows). */
-  private def weightedDegrees(we: DataFrame): DataFrame = {
-    val sym = symEdges(we)
+    * weight (self-loops appear once in `we` as src==dst rows). Takes the
+    * caller's (persisted) symmetric edge frame instead of re-deriving
+    * it — localMove materializes `sym` anyway. */
+  private def weightedDegrees(we: DataFrame, sym: DataFrame): DataFrame = {
     val nodes = we.select(col("src").as("node"))
       .union(we.select(col("dst").as("node"))).distinct()
     val d = sym.groupBy(col("a").as("node")).agg(sum(col("w")).as("d"))
@@ -68,8 +69,12 @@ object Louvain {
     * `we(src, dst, w)` (canonical src<=dst; src==dst rows are self-loops).
     * Returns (node, comm). */
   def localMove(we: DataFrame, rounds: Int): DataFrame = {
-    val sym = symEdges(we).persist(StorageLevel.MEMORY_AND_DISK)
-    val k = weightedDegrees(we).persist(StorageLevel.MEMORY_AND_DISK)
+    // partitioned by the per-round candidate-join key once — each round's
+    // neighbor-community join then reuses the cached layout and only the
+    // V-sized label side shuffles (guide §2.4)
+    val sym = IterCheckpoint.keyedForReuse(symEdges(we), col("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val k = weightedDegrees(we, sym).persist(StorageLevel.MEMORY_AND_DISK)
     // m2 (total volume) is a single bounded scalar, invariant across
     // rounds AND aggregation levels — collect it once rather than
     // re-broadcasting a one-row subplan in every round's job. (Measured

@@ -29,10 +29,15 @@ object PageRank {
       .union(e.select(col("dst").as("node")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     // loop-invariant: edges pre-joined with out-degrees ONCE (re-joining
-    // inside the loop would repeat an identical shuffle every iteration)
+    // inside the loop would repeat an identical shuffle every iteration);
+    // pinned to the per-round join key so the cached layout is reused by
+    // every iteration's rank join regardless of which join strategy built
+    // it (a broadcast degree join would otherwise leave the frame
+    // partitioned by nothing and re-shuffle E per round; guide §2.4)
     val weighted = e
       .join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
       .select(col("src"), col("dst"), col("deg"))
+      .transform(IterCheckpoint.keyedForReuse(_, col("src")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // localCheckpoint (not persist): iterative plans must TRUNCATE the
@@ -84,6 +89,7 @@ object PageRank {
     val weighted = e
       .join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
       .select(col("src"), col("dst"), col("deg"))
+      .transform(IterCheckpoint.keyedForReuse(_, col("src"))) // per-round join key — see pagerank above
       .persist(StorageLevel.MEMORY_AND_DISK)
     val isSeed = col("node").isin(seeds.map(java.lang.Long.valueOf): _*)
     val restart = when(isSeed, lit(1 - damping)).otherwise(lit(0.0))

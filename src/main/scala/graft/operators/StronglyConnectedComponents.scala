@@ -44,7 +44,11 @@ object StronglyConnectedComponents {
     * `edges` (two-column src/dst), the min id reachable by following
     * edges forward. Returns (node, m). */
   private def minReach(edges: DataFrame, maxRounds: Int): DataFrame = {
+    // hash-partitioned by the hop-join key once — every fixpoint round's
+    // edge join then reuses this layout and only the V-sized label side
+    // shuffles (guide §2.4)
     val e = edges.toDF("src", "dst")
+      .transform(IterCheckpoint.keyedForReuse(_, col("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // init fused with round one: F0(v) = min(v, out-neighbors) — labels
     // start at one-hop reach; isolated-as-source nodes (dst-only) get

@@ -166,12 +166,18 @@ object DedupQueries {
   private val PartEnumSample = 10000
 
   def qJaccardPartEnum(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.IterCheckpoint.IterCheckpointOps
     Shingles.register(s)
     val smp = Tables.documents(s, d)
       .select(Md5Bits.hash60(col("doc_id")).as("h"), col("doc_id"), col("text"))
       .orderBy(col("h"), col("doc_id")).limit(PartEnumSample)
+    // materialized once: the shingle explode is referenced by the size
+    // pass, the part-content join, and the final verification arrays —
+    // without this each consumer re-runs the document scan + TakeOrdered
+    // + explode (guide §1.2 step 1 / §5)
     val sh = smp.select(col("doc_id"),
       explode(Shingles.shingles(col("text"), 3)).as("sh"))
+      .iterCheckpoint()
     jaccardPartEnum(sh, num = 4, den = 5) // t = 4/5
   }
 

@@ -168,7 +168,9 @@ object GraphQueries {
   // discipline); labels come from the same proven CC fixed point the
   // oracle unrolls, so both engines score the identical partition.
   def qModularity(s: SparkSession, d: String): DataFrame = {
-    val e = supportedEdges(s, d, MinSupport)
+    // materialized once: the CC fixpoint and the final scoring job both
+    // re-derive the edge set otherwise (no exchange reuse across jobs)
+    val e = supportedEdges(s, d, MinSupport).iterCheckpoint()
     val labels = graft.operators.ConnectedComponents
       .components(e, maxIterations = CcRounds)
     // every edge is intra-component by construction; label via src
@@ -472,9 +474,17 @@ object GraphQueries {
     * (src/dst columns); unreached nodes are absent. Testable core of
     * qBfs. */
   def bfsDistances(edges: DataFrame, source: Long, maxRounds: Int): DataFrame = {
+    // cached hash-partitioned by the per-round join key: every round's
+    // frontier join reuses the in-memory layout so only the V-sized
+    // frontier side ever shuffles — the E-sized exchange the old plan
+    // paid per round is gone (guide §2.4). Persist, not localCheckpoint:
+    // the checkpoint rebuild loses outputPartitioning under AQE
+    // (measured — see IterCheckpoint.keyedForReuse), and an invariant
+    // frame has static lineage anyway.
     val sym = edges.select(col("src").as("a"), col("dst").as("b"))
       .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
-      .iterCheckpoint() // reused every round — materialize once
+      .keyedForReuse(col("a"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = sym.select(col("a").as("node")).distinct()
     var dist = nodes.withColumn("dist",
       when(col("node") === source, lit(0L)).otherwise(lit(null).cast("long")))
@@ -519,6 +529,7 @@ object GraphQueries {
       dist = next
       round += steps
     }
+    sym.unpersist(false) // dist is checkpointed — the cache can go now
     dist.filter(col("dist").isNotNull)
   }
 
@@ -537,9 +548,11 @@ object GraphQueries {
   private val SsspRounds = 25
 
   def ssspDistances(edges: DataFrame, source: Long, maxRounds: Int): DataFrame = {
+    // cached keyed to the relaxation join key — see bfsDistances
     val sym = edges.select(col("src").as("a"), col("dst").as("b"), col("w"))
       .unionAll(edges.select(col("dst").as("a"), col("src").as("b"), col("w")))
-      .iterCheckpoint()
+      .keyedForReuse(col("a"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = sym.select(col("a").as("node")).distinct()
     var dist = nodes.withColumn("dist",
       when(col("node") === source, lit(0L)).otherwise(lit(null).cast("long")))
@@ -582,6 +595,7 @@ object GraphQueries {
       dist = next
       round += steps
     }
+    sym.unpersist(false) // dist is checkpointed — the cache can go now
     dist.filter(col("dist").isNotNull)
   }
 
@@ -594,7 +608,8 @@ object GraphQueries {
         greatest(lit(1L), lit(6L) - col("n")).as("w"))
 
   def qSssp(s: SparkSession, d: String): DataFrame = {
-    val e = weightedEdges(s, d)
+    // materialized once — hubNode and the loop are separate actions
+    val e = weightedEdges(s, d).iterCheckpoint()
     ssspDistances(e, hubNode(e.select(col("src"), col("dst"))), SsspRounds)
   }
 
@@ -697,7 +712,9 @@ object GraphQueries {
   }
 
   def qSsspPath(s: SparkSession, d: String): DataFrame = {
-    val e = weightedEdges(s, d)
+    // materialized once — hubNode, the distance loop, and the pred join
+    // each act on the edge set in separate jobs
+    val e = weightedEdges(s, d).iterCheckpoint()
     ssspPaths(e, hubNode(e.select(col("src"), col("dst"))), SsspRounds)
   }
 
@@ -739,7 +756,10 @@ object GraphQueries {
   }
 
   def qBfs(s: SparkSession, d: String): DataFrame = {
-    val e = supportedEdges(s, d, MinSupport)
+    // materialized once: hubNode's aggregation and the loop's sym job are
+    // separate actions — without this each re-derives the edge set from
+    // the fact table (no exchange reuse across jobs; guide §1.2 step 1)
+    val e = supportedEdges(s, d, MinSupport).iterCheckpoint()
     bfsDistances(e, hubNode(e), BfsRounds)
       .groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
   }
@@ -849,42 +869,54 @@ object GraphQueries {
   /** The alternating fixed-point iteration over any (src, dst) directed
     * edge frame — separated so specs can pin it on hand graphs. */
   private[graft] def hitsScores(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges
+    // the two half-steps join the edge set on OPPOSITE endpoints — one
+    // cached copy per key so neither half-step ever re-shuffles E
+    // (guide §2.4); the label side is V-sized and pre-partitioned too
+    val eSrc = edges.keyedForReuse(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    val eDst = edges.keyedForReuse(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def scalarMax(df: DataFrame, c: String): Long = {
-      val r = df.agg(max(col(c))).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
-    }
+    val nodes = eSrc.select(col("src").as("node"))
+      .union(eSrc.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var hub = nodes.withColumn("h", lit(1000000L))
     var auth = nodes.withColumn("a", lit(0L))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
+      // the normalization scalar rides the checkpoint job as an observed
+      // metric (the BFS/SSSP convergence-probe discipline) instead of a
+      // separate max() action per half-step, and the scaled projection
+      // stays LAZY over the checkpointed raw frame — two driver actions
+      // per iteration instead of six
+      val aObs = new org.apache.spark.sql.Observation(
+        s"hits_a_${i}_${System.nanoTime()}")
       val aRaw = nodes.join(
-          e.join(hub.select(col("node").as("src"), col("h")), Seq("src"))
+          eSrc.join(hub.select(col("node").as("src"), col("h")), Seq("src"))
             .groupBy(col("dst").as("node")).agg(sum(col("h")).as("ar")),
           Seq("node"), "left")
         .select(col("node"), coalesce(col("ar"), lit(0L)).as("ar"))
+        .observe(aObs, max(col("ar")).as("mx"))
         .iterCheckpoint()
-      val ka = scalarMax(aRaw, "ar") / 1000000L + 1
+      val ka = (Option(aObs.get("mx").asInstanceOf[java.lang.Long])
+        .map(_.longValue).getOrElse(0L)) / 1000000L + 1
       auth = aRaw.select(col("node"), expr(s"ar div ${ka}L").as("a"))
-        .iterCheckpoint()
+      val hObs = new org.apache.spark.sql.Observation(
+        s"hits_h_${i}_${System.nanoTime()}")
       val hRaw = nodes.join(
-          e.join(auth.select(col("node").as("dst"), col("a")), Seq("dst"))
+          eDst.join(auth.select(col("node").as("dst"), col("a")), Seq("dst"))
             .groupBy(col("src").as("node")).agg(sum(col("a")).as("hr")),
           Seq("node"), "left")
         .select(col("node"), coalesce(col("hr"), lit(0L)).as("hr"))
+        .observe(hObs, max(col("hr")).as("mx"))
         .iterCheckpoint()
-      val kh = scalarMax(hRaw, "hr") / 1000000L + 1
+      val kh = (Option(hObs.get("mx").asInstanceOf[java.lang.Long])
+        .map(_.longValue).getOrElse(0L)) / 1000000L + 1
       hub = hRaw.select(col("node"), expr(s"hr div ${kh}L").as("h"))
-        .iterCheckpoint()
     }
     // the final frame reads only the checkpointed score tables — release
     // the edge/node caches now (the Louvain-leak lesson from round 9)
     val out = hub.join(auth, Seq("node"))
       .select(col("node"), col("h").as("hub_q"), col("a").as("auth_q"))
-    e.unpersist(); nodes.unpersist()
+    eSrc.unpersist(); eDst.unpersist(); nodes.unpersist()
     out
   }
 
@@ -1009,6 +1041,10 @@ object GraphQueries {
           "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS src, y AS dst))))")).as("p"))
       .select(col("m"), col("p.src"), col("p.dst"))
       .distinct()
+      // materialized once: `em` feeds both the first-month aggregation
+      // and the rollup join — without this the whole lineitem⋈orders
+      // pair expansion runs twice (guide §1.2 step 1 / §5)
+      .iterCheckpoint()
     val first = em.groupBy(col("src"), col("dst"))
       .agg(min(col("m")).as("fm"))
     em.join(first, Seq("src", "dst"))
@@ -1418,9 +1454,11 @@ object GraphQueries {
   private def seedDistances(s: SparkSession, d: String): DataFrame = {
     import graft.operators.IterCheckpoint.IterCheckpointOps
     val e = supportedEdges(s, d, MinSupport)
+    // cached keyed to the per-round join key — see bfsDistances
     val sym = e.select(col("src").as("a"), col("dst").as("b"))
       .unionAll(e.select(col("dst").as("a"), col("src").as("b")))
-      .iterCheckpoint()
+      .keyedForReuse(col("a"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = sym.select(col("a").as("node")).distinct()
     val seeds = nodes.orderBy(col("node").asc).limit(CentralitySeeds)
       .select(col("node").as("seed"))
@@ -1458,6 +1496,7 @@ object GraphQueries {
       dist = next
       rnd += steps
     }
+    sym.unpersist(false) // dist is checkpointed — the cache can go now
     dist
   }
 
@@ -1601,9 +1640,11 @@ object GraphQueries {
     * (path, star) instead of only the parquet fixture. */
   def betweennessOnEdges(e: DataFrame, nSeeds: Int): DataFrame = {
     import graft.operators.IterCheckpoint.IterCheckpointOps
+    // cached keyed to the forward-phase join key — see bfsDistances
     val sym = e.select(col("src").as("a"), col("dst").as("b"))
       .unionAll(e.select(col("dst").as("a"), col("src").as("b")))
-      .iterCheckpoint()
+      .keyedForReuse(col("a"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = sym.select(col("a").as("node")).distinct()
     val seeds = nodes.orderBy(col("node").asc).limit(nSeeds)
       .select(col("node").as("seed"))
@@ -1648,6 +1689,11 @@ object GraphQueries {
       .select(col("seed"), col("node"), col("dist"), col("sigma"),
         lit(0L).as("deltaq"))
       .iterCheckpoint()
+    // the backward levels join sym on the OTHER endpoint — one b-keyed
+    // cached copy up front (filled from the still-cached forward copy)
+    // replaces an E-sized exchange per level (guide §2.4)
+    val symB = sym.select(col("a"), col("b")).keyedForReuse(col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     for (lev <- maxDist to 1 by -1) {
       val deeper = dq.filter(col("dist") === lev)
         .select(col("seed"), col("node").as("b"),
@@ -1657,7 +1703,7 @@ object GraphQueries {
       // Spark's `/` on BIGINTs goes through DOUBLE, losing exactness
       // once sigma*(1e6+deltaq) exceeds 2^53 on dense graphs. All values
       // are positive, so truncating div == the oracle's floor `//`.
-      val c = sym.join(deeper, Seq("b"))
+      val c = symB.join(deeper, Seq("b"))
         .select(col("seed"), col("a").as("node"), col("sw"), col("dw"))
         .join(dq.filter(col("dist") === (lev - 1))
           .select(col("seed"), col("node"), col("sigma")), Seq("seed", "node"))
@@ -1669,6 +1715,8 @@ object GraphQueries {
           (col("deltaq") + coalesce(col("dsum"), lit(0L))).as("deltaq"))
         .iterCheckpoint()
     }
+    sym.unpersist(false) // dq is checkpointed — both caches can go now
+    symB.unpersist(false)
     dq.filter(col("node") =!= col("seed"))
       .groupBy(col("node"))
       .agg(sum(col("deltaq")).as("betw_q"))

@@ -1549,6 +1549,12 @@ object TextQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wdeg = e.groupBy(col("u")).agg(sum(col("w")).cast("long").as("wd"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // plain persist, deliberately NOT keyedForReuse: the co-occurrence
+    // graph is VOCABULARY-bounded (not corpus-bound), so the per-round
+    // joins move a bounded frame at any corpus size — and the keyed
+    // spelling measured q_textrank 3.8 s → 8.5 s at sf0.1 (the eager
+    // materialization pass costs more than the saved re-shuffles on a
+    // bounded graph)
     val ew = e.join(wdeg, Seq("u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var pr = wdeg.select(col("u").as("word"), lit(1000000L).as("pr"))
