@@ -174,11 +174,17 @@ object Louvain {
     * edge-filter join + the proven pointer-jumping CC — O(|E|) per
     * round, no windows, billion-edge-shaped. */
   def refine(we: DataFrame, labels: DataFrame): DataFrame = {
-    val intra = symEdges(we)
-      .join(labels.select(col("node").as("a"), col("comm").as("ca")), Seq("a"))
-      .join(labels.select(col("node").as("b"), col("comm").as("cb")), Seq("b"))
+    // canonical (one-direction) edges are enough here: components()
+    // symmetrizes its input anyway, so pre-symmetrizing only doubled the
+    // two label joins (2E rows through each) and left CC propagating over
+    // duplicate directed edges (4E) — same labeling, twice the bytes
+    // (guide §2.2: shuffle fewer bytes). Filter + label joins on E rows,
+    // CC on 2E, identical output.
+    val intra = we.filter(col("src") =!= col("dst"))
+      .join(labels.select(col("node").as("src"), col("comm").as("ca")), Seq("src"))
+      .join(labels.select(col("node").as("dst"), col("comm").as("cb")), Seq("dst"))
       .filter(col("ca") === col("cb"))
-      .select(col("a").as("src"), col("b").as("dst"))
+      .select(col("src"), col("dst"))
     val cc = ConnectedComponents.components(intra, maxIterations = RefineRounds)
     labels.join(cc.select(col("node"), col("comp")), Seq("node"), "left")
       .select(col("node"), coalesce(col("comp"), col("node")).as("comm"))
@@ -200,13 +206,20 @@ object Louvain {
     * persisted level-1 run feeds both the Louvain and the Leiden query). */
   def clusterLeidenFromL1(we: DataFrame, l1Raw: DataFrame, rounds: Int)
       : DataFrame = {
-    val l1 = refine(we, l1Raw)
+    // `we` is consumed by THREE separate subtrees/actions below (refine,
+    // aggregate, final refine) — and at the query layer it is typically
+    // an expensive derivation (a fact-table self-join). Materialize it
+    // once so each consumer scans the checkpointed rows instead of
+    // replaying the derivation (guide §1.2: no exchange reuse across
+    // actions).
+    val weM = IterCheckpoint(we)
+    val l1 = refine(weM, l1Raw)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val l2 = localMove(aggregateGraph(we, l1), rounds)
+    val l2 = localMove(aggregateGraph(weM, l1), rounds)
     val merged = l1.join(
         l2.select(col("node").as("comm"), col("comm").as("final")), Seq("comm"))
       .select(col("node"), col("final").as("comm"))
-    val out = refine(we, merged).iterCheckpoint()
+    val out = refine(weM, merged).iterCheckpoint()
     l1.unpersist(false)
     out
   }

@@ -63,6 +63,11 @@ object DedupQueries {
 
   def ngramJaccardPrefix(sh: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NOTE (r17): an eager-materialization variant (checkpointing sh /
+    // ranked / docSets, which appear in several subtrees) measured a
+    // clear REGRESSION at sf0.1 (1.6 -> 2.3 s): the repeated subtrees
+    // are identical, AQE's runtime exchange reuse already covers them,
+    // and the checkpoints only pay extra materialization. Kept lazy.
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     // rank each doc's shingles rarest-first in the global canonical order
@@ -316,6 +321,8 @@ object DedupQueries {
 
   def containmentPrefix(sh: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // same note as ngramJaccardPrefix: the eager-materialization variant
+    // measured a clear regression (1.6 -> 3.0 s at sf0.1) — kept lazy
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
@@ -987,6 +994,8 @@ object DedupQueries {
     val names = Tables.part(s, d)
       .groupBy(col("p_name").as("name"))
       .agg(count(lit(1)).as("n_parts"), min(col("p_partkey")).as("nid"))
+      // feeds both edge-endpoint joins and the final cluster rollup
+      .transform(graft.operators.IterCheckpoint(_))
     val ids = names.select(col("name"), col("nid"))
     val edges = qFuzzyMatch(s, d)
       .join(ids.select(col("name").as("name_a"), col("nid").as("src")), Seq("name_a"))

@@ -67,6 +67,11 @@ object GraphQueries {
   /** Exact triangle count over canonical undirected edges (src < dst,
     * no duplicates). Returns a single row `n_triangles`. */
   def triangleCount(e: DataFrame): DataFrame = {
+    // NOTE (r17): an eager-materialization variant (checkpointing e, deg
+    // and o — they appear in several subtrees) measured NEUTRAL in a
+    // same-window A/B at sf0.1: the repeated subtrees are identical, so
+    // AQE's runtime exchange reuse already deduplicates them within this
+    // single-action plan. Left in the lazy spelling.
     // Undirected degree per node; |V| rows — broadcast back onto edges.
     val deg = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
@@ -978,8 +983,15 @@ object GraphQueries {
       .agg(sort_array(collect_list(col("b"))).as("nbrs"),
         count(lit(1)).as("deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Each step's frontier is CHECKPOINTED: `out` unions the frontier at
+    // every step, so a lazy chain makes branch t replay all t hop-joins —
+    // an O(steps²) plan (the old spelling ran 36 hop-joins for 8 steps).
+    // Materializing per step keeps it linear: 8 joins, each ~|seeds| rows
+    // against the cached adjacency (guide §1.2 / §5; results identical —
+    // checkpointing only forces evaluation order).
     var frontier = adj.filter(col("node") % 10 === 0)
       .select(col("node").as("seed"), col("node"))
+      .iterCheckpoint()
     var out = frontier.select(col("seed"), lit(0L).as("step"), col("node"))
     for (t <- 1 to WalkSteps) {
       val idx = pmod(graft.functions.Md5Bits.hash60(
@@ -987,6 +999,7 @@ object GraphQueries {
       frontier = frontier.join(adj, Seq("node"))
         .select(col("seed"),
           element_at(col("nbrs"), (idx + 1).cast("int")).as("node"))
+        .iterCheckpoint()
       out = out.unionAll(
         frontier.select(col("seed"), lit(t.toLong).as("step"), col("node")))
     }
@@ -1080,6 +1093,9 @@ object GraphQueries {
   // share the denominator, so the per-degree average is EXACT integers:
   // avg_cc(d) = 2·Σtri / (n_d·d·(d−1)) — no per-node double ever sums.
   def qClusteringCoef(s: SparkSession, d: String): DataFrame = {
+    // same note as triangleCount: the eager-materialization variant
+    // measured neutral (AQE runtime exchange reuse covers the repeated
+    // identical subtrees in this single-action plan) — kept lazy
     val e = coEdges(s, d)
     val deg = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
@@ -1247,6 +1263,8 @@ object GraphQueries {
   // power-law graphs), doubles only in the final correlation — the
   // q_corr/q_degree_dist discipline.
   def qAssortativity(s: SparkSession, d: String): DataFrame = {
+    // r17: eager materialization of e/deg measured neutral here (AQE
+    // runtime exchange reuse; single action) — kept lazy
     val e = supportedEdges(s, d, MinSupport)
     val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
     val deg = sym.groupBy(col("src").as("node"))

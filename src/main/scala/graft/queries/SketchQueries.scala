@@ -167,6 +167,11 @@ object SketchQueries {
       (0 until CmsDepth).map(i =>
         ((h1 + lit(i.toLong) * h2) % JoinEstWidth).as(s"b$i"))
     }
+    // NOTE (r17): a one-scan-per-side variant (grouping by flag, one
+    // checkpointed cell/key frame feeding both join sides) measured a
+    // clear REGRESSION at sf0.1 (2.7 -> 3.8 s): the four pushed-filter
+    // parquet scans are cheap and run in parallel stages, while the
+    // checkpoint serializes them behind eager jobs. Kept as-is.
     def cells(flag: String, tag: String) = Tables.lineitem(s, d)
       .filter(col("l_returnflag") === flag)
       .select(col("l_partkey").cast("string").as("tok"))

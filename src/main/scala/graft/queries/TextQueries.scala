@@ -704,9 +704,15 @@ object TextQueries {
   private val PmiTopK = 30
 
   def qPmi(s: SparkSession, d: String): DataFrame = {
+    // docWords feeds the df pass AND the pair expansion; dfreq feeds the
+    // support filter and both final broadcasts — materialized once each,
+    // or the corpus is re-tokenized per consumer (~5 scan+tokenize passes
+    // in the old plan; guide §1.2 step 1 / §5)
     val docWords = Tables.documents(s, d)
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("word"))
+      .transform(graft.operators.IterCheckpoint(_))
     val dfreq = docWords.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .transform(graft.operators.IterCheckpoint(_))
     // LOSSLESS support prefilter (the a-priori property, like q_itemsets):
     // c12 ≤ min(c1, c2), so a pair can only survive the c12 ≥ PmiMinDf
     // floor if BOTH words have document frequency ≥ PmiMinDf — prune
