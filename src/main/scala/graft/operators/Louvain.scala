@@ -68,7 +68,13 @@ object Louvain {
   /** `rounds` parity-alternating local-move rounds over a weighted graph
     * `we(src, dst, w)` (canonical src<=dst; src==dst rows are self-loops).
     * Returns (node, comm). */
-  def localMove(we: DataFrame, rounds: Int): DataFrame = {
+  def localMove(we0: DataFrame, rounds: Int): DataFrame = {
+    // The caller's `we` is typically an expensive derivation (the L2 call
+    // passes aggregateGraph(...) = two label joins over the original edge
+    // set) consumed by the sym build, the degree/node table and the
+    // self-loop scan across SEPARATE actions — materialize it once
+    // (guide §1.2 step 1; runtime exchange reuse cannot span actions)
+    val we = IterCheckpoint(we0)
     // partitioned by the per-round candidate-join key once — each round's
     // neighbor-community join then reuses the cached layout and only the
     // V-sized label side shuffles (guide §2.4)
