@@ -52,7 +52,10 @@ object ConnectedComponents {
         .groupBy(col("a").as("node")).agg(min(col("comp")).as("ncomp"))
       // checkpointed: prop feeds BOTH sides of the jump join below —
       // without materialization the neighbor-min aggregation would run
-      // twice per round
+      // twice per round. (r17 re-tested the lazy spelling betting on
+      // AQE runtime exchange reuse: q_modularity read +31% without the
+      // checkpoint — the reuse does not reliably cover the self-join of
+      // an aggregation this deep — so the eager job stays.)
       val prop = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
