@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench contract requires the one JSON line printed by graft.Bench to
+// be the literal last, UNPREFIXED stdout line. By default sbt tags forked
+// run output with "[info] " and appends its own "[success] Total time"
+// footer, which breaks any parser keyed on the last line (BENCH_r16/r17:
+// parsed=null despite rc=0). StdoutOutput passes the forked process's
+// stdout/stderr straight through; showSuccess=false drops the footer.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
