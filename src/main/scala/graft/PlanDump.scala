@@ -5,9 +5,12 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.ExplainMode
 
+import graft.operators.IterRoundExplain
+
 /** Dev tool: dump `.explain("formatted")` for named registry queries to
   * files (the optimization-round evidence format — plans/rNN/<q>_before
-  * .txt / _after.txt). Not part of the shipped library.
+  * .txt / _after.txt). This object is not part of the shipped library
+  * (its per-round capture hook, graft.operators.IterRoundExplain, is).
   *
   * Usage: runMain graft.PlanDump <names-csv> <outDir> <suffix>
   *
@@ -48,26 +51,5 @@ object PlanDump {
       println(s"[plandump] wrote $target")
     }
     spark.stop()
-  }
-}
-
-/** Debug hook shared with IterCheckpoint: when the session conf names a
-  * file, every iterCheckpoint() appends the formatted plan it is about to
-  * materialize — the only way to see the PER-ROUND plans of the iterative
-  * family (the returned frame shows just the final stage). Zero overhead
-  * when unset. */
-object IterRoundExplain {
-  val ConfKey = "graft.iter.explainTo"
-  private val ctr = new java.util.concurrent.atomic.AtomicInteger
-
-  def maybeDump(df: org.apache.spark.sql.DataFrame): Unit = {
-    val path = df.sparkSession.conf.getOption(ConfKey).filter(_.nonEmpty)
-    path.foreach { p =>
-      val txt = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
-      Files.write(Paths.get(p),
-        (s"===== iterCheckpoint #${ctr.incrementAndGet()} =====\n" + txt)
-          .getBytes("UTF-8"),
-        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-    }
   }
 }

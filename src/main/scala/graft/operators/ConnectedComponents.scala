@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 import graft.operators.IterCheckpoint.IterCheckpointOps
 
 /** Connected components by iterated min-label propagation — the step that
@@ -35,7 +34,6 @@ object ConnectedComponents {
     val sym = e.union(e.select(col("dst"), col("src")))
       .toDF("a", "b")
       .transform(IterCheckpoint.keyedForReuse(_, col("b")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // init fused with the first propagation round: every node starts at
     // min(self, neighbors) — one aggregation over sym replaces both the
     // distinct-nodes pass and the first loop round (any labeling between

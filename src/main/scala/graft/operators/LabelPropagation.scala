@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 import graft.operators.IterCheckpoint.IterCheckpointOps
 
 /** Semi-supervised label propagation (label spreading with clamping):
@@ -29,7 +28,6 @@ object LabelPropagation {
     // partitioned once by the per-round message-join key (guide §2.4)
     val sym = e.union(e.select(col("dst"), col("src"))).toDF("a", "b")
       .transform(IterCheckpoint.keyedForReuse(_, col("b")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val sd = seeds.toDF("node", "lab")
     var labels = sym.select(col("a").as("node")).distinct()
       .join(sd, Seq("node"), "left")

@@ -79,7 +79,6 @@ object Louvain {
     // neighbor-community join then reuses the cached layout and only the
     // V-sized label side shuffles (guide §2.4)
     val sym = IterCheckpoint.keyedForReuse(symEdges(we), col("b"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val k = weightedDegrees(we, sym).persist(StorageLevel.MEMORY_AND_DISK)
     // m2 (total volume) is a single bounded scalar, invariant across
     // rounds AND aggregation levels — collect it once rather than

@@ -38,7 +38,6 @@ object PageRank {
       .join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
       .select(col("src"), col("dst"), col("deg"))
       .transform(IterCheckpoint.keyedForReuse(_, col("src")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // localCheckpoint (not persist): iterative plans must TRUNCATE the
     // logical plan each round — persist only caches physical results, so
@@ -90,7 +89,6 @@ object PageRank {
       .join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
       .select(col("src"), col("dst"), col("deg"))
       .transform(IterCheckpoint.keyedForReuse(_, col("src"))) // per-round join key — see pagerank above
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val isSeed = col("node").isin(seeds.map(java.lang.Long.valueOf): _*)
     val restart = when(isSeed, lit(1 - damping)).otherwise(lit(0.0))
     var ranks = nodes

@@ -49,7 +49,6 @@ object StronglyConnectedComponents {
     // shuffles (guide §2.4)
     val e = edges.toDF("src", "dst")
       .transform(IterCheckpoint.keyedForReuse(_, col("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // init fused with round one: F0(v) = min(v, out-neighbors) — labels
     // start at one-hop reach; isolated-as-source nodes (dst-only) get
     // their own id via the full outer union below

@@ -489,7 +489,6 @@ object GraphQueries {
     val sym = edges.select(col("src").as("a"), col("dst").as("b"))
       .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
       .keyedForReuse(col("a"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = sym.select(col("a").as("node")).distinct()
     var dist = nodes.withColumn("dist",
       when(col("node") === source, lit(0L)).otherwise(lit(null).cast("long")))
@@ -557,7 +556,6 @@ object GraphQueries {
     val sym = edges.select(col("src").as("a"), col("dst").as("b"), col("w"))
       .unionAll(edges.select(col("dst").as("a"), col("src").as("b"), col("w")))
       .keyedForReuse(col("a"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = sym.select(col("a").as("node")).distinct()
     var dist = nodes.withColumn("dist",
       when(col("node") === source, lit(0L)).otherwise(lit(null).cast("long")))
@@ -876,11 +874,11 @@ object GraphQueries {
   private[graft] def hitsScores(edges: DataFrame, iters: Int): DataFrame = {
     // the two half-steps join the edge set on OPPOSITE endpoints — one
     // cached copy per key so neither half-step ever re-shuffles E
-    // (guide §2.4); the label side is V-sized and pre-partitioned too
+    // (guide §2.4); the label side is V-sized and pre-partitioned too.
+    // eDst repartitions OFF the filled eSrc cache, so the upstream edge
+    // derivation runs once, not once per keyed copy
     val eSrc = edges.keyedForReuse(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val eDst = edges.keyedForReuse(col("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val eDst = eSrc.keyedCopy(col("dst"))
     val nodes = eSrc.select(col("src").as("node"))
       .union(eSrc.select(col("dst").as("node"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1476,7 +1474,6 @@ object GraphQueries {
     val sym = e.select(col("src").as("a"), col("dst").as("b"))
       .unionAll(e.select(col("dst").as("a"), col("src").as("b")))
       .keyedForReuse(col("a"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = sym.select(col("a").as("node")).distinct()
     val seeds = nodes.orderBy(col("node").asc).limit(CentralitySeeds)
       .select(col("node").as("seed"))
@@ -1662,7 +1659,6 @@ object GraphQueries {
     val sym = e.select(col("src").as("a"), col("dst").as("b"))
       .unionAll(e.select(col("dst").as("a"), col("src").as("b")))
       .keyedForReuse(col("a"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = sym.select(col("a").as("node")).distinct()
     val seeds = nodes.orderBy(col("node").asc).limit(nSeeds)
       .select(col("node").as("seed"))
@@ -1708,10 +1704,9 @@ object GraphQueries {
         lit(0L).as("deltaq"))
       .iterCheckpoint()
     // the backward levels join sym on the OTHER endpoint — one b-keyed
-    // cached copy up front (filled from the still-cached forward copy)
-    // replaces an E-sized exchange per level (guide §2.4)
-    val symB = sym.select(col("a"), col("b")).keyedForReuse(col("b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cached copy up front (repartitioned straight off the still-cached
+    // forward copy) replaces an E-sized exchange per level (guide §2.4)
+    val symB = sym.select(col("a"), col("b")).keyedCopy(col("b"))
     for (lev <- maxDist to 1 by -1) {
       val deeper = dq.filter(col("dist") === lev)
         .select(col("seed"), col("node").as("b"),
