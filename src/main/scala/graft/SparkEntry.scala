@@ -30,6 +30,14 @@ object SparkEntry {
       GraphQueries.queries ++ TpchQueries.queries ++ TpchBulkQueries.queries ++
       LakehouseQueries.queries
 
+  /** `oracleSql` with the fixture-dependent registrations respelled for
+    * the given data directory: SemDeDup's k auto-scales with the corpus
+    * (semK), so its replay SQL must be generated at the same k. Equal to
+    * `oracleSql` at every tier whose vector count keeps semK at its
+    * demo value (all gate tiers through sf3). Verify writes THIS map. */
+  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] =
+    oracleSql ++ SimilarityQueries.fixtureOracles(spark, sfDir)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -64,23 +64,27 @@ object StronglyConnectedComponents {
       // one hop: m'(v) = min(m(v), m(out-neighbors))
       val hop = e.join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node")).agg(min(col("m")).as("hm"))
-      // checkpointed: prop feeds BOTH sides of the jump join below — the
-      // hop aggregation would run twice per round without materialization
-      // (a lazy persist() was measured SLOWER at sf0.1 — 8.8 s → 10.2 s
-      // whole-query — racing partitions double-compute the hop before the
-      // cache fills; the eager job is the cheaper spelling, same result
-      // as ConnectedComponents found)
-      val prop = labels.join(hop, Seq("node"), "left")
+      val m1 = labels.join(hop, Seq("node"), "left")
         .select(col("node"),
           least(col("m"), coalesce(col("hm"), col("m"))).as("m"),
           col("m").as("prev"))
-        .iterCheckpoint()
-      // pointer jump: m := min(m, m(m)) — m(v) is reachable from v, so
-      // anything reachable from m(v) is reachable from v
-      val jump = prop.select(col("node").as("m"), col("m").as("jm"))
+      // pointer jump THROUGH THE PREVIOUS ROUND'S CHECKPOINTED LABELS:
+      // m := min(m1, labels(m1)). labels(x) is reachable from x, so the
+      // jump stays sound; reading the jump side from the materialized
+      // frame (not from m1 itself) keeps the whole round ONE action with
+      // ONE checkpoint — the previous spelling checkpointed m1 first
+      // because self-joining the un-materialized aggregation re-ran the
+      // hop on both sides (the CC +31% lazy-respell measurement), paying
+      // two driver actions per round. Convergence still detects hop-
+      // stability (changed counts the full round's movement vs the old
+      // labels), and a hop-stable labeling IS the min-reach fixpoint —
+      // the jump is only an accelerator — so results are unchanged; the
+      // stale-by-one jump can only add rounds (none observed at sf0.1:
+      // same round count, see OPTIMIZATION_r18.md).
+      val jump = labels.select(col("m").as("jm"), col("node").as("m"))
       val obs = new org.apache.spark.sql.Observation(
         s"scc_reach_${iter}_${System.nanoTime()}")
-      val next = prop.join(jump, Seq("m"), "left")
+      val next = m1.join(jump, Seq("m"), "left")
         .select(col("node"),
           least(col("m"), coalesce(col("jm"), col("m"))).as("m"),
           col("prev"))
@@ -105,12 +109,17 @@ object StronglyConnectedComponents {
       maxPropRounds: Int = 20): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // the emptiness probe rides the checkpoint job as an observed metric
+    // (here and per outer round below) — no separate isEmpty action
+    val obs0 = new org.apache.spark.sql.Observation(
+      s"scc_rem_init_${System.nanoTime()}")
     var remaining = edges.toDF("src", "dst")
       .filter(col("src") =!= col("dst")).distinct()
+      .observe(obs0, count(lit(1)).as("n"))
       .iterCheckpoint()
     var settled: DataFrame = Seq.empty[(Long, Long)].toDF("node", "scc")
     var outer = 0
-    var done = remaining.isEmpty
+    var done = obs0.get("n").asInstanceOf[Long] == 0L
     while (!done && outer < maxOuterRounds) {
       val fwd = minReach(remaining, maxPropRounds)
         .withColumnRenamed("m", "f")
@@ -139,22 +148,28 @@ object StronglyConnectedComponents {
           .select(col("node"), col("f").as("scc")))
       val open = verdicts.filter(col("f") =!= col("g"))
         .select(col("node"))
+      val obsR = new org.apache.spark.sql.Observation(
+        s"scc_rem_${outer}_${System.nanoTime()}")
       remaining = colored
         .join(open.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
         .join(open.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
+        .observe(obsR, count(lit(1)).as("n"))
         .iterCheckpoint()
       // nodes still open but with no surviving edge are singleton SCCs
       val isolated = open
         .join(remaining.select(col("src").as("node")), Seq("node"), "left_anti")
         .join(remaining.select(col("dst").as("node")), Seq("node"), "left_anti")
+      // settled stays LAZY: its lineage is a bounded (≤ maxOuterRounds)
+      // union of filters over checkpointed frames only — verdicts and
+      // remaining — so nothing in it references fwd/colored after the
+      // unpersists below, and the per-round pinning checkpoint it used
+      // to pay bought nothing
       settled = settled
         .union(isolated.select(col("node"), col("node").as("scc")))
-        .iterCheckpoint()
-      // (this one stays eager: it pins settled before fwd/colored unpersist)
       fwd.unpersist(false)
       colored.unpersist(false)
-      done = remaining.isEmpty
+      done = obsR.get("n").asInstanceOf[Long] == 0L
       outer += 1
     }
     if (!done)

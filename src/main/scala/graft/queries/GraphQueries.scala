@@ -1674,6 +1674,10 @@ object GraphQueries {
     // no-op on BOTH engines (the oracle's surplus unrolled rounds leave
     // a converged state untouched), so parity survives the shortcut —
     // rounds drop from the fixed 20 to the graph's eccentricity.
+    // (r18 tried the seedDistances double-step here — two σ levels
+    // stacked lazily per checkpoint: the duplicated state references per
+    // plan cost more than the saved actions, +6% drift-adjusted at
+    // sf0.1 and +10% at sf1, so the single-step cadence stays.)
     var r = 1
     var growing = true
     var maxDist = 0

@@ -591,10 +591,13 @@ object SimilarityQueries {
     * Average cell size stays ≈ MaxExactRows/IvfK ≈ 6k rows, so pair
     * volume grows LINEARLY in n — the paper's k ≈ n/10k recipe (Abbas
     * et al. 2023 §3; k ≈ 11k for LAION) rather than a refusal. The
-    * registered static oracle SQL is the k=16 spelling (exact wherever
-    * n ≤ MaxExactRows); past that, generate the matching-k replay with
-    * `graft.OracleGen semdedup <k>` — round 17 verified k=32 hash-green
-    * at sf10 (200k vectors). At corpus sizes where the O(n·k) Lloyd fit
+    * REGISTERED oracle is k-faithful at every tier: Verify writes
+    * oracle_sql.json from `fixtureOracles`, which respells the replay at
+    * this same semK(n) — identical to the static k=16 strings wherever
+    * n ≤ MaxExactRows, the generated-k spelling past that (round 17
+    * verified k=32 hash-green at sf10's 200k vectors by hand; round 18
+    * re-verified through the automatic path). At corpus sizes where the
+    * O(n·k) Lloyd fit
     * itself dominates, production swaps the inline fit for the
     * fingerprint-keyed persisted artifact the ANN family already uses
     * (fit once per corpus, serve warm). */
@@ -692,6 +695,19 @@ object SimilarityQueries {
       "FROM sc s LEFT JOIN dom d USING (id)"
 
   val qSemdedupKeepSql: String = qSemdedupKeepSqlFor(IvfK)
+
+  /** Fixture-faithful oracle overrides — the queries whose registered SQL
+    * is a function of the corpus (SemDeDup runs at k = semK(n), so its
+    * replay must too). Verify folds these over the static map when it
+    * writes oracle_sql.json, making every tier's registered oracle the
+    * exact engine spelling with no manual OracleGen swap. At any tier
+    * with n ≤ MaxExactRows (every gate tier through sf3) the returned
+    * strings are byte-identical to the static k=IvfK registrations. */
+  def fixtureOracles(s: SparkSession, d: String): Map[String, String] = {
+    val k = semK(guardProbe(s, d + "#semn")(vecs(s, d).count()))
+    Map("q_semdedup" -> qSemdedupSqlFor(k),
+      "q_semdedup_keep" -> qSemdedupKeepSqlFor(k))
+  }
 
   // ── k-NN label classification (embedding-quality evaluation) ───────────
   // The standard embedding probe: predict each query vector's label by

@@ -968,6 +968,15 @@ object TextQueries {
   // the same leftmost-non-overlapping replace chain, and the rollup is
   // one partial-agg shuffle on source — the corpus is scanned once, the
   // merge table never grows with data.
+  //
+  // (r18 tried the guide-§8 respell — encode once per DISTINCT word from
+  // the trainer's final state, corpus pass reduced to a (source, word)
+  // count: with the pair table checkpointed it measured +15%
+  // drift-adjusted at sf1, without +79% — the added (source, word)
+  // shuffle/materialization costs more than the per-token string work it
+  // saves. This spelling is already scale-clean: map-only codegen over
+  // one scan feeding a map-side-combined source-sized aggregate, no
+  // data-sized exchange anywhere, and it scales 4.9× from 8→32 cores.)
   def qBpeApply(s: SparkSession, d: String): DataFrame = {
     val merges = bpeTrainMerges(s, d)
     val mtab = merges.map(m => broadcast(m.select(

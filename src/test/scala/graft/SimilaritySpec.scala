@@ -365,6 +365,23 @@ class SimilaritySpec extends AnyFunSuite {
       SimilarityQueries.qSemdedupKeepSqlFor(16))
   }
 
+  test("Verify registers the k-faithful semdedup oracle for the fixture") {
+    // oracleSqlFor respells the SemDeDup replay at the engine's own
+    // semK(n) — at this fixture (n ≤ 100k) that is the static k=16
+    // string, and the override is exactly generator(semK(count))
+    val n = Tables.embeddings(spark, sf).count()
+    val reg = SparkEntry.oracleSqlFor(spark, sf)
+    assert(reg("q_semdedup") ===
+      SimilarityQueries.qSemdedupSqlFor(SimilarityQueries.semK(n)))
+    assert(reg("q_semdedup_keep") ===
+      SimilarityQueries.qSemdedupKeepSqlFor(SimilarityQueries.semK(n)))
+    assert(reg("q_semdedup") === SimilarityQueries.qSemdedupSql)
+    assert(reg("q_semdedup_keep") === SimilarityQueries.qSemdedupKeepSql)
+    // every other registration passes through untouched
+    assert((SparkEntry.oracleSql - "q_semdedup" - "q_semdedup_keep") ===
+      (reg - "q_semdedup" - "q_semdedup_keep"))
+  }
+
   test("knn classification equals a driver-side majority vote over the knn rows") {
     val labels = Tables.embeddings(spark, sf)
       .select($"vec_id", $"label".cast("long")).as[(Long, Long)].collect().toMap
