@@ -79,8 +79,9 @@ object StronglyConnectedComponents {
       // stability (changed counts the full round's movement vs the old
       // labels), and a hop-stable labeling IS the min-reach fixpoint —
       // the jump is only an accelerator — so results are unchanged; the
-      // stale-by-one jump can only add rounds (none observed at sf0.1:
-      // same round count, see OPTIMIZATION_r18.md).
+      // stale-by-one jump can only add rounds (+2 total across the whole
+      // query at sf0.1, 21→23 per plans/r18/q_scc_{before,after}.txt,
+      // against the 2× per-round action cut; whole-query −19% A/B).
       val jump = labels.select(col("m").as("jm"), col("node").as("m"))
       val obs = new org.apache.spark.sql.Observation(
         s"scc_reach_${iter}_${System.nanoTime()}")
